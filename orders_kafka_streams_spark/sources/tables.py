@@ -1,0 +1,54 @@
+"""Batch table source: parquet directories laid out as ``{sf_dir}/{name}.parquet``.
+
+This is the test/batch face of the source abstraction; the streaming
+face (Kafka + JSON edge) lives in :mod:`..sources.kafka` and
+:mod:`..sources.json_edge`. Query code takes DataFrames, so batch and
+streaming share operator definitions.
+
+Scale notes: ``spark.read.parquet`` gives Catalyst column pruning +
+predicate pushdown for free — operators must keep filters/projections
+expressible (no opaque UDFs before the first filter) so they reach the
+scan. At 100 TB the same layout would be a partitioned/bucketed table
+(e.g. orders bucketed by o_orderkey) — the loader is the single seam
+where that changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import TABLES
+from ..session import tune
+
+
+def sf_dir_default() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune(spark)
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects; read it as a long and floor-convert ns → µs (same truncation
+    # DuckDB applies when narrowing ns → its µs TIMESTAMP).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can also be exercised via spark.sql."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
