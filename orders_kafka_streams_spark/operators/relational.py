@@ -1,0 +1,492 @@
+"""Relational core: SURVEY §2.9 "free from Catalyst, declared so the
+harness checks them" — scans, every join kind, hash aggregation,
+rollup/cube/grouping-sets, sort/limit/top-k, set ops, pivot, dedup.
+
+The reference has exactly one hand-rolled join (OrderProcessor.java:46-290)
+and one hand-rolled aggregate (Main.java:168-196); everything here is the
+rest of a query engine's relational surface, expressed declaratively so
+Catalyst supplies the physical strategy.
+
+Scale notes per operator group:
+- Joins: fact-fact joins (lineitem ⋈ orders) shuffle on the join key —
+  at 100 TB use bucketed tables on orderkey to remove the exchange
+  entirely; dim joins (nation, region, customer at 1000× smaller) are
+  explicitly broadcast — no shuffle of the fact side.
+- Aggregations: all groupBys here are partial-agg friendly (sum/count/
+  min/max/avg decompose) → map-side combine runs before the exchange;
+  count_distinct over high-cardinality keys uses the 2-phase expand
+  Catalyst plans automatically; approx_count_distinct is the 100 TB
+  path (HLL, no expand).
+- Top-k: global sort+limit is planned as TakeOrderedAndProject (per-
+  partition heap + driver merge of k rows, never a full sort);
+  per-group top-k is a single window shuffle.
+- Floats: aggregate outputs are rounded in-query on BOTH engine sides;
+  cross-engine float sums differ in ordering otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    tabs = load_tables(spark, sf_dir, *names)
+    return tuple(tabs[n] for n in names)
+
+
+# --- TPC-H-style analytical queries -----------------------------------------
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): 2-col groupBy + 8 aggregates.
+
+    One exchange; partial aggregation upstream of it does the heavy
+    lifting — the classic map-side-combine plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): 3-way join + agg + top-k.
+
+    customer is 40× smaller than lineitem → broadcast; the orders ⋈
+    lineitem equi-join shuffles on the order key (bucket both at scale).
+    Global top-10 plans as TakeOrderedAndProject.
+    """
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way join, dims broadcast."""
+    region, nation, cust, orders, li, supp = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue filter+sum (TPC-H Q6 shape): pure scan query.
+
+    No join, no shuffle beyond the final single-row agg; every
+    predicate is parquet-pushdown-eligible.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --- join kinds --------------------------------------------------------------
+
+
+def _q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+def _q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full outer over two aggregates with partially overlapping key sets:
+    # customers seen as order-placers vs high-balance customers.
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    placers = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey"), F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return placers.join(rich, "custkey", "full").select(
+        "custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("acctbal", F.lit(0.0)).alias("acctbal"),
+    )
+
+
+def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS: customers having ≥1 urgent order — left-semi join, no
+    # row multiplication, builds only the key set on the right.
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT EXISTS: customers with no orders at all — the dead-letter
+    # shape of the reference's expiry path, relational edition.
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cartesian of the two smallest dims (5 × 25) — planned as
+    # BroadcastNestedLoopJoin; declared to cover the join-kind matrix.
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+def _q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit broadcast hint: supplier (100 rows) into lineitem (600k at
+    # sf0.1) — zero shuffle of the fact side; the plan must show
+    # BroadcastHashJoin (asserted in tests/test_plans.py).
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --- aggregation variants ----------------------------------------------------
+
+
+def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(1) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot = groupBy + conditional aggregation; pin the pivot values so
+    # no discovery pass over the data is needed (required at scale).
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_finished"})
+    )
+
+
+# --- sort / limit / top-k ----------------------------------------------------
+
+
+def _q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 customers by balance per nation: one window shuffle on the
+    # group key; rank bounded by k so the filter prunes early.
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+# --- set operations / dedup --------------------------------------------------
+
+
+def _q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    c = cust.select(F.col("c_name").alias("name"), F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind"))
+    s = supp.select(F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind"))
+    return c.unionByName(s).groupBy("kind", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nations that have both customers and suppliers (INTERSECT = distinct)
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nations with customers but no suppliers (EXCEPT = distinct)
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def _q_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup on a projection — dropDuplicates on the full projected
+    # row (subset-dedup keeps an arbitrary row; projecting first keeps
+    # the result deterministic and oracle-checkable).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_shipdate").dropDuplicates()
+
+
+QUERIES = {
+    "q_tpch_q1": _q_tpch_q1,
+    "q_tpch_q3": _q_tpch_q3,
+    "q_tpch_q5": _q_tpch_q5,
+    "q_tpch_q6": _q_tpch_q6,
+    "q_join_left": _q_join_left,
+    "q_join_full": _q_join_full,
+    "q_join_semi": _q_join_semi,
+    "q_join_anti": _q_join_anti,
+    "q_join_cross": _q_join_cross,
+    "q_join_broadcast": _q_join_broadcast,
+    "q_agg_stats": _q_agg_stats,
+    "q_rollup": _q_rollup,
+    "q_cube": _q_cube,
+    "q_grouping_sets": _q_grouping_sets,
+    "q_pivot": _q_pivot,
+    "q_sort_limit": _q_sort_limit,
+    "q_topk_per_group": _q_topk_per_group,
+    "q_union_all": _q_union_all,
+    "q_intersect": _q_intersect,
+    "q_except": _q_except,
+    "q_drop_duplicates": _q_drop_duplicates,
+}
+
+ORACLE = {
+    "q_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(1) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q_tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q_tpch_q5": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    "q_tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+""",
+    "q_join_left": """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(1) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_spend, 0.0) AS total_spend
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+""",
+    "q_join_full": """
+WITH placers AS (
+  SELECT o_custkey AS custkey, CAST(count(1) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), rich AS (
+  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+  FROM customer WHERE c_acctbal > 9000
+)
+SELECT coalesce(placers.custkey, rich.custkey) AS custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(acctbal, 0.0) AS acctbal
+FROM placers FULL OUTER JOIN rich ON placers.custkey = rich.custkey
+""",
+    "q_join_semi": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    "q_join_anti": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "q_join_cross": """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+    "q_join_broadcast": """
+SELECT n_name, CAST(count(1) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "q_agg_stats": """
+SELECT l_returnflag,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    "q_rollup": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(1) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "q_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(1) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(1) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "q_pivot": """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_finished
+FROM lineitem GROUP BY l_returnflag
+""",
+    "q_sort_limit": """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+""",
+    "q_topk_per_group": """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rk
+  FROM customer
+)
+SELECT * FROM ranked WHERE rk <= 3
+""",
+    "q_union_all": """
+WITH u AS (
+  SELECT c_name AS name, c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_name, s_nationkey, 'supplier' FROM supplier
+)
+SELECT kind, nationkey, CAST(count(1) AS BIGINT) AS n FROM u GROUP BY kind, nationkey
+""",
+    "q_intersect": """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    "q_except": """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+    "q_drop_duplicates": """
+SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+""",
+}
