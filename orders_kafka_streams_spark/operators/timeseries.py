@@ -1,0 +1,203 @@
+"""Time-series operators over the ``events`` stream table (SURVEY §2.6/§2.9):
+tumbling / sliding / session windows, late-data (watermark) policy, and
+the as-of join — batch formulations whose streaming twins live in
+``streaming/``.
+
+Window columns are emitted as epoch-ms longs (window start/end), the
+same stamp the reference puts on its output (Main.java:200-203), and
+engine-portable for the oracle diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import epoch_ms
+from ..sources.tables import load_table
+from .asof import asof_join
+
+MIN_MS = 60_000
+
+
+def tumbling(df: DataFrame, ts: str, size: str, *keys: str) -> DataFrame:
+    """Tumbling window aggregation (reference win-tumble, Main.java:169):
+    ``window(ts, size)`` — Catalyst computes the bucket arithmetic
+    inline; one exchange on (window, keys) with partial aggregation.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts), size), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            epoch_ms(F.col("window.end")).alias("wend_ms"),
+            *keys,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _q_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(load_table(spark, sf_dir, "events"), "ts", "1 minute", "event_type")
+
+
+def _q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10-min windows sliding by 5: window() expands each row into
+    # width/slide = 2 buckets before the exchange — the expansion factor
+    # is the plan's cost knob, not state (batch) or timers.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            epoch_ms(F.col("window.end")).alias("wend_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session windows, 30-min gap per user (SURVEY §2.9 time-series row).
+    # session_window works in batch aggregation too: assign provisional
+    # sessions, merge overlaps — engine-managed gaps-and-islands.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+            epoch_ms(F.col("session_window.end")).alias("session_end_ms"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch analog of the watermark policy (reference grace period,
+    # Main.java:169): with the watermark at max(ts) − 1 h, split events
+    # into on-time vs late-dropped and count per type. The broadcast of
+    # the 1-row aggregate replaces a driver round-trip.
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg((F.max(epoch_ms(F.col("ts"))) - 3_600_000).alias("wm_ms"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(epoch_ms(F.col("ts")) <= F.col("wm_ms"), 1).otherwise(0)).alias("n_on_time"),
+            F.sum(F.when(epoch_ms(F.col("ts")) > F.col("wm_ms"), 1).otherwise(0)).alias("n_late"),
+        )
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # purchases matched to the user's latest click at-or-before, 6 h
+    # tolerance — the generic operator from operators/asof.py.
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_payload=["value"],
+        order_col="event_id",
+        tolerance_ms=6 * 3_600_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("click_value"),
+        epoch_ms(F.col("ts_asof")).alias("click_ts_ms"),
+    )
+
+
+QUERIES = {
+    "q_win_tumble": _q_win_tumble,
+    "q_win_sliding": _q_win_sliding,
+    "q_win_session": _q_win_session,
+    "q_late_data": _q_late_data,
+    "q_asof_join": _q_asof_join,
+}
+
+ORACLE = {
+    "q_win_tumble": """
+SELECT epoch_ms(date_trunc('minute', ts)) AS wstart_ms,
+       epoch_ms(date_trunc('minute', ts)) + 60000 AS wend_ms,
+       event_type, CAST(count(1) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+    "q_win_sliding": """
+WITH expanded AS (
+  SELECT event_type, value,
+         epoch_ms(ts) - (epoch_ms(ts) % 300000) - k.off AS wstart_ms
+  FROM events CROSS JOIN (VALUES (0), (300000)) k(off)
+)
+SELECT wstart_ms, wstart_ms + 600000 AS wend_ms, event_type,
+       CAST(count(1) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+FROM expanded GROUP BY 1, 2, 3
+""",
+    "q_win_session": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+       CAST(count(1) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+    "q_late_data": """
+WITH wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm_ms FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN epoch_ms(ts) <= wm_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN epoch_ms(ts) > wm_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM events CROSS JOIN wm
+GROUP BY event_type
+""",
+    "q_asof_join": """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS side, value AS lvalue, NULL::DOUBLE AS rvalue
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side, NULL, value
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN rvalue END IGNORE NULLS) OVER w AS click_value_raw,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS click_ts_raw
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(lvalue, 4) AS purchase_value,
+       CASE WHEN click_ts_raw IS NOT NULL
+             AND epoch_ms(ts) - epoch_ms(click_ts_raw) <= 21600000
+            THEN round(click_value_raw, 4) END AS click_value,
+       CASE WHEN click_ts_raw IS NOT NULL
+             AND epoch_ms(ts) - epoch_ms(click_ts_raw) <= 21600000
+            THEN epoch_ms(click_ts_raw) END AS click_ts_ms
+FROM m WHERE side = 1
+""",
+}
