@@ -1,0 +1,60 @@
+"""Text primitives shared by the text / dedup operators.
+
+Tokenization must be engine-portable (the oracle re-tokenizes in SQL):
+split on single spaces, drop empties, lowercase. All pure Catalyst
+higher-order functions — no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: function words used by the quality / language heuristics (present in
+#: the synthetic corpus vocabulary; swap for a real list in production).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties removed."""
+    return F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`tokens`."""
+    return f"list_filter(string_split(lower({expr}), ' '), x -> x <> '')"
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a token array.
+
+    Index-transform over the token array — O(len) inline codegen; no
+    explode happens until a caller chooses to build an inverted index.
+    Empty array for docs shorter than ``n`` tokens.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles`; 1-indexed list access."""
+    parts = " || ' ' || ".join(f"({toks_expr})[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {parts})) "
+        f"ELSE [] END"
+    )
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+
+
+def stopword_count_sql(toks_expr: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"len(list_filter({toks_expr}, x -> x IN ({inlist})))"

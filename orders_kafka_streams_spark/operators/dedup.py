@@ -1,0 +1,344 @@
+"""Deduplication family (north-star extension surface): exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+All variants follow the same scale architecture:
+
+1. **signature** — per-doc, computed inline with Catalyst higher-order
+   functions (no explode, no Python): shingles → portable hashes →
+   MinHash / SimHash.
+2. **blocking** — candidate generation via equality join on a compact
+   key (LSH band key, SimHash chunk, shingle posting), never an O(n²)
+   cross join. Each blocking join is one hash-shuffle on the key;
+   skew (hot shingles / hot buckets) is AQE-split.
+3. **verify** — exact measure (Jaccard / Hamming / cosine) only on
+   candidate pairs.
+
+The DuckDB oracles recompute the same signatures from the same
+portable md5-based hashes (functions/portable.py) — bit-identical —
+but may verify pairs O(n²) since the oracle only runs at sf0.01.
+
+Reference connection: the reference's only dedup-ish behavior is
+last-writer-wins on duplicate order events (OrderProcessor.java:114);
+SURVEY §2.9 commits to this full family for the 100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import MERSENNE31, hash31_sql, hash60, hash60_sql
+from ..functions.textfns import shingles, shingles_sql, tokens, tokens_sql
+from ..sources.tables import load_table
+
+#: fixed MinHash permutations (seed=42): h_i(x) = (a_i * x + b_i) mod 2^31-1.
+#: 16 perms = 4 bands × 4 rows → LSH s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71.
+PERMS = (
+    (1373158607, 239081663),
+    (53710185, 1592467581),
+    (590620972, 525901256),
+    (479341424, 299655412),
+    (1581559893, 220106707),
+    (1453201079, 1590571865),
+    (1915941033, 1171165722),
+    (186699714, 1268073012),
+    (906070221, 68252793),
+    (63989048, 201209005),
+    (469521478, 499635468),
+    (1085242217, 1292825378),
+    (56985562, 1205264595),
+    (427000597, 1537640408),
+    (1395616197, 1506083910),
+    (1170252924, 900911954),
+)
+N_BANDS, N_ROWS = 4, 4
+JACCARD_T = 0.7
+NGRAM_JACCARD_T = 0.8
+SIMHASH_BITS = 32
+SIMHASH_MAX_DIST = 2
+COSINE_T = 0.4
+
+
+def _hash31(col: Column) -> Column:
+    return hash60(col) % MERSENNE31
+
+
+def minhash_signature(shingle_arr: Column) -> list[Column]:
+    """16 MinHash values of a shingle array — pure codegen, no shuffle."""
+    base = F.transform(shingle_arr, _hash31)
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers HOF arity from the lambda's
+        # parameter count, so default-arg capture (lambda h, a=a: ...)
+        # would be misread as a 3-arg lambda.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+
+    return [F.array_min(F.transform(base, perm(a, b))) for a, b in PERMS]
+
+
+def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over distinct token hashes: bit k of the result is the
+    sign of the per-bit vote sum. One fold over the hash array per bit
+    (static expression tree, integer arithmetic → order-independent and
+    engine-portable). A mapInPandas variant would do one pass for all
+    bits if this ever dominates a profile; at document row counts the
+    codegen'd folds are fine."""
+    hs = F.transform(F.array_distinct(toks), hash60)
+
+    def vote(k: int):
+        # closure factory (see minhash_signature): keeps the merge
+        # lambda binary so PySpark infers the right HOF arity.
+        return lambda acc, h: acc + (F.shiftright(h, k) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for k in range(bits):
+        votes = F.aggregate(hs, F.lit(0).cast("long"), vote(k))
+        out = out + F.when(votes > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+
+
+def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via an inverted index:
+    explode shingles → equality self-join on shingle → count common →
+    |A∩B| / (|A|+|B|−|A∩B|). One shuffle on the shingle key; candidate
+    pairs only ever materialize when they share ≥1 shingle."""
+    inv = shingled.select("doc_id", "sz", F.explode("sh").alias("g"))
+    a = inv.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "g")
+    b = inv.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup by content hash; the summary row keeps the query
+    # meaningful whether or not the corpus contains exact dups.
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(hash60(F.col("text")).alias("h"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_shingled(spark, sf_dir), NGRAM_JACCARD_T)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification of candidates."""
+    sh = _shingled(spark, sf_dir).filter(F.col("sz") > 0)
+    sig = sh.select("doc_id", "sh", "sz", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh")))])
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("-", *[F.col(f"mh{j * N_ROWS + r}") for r in range(N_ROWS)])
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(common / (F.col("sza") + F.col("szb") - common), 6))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signatures, Hamming ≤ 2, with 3-chunk
+    pigeonhole blocking (distance ≤ 2 ⇒ at least one of 3 chunks equal)
+    instead of an O(n²) cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = docs.select("doc_id", simhash(tokens(F.col("text"))).alias("s"))
+    n_chunks = SIMHASH_MAX_DIST + 1
+    chunk_bits = SIMHASH_BITS // n_chunks + 1
+    chunks = sim.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("s"), c * chunk_bits) % (1 << chunk_bits))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "ckey"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "ckey"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.s").alias("s_a"),
+            F.col("y.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .select("a", "b", "hamming")
+    )
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verify at test SF;
+    the blocked/ANN path for scale is operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    v = emb.select("vec_id", dvec.alias("e"), norm.alias("nrm"))
+    a = v.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= COSINE_T)
+        .select("a", "b", "cosine")
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": _q_dedup_exact,
+    "q_dedup_ngram": _q_dedup_ngram,
+    "q_dedup_minhash": _q_dedup_minhash,
+    "q_dedup_simhash": _q_dedup_simhash,
+    "q_dedup_embedding": _q_dedup_embedding,
+}
+
+# --- oracles -----------------------------------------------------------------
+
+_TOKS = tokens_sql("text")
+_SHINGLES = shingles_sql("w")
+
+_SHINGLED_CTE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s, len({_SHINGLES}) AS sz FROM toks)
+"""
+
+_MH_EXPRS = ",\n         ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31})) AS mh{i}"
+    for i, (a, b) in enumerate(PERMS)
+)
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {j} AS band, "
+    + " || '-' || ".join(f"CAST(mh{j * N_ROWS + r} AS VARCHAR)" for r in range(N_ROWS))
+    + " AS key FROM sig"
+    for j in range(N_BANDS)
+)
+
+_SIMHASH_SQL = f"""
+list_sum(list_transform(range(0, {SIMHASH_BITS}), k ->
+  CASE WHEN list_sum(list_transform(hs, h -> ((h >> k) & 1) * 2 - 1)) > 0
+       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+"""
+
+ORACLE = {
+    "q_dedup_exact": f"""
+WITH h AS (SELECT {hash60_sql('text')} AS h FROM documents)
+SELECT CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(count(1) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM h
+""",
+    "q_dedup_ngram": _SHINGLED_CTE
+    + f"""
+SELECT x.doc_id AS a, y.doc_id AS b,
+       round(len(list_intersect(x.s, y.s)) /
+             CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE), 6) AS jaccard
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.s, y.s)) /
+      CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+""",
+    "q_dedup_minhash": _SHINGLED_CTE
+    + f""",
+hashed AS (
+  SELECT doc_id, s, sz, list_transform(s, x -> {hash31_sql('x')}) AS hs
+  FROM sh WHERE sz > 0
+),
+sig AS (
+  SELECT doc_id, s, sz,
+         {_MH_EXPRS}
+  FROM hashed
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(len(list_intersect(sa.s, sb.s)) /
+             CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = a
+JOIN sig sb ON sb.doc_id = b
+WHERE len(list_intersect(sa.s, sb.s)) /
+      CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= {JACCARD_T}
+""",
+    "q_dedup_simhash": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+hashed AS (
+  SELECT doc_id, list_transform(list_distinct(w), x -> {hash60_sql('x')}) AS hs
+  FROM toks
+),
+sim AS (SELECT doc_id, {_SIMHASH_SQL} AS s FROM hashed)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= {SIMHASH_MAX_DIST}
+""",
+    "q_dedup_embedding": f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                          (a, x) -> a + x)) AS nrm
+  FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
+                         (acc, p) -> acc + p) / (x.nrm * y.nrm), 6) AS cosine
+FROM v x JOIN v y ON x.vec_id < y.vec_id
+WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
+                  (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
+""",
+}

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing (north-star extension surface).
+
+Media are opaque ``binary`` columns + typed metadata. The container
+has no image/audio codecs, so the decode kernel is a clearly-marked
+STUB (deterministic fake derived from the byte content) — but the
+Spark-side architecture is real and tested: schema, Arrow batch
+shape, ``mapInPandas`` signature, and partition behavior are exactly
+what a real decoder (PIL/ffmpeg in the executor image) would use.
+Swap ``_fake_decode_bytes`` for the real kernel and nothing else
+changes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+decode is per-partition parallel with no shuffle. Feature outputs are
+small & typed → downstream queries are ordinary columnar plans.
+The binary column itself is synthesized from ``documents.text``
+(utf-8 bytes) because the test tables carry no real media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, n_frames int, mean_luma double"
+)
+
+#: set True only in an image-capable executor image; the container here
+#: has no codecs, so the deterministic stub below stands in.
+REAL_CODECS_AVAILABLE = False
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-typed as an opaque media blob + metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("fake/blob").alias("mime"),
+        F.octet_length("text").alias("byte_len"),
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched).
+
+    Input needs ``doc_id`` + ``media`` (binary); output one row per
+    media item with extracted features.
+
+    The kernel is deliberately SELF-CONTAINED (references only builtins
+    + pandas): cloudpickle then ships it by value, so Python workers
+    need no import of this package. A real decoder would replace
+    ``fake_decode`` with e.g. ``PIL.Image.open(io.BytesIO(payload))``
+    — unavailable in this container (REAL_CODECS_AVAILABLE above).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+            # deterministic stub standing in for the codec kernel
+            n = len(payload)
+            return (
+                16 + (n % 64),
+                16 + ((n // 64) % 64),
+                1 + (n % 3),
+                float(sum(payload[:32]) % 256) / 255.0,
+            )
+
+        for pdf in batches:
+            feats = [fake_decode(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(bytes(b)) for b in pdf["media"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling plumbing: explode frame indices, keep every Nth.
+    With a real video decoder the frame payload column would ride along
+    as binary; here only indices flow (codec-free container)."""
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % every_n == 0)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure-Catalyst face of the media pipeline: binary length + content
+    # hash + prefix fingerprint, no Python. Oracle-checked.
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "mime",
+        "byte_len",
+        F.md5("media").alias("content_md5"),
+        F.hex(F.substring("media", 1, 8)).alias("prefix_hex"),
+    )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas path — not SQL-expressible (Python kernel), so no
+    # oracle entry: the driver records a rows-only check, and
+    # tests/test_multimodal.py asserts determinism + feature ranges.
+    return decode_media(media_table(spark, sf_dir))
+
+
+QUERIES = {
+    "q_multimodal_meta": _q_multimodal_meta,
+    "q_multimodal_decode": _q_multimodal_decode,
+}
+
+ORACLE = {
+    "q_multimodal_meta": """
+SELECT doc_id, 'fake/blob' AS mime,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       md5(text) AS content_md5,
+       upper(hex(substr(text, 1, 8))) AS prefix_hex
+FROM documents
+""",
+}

@@ -1,0 +1,222 @@
+"""Similarity search over the ``embeddings`` table (north-star
+extension surface): brute-force cosine top-k (the exact baseline),
+hyperplane-LSH bucketed ANN (the scale path), and vector aggregation
+(per-label centroids).
+
+Dot products are strict left folds (``F.aggregate`` /
+``list_reduce``) over float→double-cast components so both engines
+produce bit-identical doubles — ranking ties are additionally broken
+by vec_id so top-k sets are engine-stable.
+
+Scale design: brute-force is O(Q·N·d) — correct but linear; the LSH
+variant buckets vectors by sign-bit signature against fixed
+hyperplanes so each query probes ~N/2^b candidates after ONE
+equality join on the bucket id (no cross join), the same
+block-then-verify architecture as operators/dedup.py. For real ANN
+recall you'd use learned centroids (IVF) — the bucketing seam is the
+one line to swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+
+# fixed LSH hyperplanes over R^64, deterministic and engine-portable:
+# plane 0 = alternating ±1, plane 1 = first-half +1 / second-half −1,
+# plane 2 = ±1 by (i mod 4 < 2). See plane_sign / _plane_sign_sql.
+
+
+def _dvec(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def plane_sign(i: Column, plane: int) -> Column:
+    """Deterministic ±1 hyperplane component for dimension i (0-based)."""
+    if plane == 0:
+        cond = i % 2 == 0
+    elif plane == 1:
+        cond = i < 32
+    else:
+        cond = (i % 4) < 2
+    return F.when(cond, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _plane_sign_sql(i_expr: str, plane: int) -> str:
+    cond = {0: f"({i_expr}) % 2 = 0", 1: f"({i_expr}) < 32", 2: f"({i_expr}) % 4 < 2"}[plane]
+    return f"CASE WHEN {cond} THEN 1.0 ELSE -1.0 END"
+
+
+def _lsh_proj(vec: Column, plane: int) -> Column:
+    """Projection of vec onto a fixed hyperplane: fold over (value, idx)."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    signed = F.zip_with(vec, idx, lambda x, i: x * plane_sign(i, plane))
+
+    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_bucket_of(vec: Column, n_planes: int = 3) -> Column:
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(_lsh_proj(vec, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 3) -> str:
+    parts = []
+    for p in range(n_planes):
+        proj = (
+            f"list_reduce(list_transform(range(1, 1 + len({vec_expr})), "
+            f"i -> ({vec_expr})[i] * ({_plane_sign_sql('i - 1', p)})), (a, x) -> a + x)"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(parts)
+
+
+def knn_brute(vectors: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k: queries × vectors, window top-k per query.
+
+    The query side is broadcast (it is small by construction); ranking
+    runs as one window shuffle on query_id."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    v = vectors.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _dvec()
+    return emb.select("vec_id", "label", d.alias("e")).withColumn("nrm", _norm(F.col("e")))
+
+
+def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _prepared(spark, sf_dir)
+    return knn_brute(v, v.filter(F.col("vec_id") < N_QUERIES))
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates share the query's LSH bucket; top-5 within
+    the bucket. 8 buckets ⇒ ~8× less work than brute force at the same
+    plan shape (equality join instead of cross join)."""
+    v = _prepared(spark, sf_dir).withColumn("bucket", lsh_bucket_of(F.col("e")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "bucket"
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm", "bucket"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "bucket", "rk", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid via posexplode → per-dim
+    avg → re-fold. Two narrow shuffles on (label, pos) then (label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode(_dvec()).alias("pos", "x"))
+    per_dim = comp.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    return per_dim.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 6).alias("centroid_norm"),
+        F.round(F.sum(F.abs("cx")), 6).alias("centroid_l1"),
+    )
+
+
+QUERIES = {
+    "q_knn_brute": _q_knn_brute,
+    "q_knn_lsh": _q_knn_lsh,
+    "q_emb_centroid": _q_emb_centroid,
+}
+
+_V_CTE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                          (a, x) -> a + x)) AS nrm
+  FROM embeddings
+)
+"""
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]), (a, x) -> a + x)"
+)
+
+ORACLE = {
+    "q_knn_brute": _V_CTE
+    + f"""
+, scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_DOT} / (q.nrm * n.nrm) AS cosine_raw
+  FROM v q JOIN v n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= {TOP_K}
+""",
+    "q_knn_lsh": _V_CTE.replace("FROM embeddings", "FROM embeddings")
+    + f"""
+, b AS (
+  SELECT vec_id, e, nrm, {_lsh_bucket_sql('e')} AS bucket FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.bucket AS bucket,
+         list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]),
+                     (a, x) -> a + x) / (q.nrm * n.nrm) AS cosine_raw
+  FROM b q JOIN b n ON q.bucket = n.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, bucket, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= 5
+""",
+    "q_emb_centroid": """
+WITH comp AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), per_dim AS (
+  SELECT label, pos, avg(x) AS cx FROM comp GROUP BY label, pos
+)
+SELECT label, CAST(count(1) AS BIGINT) AS dim,
+       round(sqrt(sum(cx * cx)), 6) AS centroid_norm,
+       round(sum(abs(cx)), 6) AS centroid_l1
+FROM per_dim GROUP BY label
+""",
+}

@@ -1,0 +1,191 @@
+"""Text analysis over the ``documents`` table (SURVEY §2.9 / north-star
+extension surface): token stats, quality scoring, language-ID
+heuristic, term frequency, document fingerprinting.
+
+Everything is Catalyst higher-order functions on the token array — a
+single projection, no explode except where an inverted index is the
+point (term frequency). At 100 TB each of these is an embarrassingly
+parallel map over document partitions; the only shuffles are the
+declared aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash60, hash60_sql
+from ..functions.textfns import (
+    STOPWORDS,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.tables import load_table
+
+_TOKS = tokens_sql("text")
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish proxy (chars/4,
+    the standard subword-count estimate) + distinct-token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/uniqueness signals combined into
+    a deterministic [0,1]-ish score (the shape of Gopher/C4-style rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    sw = stopword_count(t)
+    mean_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    ) / n
+    score = (
+        0.4 * (uniq.cast("double") / n)
+        + 0.3 * F.least(sw.cast("double") / n * 5, F.lit(1.0))
+        + 0.3 * F.least(n.cast("double") / 100, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.round(uniq.cast("double") / n, 6).alias("uniq_ratio"),
+        F.round(sw.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile scoring (n-gram-profile
+    shape; real profiles are a drop-in for the constant lists). The
+    synthetic corpus shares one vocabulary across langs, so accuracy vs
+    the ``lang`` label is reported rather than asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sw_ratio = stopword_count(t).cast("double") / F.size(t)
+    pred = F.when(sw_ratio >= 0.05, "en").otherwise("unknown")
+    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(sw_ratio), 6).alias("avg_stopword_ratio"),
+    )
+
+
+def _q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency, top 20 — explode → count → top-k.
+
+    The explode is the inverted-index build; at scale the count is
+    partial-agg'd map-side so the shuffle carries one row per distinct
+    term per partition, not one per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(t)).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text portable hash + min-token-hash
+    (the 1-perm MinHash special case — winnowing's building block)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    min_tok_hash = F.array_min(F.transform(t, lambda x: hash60(x)))
+    return docs.select(
+        "doc_id",
+        hash60(F.col("text")).alias("text_hash"),
+        min_tok_hash.alias("min_token_hash"),
+    )
+
+
+QUERIES = {
+    "q_text_tokens": _q_text_tokens,
+    "q_text_quality": _q_text_quality,
+    "q_text_langid": _q_text_langid,
+    "q_text_tf": _q_text_tf,
+    "q_doc_stats": _q_doc_stats,
+    "q_text_fingerprint": _q_text_fingerprint,
+}
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE = {
+    "q_text_tokens": f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+FROM d
+""",
+    "q_text_quality": f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
+SELECT doc_id, lang,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio,
+       round({stopword_count_sql('w')} / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio,
+       round(list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+                         (a, x) -> a + x) / len(w), 6) AS mean_token_len,
+       round(0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+           + 0.3 * least({stopword_count_sql('w')} / CAST(len(w) AS DOUBLE) * 5, 1.0)
+           + 0.3 * least(len(w) / 100.0, 1.0), 6) AS quality_score
+FROM d
+""",
+    "q_text_langid": f"""
+WITH d AS (
+  SELECT lang,
+         {stopword_count_sql(_TOKS)} / CAST(len({_TOKS}) AS DOUBLE) AS swr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN swr >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       CAST(count(1) AS BIGINT) AS n,
+       round(avg(swr), 6) AS avg_stopword_ratio
+FROM d GROUP BY 1, 2
+""",
+    "q_text_tf": f"""
+WITH terms AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, CAST(count(1) AS BIGINT) AS tf
+FROM terms GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20
+""",
+    "q_doc_stats": f"""
+SELECT source, lang, CAST(count(1) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY source, lang
+""",
+    "q_text_fingerprint": f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       {hash60_sql('text')} AS text_hash,
+       list_min(list_transform(w, x -> {hash60_sql('x')})) AS min_token_hash
+FROM d
+""",
+}

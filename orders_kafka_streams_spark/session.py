@@ -36,6 +36,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Python workers.
+
+    The correctness driver may run queries from a cwd where this repo
+    is not on PYTHONPATH; workers (separate processes) then cannot
+    unpickle any UDF that references package code. Shipping a zip via
+    ``addPyFile`` fixes that session-wide — the same mechanism used to
+    deploy the package to a real cluster's executors.
+    """
+    marker = "_okss_pkg_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "okss_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    setattr(sc, marker, True)
+
+
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an existing session (driver- or test-owned)."""
     for k, v in _RUNTIME_CONF.items():
@@ -45,6 +74,10 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        _ship_package(spark)
+    except Exception:  # pragma: no cover - best-effort; kernels are self-contained
+        pass
     return spark
 
 
