@@ -1,0 +1,108 @@
+"""Driver-facing queries that execute THROUGH the streaming engine.
+
+Each callable builds a readStream plan, drains it into a memory sink
+(processAllAvailable), and returns the sink table — so the driver's
+oracle diff checks real Structured Streaming semantics (watermark
+finalization, stream-stream join state) against ANSI SQL:
+
+- q_stream_win_tumble: append-mode watermarked tumble — emits exactly
+  the windows the watermark closed; the oracle applies the same
+  cutoff (wend ≤ max(ts) − delay).
+- q_stream_pair_join: stream-stream interval join; single-batch drain
+  ⇒ no eviction losses, oracle is the plain interval join.
+- q_stream_pair_match: the applyInPandasWithState fidelity matcher —
+  sequential per-key semantics are SQL-expressible (running
+  last-click state = windowed carry), so even this is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.pair_matcher import pair_match_stateful
+from ..streaming.pipeline import (
+    events_file_stream,
+    run_to_memory,
+    stream_pair_join,
+    stream_tumbling_agg,
+)
+
+WATERMARK_MS = 60_000
+JOIN_WINDOW_MS = 3_600_000
+
+
+def _q_stream_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(stream_tumbling_agg(ev, watermark="60 seconds"), "win_tumble")
+    return spark.table(tab)
+
+
+def _q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(stream_pair_join(ev, window="1 hour", watermark="1 hour"), "pair_join")
+    return spark.table(tab)
+
+
+def _q_stream_pair_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(pair_match_stateful(ev), "pair_match")
+    # single-batch drain: ProcessingTimeTimeout never fires, so the
+    # output is exactly the match stream (no expiry rows).
+    return spark.table(tab)
+
+
+QUERIES = {
+    "q_stream_win_tumble": _q_stream_win_tumble,
+    "q_stream_pair_join": _q_stream_pair_join,
+    "q_stream_pair_match": _q_stream_pair_match,
+}
+
+ORACLE = {
+    "q_stream_win_tumble": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+agg AS (
+  SELECT epoch_ms(date_trunc('minute', ts)) AS wstart_ms,
+         epoch_ms(date_trunc('minute', ts)) + 60000 AS wend_ms,
+         event_type, CAST(count(1) AS BIGINT) AS n,
+         round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT wstart_ms, wend_ms, event_type, n, total_value
+FROM agg CROSS JOIN wm WHERE wend_ms <= wm_ms
+""",
+    "q_stream_pair_join": f"""
+SELECT p.user_id AS user_id,
+       p.event_id AS p_event_id,
+       f.event_id AS f_event_id,
+       epoch_ms(p.ts) AS placed_ms,
+       epoch_ms(f.ts) AS fulfilled_ms,
+       epoch_ms(f.ts) - epoch_ms(p.ts) AS processing_ms,
+       round(f.value, 4) AS fulfilled_value
+FROM events p JOIN events f
+  ON p.user_id = f.user_id
+ AND p.event_type = 'click' AND f.event_type = 'purchase'
+ AND epoch_ms(f.ts) - epoch_ms(p.ts) BETWEEN 0 AND {JOIN_WINDOW_MS}
+""",
+    "q_stream_pair_match": """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, event_type, ts_ms,
+         last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+           OVER w AS last_click_ms,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts_ms END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_type, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ms
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_type, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, 'order.info' AS event_kind,
+       ts_ms AS fulfilled_ms,
+       ts_ms - last_click_ms AS processing_ms
+FROM carried
+WHERE event_type = 'purchase' AND last_click_ms IS NOT NULL
+  AND (prev_purchase_ms IS NULL OR last_click_ms > prev_purchase_ms)
+""",
+}

@@ -74,6 +74,15 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        try:
+            # a driver-owned session may come in with Spark's 200 default —
+            # wrong in both directions locally; right-size to the host once,
+            # without clobbering a deliberately configured value.
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+        except Exception:  # pragma: no cover
+            pass
     try:
         _ship_package(spark)
     except Exception:  # pragma: no cover - best-effort; kernels are self-contained

@@ -1,0 +1,152 @@
+"""Structured Streaming twin of the batch pipeline (SURVEY §2.6, §3).
+
+The reference stitches four sub-topologies through intermediate Kafka
+topics (Main.java:131-208); here the same dataflow is ONE streaming
+plan: source → stream-stream join (state + watermark eviction replace
+the hand-rolled KV store + punctuator, OrderProcessor.java:99-206) →
+windowed aggregation (append mode replaces suppress-until-close,
+Main.java:198) → sink.
+
+Tests drive these with a file source + memory sink
+(``processAllAvailable`` makes a batch of files flow through the full
+streaming engine, including watermark-driven finalization in the
+trailing no-data micro-batch); production swaps in the Kafka builders
+from sources/kafka.py — the transformations are identical objects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.portable import epoch_ms
+from ..session import tune
+
+#: explicit read schema for the events parquet (streaming sources never
+#: infer). ts is LongType: the file carries TIMESTAMP(NANOS) which Spark
+#: only reads via nanosAsLong (see sources/tables.py).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """File streaming sources need a DIRECTORY; expose the single
+    parquet file through a symlink in a stable temp dir."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "okss-stream", f"{table}-{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (test-mode source)."""
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(_stream_dir(sf_dir, "events"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_agg(
+    events: DataFrame, watermark: str = "60 seconds", window: str = "1 minute"
+) -> DataFrame:
+    """Watermarked tumbling aggregation — the reference's windowed
+    count+sum (Main.java:168-196) with grace == watermark delay
+    (Main.java:169) and suppress-until-close == append output mode."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            epoch_ms(F.col("window.end")).alias("wend_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_pair_join(
+    events: DataFrame,
+    placed_type: str = "click",
+    fulfilled_type: str = "purchase",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an interval condition — the
+    idiomatic form of the reference's pair match (§2.4 join-order):
+    Spark's join state + watermark eviction replace the hand-rolled
+    store/punctuator. Emits every (placed, fulfilled) pair with
+    fulfilled.ts ∈ [placed.ts, placed.ts + window]."""
+    placed = (
+        events.filter(F.col("event_type") == placed_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    fulfilled = (
+        events.filter(F.col("event_type") == fulfilled_type)
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("ts").alias("f_ts"),
+            F.col("event_id").alias("f_event_id"),
+            F.col("value").alias("f_value"),
+        )
+        .withWatermark("f_ts", watermark)
+    )
+    return placed.join(
+        fulfilled,
+        F.expr(f"p_user = f_user AND f_ts >= p_ts AND f_ts <= p_ts + interval {window}"),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "p_event_id",
+        "f_event_id",
+        epoch_ms(F.col("p_ts")).alias("placed_ms"),
+        epoch_ms(F.col("f_ts")).alias("fulfilled_ms"),
+        (epoch_ms(F.col("f_ts")) - epoch_ms(F.col("p_ts"))).alias("processing_ms"),
+        F.round("f_value", 4).alias("fulfilled_value"),
+    )
+
+
+def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> str:
+    """Execute a streaming DataFrame to completion into a memory sink;
+    returns the sink table name. Synchronous: processAllAvailable
+    drains the source, then the engine's no-data micro-batch finalizes
+    watermark-closed windows before stop()."""
+    spark = result.sparkSession
+    for q in spark.streams.active:
+        if q.name == f"mem_{name}":
+            q.stop()
+    q = (
+        result.writeStream.format("memory")
+        .queryName(f"mem_{name}")
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return f"mem_{name}"
