@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The headline set spans the engine's surface: the flagship reference
+pipeline, scan-heavy and join-heavy TPC-H shapes, window functions,
+sessionization, as-of join, the dedup/text/similarity extension
+operators, and one through-the-streaming-engine run. Each query
+executes to a noop sink (full plan, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q_pipeline",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_win_session",
+    "q_asof_join",
+    "q_text_quality",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_knn_brute",
+    "q_stream_win_tumble",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from orders_kafka_streams_spark.operators import all_queries
+    from orders_kafka_streams_spark.session import get_spark
+
+    spark = get_spark("okss-bench")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # warm the JVM/codegen/file listing once on a cheap query
+    run("q_tpch_q6")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

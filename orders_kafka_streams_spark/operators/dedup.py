@@ -24,12 +24,12 @@ SURVEY §2.9 commits to this full family for the 100 TB pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import MERSENNE31, hash31_sql, hash60, hash60_sql
 from ..functions.textfns import shingles, shingles_sql, tokens, tokens_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelize
 
 #: fixed MinHash permutations (seed=42): h_i(x) = (a_i * x + b_i) mod 2^31-1.
 #: 16 perms = 4 bands × 4 rows → LSH s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71.
@@ -98,29 +98,52 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("sh")
     ).withColumn("sz", F.size("sh"))
 
 
 def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard via an inverted index:
-    explode shingles → equality self-join on shingle → count common →
-    |A∩B| / (|A|+|B|−|A∩B|). One shuffle on the shingle key; candidate
-    pairs only ever materialize when they share ≥1 shingle."""
+    """Near-dup pairs by exact n-gram Jaccard with AllPairs/ppjoin-style
+    PREFIX FILTERING — exact results at index-join cost.
+
+    A naive inverted-index self-join explodes quadratically on hot
+    shingles (every doc pair sharing a common trigram becomes a join
+    row — measured 35 s at sf0.1 on this corpus's tiny shared
+    vocabulary). Prefix filtering restores the bound: sort each doc's
+    shingles by global document frequency (rarest first); Jaccard ≥ τ
+    forces |A∩B| ≥ τ·|A|, so two qualifying docs MUST collide within
+    their first (sz − ⌈τ·sz⌉ + 1) rarest shingles. Only those prefix
+    postings are joined — rare shingles have short postings lists —
+    then candidates are verified with the exact intersection. No false
+    negatives; identical output to the O(n²) oracle.
+    """
     inv = shingled.select("doc_id", "sz", F.explode("sh").alias("g"))
-    a = inv.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "g")
-    b = inv.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"), "g")
-    return (
-        a.join(b, "g")
+    # global shingle rarity; distinct-shingle count ≪ corpus at any SF
+    # with a bounded vocabulary, and the join below broadcasts it.
+    rarity = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_n"))
+    w = Window.partitionBy("doc_id").orderBy("df_n", "g")
+    prefix = (
+        inv.join(F.broadcast(rarity), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "g")
+        .join(prefix.select(F.col("doc_id").alias("b"), "g"), "g")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
-        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza"))
+    sb = shingled.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(common / (F.col("sza") + F.col("szb") - common), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -143,9 +166,25 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding + exact-Jaccard verification of candidates."""
+    """MinHash + LSH banding + exact-Jaccard verification of candidates.
+
+    Signatures are computed explode-first: one md5 per (doc, shingle),
+    then 16 ``min`` aggregates in ONE groupBy. The array-transform
+    formulation (minhash_signature) is semantically identical but
+    Catalyst's projection collapse re-inlines the md5 chain into each
+    of the 16 consumers — measured 16× hash cost (33 s → ~3 s at
+    sf0.1). The groupBy shuffles only (doc_id, 60-bit hash) pairs.
+    """
     sh = _shingled(spark, sf_dir).filter(F.col("sz") > 0)
-    sig = sh.select("doc_id", "sh", "sz", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh")))])
+    inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
+        "h", _hash31(F.col("g"))
+    )
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -180,8 +219,27 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signatures, Hamming ≤ 2, with 3-chunk
     pigeonhole blocking (distance ≤ 2 ⇒ at least one of 3 chunks equal)
     instead of an O(n²) cross join."""
-    docs = load_table(spark, sf_dir, "documents")
-    sim = docs.select("doc_id", simhash(tokens(F.col("text"))).alias("s"))
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    # explode-first signature build (cf. _q_dedup_minhash): one md5 per
+    # distinct (doc, token), 32 conditional-sum votes in ONE groupBy —
+    # the array-fold form (simhash()) re-hashes the token array once
+    # per bit when Catalyst inlines the projection.
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    ).withColumn("h", hash60(F.col("w")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), k) % 2) * 2 - 1).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    sim_col = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim_col = bit if sim_col is None else sim_col + bit
+    sim = votes.select("doc_id", sim_col.alias("s"))
     n_chunks = SIMHASH_MAX_DIST + 1
     chunk_bits = SIMHASH_BITS // n_chunks + 1
     chunks = sim.select(
@@ -219,7 +277,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force verify at test SF;
     the blocked/ANN path for scale is operators/similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     v = emb.select("vec_id", dvec.alias("e"), norm.alias("nrm"))

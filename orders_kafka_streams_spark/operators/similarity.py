@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelize
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
@@ -109,7 +109,7 @@ def knn_brute(vectors: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFra
 
 
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
     d = _dvec()
     return emb.select("vec_id", "label", d.alias("e")).withColumn("nrm", _norm(F.col("e")))
 

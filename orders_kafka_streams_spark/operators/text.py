@@ -22,7 +22,7 @@ from ..functions.textfns import (
     tokens,
     tokens_sql,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelize
 
 _TOKS = tokens_sql("text")
 
@@ -30,7 +30,7 @@ _TOKS = tokens_sql("text")
 def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish proxy (chars/4,
     the standard subword-count estimate) + distinct-token count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -44,7 +44,7 @@ def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/uniqueness signals combined into
     a deterministic [0,1]-ish score (the shape of Gopher/C4-style rules)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     n = F.size(t)
     uniq = F.size(F.array_distinct(t))
@@ -73,7 +73,7 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; real profiles are a drop-in for the constant lists). The
     synthetic corpus shares one vocabulary across langs, so accuracy vs
     the ``lang`` label is reported rather than asserted."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     sw_ratio = stopword_count(t).cast("double") / F.size(t)
     pred = F.when(sw_ratio >= 0.05, "en").otherwise("unknown")
@@ -89,7 +89,7 @@ def _q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode is the inverted-index build; at scale the count is
     partial-agg'd map-side so the shuffle carries one row per distinct
     term per partition, not one per token."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -100,7 +100,7 @@ def _q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -113,7 +113,7 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text portable hash + min-token-hash
     (the 1-perm MinHash special case — winnowing's building block)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     min_tok_hash = F.array_min(F.transform(t, lambda x: hash60(x)))
     return docs.select(
