@@ -21,6 +21,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "robustness",
     "streaming_queries",
 ]
 
