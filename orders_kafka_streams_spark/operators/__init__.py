@@ -22,6 +22,8 @@ _MODULES = [
     "similarity",
     "multimodal",
     "robustness",
+    "skew",
+    "stats",
     "streaming_queries",
 ]
 
