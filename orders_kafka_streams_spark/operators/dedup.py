@@ -128,12 +128,18 @@ def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
         inv.join(F.broadcast(rarity), "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "g")
+        .select("doc_id", "sz", "g")
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("a"), "g")
-        .join(prefix.select(F.col("doc_id").alias("b"), "g"), "g")
+        prefix.select(F.col("doc_id").alias("a"), F.col("sz").alias("pza"), "g")
+        .join(prefix.select(F.col("doc_id").alias("b"), F.col("sz").alias("pzb"), "g"), "g")
         .filter(F.col("a") < F.col("b"))
+        # length filter (also exact): jaccard ≥ τ ⇒ τ·|B| ≤ |A∩B| ≤ |A|,
+        # so wildly different sizes can't qualify — prune before verify.
+        .filter(
+            (F.col("pza") >= F.lit(threshold) * F.col("pzb"))
+            & (F.col("pzb") >= F.lit(threshold) * F.col("pza"))
+        )
         .select("a", "b")
         .distinct()
     )
