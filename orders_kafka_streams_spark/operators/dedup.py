@@ -98,10 +98,21 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + HASHED distinct shingles (array<long>) + size.
+
+    Everything downstream (inverted index, prefix filter, MinHash,
+    verification intersect) operates on 60-bit hashes instead of
+    shingle strings: long-keyed shuffles and long-array intersects are
+    several× cheaper than 20-40-char strings, and a 60-bit space makes
+    within-corpus collisions negligible (p ≈ |pairs|·s²/2⁶¹), so
+    hashed-set Jaccard is exact in practice — the oracle hashes the
+    same way, so even a collision would agree cross-engine.
+    """
     docs = parallelize(load_table(spark, sf_dir, "documents"))
+    sh = shingles(tokens(F.col("text")))
     return docs.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
-    ).withColumn("sz", F.size("sh"))
+        "doc_id", F.transform(sh, hash60).alias("sh"), F.size(sh).alias("sz")
+    )
 
 
 def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
@@ -182,8 +193,10 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). The groupBy shuffles only (doc_id, 60-bit hash) pairs.
     """
     sh = _shingled(spark, sf_dir).filter(F.col("sz") > 0)
+    # sh carries hash60(shingle) longs already; reduce mod 2^31-1 for the
+    # affine perms (keeps a*h+b inside int64).
     inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
-        "h", _hash31(F.col("g"))
+        "h", F.col("g") % MERSENNE31
     )
     sig = inv.groupBy("doc_id").agg(
         *[
@@ -314,7 +327,8 @@ _SHINGLES = shingles_sql("w")
 
 _SHINGLED_CTE = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES} AS s, len({_SHINGLES}) AS sz FROM toks)
+strsh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sh AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM strsh)
 """
 
 _MH_EXPRS = ",\n         ".join(
@@ -354,7 +368,7 @@ WHERE len(list_intersect(x.s, y.s)) /
     "q_dedup_minhash": _SHINGLED_CTE
     + f""",
 hashed AS (
-  SELECT doc_id, s, sz, list_transform(s, x -> {hash31_sql('x')}) AS hs
+  SELECT doc_id, s, sz, list_transform(s, x -> x % {MERSENNE31}) AS hs
   FROM sh WHERE sz > 0
 ),
 sig AS (
