@@ -168,6 +168,23 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # right outer: all suppliers kept even with no lineitems (none such in
+    # the data generator, but the plan/nullability semantics are covered).
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    agg = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return agg.join(supp, agg.l_suppkey == supp.s_suppkey, "right").select(
+        "s_suppkey", "s_name", F.coalesce("n_items", F.lit(0)).alias("n_items")
+    )
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    c = cust.select(F.col("c_nationkey").alias("nationkey"))
+    s = supp.select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
 # --- join kinds --------------------------------------------------------------
 
 
@@ -364,6 +381,8 @@ QUERIES = {
     "q_tpch_q7": _q_tpch_q7,
     "q_tpch_q10": _q_tpch_q10,
     "q_join_left": _q_join_left,
+    "q_join_right": _q_join_right,
+    "q_union_distinct": _q_union_distinct,
     "q_join_full": _q_join_full,
     "q_join_semi": _q_join_semi,
     "q_join_anti": _q_join_anti,
@@ -451,6 +470,18 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "q_join_right": """
+WITH agg AS (
+  SELECT l_suppkey, CAST(count(1) AS BIGINT) AS n_items FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, coalesce(n_items, 0) AS n_items
+FROM agg RIGHT JOIN supplier ON l_suppkey = s_suppkey
+""",
+    "q_union_distinct": """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
 """,
     "q_join_left": """
 WITH per_cust AS (
