@@ -312,12 +312,59 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Cluster a pair graph: per node, the minimum node id reachable —
+    iterative min-label propagation (the simple-union-find shape used by
+    large-scale dedup pipelines to turn near-dup PAIRS into KEEP/DROP
+    groups).
+
+    Each iteration is one distributed join + min-aggregate; lineage is
+    cut with an eager localCheckpoint so the plan stays flat across
+    iterations (mandatory for iterative algorithms on Catalyst).
+    Converges in O(component diameter) iterations — near-dup clusters
+    are shallow, so this is a handful of cheap rounds.
+    """
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("v_lbl")), "v"
+            ).select("u", F.col("v_lbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("u").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: connected components of the n-gram-Jaccard pair
+    graph. cluster_id = smallest doc_id in the component (the canonical
+    'keeper' under a keep-first policy)."""
+    pairs = ngram_jaccard_pairs(_shingled(spark, sf_dir), NGRAM_JACCARD_T)
+    return connected_components(pairs.select("a", "b"))
+
+
 QUERIES = {
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_minhash": _q_dedup_minhash,
     "q_dedup_simhash": _q_dedup_simhash,
     "q_dedup_embedding": _q_dedup_embedding,
+    "q_dedup_clusters": _q_dedup_clusters,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -364,6 +411,24 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.s, y.s)) /
       CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+""",
+    "q_dedup_clusters": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs
+),
+walk AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
 """,
     "q_dedup_minhash": _SHINGLED_CTE
     + f""",
