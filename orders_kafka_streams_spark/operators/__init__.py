@@ -24,6 +24,7 @@ _MODULES = [
     "robustness",
     "skew",
     "stats",
+    "udfs",
     "streaming_queries",
 ]
 
