@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.pair_matcher import pair_match_stateful
+from pyspark.sql import functions as F
+
+from ..functions.portable import epoch_ms
 from ..streaming.pipeline import (
     events_file_stream,
     run_to_memory,
@@ -51,13 +54,91 @@ def _q_stream_pair_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+def _q_stream_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session windows through the streaming engine: append mode emits
+    # exactly the sessions the watermark has closed (end <= max ts - delay).
+    ev = events_file_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+            epoch_ms(F.col("session_window.end")).alias("session_end_ms"),
+            "n",
+            "total_value",
+        )
+    )
+    tab = run_to_memory(sess, "win_session")
+    return spark.table(tab)
+
+
+def _q_stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, sf_dir)
+    slid = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            epoch_ms(F.col("window.end")).alias("wend_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    tab = run_to_memory(slid, "win_sliding")
+    return spark.table(tab)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
+    "q_stream_win_session": _q_stream_win_session,
+    "q_stream_win_sliding": _q_stream_win_sliding,
     "q_stream_pair_join": _q_stream_pair_join,
     "q_stream_pair_match": _q_stream_pair_match,
 }
 
 ORACLE = {
+    "q_stream_win_session": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id,
+         epoch_ms(min(ts)) AS session_start_ms,
+         epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+         CAST(count(1) AS BIGINT) AS n,
+         round(sum(value), 4) AS total_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start_ms, session_end_ms, n, total_value
+FROM sess CROSS JOIN wm WHERE session_end_ms <= wm_ms
+""",
+    "q_stream_win_sliding": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+expanded AS (
+  SELECT event_type, value,
+         epoch_ms(ts) - (epoch_ms(ts) % 300000) - k.off AS wstart_ms
+  FROM events CROSS JOIN (VALUES (0), (300000)) k(off)
+), agg AS (
+  SELECT wstart_ms, wstart_ms + 600000 AS wend_ms, event_type,
+         CAST(count(1) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+  FROM expanded GROUP BY 1, 2, 3
+)
+SELECT wstart_ms, wend_ms, event_type, n, total_value
+FROM agg CROSS JOIN wm WHERE wend_ms <= wm_ms
+""",
     "q_stream_win_tumble": f"""
 WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
 agg AS (
