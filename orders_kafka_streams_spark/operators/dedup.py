@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import MERSENNE31, hash31_sql, hash60, hash60_sql
+from ..functions.portable import MERSENNE31, hash60, hash60_sql
 from ..functions.textfns import shingles, shingles_sql, tokens, tokens_sql
 from ..sources.tables import load_table, parallelize
 
