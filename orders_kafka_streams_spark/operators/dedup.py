@@ -294,21 +294,53 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force verify at test SF;
-    the blocked/ANN path for scale is operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs via Arrow-batched BLAS.
+
+    The pure-Catalyst cross-join fold is interpreted per pair —
+    measured 6 s for 2k vectors (2M pairs × 64 interpreted mults).
+    Here each A-partition multiplies against the full normalized
+    matrix (numpy float64 matmul) shipped to executors as a broadcast
+    variable: O(|A|·|B|·d) in BLAS, no shuffle at all. Valid while B
+    fits in a broadcast (~50 MB per 100k×64 vectors); beyond that,
+    block the B side or switch to the LSH-bucketed path
+    (operators/similarity.py), which is the 100 TB answer anyway.
+    """
+    import numpy as np
+
     emb = parallelize(load_table(spark, sf_dir, "embeddings"))
-    dvec = F.transform("embedding", lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    v = emb.select("vec_id", dvec.alias("e"), norm.alias("nrm"))
-    a = v.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("cosine") >= COSINE_T)
-        .select("a", "b", "cosine")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thresh = COSINE_T
+
+    def kernel(batches):
+        import numpy as np  # self-contained: workers import nothing of ours
+        import pandas as pd
+
+        B, Bids = b_mat.value, b_ids.value
+        for pdf in batches:
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(A) == 0:
+                continue
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            sims = A @ B.T
+            ai, bi = np.nonzero(sims >= thresh)
+            a_ids = pdf["vec_id"].to_numpy()[ai]
+            n_ids = Bids[bi]
+            keep = a_ids < n_ids
+            yield pd.DataFrame(
+                {
+                    "a": a_ids[keep],
+                    "b": n_ids[keep],
+                    "cosine": np.round(sims[ai, bi][keep], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="a long, b long, cosine double"
     )
 
 
