@@ -168,6 +168,117 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, adapted: the generator has
+    no l_commitdate/l_receiptdate, so the EXISTS predicate is
+    ``l_shipdate > o_orderdate`` — same correlated-semi-join plan).
+
+    Catalyst plans the EXISTS as a left-semi hash join on l_orderkey
+    with the correlated date comparison as the join residual; the fact
+    side aggregates after the semi join, so only qualifying orders
+    reach the (tiny, 5-group) final agg.
+    """
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        window.join(
+            li,
+            (window.o_orderkey == li.l_orderkey) & (li.l_shipdate > window.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect ratio (TPC-H Q14 shape, adapted: generator p_type
+    is a bare class name, so the predicate is equality with 'PROMO').
+
+    Conditional aggregate over a broadcast dim join — the ratio of two
+    sums computed in ONE pass (no self-join, no second scan).
+    """
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): groupBy-HAVING subquery
+    feeding a semi join, then a 3-way join re-aggregation.
+
+    The HAVING subquery is a pre-aggregation of the same fact table —
+    Spark reuses the shuffle exchange on l_orderkey for both the
+    qualifying-keys agg and the final per-order agg (exchange reuse
+    shows in the plan), so lineitem shuffles once, not twice.
+    """
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): three disjunctive
+    brand/size/quantity branches.
+
+    The OR-of-ANDs references both sides, so it rides the broadcast
+    hash join as a residual; the common `p_partkey = l_partkey` equi
+    conjunct still drives the join. Catalyst extracts the
+    join-key-independent part-side disjunction (brand ∈ {...}) as a
+    pushable prefilter on the build side.
+    """
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 50))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
 def _q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right outer: all suppliers kept even with no lineitems (none such in
     # the data generator, but the plan/nullability semantics are covered).
@@ -380,6 +491,10 @@ QUERIES = {
     "q_tpch_q6": _q_tpch_q6,
     "q_tpch_q7": _q_tpch_q7,
     "q_tpch_q10": _q_tpch_q10,
+    "q_tpch_q4": _q_tpch_q4,
+    "q_tpch_q14": _q_tpch_q14,
+    "q_tpch_q18": _q_tpch_q18,
+    "q_tpch_q19": _q_tpch_q19,
     "q_join_left": _q_join_left,
     "q_join_right": _q_join_right,
     "q_union_distinct": _q_union_distinct,
@@ -470,6 +585,39 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "q_tpch_q4": """
+SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "q_tpch_q14": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    "q_tpch_q18": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    "q_tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
 """,
     "q_join_right": """
 WITH agg AS (

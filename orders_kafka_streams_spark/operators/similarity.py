@@ -153,9 +153,60 @@ def _q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_STRIDE = 50  # vec_id % 50 == 0 → ~N/50 deterministic coarse centroids
+N_PROBE = 2
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroids, probe the 2 nearest
+    inverted lists, exact-rank within the candidate set.
+
+    Deterministic stand-in for learned centroids (k-means would be
+    non-reproducible across engines): every ``vec_id % 50 == 0`` vector
+    is a centroid, so the centroid count grows with N (√N-ish balance
+    is the production knob). The plan is the IVF architecture exactly:
+    (1) assignment = broadcast-cross vs the small centroid set, argmax
+    by window — at scale this is the numpy-matmul kernel from
+    operators/dedup.py:_q_dedup_embedding, the fold keeps it
+    engine-portable here; (2) the inverted index is just the
+    (cid → vec) assignment, equi-joined on cid — no cross join ever
+    touches the full N×N space; recall loss vs q_knn_brute is the
+    probed-fraction tradeoff (nprobe/centroids ≈ 1/5 of N scanned).
+    """
+    v = _prepared(spark, sf_dir)
+    c = v.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    ccos = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+    lists = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cid", "e", "nrm"
+    )
+    probes = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cid"
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cid", "rk", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "q_knn_brute": _q_knn_brute,
     "q_knn_lsh": _q_knn_lsh,
+    "q_knn_ivf": _q_knn_ivf,
     "q_emb_centroid": _q_emb_centroid,
 }
 
@@ -205,6 +256,38 @@ FROM ranked WHERE rk <= {TOP_K}
   FROM scored
 )
 SELECT query_id, neighbor_id, bucket, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= 5
+""",
+    "q_knn_ivf": _V_CTE
+    + f"""
+, c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id % {CENTROID_STRIDE} = 0
+), assign AS (
+  SELECT v.vec_id, c.cid, v.e, v.nrm,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_reduce(list_transform(range(1, 1 + len(v.e)), i -> v.e[i] * c.ce[i]),
+                                (a, x) -> a + x) / (v.nrm * c.cn) DESC,
+                    c.cid ASC) AS INTEGER) AS crk
+  FROM v CROSS JOIN c
+), lists AS (
+  SELECT vec_id AS neighbor_id, cid, e, nrm FROM assign WHERE crk = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid
+  FROM assign WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}
+), scored AS (
+  SELECT p.query_id, l.neighbor_id, p.cid,
+         list_reduce(list_transform(range(1, 1 + len(p.qe)), i -> p.qe[i] * l.e[i]),
+                     (a, x) -> a + x) / (p.qn * l.nrm) AS cosine_raw
+  FROM probes p JOIN lists l ON p.cid = l.cid
+  WHERE p.query_id <> l.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cid, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cid, rk, round(cosine_raw, 6) AS cosine
 FROM ranked WHERE rk <= 5
 """,
     "q_emb_centroid": """

@@ -121,8 +121,99 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_MS = 1_800_000  # 30-min time bins for the range-join prefilter
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    ts: str = "ts",
+) -> DataFrame:
+    """Point-in-interval range join, binned for scale.
+
+    A naive theta join on ``start <= ts < end`` with only the key as
+    equi-conjunct degrades when one key is hot: every (interval, point)
+    pair under the key is tested. Here each interval explodes into the
+    fixed-width time bins it covers (``sequence`` over bin ids — ≤ 2
+    bins for a 30-min interval on 30-min bins) and points carry their
+    single bin, so the join is EQUI on (key, bin) — hash-partitioned,
+    no per-key quadratic probe — with the exact range check left as a
+    residual. The bin width is the tuning knob: narrower bins cut
+    false candidates, wider bins cut interval duplication.
+
+    ``intervals`` needs columns: ``interval_id``, key, ``start_ms``,
+    ``end_ms``; ``points`` needs key, ts, plus payload.
+    """
+    binned = intervals.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("start_ms") / BIN_MS).cast("long"),
+                (F.col("end_ms") / BIN_MS).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("bin", (epoch_ms(F.col(ts)) / BIN_MS).cast("long")).withColumn(
+        "pt_ms", epoch_ms(F.col(ts))
+    )
+    return binned.join(pts, [key, "bin"], "inner").filter(
+        (F.col("pt_ms") >= F.col("start_ms")) & (F.col("pt_ms") < F.col("end_ms"))
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each signup opens a 30-min attribution window for that user; count
+    # and sum all the user's events falling inside it. Inner join is
+    # total here because the signup event itself lands in its own window.
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        epoch_ms(F.col("ts")).alias("start_ms"),
+        (epoch_ms(F.col("ts")) + BIN_MS).alias("end_ms"),
+    )
+    joined = range_join(intervals, ev.select("user_id", "ts", "value"), key="user_id")
+    return joined.groupBy("interval_id", "user_id", "start_ms", "end_ms").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup: minute partials re-aggregated
+    to hourly (the continuous-aggregate pattern).
+
+    count/sum decompose, so the hourly tier reads the ~60×-smaller
+    minute tier instead of raw events — at 100 TB the minute partials
+    are what you materialize (partitioned by hour) and every coarser
+    resolution derives from them without touching raw data.
+    ``n_active_minutes`` only exists because the cascade does.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.window("ts", "1 minute"), "event_type").agg(
+        F.count(F.lit(1)).alias("mn"), F.sum("value").alias("mv")
+    )
+    return (
+        minute.select(
+            epoch_ms(F.date_trunc("hour", F.col("window.start"))).alias("hour_ms"),
+            "event_type",
+            "mn",
+            "mv",
+        )
+        .groupBy("hour_ms", "event_type")
+        .agg(
+            F.sum("mn").alias("n"),
+            F.round(F.sum("mv"), 4).alias("total_value"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+    )
+
+
 QUERIES = {
     "q_win_tumble": _q_win_tumble,
+    "q_range_join": _q_range_join,
+    "q_rollup_cascade": _q_rollup_cascade,
     "q_win_sliding": _q_win_sliding,
     "q_win_session": _q_win_session,
     "q_late_data": _q_late_data,
@@ -130,6 +221,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_range_join": """
+WITH intervals AS (
+  SELECT event_id AS interval_id, user_id,
+         epoch_ms(ts) AS start_ms, epoch_ms(ts) + 1800000 AS end_ms
+  FROM events WHERE event_type = 'signup'
+)
+SELECT interval_id, i.user_id AS user_id, start_ms, end_ms,
+       CAST(count(1) AS BIGINT) AS n_in_window,
+       round(sum(e.value), 4) AS total_value
+FROM intervals i JOIN events e
+  ON i.user_id = e.user_id
+ AND epoch_ms(e.ts) >= i.start_ms AND epoch_ms(e.ts) < i.end_ms
+GROUP BY 1, 2, 3, 4
+""",
+    "q_rollup_cascade": """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS m, event_type,
+         count(1) AS mn, sum(value) AS mv
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_ms(date_trunc('hour', m)) AS hour_ms, event_type,
+       CAST(sum(mn) AS BIGINT) AS n,
+       round(sum(mv), 4) AS total_value,
+       CAST(count(1) AS BIGINT) AS n_active_minutes
+FROM minute GROUP BY 1, 2
+""",
     "q_win_tumble": """
 SELECT epoch_ms(date_trunc('minute', ts)) AS wstart_ms,
        epoch_ms(date_trunc('minute', ts)) + 60000 AS wend_ms,
