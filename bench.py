@@ -38,6 +38,10 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_ngram",
     "q_knn_brute",
+    "q_tpch_q18",
+    "q_range_join",
+    "q_clean_pipeline",
+    "q_knn_ivf",
     "q_stream_win_tumble",
 ]
 

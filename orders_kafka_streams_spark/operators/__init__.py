@@ -18,6 +18,7 @@ _MODULES = [
     "scalar_funcs",
     "timeseries",
     "text",
+    "sampling",
     "dedup",
     "similarity",
     "multimodal",

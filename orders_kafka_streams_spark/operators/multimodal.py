@@ -118,9 +118,18 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_table(spark, sf_dir))
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full plumbing chain: binary → mapInPandas decode → frame-index
+    # explode (every 2nd frame). The decode kernel is Python, but its
+    # deterministic stub lets the oracle recompute n_frames in SQL —
+    # so even the Python-kernel path is hash-diffed, not just row-counted.
+    return frame_sample(decode_media(media_table(spark, sf_dir)), every_n=2)
+
+
 QUERIES = {
     "q_multimodal_meta": _q_multimodal_meta,
     "q_multimodal_decode": _q_multimodal_decode,
+    "q_multimodal_frames": _q_multimodal_frames,
 }
 
 ORACLE = {
@@ -130,5 +139,13 @@ SELECT doc_id, 'fake/blob' AS mime,
        md5(text) AS content_md5,
        upper(hex(substr(text, 1, 8))) AS prefix_hex
 FROM documents
+""",
+    "q_multimodal_frames": """
+WITH d AS (
+  SELECT doc_id, 1 + (octet_length(encode(text)) % 3) AS nf FROM documents
+)
+SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, CAST(u AS INTEGER) AS frame_idx
+FROM d, unnest(range(0, nf)) AS t(u)
+WHERE u % 2 = 0
 """,
 }

@@ -1,0 +1,182 @@
+"""Deterministic sampling + dataset-split operators over ``documents``
+(north-star extension surface: what a training-data pipeline does
+between "raw corpus" and "training shards").
+
+Everything samples by the engine-portable 60-bit hash
+(functions/portable.py), never ``rand()``: at 100 TB a sample must be
+(a) reproducible across runs/engines, (b) computable without any
+coordination — a pure per-row predicate that rides the parquet scan,
+and (c) stable under re-partitioning. Hash-mod sampling gives all
+three; reservoir/`TABLESAMPLE` give none. The same property makes the
+train/val/test split leak-proof: membership is a function of the
+document alone, so re-running on a grown corpus never moves an old
+document between splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash60, hash60_sql
+from ..functions.textfns import stopword_count, stopword_count_sql, tokens, tokens_sql
+from ..sources.tables import load_table, parallelize
+
+SAMPLE_PCT = 5  # q_sample_hash keeps hash % 100 < 5
+STRATUM_K = 20  # q_stratified_sample keeps k docs per (lang, source)
+QUALITY_T = 0.45  # q_clean_pipeline keep-threshold (corpus median ≈ 0.455)
+
+_TOKS = tokens_sql("text")
+
+
+def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Keep ~pct% of rows by portable hash of ``key`` — a scan-level
+    predicate (no shuffle, no state, reproducible everywhere)."""
+    return df.filter(hash60(F.col(key)) % 100 < pct)
+
+
+def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return (
+        hash_sample(docs, "doc_id", SAMPLE_PCT)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly k docs per (lang, source) stratum,
+    chosen by hash order (deterministic "random"). One window shuffle
+    on the stratum key; at scale strata are hash-partitioned so the
+    per-stratum top-k heap never sees more than its own partition."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    h = hash60(F.col("doc_id"))
+    w = Window.partitionBy("lang", "source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("doc_id", "lang", "source", "rk")
+    )
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment (80/10/10) as a pure hash
+    predicate — leak-proof and append-stable (adding documents never
+    reassigns existing ones, unlike any rand()- or row-number-based
+    split)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    bucket = hash60(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline, end to end:
+    quality-score filter → exact dedup (keep lowest doc_id per text
+    hash) → per-(lang, source) corpus stats.
+
+    Three stages, two shuffles (dedup groupBy, final groupBy); the
+    quality filter is a pure projection that runs inside the scan
+    stage, so rejected documents never cross the wire. This is the
+    flagship "raw corpus in, training corpus out" query the extension
+    surface exists for — each stage is the library operator used by
+    its standalone query (q_text_quality, q_dedup_exact, q_doc_stats).
+    """
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    sw = stopword_count(t)
+    score = (
+        0.4 * (uniq.cast("double") / n)
+        + 0.3 * F.least(sw.cast("double") / n * 5, F.lit(1.0))
+        + 0.3 * F.least(n.cast("double") / 100, F.lit(1.0))
+    )
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        score.alias("q"),
+        hash60(F.col("text")).alias("text_hash"),
+    ).filter(F.col("q") >= QUALITY_T)
+    w = Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))
+    rep = kept.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return rep.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+QUERIES = {
+    "q_sample_hash": _q_sample_hash,
+    "q_stratified_sample": _q_stratified_sample,
+    "q_split_assign": _q_split_assign,
+    "q_clean_pipeline": _q_clean_pipeline,
+}
+
+_H_DOC = hash60_sql("doc_id")
+
+ORACLE = {
+    "q_sample_hash": f"""
+SELECT source, CAST(count(1) AS BIGINT) AS n_sampled,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+WHERE {_H_DOC} % 100 < {SAMPLE_PCT}
+GROUP BY source
+""",
+    "q_stratified_sample": f"""
+WITH h AS (
+  SELECT doc_id, lang, source, {_H_DOC} AS hh FROM documents
+), ranked AS (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (PARTITION BY lang, source
+                                 ORDER BY hh ASC, doc_id ASC) AS INTEGER) AS rk
+  FROM h
+)
+SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= {STRATUM_K}
+""",
+    "q_split_assign": f"""
+SELECT lang,
+       CASE WHEN {_H_DOC} % 100 < 80 THEN 'train'
+            WHEN {_H_DOC} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    "q_clean_pipeline": f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         len({_TOKS}) AS n_tokens,
+         0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
+       + 0.3 * least({stopword_count_sql(_TOKS)}::DOUBLE / len({_TOKS}) * 5, 1.0)
+       + 0.3 * least(len({_TOKS})::DOUBLE / 100, 1.0) AS q,
+         {hash60_sql("text")} AS text_hash
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE q >= {QUALITY_T}
+), rep AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id ASC) AS rk
+  FROM kept
+)
+SELECT lang, source, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM rep WHERE rk = 1
+GROUP BY lang, source
+""",
+}

@@ -98,8 +98,25 @@ def _q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + percent_rank per event type over value — the
+    distribution-position pair (same single window shuffle as rank)."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"))
+    return ev.filter(F.col("user_id") < 50).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 QUERIES = {
     "q_window_rank": _q_window_rank,
+    "q_window_cume": _q_window_cume,
     "q_window_lag_lead": _q_window_lag_lead,
     "q_window_ntile": _q_window_ntile,
     "q_window_running": _q_window_running,
@@ -108,6 +125,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_window_cume": """
+WITH f AS (
+  SELECT event_id, event_type, value FROM events WHERE user_id < 50
+)
+SELECT event_id, event_type, round(value, 4) AS value,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM f
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
+""",
     "q_window_rank": """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,

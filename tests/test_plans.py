@@ -98,6 +98,38 @@ def test_knn_query_side_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    plan = plan_of(relational._q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must plan as a left-semi join"
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the binned formulation must hash-join on (key, bin); a nested-loop
+    # or cartesian plan means the bin prefilter regressed.
+    plan = plan_of(timeseries._q_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — just an equi one
+
+
+def test_q19_part_side_prefilter_pushed(spark, sf_dir):
+    # Catalyst extracts the part-only disjunction (brand ∈ {1,2,3}) from
+    # the OR-of-ANDs and pushes it below the join into the part scan.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = plan_of(relational._q_tpch_q19(spark, sf_dir))
+    assert "Brand#1" in plan and "PushedFilters" in plan, plan[:2000]
+
+
+def test_sampling_predicate_stays_in_scan_stage(spark, sf_dir):
+    from orders_kafka_streams_spark.operators import sampling
+
+    plan = plan_of(sampling._q_sample_hash(spark, sf_dir))
+    # hash-mod sampling is a projection-level filter: no extra exchange
+    # beyond the final aggregation pair, and no Python
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_no_python_udfs_in_relational_plans(spark, sf_dir):
     # everything except the explicitly-Python multimodal decode must
     # stay JVM-side: no BatchEvalPython / ArrowEvalPython nodes.

