@@ -279,6 +279,37 @@ def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape, adapted to the generator's
+    star schema: supplier nation plays the "supplying nation" role).
+
+    The numerator/denominator-per-group ratio is ONE conditional
+    aggregate over the joined fact — never two scans or a self-join;
+    the case-when rides the same partial-agg path as any sum.
+    """
+    nation, cust, orders, li, supp = _t(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
 def _q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right outer: all suppliers kept even with no lineitems (none such in
     # the data generator, but the plan/nullability semantics are covered).
@@ -492,6 +523,7 @@ QUERIES = {
     "q_tpch_q7": _q_tpch_q7,
     "q_tpch_q10": _q_tpch_q10,
     "q_tpch_q4": _q_tpch_q4,
+    "q_tpch_q8": _q_tpch_q8,
     "q_tpch_q14": _q_tpch_q14,
     "q_tpch_q18": _q_tpch_q18,
     "q_tpch_q19": _q_tpch_q19,
@@ -593,6 +625,18 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
+""",
+    "q_tpch_q8": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
 """,
     "q_tpch_q14": """
 SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.pair_matcher import pair_match_stateful
+from ..streaming.transform_matcher import pair_match_tws, tws_available
 from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
 
 from ..functions.portable import epoch_ms
 from ..streaming.pipeline import (
@@ -92,8 +95,59 @@ def _q_stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+def _q_stream_pair_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same semantics as q_stream_pair_match, on Spark 4's native
+    # transformWithState operator — both hash-diff against the same
+    # sequential-state SQL oracle.
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(pair_match_tws(ev), "pair_tws")
+    return spark.table(tab)
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # at-least-once input (the stream unioned with itself = every event
+    # delivered twice) deduplicated by key within the watermark —
+    # dropDuplicatesWithinWatermark holds one state row per event_id
+    # and EVICTS it when the watermark passes, unlike dropDuplicates
+    # whose streaming state grows forever.
+    ev = events_file_stream(spark, sf_dir)
+    dup = ev.union(events_file_stream(spark, sf_dir))
+    deduped = (
+        dup.withWatermark("ts", "60 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    tab = run_to_memory(deduped, "stream_dedup")
+    return spark.table(tab)
+
+
+def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static enrichment: the streaming fact side joins a static
+    # dim computed in batch (per-user lifetime click stats). The static
+    # side is planned once and broadcast per micro-batch — no stream
+    # state at all, the canonical dimension-enrichment pattern.
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"), F.round(F.sum("value"), 4).alias("click_value"))
+    )
+    purchases = events_file_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = purchases.join(F.broadcast(profile), "user_id").select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        "n_clicks",
+        "click_value",
+    )
+    tab = run_to_memory(joined, "stream_static")
+    return spark.table(tab)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
+    "q_stream_dedup": _q_stream_dedup,
+    "q_stream_static_join": _q_stream_static_join,
     "q_stream_win_session": _q_stream_win_session,
     "q_stream_win_sliding": _q_stream_win_sliding,
     "q_stream_pair_join": _q_stream_pair_join,
@@ -101,6 +155,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_stream_dedup": """
+SELECT event_id, event_type, user_id FROM events
+""",
+    "q_stream_static_join": """
+WITH profile AS (
+  SELECT user_id, CAST(count(1) AS BIGINT) AS n_clicks,
+         round(sum(value), 4) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT event_id, e.user_id AS user_id, round(e.value, 4) AS purchase_value,
+       n_clicks, click_value
+FROM events e JOIN profile USING (user_id)
+WHERE e.event_type = 'purchase'
+""",
     "q_stream_win_session": f"""
 WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
 o AS (
@@ -187,3 +255,11 @@ WHERE event_type = 'purchase' AND last_click_ms IS NOT NULL
   AND (prev_purchase_ms IS NULL OR last_click_ms > prev_purchase_ms)
 """,
 }
+
+# the transformWithState matcher implements identical semantics, so it
+# diffs against the identical oracle — but only where the runtime can
+# execute it (needs google.protobuf; absent in this container, so the
+# query self-gates rather than crash the driver's sweep).
+if tws_available():
+    QUERIES["q_stream_pair_tws"] = _q_stream_pair_tws
+    ORACLE["q_stream_pair_tws"] = ORACLE["q_stream_pair_match"]

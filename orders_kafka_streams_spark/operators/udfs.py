@@ -16,6 +16,8 @@ workers never need this package on their path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -59,9 +61,36 @@ def _q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", normalize("p_brand").alias("brand_norm"))
 
 
+def _q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the UDAF tier): per-event-type trimmed
+    mean (drop top/bottom 10%) — a reduction Catalyst has no built-in
+    for, and exactly what the grouped-agg tier exists to express.
+    Arrow ships each group's column once; the result is a scalar per
+    group (no transposed DataFrame round-trip like grouped-map)."""
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        kept = v[(v >= lo) & (v <= hi)]
+        return float(kept.mean().round(6)) if len(kept) else None
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Catalyst refuses to mix pandas and JVM aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same tier
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean_value"),
+        n_rows("value").alias("n"),
+    )
+
+
 QUERIES = {
     "q_grouped_map": _q_grouped_map,
     "q_pandas_scalar": _q_pandas_scalar,
+    "q_pandas_udaf": _q_pandas_udaf,
 }
 
 ORACLE = {
@@ -83,5 +112,19 @@ FROM s
 SELECT p_partkey,
        upper(replace(regexp_replace(p_brand, '[0-9]+', '', 'g'), '#', '-')) AS brand_norm
 FROM part
+""",
+    "q_pandas_udaf": """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT e.event_type, round(avg(e.value), 6) AS trimmed_mean_value
+  FROM events e JOIN q USING (event_type)
+  WHERE e.value >= lo AND e.value <= hi
+  GROUP BY e.event_type
+), c AS (
+  SELECT event_type, CAST(count(1) AS BIGINT) AS n FROM events GROUP BY event_type
+)
+SELECT event_type, trimmed_mean_value, n FROM t JOIN c USING (event_type)
 """,
 }
