@@ -12,7 +12,11 @@ def explain_str(df: DataFrame, mode: str = "executed") -> str:
     if mode == "optimized":
         return qe.optimizedPlan().toString()
     if mode == "formatted":
-        return qe.explainString("formatted")
+        # Spark 4: QueryExecution.explainString takes an ExplainMode object;
+        # PythonSQLUtils.explainString is the stable string-mode entry
+        # (it is what DataFrame.explain itself calls).
+        jvm = df.sparkSession._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(qe, "formatted")
     return qe.executedPlan().toString()
 
 
