@@ -310,6 +310,85 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11, adapted: no partsupp table, so
+    "value per part" = lineitem revenue per part): keep parts whose
+    revenue exceeds a fixed fraction of GLOBAL revenue.
+
+    The global total is a 1-row aggregate broadcast into the per-part
+    HAVING — a scalar-subquery plan (no driver round-trip, no second
+    scan thanks to exchange reuse).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0005 * F.col("total"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority counts (TPC-H Q12 shape, adapted: the
+    generator has no l_shipmode, so lines group by l_linestatus):
+    the two-conditional-sum pivot over a joined fact."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count-per-part-class (TPC-H Q16 shape, adapted: supplier
+    relationships come from lineitem instead of partsupp; the excluded-
+    supplier predicate keeps the NOT-IN anti-join): count distinct
+    suppliers per (brand, type, size-bucket), excluding one brand and
+    suppliers with negative account balance."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#5")
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", (F.col("p_size") % 10).alias("size_bucket"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): customers with
+    above-average positive balance and NO orders — scalar subquery
+    (avg over positive balances) + anti join, composed.
+
+    Both "subqueries" are broadcast: the 1-row average crossed in, the
+    order-key set as the anti-join build side; the customer scan never
+    shuffles.
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    cohort = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+    )
+    return cohort.groupBy((F.col("c_custkey") % 10).alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def _q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right outer: all suppliers kept even with no lineitems (none such in
     # the data generator, but the plan/nullability semantics are covered).
@@ -524,6 +603,10 @@ QUERIES = {
     "q_tpch_q10": _q_tpch_q10,
     "q_tpch_q4": _q_tpch_q4,
     "q_tpch_q8": _q_tpch_q8,
+    "q_tpch_q11": _q_tpch_q11,
+    "q_tpch_q12": _q_tpch_q12,
+    "q_tpch_q16": _q_tpch_q16,
+    "q_tpch_q22": _q_tpch_q22,
     "q_tpch_q14": _q_tpch_q14,
     "q_tpch_q18": _q_tpch_q18,
     "q_tpch_q19": _q_tpch_q19,
@@ -636,6 +719,43 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    "q_tpch_q11": """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY l_partkey
+), total AS (SELECT sum(value) AS total FROM per_part)
+SELECT l_partkey, round(value, 2) AS value
+FROM per_part CROSS JOIN total
+WHERE value > 0.0005 * total
+""",
+    "q_tpch_q12": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    "q_tpch_q16": """
+SELECT p_brand, p_type, p_size % 10 AS size_bucket,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "q_tpch_q22": """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey % 10 AS cntrycode,
+       CAST(count(1) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1
 """,
     "q_tpch_q14": """
