@@ -503,6 +503,18 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on a rollup — how a consumer tells a subtotal
+    row's NULL from a data NULL (the part of grouping sets that
+    matters when the dimension itself is nullable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -620,6 +632,7 @@ QUERIES = {
     "q_join_broadcast": _q_join_broadcast,
     "q_agg_stats": _q_agg_stats,
     "q_rollup": _q_rollup,
+    "q_grouping_id": _q_grouping_id,
     "q_cube": _q_cube,
     "q_grouping_sets": _q_grouping_sets,
     "q_pivot": _q_pivot,
@@ -858,6 +871,13 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 SELECT l_returnflag, l_linestatus,
        CAST(count(1) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q_grouping_id": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     "q_grouping_sets": """
 SELECT o_orderstatus, o_orderpriority,

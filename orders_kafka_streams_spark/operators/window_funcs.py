@@ -114,9 +114,29 @@ def _q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame: each order sees its customer's
+    2nd-earliest order price so far (frame-sensitive nth — null until
+    the frame holds two rows, unlike first/last)."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_seen_price"),
+    )
+
+
 QUERIES = {
     "q_window_rank": _q_window_rank,
     "q_window_cume": _q_window_cume,
+    "q_window_nth": _q_window_nth,
     "q_window_lag_lead": _q_window_lag_lead,
     "q_window_ntile": _q_window_ntile,
     "q_window_running": _q_window_running,
@@ -125,6 +145,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_window_nth": """
+SELECT o_custkey, o_orderkey,
+       round(nth_value(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_seen_price
+FROM orders WHERE o_custkey < 200
+""",
     "q_window_cume": """
 WITH f AS (
   SELECT event_id, event_type, value FROM events WHERE user_id < 50
