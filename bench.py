@@ -42,6 +42,7 @@ HEADLINE = [
     "q_range_join",
     "q_clean_pipeline",
     "q_knn_ivf",
+    "q_funnel",
     "q_stream_win_tumble",
 ]
 

@@ -210,10 +210,53 @@ def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: signup → first click after signup →
+    first purchase after that click, per user; one summary row of
+    stage conversion counts.
+
+    Each stage is a conditional min over the events co-partitioned by
+    user — three narrow aggs reusing ONE hash partitioning on user_id
+    (Catalyst chains them without re-exchanging), then a 1-row count.
+    At 100 TB the funnel never materializes per-event state: only
+    (user, stage_ts) triples flow between stages.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t_click").alias("n_click_after_signup"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+
+
 QUERIES = {
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_rollup_cascade": _q_rollup_cascade,
+    "q_funnel": _q_funnel,
     "q_win_sliding": _q_win_sliding,
     "q_win_session": _q_win_session,
     "q_late_data": _q_late_data,
@@ -221,6 +264,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_funnel": """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST(count(1) AS BIGINT) AS n_signup,
+       CAST(count(t_click) AS BIGINT) AS n_click_after_signup,
+       CAST(count(t_purchase) AS BIGINT) AS n_purchase_after_click
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
     "q_range_join": """
 WITH intervals AS (
   SELECT event_id AS interval_id, user_id,
