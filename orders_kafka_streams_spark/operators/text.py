@@ -123,8 +123,43 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: top-3 terms per document (doc_id < 100) with
+    smoothed idf = ln((N+1)/(df+1)).
+
+    Three aggregations, all narrow after the explode: per-(doc, term)
+    tf, per-term df, corpus size N (1-row broadcast). At 100 TB the
+    df table is the only global structure — millions of terms, not
+    billions of rows — and broadcasts; the per-doc ranking is one
+    window shuffle on doc_id.
+    """
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_n")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("term"))
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_raw",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df_n") + 1)),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "rk", F.round("score_raw", 6).alias("tfidf"))
+    )
+
+
 QUERIES = {
     "q_text_tokens": _q_text_tokens,
+    "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
     "q_text_langid": _q_text_langid,
     "q_text_tf": _q_text_tf,
@@ -135,6 +170,28 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_tfidf": f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(1) AS df_n FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), n AS (SELECT count(1) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df_n + 1.0)) AS score_raw
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 100
+), ranked AS (
+  SELECT doc_id, term, tf, score_raw,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_raw DESC, term ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, rk, round(score_raw, 6) AS tfidf
+FROM ranked WHERE rk <= 3
+""",
     "q_text_tokens": f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
 SELECT doc_id,

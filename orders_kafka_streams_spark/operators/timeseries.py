@@ -252,11 +252,41 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_MS = 7 * 24 * 3_600_000
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-signup week,
+    counted as retained in each later week they produced any event
+    (offset 0..8 weeks). The workhorse growth-analytics query.
+
+    Weeks are fixed 7-day bins from the epoch-ms (not calendar
+    date_trunc) so both engines bin identically and the arithmetic is
+    pure int64 — portable and codegen-friendly. Two shuffles: the
+    per-user cohort agg, then the (cohort, offset) distinct-count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(((F.min(epoch_ms(F.col("ts"))) / WEEK_MS).cast("long")).alias("cohort_week"))
+    )
+    active = ev.select("user_id", (epoch_ms(F.col("ts")) / WEEK_MS).cast("long").alias("wk"))
+    return (
+        active.join(cohort, "user_id")
+        .withColumn("week_offset", F.col("wk") - F.col("cohort_week"))
+        .filter(F.col("week_offset").between(0, 8))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_rollup_cascade": _q_rollup_cascade,
     "q_funnel": _q_funnel,
+    "q_retention": _q_retention,
     "q_win_sliding": _q_win_sliding,
     "q_win_session": _q_win_session,
     "q_late_data": _q_late_data,
@@ -264,6 +294,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_retention": """
+WITH cohort AS (
+  SELECT user_id, min(epoch_ms(ts)) // 604800000 AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+  SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events
+)
+SELECT cohort_week, wk - cohort_week AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (user_id)
+WHERE wk - cohort_week BETWEEN 0 AND 8
+GROUP BY 1, 2
+""",
     "q_funnel": """
 WITH s AS (
   SELECT user_id, min(ts) AS t_signup FROM events
