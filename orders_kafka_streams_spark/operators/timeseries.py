@@ -215,11 +215,12 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first purchase after that click, per user; one summary row of
     stage conversion counts.
 
-    Each stage is a conditional min over the events co-partitioned by
-    user — three narrow aggs reusing ONE hash partitioning on user_id
-    (Catalyst chains them without re-exchanging), then a 1-row count.
-    At 100 TB the funnel never materializes per-event state: only
-    (user, stage_ts) triples flow between stages.
+    Each stage is a min-aggregate shuffling on user_id, with the
+    previous stage's (user, stage_ts) output — tiny relative to the
+    fact — broadcast into the next stage's filter, so raw events are
+    scanned per stage but never shuffled into a join. At 100 TB only
+    the per-user stage timestamps flow between stages; pre-bucketing
+    events by user_id would remove the agg exchanges entirely.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s = (
