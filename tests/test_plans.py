@@ -130,6 +130,30 @@ def test_sampling_predicate_stays_in_scan_stage(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_funnel_stages_broadcast_not_shuffle_join(spark, sf_dir):
+    # stage outputs are broadcast into the next stage's filter; the
+    # events fact must never sort-merge into a stage join.
+    plan = plan_of(timeseries._q_funnel(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_df_table_broadcast(spark, sf_dir):
+    from orders_kafka_streams_spark.operators import text
+
+    plan = plan_of(text._q_tfidf(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_retention_binning_stays_in_scan_stage(spark, sf_dir):
+    # int64 week binning is a projection, not a shuffle: exactly the
+    # cohort agg + distinct-count exchanges (plus the broadcast join).
+    plan = plan_of(timeseries._q_retention(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "EvalPython" not in plan
+
+
 def test_no_python_udfs_in_relational_plans(spark, sf_dir):
     # everything except the explicitly-Python multimodal decode must
     # stay JVM-side: no BatchEvalPython / ArrowEvalPython nodes.
