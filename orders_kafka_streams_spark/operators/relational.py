@@ -571,6 +571,212 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H: remaining query shapes (Q2/Q9/Q13/Q15/Q17/Q20/Q21), adapted to
+# the driver schema (no partsupp table, no l_commitdate/l_receiptdate; see
+# TESTDATA.md). Each keeps the original query's *plan shape* — correlated
+# subqueries are decorrelated into pre-aggregations + broadcast joins, the
+# scalable strategy Catalyst itself uses for scalar subqueries.
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join + double aggregation.
+
+    Instead of joining customer⟕orders then re-aggregating (shuffles the
+    full join output), pre-aggregate orders per custkey FIRST — the join
+    input shrinks from |orders| to |customers-with-orders| before the
+    left join, and the second agg is over |customer| rows only. At 100 TB
+    this is the difference between shuffling the fact and shuffling a
+    per-key summary.
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by period revenue (TPC-H Q15 shape): agg view +
+    scalar-max subquery, decorrelated as a 1-row broadcast cross join.
+
+    Revenue is rounded BEFORE the max comparison so the equality is on
+    identical decimals in both engines (float-sum ordering differs).
+    """
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated
+    per-part AVG subquery, decorrelated into a per-part aggregate joined
+    back to the fact.
+
+    The per-part avg table is |part|-sized → broadcast; the fact is
+    scanned once (the naive correlated form rescans lineitem per part).
+    The avg is rounded to 4 decimals on both sides before the threshold
+    comparison: double sums agree to ~1e-15 relative, so the rounded
+    thresholds are identical and no boundary row can flip.
+    """
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.round(F.avg("l_quantity") * 0.5, 4).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_q), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): 5-way join + LIKE filter +
+    nation/year rollup. ps_supplycost (no partsupp table) is adapted to
+    0.8 * p_retailprice per unit.
+
+    part and supplier/nation are dims → broadcast both; the only fact
+    shuffle is lineitem ⋈ orders on orderkey (bucket both at 100 TB).
+    """
+    li, orders, supp, part, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.8) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-shipment suppliers (TPC-H Q20 shape): nested IN subqueries
+    decorrelated into semi-join chains. "Availability" (no partsupp) is
+    adapted to shipped quantity per (supplier, part) in 1996.
+
+    shipped is a per-(supp,part) aggregate of the fact — the part-name
+    filter broadcasts into it, and the final supplier probe is a
+    LEFT SEMI join (no row multiplication, dedup for free).
+    """
+    li, part, supp, nation = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    heavy = (
+        shipped.join(F.broadcast(part.filter(F.col("p_name").like("small%"))), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .filter(F.col("qty") > 30)
+    )
+    nation1 = nation.filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"), "leftsemi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): EXISTS +
+    NOT-EXISTS self-joins on the fact. "Late" (no l_receiptdate/
+    l_commitdate) is adapted to l_shipdate > o_orderdate + 30 days.
+
+    The two correlated EXISTS become ONE per-order aggregate computing
+    (distinct suppliers, distinct late suppliers): a row qualifies iff
+    n_supp >= 2 and n_late_supp == 1 — same semantics, one shuffle on
+    orderkey instead of two self-joins of the fact, and the aggregate is
+    reused for both conditions. At 100 TB the self-join form reshuffles
+    lineitem three times; this shape does it once.
+    """
+    li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    li_o = li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late", (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("int")
+    )
+    per_order = li_o.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nation1 = nation.filter(F.col("n_name") == "NATION_1")
+    return (
+        li_o.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("agg_okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp.join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"), "leftsemi")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): correlated MIN subquery
+    over a region-scoped cost table. "Supply cost" (no partsupp) is
+    adapted to min(l_extendedprice / l_quantity) per (part, supplier).
+
+    The correlated min decorrelates into a window MIN over partkey on
+    the region-scoped cost table — one shuffle, no per-part rescan. The
+    equality filter compares values produced by the SAME division on
+    both engines (IEEE-exact), so no rounding is needed for parity;
+    output cost is rounded for display stability.
+    """
+    li, part, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    asia_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    regional = cost.join(F.broadcast(asia_supp), cost.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part.filter(F.col("p_size") == 15)), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
 # --- set operations / dedup --------------------------------------------------
 
 
@@ -622,6 +828,13 @@ QUERIES = {
     "q_tpch_q14": _q_tpch_q14,
     "q_tpch_q18": _q_tpch_q18,
     "q_tpch_q19": _q_tpch_q19,
+    "q_tpch_q2": _q_tpch_q2,
+    "q_tpch_q9": _q_tpch_q9,
+    "q_tpch_q13": _q_tpch_q13,
+    "q_tpch_q15": _q_tpch_q15,
+    "q_tpch_q17": _q_tpch_q17,
+    "q_tpch_q20": _q_tpch_q20,
+    "q_tpch_q21": _q_tpch_q21,
     "q_join_left": _q_join_left,
     "q_join_right": _q_join_right,
     "q_union_distinct": _q_union_distinct,
@@ -923,5 +1136,108 @@ SELECT s_nationkey FROM supplier
 """,
     "q_drop_duplicates": """
 SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+""",
+    "q_tpch_q13": """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(1) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    "q_tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    "q_tpch_q17": """
+WITH avg_q AS (
+  SELECT l_partkey AS ap_key, round(avg(l_quantity) * 0.5, 4) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = ap_key
+WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+""",
+    "q_tpch_q9": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    "q_tpch_q20": """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE qty > 30
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  )
+""",
+    "q_tpch_q21": """
+WITH li_o AS (
+  SELECT l_orderkey, l_suppkey, s_name,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS agg_okey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM li_o GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(1) AS BIGINT) AS numwait
+FROM li_o JOIN per_order ON l_orderkey = agg_okey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+  AND l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1'))
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""",
+    "q_tpch_q2": """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), regional AS (
+  SELECT l_partkey, unit_cost, s_name, n_name
+  FROM cost
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT l_partkey AS p_partkey, s_name, n_name, round(unit_cost, 4) AS unit_cost
+FROM regional
+WHERE unit_cost = (SELECT min(r2.unit_cost) FROM regional r2
+                   WHERE r2.l_partkey = regional.l_partkey)
+  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
 """,
 }

@@ -154,6 +154,34 @@ def test_retention_binning_stays_in_scan_stage(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_q17_decorrelated_avg_scans_fact_once(spark, sf_dir):
+    # the correlated per-part AVG is decorrelated into one aggregate
+    # joined back by broadcast: exactly one exchange (the avg groupBy),
+    # both joins broadcast, no second shuffle of the fact.
+    plan = plan_of(relational._q_tpch_q17(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_regional_min_all_dims_broadcast(spark, sf_dir):
+    # supplier/nation/region/part are dims → every join broadcast; the
+    # only exchanges are the cost aggregate and the per-part window min.
+    plan = plan_of(relational._q_tpch_q2(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q21_single_fact_shuffle_chain(spark, sf_dir):
+    # EXISTS + NOT-EXISTS collapse into ONE per-order aggregate reused
+    # for both conditions — the naive form reshuffles lineitem three
+    # times (two self-joins + agg); this shape stays within 4 exchanges.
+    plan = plan_of(relational._q_tpch_q21(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_no_python_udfs_in_relational_plans(spark, sf_dir):
     # everything except the explicitly-Python multimodal decode must
     # stay JVM-side: no BatchEvalPython / ArrowEvalPython nodes.
