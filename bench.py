@@ -43,6 +43,10 @@ HEADLINE = [
     "q_clean_pipeline",
     "q_knn_ivf",
     "q_funnel",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q21",
     "q_stream_win_tumble",
 ]
 
