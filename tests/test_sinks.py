@@ -24,6 +24,44 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    # schema evolution: a 100 TB table accretes columns over months of
+    # appends; mergeSchema=true reads old+new files into the union
+    # schema with nulls for columns a file predates.
+    out = os.path.join(str(tmp_path), "evolving")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_totalprice").write.mode("append").parquet(out)
+    orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    ).write.mode("append").parquet(out)
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "priority"}
+    n = orders.count()
+    assert back.count() == 2 * n
+    # rows from the pre-evolution files surface the new column as null
+    assert back.filter(F.col("priority").isNull()).count() == n
+
+
+def test_max_records_per_file_bounds_output_files(spark, sf_dir, tmp_path):
+    # output file sizing: maxRecordsPerFile caps file size at write
+    # time (the knob that prevents one skewed task from emitting a
+    # 10 GB file a downstream scan can't split usefully).
+    out = os.path.join(str(tmp_path), "sized")
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    cap = max(1, n // 7)
+    orders.coalesce(1).write.option("maxRecordsPerFile", cap).mode(
+        "overwrite"
+    ).parquet(out)
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= (n + cap - 1) // cap
+    for f in files:
+        cnt = spark.read.parquet(os.path.join(out, f)).count()
+        assert cnt <= cap
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     # foreachBatch = the exactly-once seam for arbitrary sinks: each
     # micro-batch arrives as a BATCH DataFrame with an epoch id.
