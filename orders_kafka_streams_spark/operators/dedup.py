@@ -97,6 +97,20 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def _shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_shingled`` marked MEMORY_AND_DISK: every dedup variant scans
+    the shingled corpus 2-3× (inverted index / signature build + both
+    sides of the verify join), and the tokenize→shingle→md5 chain is
+    the single most expensive per-doc expression in the engine
+    (measured 3.5 s/pass at sf0.1 vs ~0.5 s for the raw scan). One
+    persisted pass amortizes all consumers; MEMORY_AND_DISK spills
+    rather than recomputes at 100 TB, where recomputing the hash chain
+    per consumer would triple the dominant cost. The cached relation is
+    doc_id + long-array shingles — a few bytes per shingle, far
+    smaller than the text column it replaces."""
+    return _shingled(spark, sf_dir).persist()
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + HASHED distinct shingles (array<long>) + size.
 
@@ -179,7 +193,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_shingled(spark, sf_dir), NGRAM_JACCARD_T)
+    return ngram_jaccard_pairs(_shingled_cached(spark, sf_dir), NGRAM_JACCARD_T)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +206,7 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 16 consumers — measured 16× hash cost (33 s → ~3 s at
     sf0.1). The groupBy shuffles only (doc_id, 60-bit hash) pairs.
     """
-    sh = _shingled(spark, sf_dir).filter(F.col("sz") > 0)
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
     # sh carries hash60(shingle) longs already; reduce mod 2^31-1 for the
     # affine perms (keeps a*h+b inside int64).
     inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
@@ -386,7 +400,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup groups: connected components of the n-gram-Jaccard pair
     graph. cluster_id = smallest doc_id in the component (the canonical
     'keeper' under a keep-first policy)."""
-    pairs = ngram_jaccard_pairs(_shingled(spark, sf_dir), NGRAM_JACCARD_T)
+    pairs = ngram_jaccard_pairs(_shingled_cached(spark, sf_dir), NGRAM_JACCARD_T)
     return connected_components(pairs.select("a", "b"))
 
 
