@@ -27,12 +27,29 @@ from ..sources.tables import load_table, parallelize
 _TOKS = tokens_sql("text")
 
 
+def _tokenized(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """documents projected to (doc_id, *cols, t=tokens) and persisted.
+
+    Queries that consume the token array k times (size, distinct-size,
+    stopword count, length fold…) would otherwise evaluate the split/
+    normalize tokenizer k× per doc — Catalyst's CollapseProject inlines
+    the alias into every consumer (same trap as the MinHash signature
+    build; measured 3.2 s → 1.05 s at sf0.1 for q_text_quality). One
+    cached pass keeps the query map-only — no shuffle is introduced,
+    which is the right trade at 100 TB where exploding tokens to dodge
+    the recompute would shuffle the whole corpus instead."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", *cols, tokens(F.col("text")).alias("t")
+    ).persist()
+
+
 def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish proxy (chars/4,
     the standard subword-count estimate) + distinct-token count."""
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    t = tokens(F.col("text"))
-    return docs.select(
+    base = _tokenized(spark, sf_dir, "text")
+    t = F.col("t")
+    return base.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
@@ -44,8 +61,8 @@ def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/uniqueness signals combined into
     a deterministic [0,1]-ish score (the shape of Gopher/C4-style rules)."""
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    t = tokens(F.col("text"))
+    base = _tokenized(spark, sf_dir, "lang")
+    t = F.col("t")
     n = F.size(t)
     uniq = F.size(F.array_distinct(t))
     sw = stopword_count(t)
@@ -57,7 +74,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(sw.cast("double") / n * 5, F.lit(1.0))
         + 0.3 * F.least(n.cast("double") / 100, F.lit(1.0))
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         "lang",
         n.alias("n_tokens"),
@@ -73,11 +90,11 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; real profiles are a drop-in for the constant lists). The
     synthetic corpus shares one vocabulary across langs, so accuracy vs
     the ``lang`` label is reported rather than asserted."""
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    t = tokens(F.col("text"))
+    base = _tokenized(spark, sf_dir, "lang")
+    t = F.col("t")
     sw_ratio = stopword_count(t).cast("double") / F.size(t)
     pred = F.when(sw_ratio >= 0.05, "en").otherwise("unknown")
-    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
+    return base.groupBy("lang", pred.alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(sw_ratio), 6).alias("avg_stopword_ratio"),
     )
