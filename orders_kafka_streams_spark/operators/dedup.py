@@ -404,6 +404,27 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("a", "b"))
 
 
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level KEEP/DROP decision — the artifact a training-data
+    pipeline actually consumes: every document, its near-dup cluster
+    (cluster_id = smallest doc_id in the component; singletons form
+    their own cluster), and keep = (doc is the canonical member).
+
+    The left join against the cluster labels broadcasts: the label
+    table only contains docs that appear in some near-dup pair, a tiny
+    fraction of the corpus at any scale, so the full-corpus side never
+    shuffles."""
+    pairs = ngram_jaccard_pairs(_shingled_cached(spark, sf_dir), NGRAM_JACCARD_T)
+    clusters = connected_components(pairs.select("a", "b"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cid = F.coalesce("cluster_id", F.col("doc_id"))
+    return docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        (cid == F.col("doc_id")).alias("keep"),
+    )
+
+
 QUERIES = {
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
@@ -411,6 +432,7 @@ QUERIES = {
     "q_dedup_simhash": _q_dedup_simhash,
     "q_dedup_embedding": _q_dedup_embedding,
     "q_dedup_clusters": _q_dedup_clusters,
+    "q_dedup_keep": _q_dedup_keep,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -503,6 +525,28 @@ JOIN sig sa ON sa.doc_id = a
 JOIN sig sb ON sb.doc_id = b
 WHERE len(list_intersect(sa.s, sb.s)) /
       CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= {JACCARD_T}
+""",
+    "q_dedup_keep": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs
+),
+walk AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+),
+clusters AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """,
     "q_dedup_simhash": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
