@@ -55,6 +55,34 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
     )
 
 
+def shingle_seq(toks: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-gram sequence (duplicates kept, document order).
+
+    :func:`shingles` dedupes for set-based measures (Jaccard, MinHash);
+    order-sensitive algorithms — winnowing fingerprints pick a minimum
+    per *sliding window of consecutive* k-grams — need the raw sequence.
+    (Dedup order also isn't portable: DuckDB's ``list_distinct`` does
+    not preserve first-occurrence order, Spark's ``array_distinct``
+    does, so any order-sensitive consumer of :func:`shingles` would be
+    engine-dependent.) Same shifted-slice ``zip_with`` build, O(len·n).
+    """
+    m = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, k + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_seq_sql(toks_expr: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`shingle_seq`."""
+    parts = " || ' ' || ".join(f"({toks_expr})[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
 def stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import (
     STOPWORDS,
+    shingle_seq_sql,
     stopword_count,
     stopword_count_sql,
     tokens,
@@ -140,6 +141,51 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing window: a fingerprint is selected from every run of
+#: WINNOW_W consecutive k-gram hashes, guaranteeing any match of
+#: WINNOW_W + k - 1 tokens shares a fingerprint (Schleimer et al.,
+#: "Winnowing: Local Algorithms for Document Fingerprinting").
+WINNOW_W = 4
+
+
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash the POSITIONAL 3-gram sequence, take the min hash of every
+    sliding window of 4 consecutive grams, and keep the distinct
+    selected hashes as the doc's fingerprint set.
+
+    The sliding window-min is W-1 pairwise ``zip_with(least)`` merges
+    over shifted ``slice``s — each lambda touches only its bound
+    element vars, so the build is O(len·W) interpreted steps, never the
+    O(len²) outer-array-reference trap. Map-only: no shuffle, no
+    explode; per-doc summary stats keep the oracle compact while
+    pinning the exact fingerprint set (count + min + max + XOR checksum).
+    """
+    from ..functions.textfns import shingle_seq
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.transform(shingle_seq(tokens(F.col("text"))), hash60).alias("hs"),
+    ).persist()
+    n = F.size("hs")
+    m = F.greatest(n - F.lit(WINNOW_W - 1), F.lit(0))
+    shifted = [F.slice(F.col("hs"), j + 1, m) for j in range(WINNOW_W)]
+    wmin = shifted[0]
+    for s in shifted[1:]:
+        wmin = F.zip_with(wmin, s, lambda x, y: F.least(x, y))
+    fp = F.array_distinct(wmin)
+    return base.select(
+        "doc_id",
+        m.cast("int").alias("n_windows"),
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+        # XOR fold, not sum: 60-bit hash sums overflow int64 (ANSI error)
+        F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)).alias("fp_xor"),
+    )
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: top-3 terms per document (doc_id < 100) with
     smoothed idf = ln((N+1)/(df+1)).
@@ -182,6 +228,7 @@ QUERIES = {
     "q_text_tf": _q_text_tf,
     "q_doc_stats": _q_doc_stats,
     "q_text_fingerprint": _q_text_fingerprint,
+    "q_text_winnow": _q_text_winnow,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -254,6 +301,23 @@ SELECT source, lang, CAST(count(1) AS BIGINT) AS n_docs,
        CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
        min(doc_id) AS min_doc_id
 FROM documents GROUP BY source, lang
+""",
+    "q_text_winnow": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seq AS (SELECT doc_id, {shingle_seq_sql('w')} AS ss FROM toks),
+hs AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS h, len(ss) AS n FROM seq),
+win AS (
+  SELECT doc_id, greatest(n - {WINNOW_W - 1}, 0) AS n_windows,
+         list_distinct(list_transform(range(1, greatest(n - {WINNOW_W - 1}, 0) + 1),
+                                      i -> list_min(h[i:i+{WINNOW_W - 1}]))) AS fp
+  FROM hs
+)
+SELECT doc_id, CAST(n_windows AS INTEGER) AS n_windows,
+       CAST(len(fp) AS INTEGER) AS n_fingerprints,
+       list_min(fp) AS min_fp, list_max(fp) AS max_fp,
+       CASE WHEN len(fp) = 0 THEN 0
+            ELSE list_reduce(fp, (a, x) -> xor(a, x)) END AS fp_xor
+FROM win
 """,
     "q_text_fingerprint": f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
