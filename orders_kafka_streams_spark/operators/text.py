@@ -164,7 +164,11 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import shingle_seq
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
+    # layer 1: hash the k-gram sequence once (tokenize+shingle+md5 is
+    # the expensive chain); layer 2: the window-min selection once.
+    # Without the second cache, CollapseProject re-inlines the whole
+    # zip_with chain into each of the 4 fingerprint consumers below.
+    hashed = docs.select(
         "doc_id",
         F.transform(shingle_seq(tokens(F.col("text"))), hash60).alias("hs"),
     ).persist()
@@ -174,10 +178,13 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = shifted[0]
     for s in shifted[1:]:
         wmin = F.zip_with(wmin, s, lambda x, y: F.least(x, y))
-    fp = F.array_distinct(wmin)
-    return base.select(
+    selected = hashed.select(
+        "doc_id", m.cast("int").alias("n_windows"), F.array_distinct(wmin).alias("fp")
+    ).persist()
+    fp = F.col("fp")
+    return selected.select(
         "doc_id",
-        m.cast("int").alias("n_windows"),
+        "n_windows",
         F.size(fp).alias("n_fingerprints"),
         F.array_min(fp).alias("min_fp"),
         F.array_max(fp).alias("max_fp"),

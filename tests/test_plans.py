@@ -194,3 +194,19 @@ def test_no_python_udfs_in_relational_plans(spark, sf_dir):
     ]:
         plan = plan_of(q(spark, sf_dir))
         assert "EvalPython" not in plan, q.__name__
+
+
+def test_winnow_fingerprint_is_map_only(spark, sf_dir):
+    """Winnowing (q_text_winnow) must stay an embarrassingly parallel
+    map over document partitions: no exchange anywhere in the plan —
+    the whole fingerprint build is per-row expressions over the cached
+    k-gram hash projection."""
+    from orders_kafka_streams_spark.operators import text
+
+    df = text._q_text_winnow(spark, sf_dir)
+    plan = plan_of(df)
+    # only the deliberate round-robin spread of the single-split parquet
+    # scan (sources/tables.parallelize) — never a hash/range shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "InMemoryTableScan" in plan  # hash seq + selection cached, not per consumer
