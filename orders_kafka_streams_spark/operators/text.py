@@ -148,26 +148,21 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4
 
 
-def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
-    hash the POSITIONAL 3-gram sequence, take the min hash of every
-    sliding window of 4 consecutive grams, and keep the distinct
-    selected hashes as the doc's fingerprint set.
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing selection, persisted: (doc_id, n_windows,
+    fp = distinct window-min hashes).
 
-    The sliding window-min is W-1 pairwise ``zip_with(least)`` merges
-    over shifted ``slice``s — each lambda touches only its bound
-    element vars, so the build is O(len·W) interpreted steps, never the
-    O(len²) outer-array-reference trap. Map-only: no shuffle, no
-    explode; per-doc summary stats keep the oracle compact while
-    pinning the exact fingerprint set (count + min + max + XOR checksum).
-    """
+    Layer 1 caches the hashed k-gram sequence (tokenize+shingle+md5 is
+    the expensive chain); layer 2 caches the window-min selection.
+    Without the second cache, CollapseProject re-inlines the whole
+    zip_with chain into each downstream consumer. The sliding
+    window-min is W-1 pairwise ``zip_with(least)`` merges over shifted
+    ``slice``s — each lambda touches only its bound element vars, so
+    the build is O(len·W) interpreted steps, never the O(len²)
+    outer-array-reference trap. Map-only: no shuffle, no explode."""
     from ..functions.textfns import shingle_seq
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    # layer 1: hash the k-gram sequence once (tokenize+shingle+md5 is
-    # the expensive chain); layer 2: the window-min selection once.
-    # Without the second cache, CollapseProject re-inlines the whole
-    # zip_with chain into each of the 4 fingerprint consumers below.
     hashed = docs.select(
         "doc_id",
         F.transform(shingle_seq(tokens(F.col("text"))), hash60).alias("hs"),
@@ -178,9 +173,21 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = shifted[0]
     for s in shifted[1:]:
         wmin = F.zip_with(wmin, s, lambda x, y: F.least(x, y))
-    selected = hashed.select(
+    return hashed.select(
         "doc_id", m.cast("int").alias("n_windows"), F.array_distinct(wmin).alias("fp")
     ).persist()
+
+
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash the POSITIONAL 3-gram sequence, take the min hash of every
+    sliding window of 4 consecutive grams, and keep the distinct
+    selected hashes as the doc's fingerprint set. Per-doc summary stats
+    keep the oracle compact while pinning the exact fingerprint set
+    (count + min + max + XOR checksum); see :func:`_winnow_selected`
+    for the plan-shape discussion.
+    """
+    selected = _winnow_selected(spark, sf_dir)
     fp = F.col("fp")
     return selected.select(
         "doc_id",
@@ -190,6 +197,46 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(fp).alias("max_fp"),
         # XOR fold, not sum: 60-bit hash sums overflow int64 (ANSI error)
         F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)).alias("fp_xor"),
+    )
+
+
+#: MOSS-style commonality cutoff: a fingerprint appearing in more than
+#: this many documents is boilerplate, not evidence of copying — and,
+#: because winnowing selects MINIMUM hashes, globally small hash values
+#: recur across docs, so these are exactly the hot join keys. Dropping
+#: them is both the algorithm's published behavior and the skew guard.
+WINNOW_MAX_DF = 50
+WINNOW_MIN_SHARED = 3
+
+
+def _q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pair match candidates by shared winnowing fingerprints
+    (what MOSS reports): pairs sharing ≥ WINNOW_MIN_SHARED fingerprints
+    after dropping fingerprints common to > WINNOW_MAX_DF docs.
+
+    Scale shape mirrors the dedup family: explode the per-doc selection
+    to postings, aggregate document frequency, broadcast the rare-set
+    filter, self-join only the surviving short postings lists, then one
+    hash aggregation per candidate pair. The df cutoff bounds every
+    posting list, so the self-join fan-out is ≤ MAX_DF² per fingerprint
+    regardless of corpus size."""
+    post = _winnow_selected(spark, sf_dir).select(
+        "doc_id", F.explode("fp").alias("f")
+    )
+    rare = (
+        post.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df_n"))
+        .filter(F.col("df_n") <= WINNOW_MAX_DF)
+        .select("f")
+    )
+    kept = post.join(F.broadcast(rare), "f")
+    return (
+        kept.select(F.col("doc_id").alias("a"), "f")
+        .join(kept.select(F.col("doc_id").alias("b"), "f"), "f")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
 
 
@@ -236,6 +283,7 @@ QUERIES = {
     "q_doc_stats": _q_doc_stats,
     "q_text_fingerprint": _q_text_fingerprint,
     "q_text_winnow": _q_text_winnow,
+    "q_winnow_match": _q_winnow_match,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -325,6 +373,24 @@ SELECT doc_id, CAST(n_windows AS INTEGER) AS n_windows,
        CASE WHEN len(fp) = 0 THEN 0
             ELSE list_reduce(fp, (a, x) -> xor(a, x)) END AS fp_xor
 FROM win
+""",
+    "q_winnow_match": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seq AS (SELECT doc_id, {shingle_seq_sql('w')} AS ss FROM toks),
+hs AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS h, len(ss) AS n FROM seq),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(n - {WINNOW_W - 1}, 0) + 1),
+                                      i -> list_min(h[i:i+{WINNOW_W - 1}]))) AS fp
+  FROM hs
+),
+post AS (SELECT doc_id, unnest(fp) AS f FROM sel),
+rare AS (SELECT f FROM post GROUP BY f HAVING count(1) <= {WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, f FROM post JOIN rare USING (f))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON x.f = y.f AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(1) >= {WINNOW_MIN_SHARED}
 """,
     "q_text_fingerprint": f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
