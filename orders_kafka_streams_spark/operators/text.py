@@ -117,6 +117,31 @@ def _q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-style pre-tokenizer classes: letter runs, digit runs, single
+#: punctuation marks. Both engines' regex dialects (Java / RE2) agree
+#: on this character-class-only pattern — no lookarounds, no \p classes.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting with a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / punctuation singles), the standard
+    first stage of byte-pair tokenizers — alongside the whitespace
+    count so the two tokenization levels are directly comparable.
+    Map-only; the regex runs once per doc (single consumer)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_ws_tokens"), pieces.alias("p")
+    ).persist()
+    return base.select(
+        "doc_id",
+        "n_ws_tokens",
+        F.size("p").alias("n_bpe_pieces"),
+        F.size(F.array_distinct("p")).alias("n_distinct_pieces"),
+    )
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
@@ -284,6 +309,7 @@ QUERIES = {
     "q_text_fingerprint": _q_text_fingerprint,
     "q_text_winnow": _q_text_winnow,
     "q_winnow_match": _q_winnow_match,
+    "q_text_bpe": _q_text_bpe,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -391,6 +417,18 @@ SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
 FROM kept x JOIN kept y ON x.f = y.f AND x.doc_id < y.doc_id
 GROUP BY 1, 2
 HAVING count(1) >= {WINNOW_MIN_SHARED}
+""",
+    "q_text_bpe": f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS w,
+         regexp_extract_all(text, '{_BPE_PAT}') AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_ws_tokens,
+       CAST(len(p) AS INTEGER) AS n_bpe_pieces,
+       CAST(len(list_distinct(p)) AS INTEGER) AS n_distinct_pieces
+FROM d
 """,
     "q_text_fingerprint": f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
