@@ -282,6 +282,41 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via gaps-and-islands window functions —
+    the batch-native counterpart to ``session_window`` (q_win_session):
+    a new session starts when a user's inter-event gap exceeds 30 min;
+    the running sum of session-start markers is the per-user ordinal
+    session id, which session_window cannot expose.
+
+    One exchange total: the lag/sum windows shuffle on user_id, and the
+    final (user_id, session_id) aggregation is satisfied by that same
+    partitioning (user_id is a subset of the grouping key), so Catalyst
+    inserts no second shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    new_sess = F.when(prev_ms.isNull() | (ms - prev_ms > SESSION_GAP_MS), 1).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.select("user_id", "event_id", ms.alias("ms"), "value", sid.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.max("ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
@@ -290,11 +325,29 @@ QUERIES = {
     "q_retention": _q_retention,
     "q_win_sliding": _q_win_sliding,
     "q_win_session": _q_win_session,
+    "q_sessionize": _q_sessionize,
     "q_late_data": _q_late_data,
     "q_asof_join": _q_asof_join,
 }
 
 ORACLE = {
+    "q_sessionize": f"""
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+s AS (
+  SELECT *, sum(nsess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       CAST(count(1) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+FROM s GROUP BY 1, 2
+""",
     "q_retention": """
 WITH cohort AS (
   SELECT user_id, min(epoch_ms(ts)) // 604800000 AS cohort_week

@@ -210,3 +210,13 @@ def test_winnow_fingerprint_is_map_only(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "InMemoryTableScan" in plan  # hash seq + selection cached, not per consumer
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Gaps-and-islands sessionization (q_sessionize): the lag/running-sum
+    windows shuffle once on user_id and the (user_id, session_id) agg
+    reuses that partitioning — exactly one exchange in the whole plan."""
+    df = timeseries._q_sessionize(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0
