@@ -142,6 +142,57 @@ def _q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: tiny per-language character-trigram profiles (top frequent trigrams
+#: of each language's orthography). Real deployments swap in the full
+#: ranked profiles (Cavnar-Trenkle out-of-place scoring); the operator
+#: mechanics — trigram extraction, profile membership count, argmax —
+#: are identical and that is what the oracle pins.
+LANG_PROFILES = {
+    "en": ("the", "he ", " th", "ing", "and", " an", "nd ", " of", "of ", "ed "),
+    "fr": ("es ", " de", "de ", "le ", " le", "ent", "nt ", "que", " qu", "la "),
+    "de": ("en ", "er ", "ch ", "der", " de", "ein", "ie ", "sch", "die", "und"),
+}
+
+
+def _q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram language ID (Cavnar-Trenkle shape): lowercase,
+    extract all char trigrams, count hits against each language's
+    trigram profile, argmax with a deterministic en>fr>de tie order.
+    Complements q_text_langid's stopword heuristic with the n-gram
+    profile method. Map-only over the cached trigram array."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
+        lambda i: low.substr(i, F.lit(3)),
+    )
+    base = docs.select("doc_id", "lang", tri.alias("tri")).persist()
+    def member(prof):
+        # closure factory (see dedup.minhash_signature): default-arg
+        # capture would be misread as a 2-arg HOF lambda.
+        return lambda x: x.isin(*prof)
+
+    scores = {
+        lang: F.size(F.filter(F.col("tri"), member(prof)))
+        for lang, prof in LANG_PROFILES.items()
+    }
+    en, fr, de = scores["en"], scores["fr"], scores["de"]
+    pred = (
+        F.when((en >= fr) & (en >= de), "en")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        fr.alias("fr_score"),
+        de.alias("de_score"),
+        pred.alias("pred_lang"),
+    )
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
@@ -310,6 +361,7 @@ QUERIES = {
     "q_text_winnow": _q_text_winnow,
     "q_winnow_match": _q_winnow_match,
     "q_text_bpe": _q_text_bpe,
+    "q_langid_ngram": _q_langid_ngram,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -429,6 +481,25 @@ SELECT doc_id,
        CAST(len(p) AS INTEGER) AS n_bpe_pieces,
        CAST(len(list_distinct(p)) AS INTEGER) AS n_distinct_pieces
 FROM d
+""",
+    "q_langid_ngram": """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                        i -> (lower(text))[i:i+2]) AS tri
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(tri, x -> list_contains(['the', 'he ', ' th', 'ing', 'and', ' an', 'nd ', ' of', 'of ', 'ed '], x))) AS INTEGER) AS en_score,
+         CAST(len(list_filter(tri, x -> list_contains(['es ', ' de', 'de ', 'le ', ' le', 'ent', 'nt ', 'que', ' qu', 'la '], x))) AS INTEGER) AS fr_score,
+         CAST(len(list_filter(tri, x -> list_contains(['en ', 'er ', 'ch ', 'der', ' de', 'ein', 'ie ', 'sch', 'die', 'und'], x))) AS INTEGER) AS de_score
+  FROM d
+)
+SELECT doc_id, lang, en_score, fr_score, de_score,
+       CASE WHEN en_score >= fr_score AND en_score >= de_score THEN 'en'
+            WHEN fr_score >= de_score THEN 'fr' ELSE 'de' END AS pred_lang
+FROM sc
 """,
     "q_text_fingerprint": f"""
 WITH d AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
