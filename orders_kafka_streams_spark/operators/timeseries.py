@@ -180,6 +180,73 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Interval × interval overlap join, binned for scale — the
+    generalization of :func:`range_join` from points to intervals.
+
+    Overlap (``a.start <= b.end AND b.start <= a.end``) has no equi
+    conjunct, so a naive theta join is a per-key nested-loop probe.
+    Both sides explode into the fixed-width time bins they cover; two
+    overlapping intervals necessarily share the bin containing the
+    later of the two starts, so the EQUI join on (key, bin) loses no
+    pairs. A pair sharing several bins appears once per shared bin —
+    ``distinct`` after the residual check restores set semantics.
+
+    ``a`` needs (key, a_id, a_start_ms, a_end_ms); ``b`` needs
+    (key, b_id, b_start_ms, b_end_ms).
+    """
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col(start) / BIN_MS).cast("long"),
+                    (F.col(end) / BIN_MS).cast("long"),
+                )
+            ),
+        )
+
+    return (
+        binned(a, "a_start_ms", "a_end_ms")
+        .join(binned(b, "b_start_ms", "b_end_ms"), [key, "bin"], "inner")
+        .filter(
+            (F.col("a_start_ms") <= F.col("b_end_ms"))
+            & (F.col("b_start_ms") <= F.col("a_end_ms"))
+        )
+        .drop("bin")
+        .distinct()
+    )
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlapped an error window the same user
+    experienced — sessions (gaps-and-islands, q_sessionize) overlap-
+    joined against 30-min windows opened by each error event, with the
+    overlap duration computed on the surviving pairs."""
+    sessions = _q_sessionize(spark, sf_dir).select(
+        "user_id",
+        F.col("session_id").alias("a_id"),
+        F.col("session_start_ms").alias("a_start_ms"),
+        F.col("session_end_ms").alias("a_end_ms"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        epoch_ms(F.col("ts")).alias("b_start_ms"),
+        (epoch_ms(F.col("ts")) + BIN_MS).alias("b_end_ms"),
+    )
+    pairs = interval_overlap_join(sessions, errors, key="user_id")
+    overlap = F.least("a_end_ms", "b_end_ms") - F.greatest("a_start_ms", "b_start_ms")
+    return pairs.select(
+        "user_id",
+        F.col("a_id").alias("session_id"),
+        F.col("b_id").alias("error_event_id"),
+        overlap.alias("overlap_ms"),
+    )
+
+
 def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascaded rollup: minute partials re-aggregated
     to hourly (the continuous-aggregate pattern).
@@ -320,6 +387,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
+    "q_interval_join": _q_interval_join,
     "q_rollup_cascade": _q_rollup_cascade,
     "q_funnel": _q_funnel,
     "q_retention": _q_retention,
@@ -331,6 +399,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_interval_join": f"""
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sgrp AS (
+  SELECT *, sum(nsess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sessions AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         min(ms) AS a_start, max(ms) AS a_end
+  FROM sgrp GROUP BY 1, 2
+),
+errors AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS b_start, epoch_ms(ts) + {BIN_MS} AS b_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_id, e.event_id AS error_event_id,
+       least(s.a_end, e.b_end) - greatest(s.a_start, e.b_start) AS overlap_ms
+FROM sessions s JOIN errors e
+  ON s.user_id = e.user_id AND s.a_start <= e.b_end AND e.b_start <= s.a_end
+""",
     "q_sessionize": f"""
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 m AS (
