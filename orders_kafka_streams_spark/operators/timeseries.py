@@ -247,6 +247,42 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+EWMA_ALPHA = 0.3
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values, in event-time order: ewma_t = α·x_t + (1−α)·ewma_{t−1},
+    seeded with the first value.
+
+    Sequential recurrences don't fit window frames, so this uses the
+    collect→sort→fold shape: one shuffle groups each user's events,
+    ``array_sort`` orders the (ms, event_id, value) structs, and a
+    single ``aggregate`` fold runs the recurrence. State per user is
+    one double — the fold is O(events-per-user) with no further
+    shuffle, and both engines execute the identical float operation
+    sequence, so results are bit-reproducible cross-engine (rounded
+    for the hash anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(epoch_ms(F.col("ts")).alias("ms"), "event_id", "value"))
+    )
+    grouped = ev.groupBy("user_id").agg(seq.alias("seq"))
+    vals = F.transform(F.col("seq"), lambda s: s.getField("value"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.round(F.element_at(vals, -1), 6).alias("last_value"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
 def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascaded rollup: minute partials re-aggregated
     to hourly (the continuous-aggregate pattern).
@@ -388,6 +424,7 @@ QUERIES = {
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_interval_join": _q_interval_join,
+    "q_ewma": _q_ewma,
     "q_rollup_cascade": _q_rollup_cascade,
     "q_funnel": _q_funnel,
     "q_retention": _q_retention,
@@ -399,6 +436,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_ewma": f"""
+WITH g AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(ms := epoch_ms(ts), event_id := event_id,
+                                    value := value))) AS seq
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT user_id, len(seq) AS n_events,
+         list_transform(seq, s -> s.value) AS vals
+  FROM g
+)
+SELECT user_id, CAST(n_events AS INTEGER) AS n_events,
+       round(vals[-1], 6) AS last_value,
+       round(CASE WHEN n_events = 1 THEN vals[1]
+                  ELSE list_reduce(vals, (a, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * a)
+             END, 6) AS ewma
+FROM v
+""",
     "q_interval_join": f"""
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 m AS (
