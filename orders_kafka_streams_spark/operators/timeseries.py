@@ -283,6 +283,52 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+HIST_BUCKET_WIDTH = 25.0
+OUTLIER_Z = 3.0
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of event values — the profiling
+    primitive behind data-quality dashboards. Bucketing is a pure
+    projection (floor-divide), so the whole query is one partial+final
+    hash aggregation over ~20 bucket keys: the shuffle carries one row
+    per bucket per partition regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier filter: events whose value deviates more than
+    OUTLIER_Z sample standard deviations from their event-type mean.
+    One window shuffle on event_type computes mean and stddev next to
+    every row; the z-score and filter are projections on top — the
+    declarative twin of the pandas grouped-map z-score (q_grouped_map),
+    kept JVM-side for the 100 TB hot path."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mean) / sd
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > OUTLIER_Z)
+    )
+
+
 def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascaded rollup: minute partials re-aggregated
     to hourly (the continuous-aggregate pattern).
@@ -425,6 +471,8 @@ QUERIES = {
     "q_range_join": _q_range_join,
     "q_interval_join": _q_interval_join,
     "q_ewma": _q_ewma,
+    "q_histogram": _q_histogram,
+    "q_outliers": _q_outliers,
     "q_rollup_cascade": _q_rollup_cascade,
     "q_funnel": _q_funnel,
     "q_retention": _q_retention,
@@ -436,6 +484,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_histogram": f"""
+SELECT CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(1) AS BIGINT) AS n,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+""",
+    "q_outliers": f"""
+WITH z AS (
+  SELECT event_id, event_type, round(value, 4) AS value,
+         round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+  FROM events WINDOW w AS (PARTITION BY event_type)
+)
+SELECT * FROM z WHERE abs(z) > {OUTLIER_Z}
+""",
     "q_ewma": f"""
 WITH g AS (
   SELECT user_id,
