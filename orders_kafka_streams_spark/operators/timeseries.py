@@ -329,6 +329,31 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution (nats) plus the
+    frequency table it derives from — the class-balance profiling stat
+    a pipeline monitors for drift. Two chained aggregations: the
+    per-type count (partial+final over a handful of keys) and a
+    single-row reduce; the second stage input is one row per type, so
+    cost is independent of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = freq.agg(
+        F.sum("n_t").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = F.col("n_t") / F.col("n_events")
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("n_types").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
+
+
 def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascaded rollup: minute partials re-aggregated
     to hourly (the continuous-aggregate pattern).
@@ -473,6 +498,7 @@ QUERIES = {
     "q_ewma": _q_ewma,
     "q_histogram": _q_histogram,
     "q_outliers": _q_outliers,
+    "q_entropy": _q_entropy,
     "q_rollup_cascade": _q_rollup_cascade,
     "q_funnel": _q_funnel,
     "q_retention": _q_retention,
@@ -484,6 +510,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_entropy": """
+WITH freq AS (SELECT event_type, count(1) AS n_t FROM events GROUP BY event_type),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_events, CAST(count(1) AS BIGINT) AS n_types FROM freq)
+SELECT n_events, n_types,
+       round(-sum((n_t / CAST(n_events AS DOUBLE)) * ln(n_t / CAST(n_events AS DOUBLE))), 6) AS entropy_nats
+FROM freq CROSS JOIN tot
+GROUP BY n_events, n_types
+""",
     "q_histogram": f"""
 SELECT CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
        CAST(count(1) AS BIGINT) AS n,
