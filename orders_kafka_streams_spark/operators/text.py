@@ -224,9 +224,9 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4
 
 
-def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc winnowing selection, persisted: (doc_id, n_windows,
-    fp = distinct window-min hashes).
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing selection over any (doc_id, text) relation,
+    persisted: (doc_id, n_windows, fp = distinct window-min hashes).
 
     Layer 1 caches the hashed k-gram sequence (tokenize+shingle+md5 is
     the expensive chain); layer 2 caches the window-min selection.
@@ -238,7 +238,6 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer-array-reference trap. Map-only: no shuffle, no explode."""
     from ..functions.textfns import shingle_seq
 
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id",
         F.transform(shingle_seq(tokens(F.col("text"))), hash60).alias("hs"),
@@ -252,6 +251,10 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", m.cast("int").alias("n_windows"), F.array_distinct(wmin).alias("fp")
     ).persist()
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(parallelize(load_table(spark, sf_dir, "documents")))
 
 
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
