@@ -144,6 +144,20 @@ def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EWMA through the streaming engine (explicit
+    keyed state, streaming/ewma.py). Single-batch drain folds each
+    user's full event sequence in (ts, event_id) order, so every output
+    row's ewma equals the prefix fold of the recurrence — which is
+    SQL-expressible, hence oracle-checked like the pair matcher."""
+    from ..streaming.ewma import stream_ewma
+
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(stream_ewma(ev), "ewma_stream")
+    return spark.table(tab).withColumn("ewma", F.round("ewma", 6))
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup": _q_stream_dedup,
@@ -152,9 +166,29 @@ QUERIES = {
     "q_stream_win_sliding": _q_stream_win_sliding,
     "q_stream_pair_join": _q_stream_pair_join,
     "q_stream_pair_match": _q_stream_pair_match,
+    "q_stream_ewma": _q_stream_ewma,
 }
 
 ORACLE = {
+    "q_stream_ewma": """
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+g AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(ms := ms, event_id := event_id, value := value))) AS seq
+  FROM e GROUP BY user_id
+),
+x AS (
+  SELECT user_id, unnest(seq) AS s, generate_subscripts(seq, 1) AS i, seq
+  FROM g
+)
+SELECT user_id, s.event_id AS event_id, s.ms AS ts_ms, s.value AS value,
+       round(CASE WHEN i = 1 THEN s.value
+                  ELSE list_reduce(list_transform(seq[1:i], t -> t.value),
+                                   (a, v) -> 0.3 * v + 0.7 * a)
+             END, 6) AS ewma,
+       CAST(i AS BIGINT) AS n
+FROM x
+""",
     "q_stream_dedup": """
 SELECT event_id, event_type, user_id FROM events
 """,

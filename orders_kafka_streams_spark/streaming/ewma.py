@@ -1,0 +1,73 @@
+"""Streaming EWMA: per-user exponentially weighted moving average as a
+stateful streaming operator (SURVEY §2.8 tier; batch twin: q_ewma in
+operators/timeseries.py).
+
+The recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} needs exactly one
+double of state per key — the canonical applyInPandasWithState shape:
+state stays O(keys) regardless of stream length, each micro-batch folds
+its rows in event-time order and emits one row per input event with the
+running value (the monitoring stream a drift dashboard consumes).
+
+The reference has no equivalent operator; its only stateful kernel is
+the pair matcher (OrderProcessor.java:99-154). This reuses that
+operator's plumbing for a numeric recurrence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_ALPHA = 0.3  # matches operators/timeseries.EWMA_ALPHA (batch twin)
+
+OUTPUT_SCHEMA = "user_id long, event_id long, ts_ms long, value double, ewma double, n long"
+STATE_SCHEMA = "ewma double, n long"
+
+
+def stream_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """events (streaming, with ``ts``/``user_id``/``value``) → one row
+    per event carrying the running per-user EWMA.
+
+    Kernel is self-contained (builtins + pandas only) so workers
+    unpickle it without importing this package. NoTimeout: the state is
+    a live per-user statistic, not a buffer with an expiry policy.
+    """
+
+    def folder(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ewma, n = state.get if state.exists else (None, 0)
+        out: list[tuple[int, int, int, float, float, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(["ts_ms", "event_id"])
+            for r in rows.itertuples(index=False):
+                x = float(r.value)
+                ewma = x if ewma is None else alpha * x + (1 - alpha) * ewma
+                n += 1
+                # raw ewma: rounding happens engine-side in the consuming
+                # query (Python round() is round-half-even on the binary
+                # double and disagrees with SQL ROUND on half edges)
+                out.append((user_id, int(r.event_id), int(r.ts_ms), x, ewma, n))
+        if ewma is not None:
+            state.update((ewma, n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts_ms", "value", "ewma", "n"]
+        )
+
+    prepared = events.selectExpr(
+        "user_id", "event_id", "value", "unix_millis(ts) AS ts_ms"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        folder,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -118,3 +118,29 @@ def test_tumbling_append_emits_only_closed_windows(spark, crafted):
     assert counts[(0, "click")] == 3
     assert counts[(0, "purchase")] == 2
     assert counts[(MIN, "purchase")] == 2
+
+
+def test_stream_ewma_running_values(spark, tmp_path):
+    # hand-computed recurrence, alpha = 0.3:
+    # user 1: 2.0 -> 2.0; 0.3*4+0.7*2 = 2.6; 0.3*8+0.7*2.6 = 4.22
+    # user 2: single event seeds and stays at its own value
+    from orders_kafka_streams_spark.streaming.ewma import stream_ewma
+
+    rows = [
+        (1, BASE_MS + 1_000, 1, "view", 2.0),
+        (2, BASE_MS + 2_000, 1, "view", 4.0),
+        (3, BASE_MS + 3_000, 1, "view", 8.0),
+        (4, BASE_MS + 1_500, 2, "view", 5.0),
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    out = run_to_memory(stream_ewma(_stream(spark, path)), "t_ewma")
+    got = {
+        (r.user_id, r.event_id): (round(r.ewma, 6), r.n)
+        for r in spark.table(out).collect()
+    }
+    assert got == {
+        (1, 1): (2.0, 1),
+        (1, 2): (2.6, 2),
+        (1, 3): (4.22, 3),
+        (2, 4): (5.0, 1),
+    }
