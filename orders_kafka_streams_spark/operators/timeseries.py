@@ -463,7 +463,9 @@ SESSION_GAP_MS = 30 * 60 * 1000
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via gaps-and-islands window functions —
     the batch-native counterpart to ``session_window`` (q_win_session):
-    a new session starts when a user's inter-event gap exceeds 30 min;
+    a new session starts when a user's inter-event gap reaches 30 min
+    (>= gap — matching session_window's half-open [start, last+gap)
+    windows, where an event exactly at the window end opens a new one);
     the running sum of session-start markers is the per-user ordinal
     session id, which session_window cannot expose.
 
@@ -477,7 +479,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = epoch_ms(F.col("ts"))
     prev_ms = F.lag(ms).over(w)
-    new_sess = F.when(prev_ms.isNull() | (ms - prev_ms > SESSION_GAP_MS), 1).otherwise(0)
+    new_sess = F.when(prev_ms.isNull() | (ms - prev_ms >= SESSION_GAP_MS), 1).otherwise(0)
     sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         ev.select("user_id", "event_id", ms.alias("ms"), "value", sid.alias("session_id"))
@@ -557,7 +559,7 @@ FROM v
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 m AS (
   SELECT *, CASE WHEN lag(ms) OVER w IS NULL
-                   OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
+                   OR ms - lag(ms) OVER w >= {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
 ),
 sgrp AS (
@@ -583,7 +585,7 @@ FROM sessions s JOIN errors e
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 m AS (
   SELECT *, CASE WHEN lag(ms) OVER w IS NULL
-                   OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
+                   OR ms - lag(ms) OVER w >= {SESSION_GAP_MS} THEN 1 ELSE 0 END AS nsess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
 ),
 s AS (

@@ -61,3 +61,25 @@ def test_key_isolation(run_join):
         [("v", 10, 0, BIN_MS)],
     )
     assert pairs == set()
+
+
+def test_sessionize_agrees_with_session_window(spark, sf_dir):
+    """Cross-validation: the gaps-and-islands formulation (q_sessionize)
+    and the engine's session_window (q_win_session) implement the same
+    30-min-gap semantics — per-user session counts and event totals must
+    agree, including on exact-gap boundaries (both treat a gap of
+    exactly 30 min as a session break: session_window's windows are
+    half-open [start, last+gap), and the islands break on gap >= GAP)."""
+    from pyspark.sql import functions as F
+
+    from orders_kafka_streams_spark.operators import timeseries as ts
+
+    def shape(df):
+        rows = (
+            df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+            .collect()
+        )
+        return {r.user_id: (r.n_sessions, r.n_events) for r in rows}
+
+    assert shape(ts._q_sessionize(spark, sf_dir)) == shape(ts._q_win_session(spark, sf_dir))
