@@ -812,7 +812,32 @@ def _q_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus", "l_shipdate").dropDuplicates()
 
 
+
+def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per order, its top-2 line items by
+    price — the SQL-standard correlated form of top-k-per-group.
+    Catalyst decorrelates the per-row subquery into a join + ranking
+    (the plan shows a broadcast hash join, not a per-row re-execution),
+    so the declarative correlated style costs the same as the explicit
+    window formulation (q_topk_per_group)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("okss_lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("okss_lat_lineitem")
+    return spark.sql("""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM okss_lat_orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM okss_lat_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o.o_orderkey < 100
+    """)
+
+
 QUERIES = {
+    "q_lateral_topk": _q_lateral_topk,
     "q_tpch_q1": _q_tpch_q1,
     "q_tpch_q3": _q_tpch_q3,
     "q_tpch_q5": _q_tpch_q5,
@@ -858,6 +883,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_lateral_topk": """
+SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) t
+WHERE o.o_orderkey < 100
+""",
     "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
