@@ -367,6 +367,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Each iteration is one distributed join + min-aggregate; lineage is
     cut with an eager localCheckpoint so the plan stays flat across
     iterations (mandatory for iterative algorithms on Catalyst).
+    Spark 4's WITH RECURSIVE was evaluated as an alternative and does
+    not apply: only UNION ALL recursion is supported
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which cannot terminate on
+    the cyclic pair graph — the DuckDB oracle's UNION-distinct walk
+    stays oracle-only.
     Converges in O(component diameter) iterations — near-dup clusters
     are shallow, so this is a handful of cheap rounds.
     """
