@@ -138,7 +138,29 @@ def _q_hash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VariantType: ``parse_json``
+    once at the edge (the binary variant encoding replaces repeated
+    string re-parsing — the engine's answer to JSON columns at 100 TB),
+    then typed ``try_variant_get`` extraction feeding a plain
+    aggregation. Oracle extracts the same field with json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 QUERIES = {
+    "q_variant": _q_variant,
     "q_str_funcs": _q_str_funcs,
     "q_regexp": _q_regexp,
     "q_date_funcs": _q_date_funcs,
@@ -151,6 +173,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_variant": """
+WITH k AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM k WHERE k IS NOT NULL GROUP BY event_type
+""",
     "q_str_funcs": """
 SELECT p_partkey,
        lower(p_name) AS name_lower,
