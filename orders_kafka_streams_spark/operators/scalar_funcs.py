@@ -159,7 +159,25 @@ def _q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs with ANSI mode on, so raw
+    division/casts THROW on divide-by-zero or overflow mid-job — at
+    scale one poison row kills a stage. try_divide/try_to_number return
+    NULL instead, the declarative poison-pill policy (the reference's
+    log-and-continue handler, Main.java:88, applied to expressions).
+    Oracle mirrors with explicit CASE guards."""
+    ev = load_table(spark, sf_dir, "events")
+    denom = F.col("event_id") % 3
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), denom), 4).alias("per_bucket"),
+        F.try_divide(F.lit(1), denom).isNull().alias("was_poison"),
+    )
+
+
 QUERIES = {
+    "q_try_arith": _q_try_arith,
     "q_variant": _q_variant,
     "q_str_funcs": _q_str_funcs,
     "q_regexp": _q_regexp,
@@ -173,6 +191,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_try_arith": """
+SELECT event_id,
+       round(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value / (event_id % 3) END, 4) AS per_bucket,
+       (event_id % 3 = 0) AS was_poison
+FROM events
+""",
     "q_variant": """
 WITH k AS (
   SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
