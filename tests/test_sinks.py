@@ -95,3 +95,40 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert exp <= got  # complete-mode rewrite may append duplicates across epochs
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, sf_dir, tmp_path):
+    """Star-schema scale feature: joining a partitioned fact against a
+    filtered dim must inject a dynamicpruningexpression into the fact's
+    PartitionFilters — at 100 TB this skips whole partitions at runtime
+    based on the dim filter, before any fact bytes are read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    fact_path = os.path.join(str(tmp_path), "fact_by_priority")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 10), ("2-HIGH", 20)], "o_orderpriority string, w int"
+    ).filter(F.col("w") == 10)
+    plan = (
+        fact.join(dim, "o_orderpriority")
+        .agg(F.sum("l_extendedprice"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression" in plan
