@@ -220,3 +220,38 @@ def test_sessionize_single_exchange(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
+    """When a selective build side feeds a shuffle join, the optimizer
+    can inject a bloom_filter_agg on the build keys and pre-filter the
+    probe side before the shuffle — at 100 TB this drops most probe
+    rows at the scan instead of shuffling them. Thresholds are tuned
+    here to trigger on test-scale data; the mechanism is what matters."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = plan_of(
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+                F.sum("l_extendedprice")
+            )
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # probe side consumes the filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
