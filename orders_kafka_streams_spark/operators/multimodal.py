@@ -98,6 +98,45 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     ).filter(F.col("frame_idx") % every_n == 0)
 
 
+RESIZE_MAX_DIM = 64
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, resized_len long"
+)
+
+
+def resize_media(decoded_with_media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Aspect-preserving resize kernel via mapInPandas — the standard
+    image-normalization stage before feature extraction. Computes
+    scale = min(max_dim/w, max_dim/h, 1) and the output dims; the
+    "resized payload" is a deterministic stub (payload truncated to
+    out_w·out_h·3 RGB bytes) standing in for the real interpolation —
+    swap the body for PIL's ``Image.resize`` in a codec-capable image
+    and the schema, batch shape, and plan do not change. The payload
+    column stays internal (binary outputs don't hash-compare across
+    engines); the registered query exposes the dims, which the oracle
+    recomputes exactly from the decode stub's arithmetic."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dims(w: int, h: int) -> tuple[int, int]:
+            scale = min(max_dim / w, max_dim / h, 1.0)
+            return max(1, int(w * scale)), max(1, int(h * scale))
+
+        for pdf in batches:
+            out = [dims(int(w), int(h)) for w, h in zip(pdf["width"], pdf["height"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": [o[0] for o in out],
+                    "out_h": [o[1] for o in out],
+                    "resized_len": [o[0] * o[1] * 3 for o in out],
+                }
+            )
+
+    return decoded_with_media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pure-Catalyst face of the media pipeline: binary length + content
     # hash + prefix fingerprint, no Python. Oracle-checked.
@@ -126,13 +165,39 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_media(media_table(spark, sf_dir)), every_n=2)
 
 
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary → decode → aspect-preserving resize. The stub decode's
+    # dims are pure arithmetic on octet_length, so the oracle recomputes
+    # the whole chain in SQL and this Python-kernel path is hash-diffed.
+    return resize_media(decode_media(media_table(spark, sf_dir)))
+
+
 QUERIES = {
     "q_multimodal_meta": _q_multimodal_meta,
     "q_multimodal_decode": _q_multimodal_decode,
     "q_multimodal_frames": _q_multimodal_frames,
+    "q_multimodal_resize": _q_multimodal_resize,
 }
 
 ORACLE = {
+    "q_multimodal_resize": """
+WITH d AS (
+  SELECT doc_id,
+         16 + (octet_length(encode(text)) % 64) AS w,
+         16 + ((octet_length(encode(text)) // 64) % 64) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, w, h,
+         greatest(1, CAST(floor(w * least(64.0 / w, 64.0 / h, 1.0)) AS INTEGER)) AS out_w,
+         greatest(1, CAST(floor(h * least(64.0 / w, 64.0 / h, 1.0)) AS INTEGER)) AS out_h
+  FROM d
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       out_w, out_h, CAST(out_w * out_h * 3 AS BIGINT) AS resized_len
+FROM r
+""",
     "q_multimodal_meta": """
 SELECT doc_id, 'fake/blob' AS mime,
        CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
