@@ -173,14 +173,85 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(decode_media(media_table(spark, sf_dir)))
 
 
+
+AUDIO_WINDOW = 256
+
+
+def audio_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Audio-style feature kernel: treat the byte stream as PCM-ish
+    samples, frame into fixed windows, mean-square energy per window,
+    per-item summary. Same mapInPandas architecture as decode/resize —
+    a real implementation swaps the byte loop for numpy over decoded
+    PCM. Energies are dyadic rationals (integer/2^8), so window sums
+    are exact in double and the summary is order-independent —
+    hash-diffable cross-engine. Items shorter than one window emit
+    nothing (no partial-window energy), matching the oracle's GROUP BY.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                nwin = len(b) // window
+                if nwin == 0:
+                    continue
+                energies = [
+                    sum(x * x for x in b[i * window : (i + 1) * window]) / float(window)
+                    for i in range(nwin)
+                ]
+                # raw doubles: rounding happens engine-side in the query
+                # (Python round() is half-even; dyadic energies hit exact
+                # halves constantly at 4 decimals)
+                rows.append(
+                    (int(doc_id), nwin, sum(energies) / nwin, max(energies))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "avg_energy", "max_energy"]
+            )
+
+    return media.mapInPandas(
+        kernel, schema="doc_id long, n_windows int, avg_energy double, max_energy double"
+    )
+
+
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASCII corpus: bytes == code points, so the oracle recomputes the
+    # windowed energies with ascii() arithmetic — full-chain hash diff.
+    out = audio_energy(media_table(spark, sf_dir))
+    return out.withColumn("avg_energy", F.round("avg_energy", 4)).withColumn(
+        "max_energy", F.round("max_energy", 4)
+    )
+
+
 QUERIES = {
     "q_multimodal_meta": _q_multimodal_meta,
     "q_multimodal_decode": _q_multimodal_decode,
     "q_multimodal_frames": _q_multimodal_frames,
     "q_multimodal_resize": _q_multimodal_resize,
+    "q_multimodal_audio": _q_multimodal_audio,
 }
 
 ORACLE = {
+    "q_multimodal_audio": """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, text, CAST(u AS INTEGER) AS wi
+  FROM d, unnest(range(0, n // 256)) AS t(u)
+),
+e AS (
+  SELECT doc_id, wi,
+         list_sum(list_transform(range(1, 257),
+                  i -> ascii(text[CAST(wi*256 + i AS INTEGER):CAST(wi*256 + i AS INTEGER)])
+                       * ascii(text[CAST(wi*256 + i AS INTEGER):CAST(wi*256 + i AS INTEGER)])))
+           / 256.0 AS energy
+  FROM w
+)
+SELECT doc_id, CAST(count(1) AS INTEGER) AS n_windows,
+       round(sum(energy) / count(1), 4) AS avg_energy,
+       round(max(energy), 4) AS max_energy
+FROM e GROUP BY doc_id
+""",
     "q_multimodal_resize": """
 WITH d AS (
   SELECT doc_id,
