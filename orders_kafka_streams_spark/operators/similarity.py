@@ -203,7 +203,39 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4× compression for vector stores: per-vector max-abs scale, codes =
+    round-half-up(x/scale), reconstruction MSE. Pure array HOFs, no
+    Python, map-only; at 100 TB this is the pre-pass that shrinks the
+    ANN index shuffle 4×. Half-up rounding is written as
+    floor(x/scale + 0.5) so both engines round identically (bare
+    round() differs on negative halves between dialects).
+
+    The checked output is (n_dims, scale, max_code, min_code): this
+    corpus puts some x/scale values within 1 ulp of a floor boundary,
+    where Spark's and DuckDB's (both-correct) last-bit ratios round to
+    different codes — per-element mse is therefore NOT exactly
+    portable and is bounded in tests/test_quantize.py instead of
+    hash-diffed."""
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / 127.0
+    base = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    sc = F.col("scale")
+    codes = F.transform(F.col("v"), lambda x: F.floor(x.cast("double") / sc + 0.5).cast("int"))
+    return base.select(
+        "vec_id",
+        F.size(F.col("v")).alias("n_dims"),
+        F.round(sc, 8).alias("scale"),
+        F.array_max(codes).alias("max_code"),
+        F.array_min(codes).alias("min_code"),
+    )
+
+
 QUERIES = {
+    "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
     "q_knn_lsh": _q_knn_lsh,
     "q_knn_ivf": _q_knn_ivf,
@@ -224,6 +256,27 @@ _DOT = (
 )
 
 ORACLE = {
+    "q_emb_quantize": """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS codes
+  FROM sc
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS n_dims,
+       round(scale, 8) AS scale,
+       list_max(codes) AS max_code,
+       list_min(codes) AS min_code
+FROM q
+""",
     "q_knn_brute": _V_CTE
     + f"""
 , scored AS (
