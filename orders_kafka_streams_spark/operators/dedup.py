@@ -430,6 +430,30 @@ def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup: pairs flagged by at least 2 of the 3 signature
+    methods (n-gram Jaccard, MinHash+LSH, SimHash) — the standard
+    precision lever when any single signature family over-fires on a
+    domain. All three share the one persisted shingle/token pass, so
+    the ensemble costs one corpus scan plus three cheap blocking joins,
+    not three pipelines."""
+    ng = _q_dedup_ngram(spark, sf_dir).select("a", "b", F.lit("ngram").alias("m"))
+    mh = _q_dedup_minhash(spark, sf_dir).select("a", "b", F.lit("minhash").alias("m"))
+    sh = _q_dedup_simhash(spark, sf_dir).select("a", "b", F.lit("simhash").alias("m"))
+    return (
+        ng.unionByName(mh)
+        .unionByName(sh)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_methods"),
+            F.sort_array(F.collect_list("m")).alias("methods"),
+        )
+        .filter(F.col("n_methods") >= 2)
+        .select("a", "b", "n_methods", F.concat_ws(",", "methods").alias("methods"))
+    )
+
+
 QUERIES = {
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
@@ -438,6 +462,7 @@ QUERIES = {
     "q_dedup_embedding": _q_dedup_embedding,
     "q_dedup_clusters": _q_dedup_clusters,
     "q_dedup_keep": _q_dedup_keep,
+    "q_dedup_consensus": _q_dedup_consensus,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -580,3 +605,19 @@ WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
                   (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
 """,
 }
+
+# consensus oracle: wrap the three standalone method oracles as derived
+# tables (DuckDB allows WITH inside a parenthesized subquery), union the
+# tagged pair sets, and keep pairs flagged by >= 2 methods.
+ORACLE["q_dedup_consensus"] = f"""
+WITH u AS (
+  SELECT a, b, 'ngram' AS m FROM ({ORACLE["q_dedup_ngram"]})
+  UNION ALL
+  SELECT a, b, 'minhash' AS m FROM ({ORACLE["q_dedup_minhash"]})
+  UNION ALL
+  SELECT a, b, 'simhash' AS m FROM ({ORACLE["q_dedup_simhash"]})
+)
+SELECT a, b, CAST(count(1) AS BIGINT) AS n_methods,
+       string_agg(m, ',' ORDER BY m) AS methods
+FROM u GROUP BY a, b HAVING count(1) >= 2
+"""
