@@ -62,11 +62,14 @@ def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/uniqueness signals combined into
     a deterministic [0,1]-ish score (the shape of Gopher/C4-style rules)."""
-    base = _tokenized(spark, sf_dir, "lang")
+    base = _tokenized(spark, sf_dir, "lang", "text")
     t = F.col("t")
     n = F.size(t)
     uniq = F.size(F.array_distinct(t))
     sw = stopword_count(t)
+    # punctuation ratio over characters (C4/Gopher-style signal)
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / F.length("text")
     mean_len = F.aggregate(
         F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
     ) / n
@@ -81,6 +84,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         F.round(uniq.cast("double") / n, 6).alias("uniq_ratio"),
         F.round(sw.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(score, 6).alias("quality_score"),
     )
@@ -402,11 +406,12 @@ SELECT doc_id,
 FROM d
 """,
     "q_text_quality": f"""
-WITH d AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents)
+WITH d AS (SELECT doc_id, lang, text, {_TOKS} AS w FROM documents)
 SELECT doc_id, lang,
        CAST(len(w) AS INTEGER) AS n_tokens,
        round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio,
        round({stopword_count_sql('w')} / CAST(len(w) AS DOUBLE), 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
        round(list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
                          (a, x) -> a + x) / len(w), 6) AS mean_token_len,
        round(0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
