@@ -119,7 +119,45 @@ def _q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sample — the curation
+    primitive: keep each document with probability equal to its quality
+    score (uniform-hash u < p_i), so high-quality docs are
+    preferentially retained while every decision stays reproducible
+    (hash of doc_id, no RNG state). Scan-level predicate like
+    hash_sample: no shuffle before the summary agg. The integer hash
+    grid (1e6 buckets) and the 6-decimal-rounded score make the
+    comparison exact on both engines — no float-boundary ambiguity."""
+    from ..functions.textfns import stopword_count, tokens
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    score = F.round(
+        0.4 * (F.size(F.array_distinct(t)).cast("double") / n)
+        + 0.3 * F.least(stopword_count(t).cast("double") / n * 5, F.lit(1.0))
+        + 0.3 * F.least(n.cast("double") / 100, F.lit(1.0)),
+        6,
+    )
+    u = (hash60(F.col("doc_id")) % 1_000_000).cast("double") / 1_000_000.0
+    kept = docs.select("doc_id", "source", score.alias("q"), u.alias("u")).filter(
+        F.col("u") < F.col("q")
+    )
+    # quality mass in exact integer micro-units: q sits on the 1e-6
+    # grid, so floor(q*1e6 + 0.5) recovers the exact integer on both
+    # engines and the sum is order-independent — a rounded float AVG
+    # here hit half-edges where engine round() implementations differ
+    q_micro = F.floor(F.col("q") * 1_000_000 + 0.5).cast("long")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(q_micro).alias("quality_micro_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 QUERIES = {
+    "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
     "q_split_assign": _q_split_assign,
@@ -129,6 +167,21 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_sample_weighted": f"""
+WITH d AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         round(0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+             + 0.3 * least({stopword_count_sql('w')} / CAST(len(w) AS DOUBLE) * 5, 1.0)
+             + 0.3 * least(len(w) / 100.0, 1.0), 6) AS q,
+         ({hash60_sql('doc_id')} % 1000000) / 1000000.0 AS u
+  FROM d
+)
+SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS quality_micro_sum,
+       min(doc_id) AS min_doc_id
+FROM scored WHERE u < q GROUP BY source
+""",
     "q_sample_hash": f"""
 SELECT source, CAST(count(1) AS BIGINT) AS n_sampled,
        round(avg(n_chars), 4) AS avg_chars,
