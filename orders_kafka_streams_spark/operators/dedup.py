@@ -435,9 +435,11 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble dedup: pairs flagged by at least 2 of the 3 signature
     methods (n-gram Jaccard, MinHash+LSH, SimHash) — the standard
     precision lever when any single signature family over-fires on a
-    domain. All three share the one persisted shingle/token pass, so
-    the ensemble costs one corpus scan plus three cheap blocking joins,
-    not three pipelines."""
+    domain. The n-gram and MinHash branches share the persisted shingle
+    pass (one hash chain, two consumers); SimHash signs distinct TOKENS
+    rather than shingles, so it runs its own tokenize pass — the
+    ensemble costs two corpus passes plus three cheap blocking joins,
+    not three full pipelines."""
     ng = _q_dedup_ngram(spark, sf_dir).select("a", "b", F.lit("ngram").alias("m"))
     mh = _q_dedup_minhash(spark, sf_dir).select("a", "b", F.lit("minhash").alias("m"))
     sh = _q_dedup_simhash(spark, sf_dir).select("a", "b", F.lit("simhash").alias("m"))
