@@ -141,8 +141,13 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     u = (hash60(F.col("doc_id")) % 1_000_000).cast("double") / 1_000_000.0
-    kept = docs.select("doc_id", "source", score.alias("q"), u.alias("u")).filter(
-        F.col("u") < F.col("q")
+    # EXPLICIT curation policy: zero-token documents are dropped. Without
+    # this filter they'd be dropped anyway — q is NULL when n = 0, and
+    # NULL fails u < q on both engines — but as an accident, not a rule.
+    kept = (
+        docs.filter(n > 0)
+        .select("doc_id", "source", score.alias("q"), u.alias("u"))
+        .filter(F.col("u") < F.col("q"))
     )
     # quality mass in exact integer micro-units: q sits on the 1e-6
     # grid, so floor(q*1e6 + 0.5) recovers the exact integer on both
@@ -175,7 +180,7 @@ scored AS (
              + 0.3 * least({stopword_count_sql('w')} / CAST(len(w) AS DOUBLE) * 5, 1.0)
              + 0.3 * least(len(w) / 100.0, 1.0), 6) AS q,
          ({hash60_sql('doc_id')} % 1000000) / 1000000.0 AS u
-  FROM d
+  FROM d WHERE len(w) > 0
 )
 SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
        CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS quality_micro_sum,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import hash60, hash60_sql
 from ..sources.tables import load_table, parallelize
 
 TOP_K = 10
@@ -153,7 +154,7 @@ def _q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CENTROID_STRIDE = 50  # vec_id % 50 == 0 → ~N/50 deterministic coarse centroids
+K_CENTROIDS = 64  # FIXED centroid budget — independent of N
 N_PROBE = 2
 
 
@@ -162,20 +163,30 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists, exact-rank within the candidate set.
 
     Deterministic stand-in for learned centroids (k-means would be
-    non-reproducible across engines): every ``vec_id % 50 == 0`` vector
-    is a centroid, so the centroid count grows with N (√N-ish balance
-    is the production knob). The plan is the IVF architecture exactly:
-    (1) assignment = broadcast-cross vs the small centroid set, argmax
-    by window — at scale this is the numpy-matmul kernel from
-    operators/dedup.py:_q_dedup_embedding, the fold keeps it
-    engine-portable here; (2) the inverted index is just the
-    (cid → vec) assignment, equi-joined on cid — no cross join ever
+    non-reproducible across engines): the K_CENTROIDS vectors with the
+    smallest portable hash of their vec_id — a deterministic,
+    well-spread sample whose size is FIXED regardless of N, selected
+    with a distributed top-K (``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort). That
+    bounds the centroid broadcast at K rows and makes assignment
+    O(N·K·d), the real IVF cost model; production would swap in k-means
+    centroids (and √N-sized K) through the same seam. The plan is the
+    IVF architecture exactly: (1) assignment = broadcast-cross vs the
+    bounded centroid set, argmax by window — at scale this is the
+    numpy-matmul kernel from operators/dedup.py:_q_dedup_embedding, the
+    fold keeps it engine-portable here; (2) the inverted index is just
+    the (cid → vec) assignment, equi-joined on cid — no cross join ever
     touches the full N×N space; recall loss vs q_knn_brute is the
-    probed-fraction tradeoff (nprobe/centroids ≈ 1/5 of N scanned).
+    probed-fraction tradeoff (nprobe/K of the lists scanned).
     """
     v = _prepared(spark, sf_dir)
-    c = v.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    c = (
+        v.withColumn("hkey", hash60(F.col("vec_id")))
+        .orderBy("hkey", "vec_id")
+        .limit(K_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+        )
     )
     ccos = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
@@ -314,7 +325,8 @@ FROM ranked WHERE rk <= 5
     "q_knn_ivf": _V_CTE
     + f"""
 , c AS (
-  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v WHERE vec_id % {CENTROID_STRIDE} = 0
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v
+  ORDER BY {hash60_sql('vec_id')}, vec_id LIMIT {K_CENTROIDS}
 ), assign AS (
   SELECT v.vec_id, c.cid, v.e, v.nrm,
          CAST(row_number() OVER (

@@ -51,11 +51,18 @@ def parallelize(df: DataFrame, partitions: int | None = None) -> DataFrame:
     one core at sf0.1). One cheap exchange spreads the rows; at real
     scale inputs arrive in thousands of splits and this is a no-op.
     Apply AFTER filters so parquet pushdown is unaffected.
+
+    The few-splits check uses ``df.inputFiles()`` — driver-side file
+    metadata already gathered by the read — NOT ``df.rdd``, which would
+    convert the whole plan to an RDD per load just to count partitions.
+    File count under-approximates split count (a large file yields many
+    splits), so this only skips the exchange when the input is already
+    wide — exactly the 100 TB case.
     """
     from ..session import default_parallelism
 
     p = partitions or default_parallelism()
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    return df if len(df.inputFiles()) >= p else df.repartition(p)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -44,7 +44,11 @@ def stream_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         (user_id,) = key
         ewma, n = state.get if state.exists else (None, 0)
         out: list[tuple[int, int, int, float, float, int]] = []
-        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        # materialize BEFORE the emptiness check: `if pdfs` on an
+        # iterator is always truthy, so the old guard never protected
+        # pd.concat([]) from raising on an empty chunk stream.
+        chunks = list(pdfs)
+        rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(rows):
             rows = rows.sort_values(["ts_ms", "event_id"])
             for r in rows.itertuples(index=False):
