@@ -3,8 +3,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <steady total sec>, "unit": "sec",
+   "value_cold": <first-run total>, "value_steady": <min-of-2 total>,
+   "queries": {name: steady sec, ...}, "queries_cold": {...},
+   "sf": <sf>}
+
+``value`` stays the headline (steady-state, the long-running-engine
+number) but the COLD total is first-class alongside it so round-over-
+round comparisons can't be confounded by cache warm-up masking a
+regression (VERDICT r1 item 8).
 
 The headline set spans the engine's surface: the flagship reference
 pipeline, scan-heavy and join-heavy TPC-H shapes, window functions,
@@ -48,6 +55,9 @@ HEADLINE = [
     "q_tpch_q17",
     "q_tpch_q21",
     "q_stream_win_tumble",
+    "q_winnow_match",
+    "q_dedup_consensus",
+    "q_sessionize",
 ]
 
 
@@ -67,28 +77,33 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    def run(name: str) -> float:
-        # min of 2: steady-state latency. The first execution pays
-        # plan compilation + codegen, which amortizes to zero on a
-        # long-running engine; run-to-run machine noise was measured
-        # at +/-10% on this suite (BASELINE.md).
-        return min(run_once(name) for _ in range(2))
-
     # warm the JVM/codegen/file listing once on a cheap query
     run_once("q_tpch_q6")
 
-    timings: dict[str, float] = {}
+    # cold = first execution after JVM warm-up (pays per-query plan
+    # compilation, codegen, and any first-touch persists); steady =
+    # min of the two runs (the long-running-engine latency; machine
+    # noise measured +/-10% on this suite, BASELINE.md).
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 3)
+        first = run_once(name)
+        second = run_once(name)
+        cold[name] = round(first, 3)
+        steady[name] = round(min(first, second), 3)
 
-    total = round(sum(timings.values()), 3)
+    total_cold = round(sum(cold.values()), 3)
+    total_steady = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
-                "value": total,
+                "value": total_steady,
                 "unit": "sec",
-                "queries": timings,
+                "value_cold": total_cold,
+                "value_steady": total_steady,
+                "queries": steady,
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -29,12 +29,14 @@ from ..functions.portable import epoch_ms
 from ..streaming.pipeline import (
     events_file_stream,
     run_to_memory,
+    stream_dead_letter,
     stream_pair_join,
     stream_tumbling_agg,
 )
 
 WATERMARK_MS = 60_000
 JOIN_WINDOW_MS = 3_600_000
+DL_WATERMARK_MS = 600_000  # stream_dead_letter's 10-minute delay
 
 
 def _q_stream_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,6 +48,22 @@ def _q_stream_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_stream_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_file_stream(spark, sf_dir)
     tab = run_to_memory(stream_pair_join(ev, window="1 hour", watermark="1 hour"), "pair_join")
+    return spark.table(tab)
+
+
+def _q_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven dead letters through the streaming engine: the
+    LEFT OUTER stream-stream join NULL-pads a purchase only after the
+    watermark proves no matching click can still arrive, so the memory
+    sink holds exactly the dead letters whose event time the final
+    watermark passed — the oracle applies the same cutoff
+    (event_timestamp < min(max_click, max_purchase) − delay: each
+    side's watermark node sits after its event_type filter, so the
+    global watermark is the min over the two filtered maxima)."""
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(
+        stream_dead_letter(ev, window="1 hour", watermark="10 minutes"), "dead_letter"
+    )
     return spark.table(tab)
 
 
@@ -165,6 +183,7 @@ QUERIES = {
     "q_stream_win_session": _q_stream_win_session,
     "q_stream_win_sliding": _q_stream_win_sliding,
     "q_stream_pair_join": _q_stream_pair_join,
+    "q_stream_dead_letter": _q_stream_dead_letter,
     "q_stream_pair_match": _q_stream_pair_match,
     "q_stream_ewma": _q_stream_ewma,
 }
@@ -265,6 +284,36 @@ FROM events p JOIN events f
   ON p.user_id = f.user_id
  AND p.event_type = 'click' AND f.event_type = 'purchase'
  AND epoch_ms(f.ts) - epoch_ms(p.ts) BETWEEN 0 AND {JOIN_WINDOW_MS}
+""",
+    "q_stream_dead_letter": f"""
+-- the two withWatermark nodes sit AFTER the event_type filters, so each
+-- side's watermark tracks its own max event time; the query's global
+-- watermark is the MIN of the two (empirically pinned: a purchase is
+-- null-padded iff f_ms < min(max_click, max_purchase) - delay, strict)
+WITH wm AS (
+  SELECT least(
+           max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END),
+           max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+         ) - {DL_WATERMARK_MS} AS wm_ms
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS f_ms FROM events
+  WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'click'
+)
+SELECT f.event_id AS event_id, f.user_id AS user_id,
+       f.f_ms AS event_timestamp,
+       'no.matching.placed' AS reason
+FROM f CROSS JOIN wm
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = f.user_id
+    AND f.f_ms >= p.p_ms AND f.f_ms <= p.p_ms + {JOIN_WINDOW_MS}
+)
+AND f.f_ms < wm.wm_ms
 """,
     "q_stream_pair_match": """
 WITH ev AS (

@@ -130,6 +130,63 @@ def stream_pair_join(
     )
 
 
+def stream_dead_letter(
+    events: DataFrame,
+    placed_type: str = "click",
+    fulfilled_type: str = "purchase",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dead-letter route — the reference's expiry TODO
+    (OrderProcessor.java:184,200) as a first-class STREAM, not a log
+    line: fulfilled events with no matchable placed partner.
+
+    A LEFT OUTER stream-stream interval join from the fulfilled side:
+    while a matching placed row may still arrive the fulfilled row
+    waits in join state; once the watermark passes its event time (no
+    placed row with p_ts ≤ f_ts can arrive anymore) the engine emits
+    it exactly once, NULL-padded — the filter below routes those rows
+    to the dead-letter sink. Matched rows flow through the same join
+    and are simply not selected here; a production topology would
+    fan both branches out of one join (foreachBatch or two sinks).
+
+    Batch twin: operators/pipeline.dead_letters (last-click carry);
+    this one is pair-complete (any click in the window matches, not
+    just the latest), which is the join-based dead-letter semantics.
+    """
+    placed = (
+        events.filter(F.col("event_type") == placed_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    fulfilled = (
+        events.filter(F.col("event_type") == fulfilled_type)
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("ts").alias("f_ts"),
+            F.col("event_id").alias("f_event_id"),
+        )
+        .withWatermark("f_ts", watermark)
+    )
+    joined = fulfilled.join(
+        placed,
+        F.expr(
+            f"f_user = p_user AND f_ts >= p_ts AND f_ts <= p_ts + interval {window}"
+        ),
+        "left_outer",
+    )
+    return joined.filter(F.col("p_event_id").isNull()).select(
+        F.col("f_event_id").alias("event_id"),
+        F.col("f_user").alias("user_id"),
+        epoch_ms(F.col("f_ts")).alias("event_timestamp"),
+        F.lit("no.matching.placed").alias("reason"),
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> str:
     """Execute a streaming DataFrame to completion into a memory sink;
     returns the sink table name. Synchronous: processAllAvailable

@@ -122,3 +122,55 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     _write_file(spark, d, "part3", [(3, BASE_MS + 3_000, 2, "click", 3.0)])
     run_once()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_dead_letter_null_emission(spark, tmp_path):
+    """VERDICT r1 item 5: the LEFT OUTER stream-stream join must emit a
+    NULL-padded dead letter only once the watermark PROVES no matching
+    click can arrive — and must NOT emit purchases that found a match
+    or whose match window the watermark hasn't closed yet."""
+    from orders_kafka_streams_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_dead_letter,
+    )
+
+    d = os.path.join(str(tmp_path), "dl_src")
+    os.makedirs(d, exist_ok=True)
+    # batch 0: user 1 clicks then purchases (matched — never a dead
+    # letter); user 2 purchases with no click ever (dead letter once
+    # finalized); user 3 purchases near the stream head (dead letter,
+    # but its window is still open at the final watermark → withheld).
+    _write_file(
+        spark,
+        d,
+        "part1",
+        [
+            (1, BASE_MS + 1 * MIN, 1, "click", 0.0),
+            (2, BASE_MS + 2 * MIN, 1, "purchase", 9.0),
+            (3, BASE_MS + 2 * MIN, 2, "purchase", 5.0),
+        ],
+    )
+    time.sleep(1.1)
+    # batch 1: sentinels advance BOTH sides' watermarks far past user 2's
+    # purchase (each withWatermark node tracks its own filtered max).
+    _write_file(
+        spark,
+        d,
+        "part2",
+        [
+            (8, BASE_MS + 200 * MIN, 9, "click", 0.0),
+            (9, BASE_MS + 190 * MIN, 9, "purchase", 1.0),
+        ],
+    )
+
+    ev = _stream(spark, os.path.join(d, "part*"))
+    tab = run_to_memory(
+        stream_dead_letter(ev, window="1 hour", watermark="10 minutes"), "dl_test"
+    )
+    rows = {r.event_id: r for r in spark.table(tab).collect()}
+    # watermark = min(200, 190) - 10 = 180 min: event 3 (2 min) is
+    # final → emitted; event 9 (190 min) is not yet provably unmatched.
+    assert set(rows) == {3}, rows
+    assert rows[3].user_id == 2
+    assert rows[3].event_timestamp == BASE_MS + 2 * MIN
+    assert rows[3].reason == "no.matching.placed"
