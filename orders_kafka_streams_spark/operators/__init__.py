@@ -26,6 +26,7 @@ _MODULES = [
     "timeseries",
     "text",
     "sampling",
+    "curation",
     "dedup",
     "similarity",
     "multimodal",

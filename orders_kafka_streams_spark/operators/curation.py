@@ -1,0 +1,184 @@
+"""Corpus-curation quality gates for LLM training-data pipelines
+(north-star extension surface, round 2).
+
+- q_quality_repetition — Gopher-style repetition rules (Rae et al.
+  2021, "Scaling Language Models: Methods, Analysis & Insights from
+  Training Gopher", App. A): top-token dominance and duplicate-bigram
+  fraction, with per-source flag counts. These are the filters that
+  remove boilerplate/spam loops from a web crawl.
+- q_contamination — benchmark decontamination (the GPT-3 / Llama
+  report methodology): fraction of each corpus document's word
+  trigrams that appear in a held-out benchmark set; documents above
+  the overlap threshold are flagged for removal so eval benchmarks
+  don't leak into training data. The benchmark stand-in is the
+  shingle set of doc_id < BENCH_DOCS (a real pipeline would load the
+  actual benchmark suites through the same seam).
+
+Scale notes: repetition metrics are one explode + two doc_id-keyed
+aggregations (token top-count) plus map-only array HOFs (bigrams);
+contamination is one explode + a BROADCAST membership join against
+the benchmark shingle set (benchmarks are tiny by definition) + one
+doc_id-keyed aggregation. Nothing shuffles more than one row per
+(doc, gram), and thresholds are int-ratio comparisons — identical
+double bits on both engines, no float-boundary ambiguity.
+
+Reference connection: no equivalent in dhoard/orders-kafka-streams
+(pure stream processor); SURVEY §2.9 commits to the curation family
+for the 100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens_sql
+from ..sources.tables import load_table
+from .dedup import _SHINGLED_CTE, _shingled_cached
+from .text import _tokenized
+
+#: Gopher-style thresholds, tuned on the sf0.01 distribution so each
+#: rule flags a non-trivial minority (dominance: 91/500, dup-bigram:
+#: 28/500) — a threshold nothing crosses verifies nothing.
+REP_DOMINANCE_T = 0.12
+REP_DUP_BIGRAM_T = 0.08
+
+BENCH_DOCS = 20  # doc_id < 20 stand in for the benchmark suite
+CONTAM_OVERLAP_T = 0.05  # flags 144/480 at sf0.01
+
+
+def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition profile: top-token dominance (most frequent
+    token count / n_tokens) and duplicate-bigram fraction
+    (1 − distinct/total bigrams), plus how many docs either rule flags.
+
+    Dominance needs a per-(doc, token) count — explode + two doc_id
+    aggregations (partial map-side combine keeps the shuffle at one row
+    per distinct (doc, token)); the bigram metric stays map-only via
+    shifted-slice zip_with (never referencing the token array inside a
+    lambda — the O(len²) trap, functions/textfns.py). Docs with fewer
+    than 2 tokens are excluded explicitly on both engines."""
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") >= 2)
+    t = F.col("t")
+    n = F.size(t)
+    m = n - 1
+    bg = F.zip_with(
+        F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    per_doc = base.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        (1 - F.size(F.array_distinct(bg)) / F.size(bg).cast("double")).alias(
+            "dup_bigram_frac"
+        ),
+    )
+    top = (
+        base.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    scored = per_doc.join(top, "doc_id").withColumn(
+        "dominance", F.col("top_cnt") / F.col("n").cast("double")
+    )
+    flagged = (F.col("dominance") > REP_DOMINANCE_T) | (
+        F.col("dup_bigram_frac") > REP_DUP_BIGRAM_T
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.round(F.avg("dominance"), 6).alias("avg_dominance"),
+        F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: for every corpus doc (doc_id ≥
+    BENCH_DOCS, ≥1 trigram), the fraction of its distinct word trigrams
+    that appear anywhere in the benchmark set's trigrams; per source,
+    how many docs exceed the overlap threshold. Reuses the persisted
+    hashed-shingle relation (dedup._shingled_cached) — membership over
+    60-bit hashes matches the oracle's identical hashing."""
+    sh = _shingled_cached(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOCS)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter((F.col("doc_id") >= BENCH_DOCS) & (F.col("sz") > 0)).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    per_doc = (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("k"),
+            F.count(F.lit(1)).alias("tot"),
+        )
+        .withColumn("overlap", F.col("k") / F.col("tot").cast("double"))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_doc.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("overlap") >= CONTAM_OVERLAP_T).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+    )
+
+
+QUERIES = {
+    "q_quality_repetition": _q_quality_repetition,
+    "q_contamination": _q_contamination,
+}
+
+_TOKS = tokens_sql("text")
+
+ORACLE = {
+    "q_quality_repetition": f"""
+WITH d AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+b AS (
+  SELECT doc_id, source, len(w) AS n,
+         1 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+             / CAST(len(w) - 1 AS DOUBLE) AS dup_bigram_frac,
+         w
+  FROM d WHERE len(w) >= 2
+),
+ex AS (SELECT doc_id, unnest(w) AS tok FROM b),
+cnt AS (SELECT doc_id, tok, count(1) AS c FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1),
+scored AS (
+  SELECT b.source, b.dup_bigram_frac, top.top_cnt / CAST(b.n AS DOUBLE) AS dominance
+  FROM b JOIN top USING (doc_id)
+)
+SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(count(1) FILTER (dominance > {REP_DOMINANCE_T}
+                             OR dup_bigram_frac > {REP_DUP_BIGRAM_T}) AS BIGINT)
+         AS n_flagged,
+       round(avg(dominance), 6) AS avg_dominance,
+       round(avg(dup_bigram_frac), 6) AS avg_dup_bigram_frac
+FROM scored GROUP BY source
+""",
+    "q_contamination": _SHINGLED_CTE
+    + f""",
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < {BENCH_DOCS}),
+corpus AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= {BENCH_DOCS} AND sz > 0
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS k,
+         count(1) AS tot
+  FROM corpus GROUP BY doc_id
+)
+SELECT d.source, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(count(1) FILTER (p.k / CAST(p.tot AS DOUBLE) >= {CONTAM_OVERLAP_T}) AS BIGINT)
+         AS n_contaminated,
+       round(avg(p.k / CAST(p.tot AS DOUBLE)), 6) AS avg_overlap
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+}
