@@ -58,6 +58,11 @@ HEADLINE = [
     "q_winnow_match",
     "q_dedup_consensus",
     "q_sessionize",
+    # round-2 operators
+    "q_dedup_embedding",
+    "q_knn_pq",
+    "q_text_langid",
+    "q_contamination",
 ]
 
 

@@ -57,6 +57,24 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's KLL-style sketch
+    (percentile_approx) next to the exact values — the 100 TB path for
+    quantiles: the sketch merges map-side in O(accuracy) memory per
+    group while exact percentile must shuffle-sort every value. Like
+    q_approx_distinct (HLL), the sketch is engine-specific so there is
+    no DuckDB oracle; tests/test_robustness.py bounds the rank error
+    against the exact twin instead (accuracy=1000 ⇒ rank error ≤ 0.1%,
+    checked as a value-relative bound on this distribution)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 4).alias("ap50"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000)), 4).alias("ap90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
 def _q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -94,6 +112,7 @@ def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_err_handle": _q_err_handle,
     "q_approx_distinct": _q_approx_distinct,
+    "q_approx_percentile": _q_approx_percentile,
     "q_percentile": _q_percentile,
     "q_unpivot": _q_unpivot,
     "q_scalar_subquery": _q_scalar_subquery,

@@ -49,3 +49,16 @@ def test_json_roundtrip(spark, sf_dir):
     good, corrupt = decode_json(encoded, schema, "value", keep_cols=("key",))
     assert corrupt.count() == 0
     assert good.count() == ev.count()
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    # KLL-style sketch at accuracy=1000: the approx quantile must land
+    # within 2% (value-relative) of the exact quantile on this
+    # distribution — same failing-mode pattern as the HLL gate above.
+    from orders_kafka_streams_spark.operators.robustness import _q_approx_percentile
+
+    rows = _q_approx_percentile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for ap, ex in ((r.ap50, r.p50), (r.ap90, r.p90)):
+            assert abs(ap - ex) / max(abs(ex), 1e-9) < 0.02, (r.o_orderstatus, ap, ex)
