@@ -1,0 +1,39 @@
+"""Exactly-once sink patterns (SURVEY §2.6 `exactly-once`).
+
+Structured Streaming guarantees exactly-once END-TO-END only when the
+sink is idempotent or transactional with respect to the micro-batch id:
+after a crash between "sink wrote batch N" and "checkpoint committed
+batch N", the engine REPLAYS batch N from the checkpointed offsets, so
+a naive append sink double-writes. The reference app is at-least-once
+(`Main.java:76-88` — Kafka producer without EOS); this module provides
+the strictly-stronger idempotent-sink half of Spark's contract:
+
+- ``idempotent_parquet_sink``: ``foreachBatch`` writer that OVERWRITES
+  a deterministic per-batch directory (``.../batch_id=N``). A replay of
+  batch N rewrites the same directory with the same rows — convergent,
+  no duplicates — which is exactly the dynamic-partition-overwrite
+  pattern a warehouse table (or Delta/Iceberg MERGE) uses at scale.
+
+The built-in file sink achieves the same via its transaction log
+(tests/test_late_data.py::test_checkpoint_recovery_no_duplicates); the
+foreachBatch form is what users need for sinks WITHOUT a log (JDBC,
+plain object stores), so both are covered.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch callable: write each micro-batch to its own
+    ``batch_id=N`` directory with overwrite semantics — replay-safe."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write
