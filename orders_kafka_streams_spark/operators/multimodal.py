@@ -151,9 +151,12 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas path — not SQL-expressible (Python kernel), so no
-    # oracle entry: the driver records a rows-only check, and
-    # tests/test_multimodal.py asserts determinism + feature ranges.
+    # mapInPandas Python kernel — but the deterministic stub is pure
+    # arithmetic over the payload bytes, and the corpus text is pure
+    # ASCII (code point == byte, verified in the oracle itself via
+    # strlen == length), so the FULL decode chain is SQL-recomputable
+    # and hash-diffed (r2; was rows-only). tests/test_multimodal.py
+    # additionally pins golden rows on fixed non-corpus payloads.
     return decode_media(media_table(spark, sf_dir))
 
 
@@ -233,6 +236,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    # mirrors the decode stub byte-for-byte: utf-8 payload of ASCII text
+    # means ord(char) == byte value; strlen = byte length. mean_luma is
+    # an exact small-int ratio (k/255) — identical double bits, no
+    # rounding needed.
+    "q_multimodal_decode": """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS byte_len,
+       CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
+       CAST(16 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
+       CAST(1 + strlen(text) % 3 AS INTEGER) AS n_frames,
+       CAST(coalesce(list_sum(list_transform(
+              range(1, CAST(least(strlen(text), 32) AS INTEGER) + 1),
+              i -> ascii(text[CAST(i AS INTEGER):CAST(i AS INTEGER)]))), 0) % 256
+            AS DOUBLE) / 255.0 AS mean_luma
+FROM documents
+""",
     "q_multimodal_audio": """
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
 w AS (
