@@ -53,6 +53,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    from orders_kafka_streams_spark.operators import SKIPPED_MODULES
+
+    if SKIPPED_MODULES:
+        print(f"WARNING: modules skipped (missing optional deps): {SKIPPED_MODULES}")
     fails, rows_only = [], []
     for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR)
