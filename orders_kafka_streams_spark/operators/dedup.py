@@ -383,13 +383,26 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic 100 TB path is the LSH-bucketed / IVF family in
     operators/similarity.py — same verify kernel, blocking by bucket
     instead of by the full grid.
+
+    The sf0.01 oracle corpus fits in ONE block, so the multi-block
+    grid cells (ablk < bblk) are additionally verified against a numpy
+    reference on synthetic multi-block inputs in
+    tests/test_block_matrix.py.
     """
     emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    return embedding_cosine_pairs(emb, COSINE_T)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, thresh: float, block: int = EMB_BLOCK
+) -> DataFrame:
+    """Block-matrix exact cosine pair join over any (vec_id, embedding)
+    relation — see _q_dedup_embedding for the architecture."""
     blocks = (
         emb.select(
             "vec_id",
             "embedding",
-            F.floor(F.col("vec_id") / EMB_BLOCK).alias("blk"),
+            F.floor(F.col("vec_id") / block).alias("blk"),
         )
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
@@ -403,7 +416,6 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bblk",
         )
     )
-    thresh = COSINE_T
 
     def kernel(batches):
         import numpy as np  # self-contained: workers import nothing of ours
