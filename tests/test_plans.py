@@ -307,3 +307,27 @@ def test_ivf_centroid_set_is_bounded_top_k(spark, sf_dir):
     df = sim.QUERIES["q_knn_ivf"](spark, sf_dir)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_langid_profiles_broadcast_no_corpus_cartesian(spark, sf_dir):
+    """CT langid: the only non-equi join is the 4-row language-list
+    replicate (BroadcastNestedLoopJoin of a literal) and the ranked
+    profile table joins as a broadcast hash join — the corpus itself
+    never cross-joins or cartesians, and every shuffle keys on doc_id."""
+    from orders_kafka_streams_spark.operators import text
+
+    plan = plan_of(text.QUERIES["q_text_langid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # profile lookup
+    assert "SortMergeJoin" not in plan  # nothing big joins anything big
+
+
+def test_contamination_benchmark_join_broadcast(spark, sf_dir):
+    """Decontamination: the benchmark shingle set (tiny by definition)
+    must reach the corpus via a broadcast membership join, never a
+    shuffle of the corpus onto gram keys."""
+    from orders_kafka_streams_spark.operators import curation
+
+    plan = plan_of(curation.QUERIES["q_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
