@@ -130,9 +130,83 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32  # sized to the corpus (docs run ~10-100 tokens) so
+CHUNK_STRIDE = 24  # multi-chunk docs actually occur — 8-token overlap
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split every document into fixed
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (the standard
+    overlap chunking before tokenizer packing) and MATERIALIZE one row
+    per chunk with its token span. Map-only: chunk indices come from a
+    sequence+explode over per-doc arithmetic — no shuffle at all, which
+    is exactly what a 100 TB chunker must be. The final chunk is the
+    remainder window clamped to the doc end."""
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    n = F.size("t")
+    n_chunks = (
+        F.when(n <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE).cast("double")) + 1)
+        .cast("int")
+    )
+    chunks = base.select(
+        "doc_id", "source", n.alias("n_tokens"), n_chunks.alias("n_chunks")
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        (start + 1).alias("tok_start"),  # 1-based inclusive span
+        F.least(start + CHUNK_TOKENS, F.col("n_tokens")).alias("tok_end"),
+    )
+
+
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in doc_id order WITHIN each
+    source) to fixed token budgets of PACK_BUDGET via an exclusive
+    running token count — the deterministic bin-by-cumsum packing that
+    turns a corpus into equal-budget training sequences. Output: one
+    row per (source, bin) with doc/token totals.
+
+    Scale shape: ONE keyed window (partitionBy source, orderBy doc_id)
+    then the groupBy reuses the same partitioning — packing is per
+    source shard exactly as a production pipeline does it (a single
+    global order would funnel the corpus through one partition)."""
+    from pyspark.sql import Window
+
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.size("t")
+    with_bin = base.select("doc_id", "source", n.alias("n_tokens")).withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "long"
+        ),
+    )
+    return with_bin.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
     "q_quality_repetition": _q_quality_repetition,
     "q_contamination": _q_contamination,
+    "q_doc_chunk": _q_doc_chunk,
+    "q_seq_pack": _q_seq_pack,
 }
 
 _TOKS = tokens_sql("text")
@@ -180,5 +254,39 @@ SELECT d.source, CAST(count(1) AS BIGINT) AS n_docs,
        round(avg(p.k / CAST(p.tot AS DOUBLE)), 6) AS avg_overlap
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.source
+""",
+    "q_doc_chunk": f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+  WHERE len({_TOKS}) > 0
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(ceil((n_tokens - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INTEGER) + 1
+         END AS n_chunks
+  FROM d
+)
+SELECT doc_id, source, CAST(u AS INTEGER) AS chunk_idx,
+       CAST(u * {CHUNK_STRIDE} + 1 AS INTEGER) AS tok_start,
+       CAST(least(u * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens) AS INTEGER) AS tok_end
+FROM c, unnest(range(0, n_chunks)) AS t(u)
+""",
+    "q_seq_pack": f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+  WHERE len({_TOKS}) > 0
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM d
+)
+SELECT source, bin, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
 """,
 }
