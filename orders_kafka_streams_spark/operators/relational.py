@@ -377,11 +377,22 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles.
     """
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    # threshold rounded to 4 decimals on BOTH engines: avg() differs in
+    # the last bits between Spark and DuckDB (sum order), and an
+    # unrounded data-dependent threshold can flip boundary rows (same
+    # treatment as q_tpch_q17's avg*0.5 cut).
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    # "no orders" adapted to "no RECENT orders" (since 2000-01-01): the
+    # driver datagen gives every customer at least one order, so the
+    # literal Q22 cohort is empty — and a 0-row result hash-matches
+    # trivially, verifying nothing. 55 customers qualify at sf0.01.
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
     cohort = (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
     )
     return cohort.groupBy((F.col("c_custkey") % 10).alias("cntrycode")).agg(
         F.count(F.lit(1)).alias("numcust"),
@@ -450,10 +461,14 @@ def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT EXISTS: customers with no orders at all — the dead-letter
-    # shape of the reference's expiry path, relational edition.
+    # NOT EXISTS: customers with no URGENT orders — the dead-letter
+    # shape of the reference's expiry path, relational edition. (Every
+    # customer has SOME order in the driver datagen, so the unfiltered
+    # anti join would be 0 rows — trivially hash-matching; the priority
+    # filter yields a 203-customer cohort at sf0.01.)
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -797,10 +812,15 @@ def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # nations with customers but no suppliers (EXCEPT = distinct)
+    # nations with customers but no NEGATIVE-balance suppliers (EXCEPT
+    # = distinct). Suppliers cover all 25 nations in the datagen, so
+    # the unfiltered set difference would be empty — trivially
+    # hash-matching; the balance filter leaves 21 nations at sf0.01.
     cust, supp = _t(spark, sf_dir, "customer", "supplier")
     return cust.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        supp.select(F.col("s_nationkey").alias("nationkey"))
+        supp.filter(F.col("s_acctbal") < 0).select(
+            F.col("s_nationkey").alias("nationkey")
+        )
     )
 
 
@@ -1011,14 +1031,16 @@ GROUP BY 1, 2, 3
 """,
     "q_tpch_q22": """
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+  SELECT round(avg(c_acctbal), 4) AS avg_bal FROM customer WHERE c_acctbal > 0
 )
 SELECT c_custkey % 10 AS cntrycode,
        CAST(count(1) AS BIGINT) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer CROSS JOIN avg_bal
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
 GROUP BY 1
 """,
     "q_tpch_q14": """
@@ -1089,7 +1111,9 @@ WHERE EXISTS (SELECT 1 FROM orders
 """,
     "q_join_anti": """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """,
     "q_join_cross": """
 SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -1169,7 +1193,7 @@ SELECT s_nationkey FROM supplier
     "q_except": """
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
 """,
     "q_drop_duplicates": """
 SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem

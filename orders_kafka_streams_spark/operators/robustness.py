@@ -98,13 +98,17 @@ def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1.5× (not 2×) the average: the datagen's price distribution caps
+    # near 2× avg, so the 2× threshold selected 0 rows — a trivially
+    # hash-matching result that verifies nothing. 1.5× selects ~3.7k.
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_sq_orders")
     return spark.sql(
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         FROM _sq_orders
-        WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM _sq_orders)
+        WHERE o_totalprice > (SELECT round(1.5 * avg(o_totalprice), 4)
+                              FROM _sq_orders)
         """
     )
 
@@ -155,6 +159,6 @@ SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 4) FROM wide
     "q_scalar_subquery": """
 SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
 FROM orders
-WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+WHERE o_totalprice > (SELECT round(1.5 * avg(o_totalprice), 4) FROM orders)
 """,
 }
