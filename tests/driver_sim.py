@@ -57,10 +57,12 @@ def main() -> int:
 
     if SKIPPED_MODULES:
         print(f"WARNING: modules skipped (missing optional deps): {SKIPPED_MODULES}")
-    fails, rows_only = [], []
+    fails, rows_only, zero_rows = [], [], []
     for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR)
         srows, scols = sdf.collect(), sdf.columns
+        if not srows:
+            zero_rows.append((name, 0))
         if name not in osql:
             rows_only.append((name, len(srows)))
             print(f"{name}: rows-only {len(srows)}")
@@ -77,6 +79,11 @@ def main() -> int:
         if not ok:
             fails.append(name)
     print(f"TOTAL {len(qs)} queries, {len(rows_only)} rows-only, FAILS: {fails}")
+    zero = [n for n, c in zero_rows]
+    if zero:
+        # a 0-row result hash-matches its oracle trivially and verifies
+        # nothing — tune the predicate so the data actually crosses it
+        print(f"WARNING: zero-row queries (trivial match): {zero}")
     return 1 if fails else 0
 
 
