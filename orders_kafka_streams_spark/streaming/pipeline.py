@@ -187,23 +187,44 @@ def stream_dead_letter(
     )
 
 
-def run_to_memory(result: DataFrame, name: str, output_mode: str = "append") -> str:
+def run_to_memory(
+    result: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    drain_partitions: int | None = 8,
+) -> str:
     """Execute a streaming DataFrame to completion into a memory sink;
     returns the sink table name. Synchronous: processAllAvailable
     drains the source, then the engine's no-data micro-batch finalizes
-    watermark-closed windows before stop()."""
+    watermark-closed windows before stop().
+
+    ``drain_partitions`` caps the STATE partition count for the drain:
+    stateful operators pay a per-partition per-micro-batch state-store
+    commit, so partitions must be sized to state VOLUME, not CPU count
+    — measured 13.0 s → 3.2 s for the sf0.1 dead-letter drain going
+    32 → 8 partitions with identical output. A long-running deployment
+    sizes this once at first checkpoint (state partitions are fixed by
+    the checkpoint thereafter); pass None to inherit the session conf.
+    """
     spark = result.sparkSession
     for q in spark.streams.active:
         if q.name == f"mem_{name}":
             q.stop()
-    q = (
-        result.writeStream.format("memory")
-        .queryName(f"mem_{name}")
-        .outputMode(output_mode)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if drain_partitions is not None:
+        spark.conf.set(key, str(min(drain_partitions, int(saved))))
     try:
-        q.processAllAvailable()
+        q = (
+            result.writeStream.format("memory")
+            .queryName(f"mem_{name}")
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, saved)
     return f"mem_{name}"
