@@ -53,7 +53,8 @@ def _loaded_modules() -> list[ModuleType]:
             # silently shrink the driver's query registry.
             if e.name and e.name.startswith("orders_kafka_streams_spark"):
                 raise
-            SKIPPED_MODULES.append((m, str(e)))
+            if m not in {s for s, _ in SKIPPED_MODULES}:
+                SKIPPED_MODULES.append((m, str(e)))
     return mods
 
 

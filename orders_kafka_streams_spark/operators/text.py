@@ -38,11 +38,18 @@ def _tokenized(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     build; measured 3.2 s → 1.05 s at sf0.1 for q_text_quality). One
     cached pass keeps the query map-only — no shuffle is introduced,
     which is the right trade at 100 TB where exploding tokens to dodge
-    the recompute would shuffle the whole corpus instead."""
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", *cols, tokens(F.col("text")).alias("t")
-    ).persist()
+    the recompute would shuffle the whole corpus instead.
+
+    Memoized per (application, sf_dir, cols) via dedup's persist memo —
+    one deliberate cache entry per projection instead of re-registering
+    the persist on every query invocation."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        docs = parallelize(load_table(spark, sf_dir, "documents"))
+        return docs.select("doc_id", *cols, tokens(F.col("text")).alias("t"))
+
+    return _memo_persist(spark, sf_dir, f"tokenized:{','.join(cols)}", build)
 
 
 def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
