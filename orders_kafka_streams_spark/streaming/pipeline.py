@@ -154,6 +154,27 @@ def stream_dead_letter(
     this one is pair-complete (any click in the window matches, not
     just the latest), which is the join-based dead-letter semantics.
     """
+    joined = stream_pair_left_outer(events, placed_type, fulfilled_type, window, watermark)
+    return joined.filter(F.col("p_event_id").isNull()).select(
+        F.col("f_event_id").alias("event_id"),
+        F.col("f_user").alias("user_id"),
+        epoch_ms(F.col("f_ts")).alias("event_timestamp"),
+        F.lit("no.matching.placed").alias("reason"),
+    )
+
+
+def stream_pair_left_outer(
+    events: DataFrame,
+    placed_type: str = "click",
+    fulfilled_type: str = "purchase",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The raw LEFT OUTER stream-stream interval join (fulfilled side
+    preserved): matched rows carry the placed columns, finalized
+    unmatched rows arrive NULL-padded. ``stream_dead_letter`` filters
+    the nulls; ``streaming/sinks.matched_dead_letter_sink`` fans BOTH
+    branches to their sinks from this one join's state."""
     placed = (
         events.filter(F.col("event_type") == placed_type)
         .select(
@@ -172,18 +193,12 @@ def stream_dead_letter(
         )
         .withWatermark("f_ts", watermark)
     )
-    joined = fulfilled.join(
+    return fulfilled.join(
         placed,
         F.expr(
             f"f_user = p_user AND f_ts >= p_ts AND f_ts <= p_ts + interval {window}"
         ),
         "left_outer",
-    )
-    return joined.filter(F.col("p_event_id").isNull()).select(
-        F.col("f_event_id").alias("event_id"),
-        F.col("f_user").alias("user_id"),
-        epoch_ms(F.col("f_ts")).alias("event_timestamp"),
-        F.lit("no.matching.placed").alias("reason"),
     )
 
 

@@ -27,6 +27,31 @@ import os
 from pyspark.sql import DataFrame
 
 
+def matched_dead_letter_sink(out_dir: str):
+    """foreachBatch router for the LEFT OUTER pair join
+    (streaming/pipeline.stream_pair_left_outer): each micro-batch's
+    matched rows land in ``matched/batch_id=N`` and the NULL-padded
+    finalized rows in ``dead_letter/batch_id=N`` — the reference's
+    TODO side sink (OrderProcessor.java:184) as two branches of ONE
+    join's state, replay-safe via the same overwrite-by-batch-id
+    idempotence as :func:`idempotent_parquet_sink`."""
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()  # one batch, two consumers — split, don't recompute
+        try:
+            batch_df.filter(F.col("p_event_id").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "matched", f"batch_id={batch_id}"))
+            batch_df.filter(F.col("p_event_id").isNull()).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "dead_letter", f"batch_id={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
 def idempotent_parquet_sink(out_dir: str):
     """foreachBatch callable: write each micro-batch to its own
     ``batch_id=N`` directory with overwrite semantics — replay-safe."""

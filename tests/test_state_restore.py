@@ -132,3 +132,50 @@ def test_foreachbatch_idempotent_sink_replay_safe(spark, tmp_path):
     )
     idempotent_parquet_sink(out)(replay, 0)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_one_join_fans_out_matched_and_dead_letter(spark, tmp_path):
+    """The reference's TODO side sink (OrderProcessor.java:184) as two
+    branches of ONE stream-stream join: matched pairs and null-padded
+    dead letters route to separate sinks from the same state, with
+    nothing lost and nothing duplicated."""
+    from orders_kafka_streams_spark.streaming.pipeline import stream_pair_left_outer
+    from orders_kafka_streams_spark.streaming.sinks import matched_dead_letter_sink
+
+    d = os.path.join(str(tmp_path), "fan_src")
+    os.makedirs(d, exist_ok=True)
+    out = os.path.join(str(tmp_path), "fan_out")
+    ckpt = os.path.join(str(tmp_path), "fan_ckpt")
+    # user 1: click then purchase (matched); user 2: purchase, no click
+    # (dead letter); sentinels advance both sides' watermarks far ahead.
+    _write_file(
+        spark,
+        d,
+        "part1",
+        [
+            (1, BASE_MS + 1 * MIN, 1, "click", 0.0),
+            (2, BASE_MS + 2 * MIN, 1, "purchase", 9.0),
+            (3, BASE_MS + 2 * MIN, 2, "purchase", 5.0),
+            (8, BASE_MS + 200 * MIN, 9, "click", 0.0),
+            (9, BASE_MS + 190 * MIN, 9, "purchase", 1.0),
+        ],
+    )
+    ev = _stream(spark, os.path.join(d, "part*"))
+    q = (
+        stream_pair_left_outer(ev, window="1 hour", watermark="10 minutes")
+        .writeStream.foreachBatch(matched_dead_letter_sink(out))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    matched = spark.read.parquet(os.path.join(out, "matched")).collect()
+    dl = spark.read.parquet(os.path.join(out, "dead_letter")).collect()
+    assert {(r.f_event_id, r.p_event_id) for r in matched} == {(2, 1)}
+    # event 3 finalized unmatched; event 9's window is still open at the
+    # final watermark, so it stays in state (not emitted to either sink)
+    assert {r.f_event_id for r in dl} == {3}
+    assert all(r.p_event_id is None for r in dl)
