@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import tokens_sql
 from ..sources.tables import load_table
 from .dedup import _SHINGLED_CTE, _shingled_cached
@@ -202,11 +203,64 @@ def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_FRAC = 0.5  # target corpus share after temperature mixing
+
+
+def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing — the multilingual-LM
+    upsampling rule (weight ∝ tokens^α, α = 0.5): rare languages keep a
+    larger fraction of their documents than dominant ones when packing
+    a fixed training budget (at sf0.01: en keeps 35%, the four small
+    langs ~60%). α is fixed at 0.5 so the weight is ``sqrt`` — IEEE-754
+    correctly-rounded and therefore bit-identical across engines,
+    unlike ``pow(x, 0.7)`` whose libm implementations differ in the
+    last bit (a parity hazard for the data-dependent rate threshold).
+
+    rate_l = min(1, w_l · BUDGET / tokens_l) rounded to 6 decimals on
+    both engines; each doc keeps deterministically via the 1e-6-grid
+    hash against its language's rate — reproducible, join-free at the
+    doc level (the 5-row rate table broadcasts)."""
+    base = _tokenized(spark, sf_dir, "lang").filter(F.size("t") > 0)
+    per_doc = base.select("doc_id", "lang", F.size("t").alias("n"))
+    stats = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
+    )
+    totals = stats.agg(
+        F.sum(F.sqrt(F.col("toks"))).alias("z"), F.sum("toks").alias("total")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("toks"))
+                    / F.col("z")
+                    * MIX_BUDGET_FRAC
+                    * F.col("total")
+                    / F.col("toks"),
+                ),
+                6,
+            ),
+        )
+        .select("lang", "rate")
+    )
+    u = (hash60(F.col("doc_id")) % 1_000_000).cast("double") / 1_000_000.0
+    kept = per_doc.join(F.broadcast(rates), "lang").filter(u < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n").alias("kept_tokens"),
+        F.min("rate").alias("rate"),
+    )
+
+
 QUERIES = {
     "q_quality_repetition": _q_quality_repetition,
     "q_contamination": _q_contamination,
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
+    "q_lang_mix": _q_lang_mix,
 }
 
 _TOKS = tokens_sql("text")
@@ -288,5 +342,26 @@ SELECT source, bin, CAST(count(1) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM b GROUP BY source, bin
+""",
+    "q_lang_mix": f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n FROM documents WHERE len({_TOKS}) > 0
+),
+stats AS (SELECT lang, count(1) AS docs, sum(n) AS toks FROM d GROUP BY lang),
+t AS (SELECT sum(sqrt(toks)) AS z, sum(toks) AS total FROM stats),
+rates AS (
+  SELECT lang,
+         round(least(1.0, sqrt(toks) / z * {MIX_BUDGET_FRAC} * total / toks), 6) AS rate
+  FROM stats CROSS JOIN t
+),
+kept AS (
+  SELECT d.lang, d.n, r.rate
+  FROM d JOIN rates r USING (lang)
+  WHERE ({hash60_sql('doc_id')} % 1000000) / 1000000.0 < r.rate
+)
+SELECT lang, CAST(count(1) AS BIGINT) AS n_kept,
+       CAST(sum(n) AS BIGINT) AS kept_tokens,
+       min(rate) AS rate
+FROM kept GROUP BY lang
 """,
 }
