@@ -357,7 +357,17 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprints(parallelize(load_table(spark, sf_dir, "documents")))
+    # memoized: q_text_winnow and q_winnow_match share one persisted
+    # fingerprint relation per (application, sf_dir) instead of each
+    # re-registering winnow_fingerprints' two persist layers.
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "winnow_fp",
+        lambda: winnow_fingerprints(parallelize(load_table(spark, sf_dir, "documents"))),
+    )
 
 
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
