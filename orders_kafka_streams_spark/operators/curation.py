@@ -180,20 +180,25 @@ def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the groupBy reuses the same partitioning — packing is per
     source shard exactly as a production pipeline does it (a single
     global order would funnel the corpus through one partition)."""
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
+    return seq_pack(per_doc, PACK_BUDGET)
+
+
+def seq_pack(per_doc: DataFrame, budget: int) -> DataFrame:
+    """Bin-by-exclusive-cumsum packing over any (doc_id, source,
+    n_tokens) relation — see _q_seq_pack; fuzzed against a sequential
+    reference in tests/test_curation.py."""
     from pyspark.sql import Window
 
-    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n = F.size("t")
-    with_bin = base.select("doc_id", "source", n.alias("n_tokens")).withColumn(
+    with_bin = per_doc.withColumn(
         "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
-            "long"
-        ),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
     )
     return with_bin.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -63,3 +63,45 @@ def test_pack_bins_are_contiguous_and_budget_bound(spark, sf_dir):
             assert cum < (r.bin + 1) * PACK_BUDGET
             assert cum >= r.bin * PACK_BUDGET
             cum += r.total_tokens
+
+
+def test_seq_pack_fuzz_vs_sequential_reference(spark):
+    """Hypothesis fuzz: the windowed-cumsum packing must agree with a
+    plain sequential fold for any doc-size profile — including docs
+    larger than the whole budget and single-doc sources."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orders_kafka_streams_spark.operators.curation import seq_pack
+
+    BUDGET = 100
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),          # source
+                st.integers(min_value=1, max_value=250),  # n_tokens (can exceed budget)
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(profile):
+        rows = [(i, src, n) for i, (src, n) in enumerate(profile)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        got = {
+            (r.source, r.bin): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+            for r in seq_pack(df, BUDGET).collect()
+        }
+        # sequential reference: exclusive running sum per source
+        want = {}
+        cum = {"a": 0, "b": 0}
+        for doc_id, src, n in rows:
+            b = cum[src] // BUDGET
+            cum[src] += n
+            nd, tt, fd, ld = want.get((src, b), (0, 0, doc_id, doc_id))
+            want[(src, b)] = (nd + 1, tt + n, min(fd, doc_id), max(ld, doc_id))
+        assert got == want
+
+    check()
