@@ -466,7 +466,124 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 6  # unrolled merge steps (fixed K keeps both plans static)
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule TRAINING (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): learn BPE_MERGES
+    merge rules from the corpus — each step counts adjacent symbol
+    pairs weighted by word frequency, merges the most frequent pair
+    (ties broken lexicographically), and rewrites the vocabulary.
+
+    Scale design — the textbook trainer, distributed: training runs on
+    the WORD HISTOGRAM (distinct word + count), never the raw corpus;
+    one corpus pass builds the histogram (memo-persisted), after which
+    every merge iteration touches |vocab| rows. Words are represented
+    as '|'-delimited symbol strings so the merge rewrite is a literal
+    string replace — both engines' replace() scans left-to-right
+    non-overlapping, which IS the BPE single-pass merge semantics
+    (verified: '|a|a|a|' -> '|aa|a|' on both). The K steps are
+    unrolled into one lazy plan (argmax per step is a 1-row
+    TakeOrdered crossed into the rewrite); no driver loop executes
+    anything. Output: (step, sym_a, sym_b, merged, pair_count)."""
+    from .dedup import _memo_persist
+
+    def build_words() -> DataFrame:
+        base = _tokenized(spark, sf_dir)
+        return (
+            base.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+
+    words = _memo_persist(spark, sf_dir, "bpe_words", build_words)
+    wstr = F.concat(F.lit("|"), F.concat_ws("|", F.split(F.col("w"), "")), F.lit("|"))
+    cur = words.select(wstr.alias("s"), "wc")
+    rules = []
+    for step in range(1, BPE_MERGES + 1):
+        syms = F.filter(F.split(F.col("s"), "\\|"), lambda x: x != "")
+        m = F.size(syms) - 1
+        pairs = F.zip_with(
+            F.slice(syms, 1, m),
+            F.slice(syms, 2, m),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        rule = (
+            cur.select(F.explode(pairs).alias("p"), "wc")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        rules.append(
+            rule.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(rule.select(F.col("a").alias("ra"), F.col("b").alias("rb")))
+        ).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("|"), F.col("ra"), F.lit("|"), F.col("rb"), F.lit("|")),
+                F.concat(F.lit("|"), F.col("ra"), F.col("rb"), F.lit("|")),
+            ).alias("s"),
+            "wc",
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_oracle() -> str:
+    steps = []
+    prev = "s0"
+    for i in range(1, BPE_MERGES + 1):
+        steps.append(f"""
+sy{i} AS (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms, wc FROM {prev}),
+p{i} AS (
+  SELECT syms[CAST(u AS INTEGER)] AS a, syms[CAST(u AS INTEGER) + 1] AS b, wc
+  FROM sy{i}, unnest(range(1, len(syms))) AS t(u)
+),
+rule{i} AS (
+  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+),
+s{i} AS (
+  SELECT replace(s, '|' || r.a || '|' || r.b || '|', '|' || r.a || r.b || '|') AS s, wc
+  FROM {prev} CROSS JOIN rule{i} r
+)""")
+        prev = f"s{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM rule{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return (
+        f"""
+WITH toks AS (SELECT {_TOKS} AS w FROM documents),
+words AS (
+  SELECT w2 AS w, count(1) AS wc
+  FROM (SELECT unnest(w) AS w2 FROM toks) GROUP BY w2
+),
+s0 AS (
+  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '|') || '|' AS s,
+         wc
+  FROM words
+),"""
+        + ",".join(steps)
+        + "\n"
+        + union
+    )
+
+
 QUERIES = {
+    "q_bpe_train": _q_bpe_train,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
@@ -483,6 +600,7 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_bpe_train": _bpe_oracle(),
     "q_tfidf": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
