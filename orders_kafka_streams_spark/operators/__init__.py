@@ -29,6 +29,7 @@ _MODULES = [
     "curation",
     "dedup",
     "similarity",
+    "clustering",
     "multimodal",
     "robustness",
     "skew",

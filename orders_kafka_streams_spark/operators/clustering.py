@@ -1,0 +1,185 @@
+"""Deterministic k-means over the ``embeddings`` table — the
+clustering stage of an embedding-based curation pipeline (cluster →
+inspect / reweight / SemDeDup-style prune). The reference engine has
+no clustering operator; this extends the same LLM-training-data
+surface as operators/dedup.py and operators/similarity.py.
+
+Scale design — Lloyd's algorithm shaped for a 1000-executor cluster:
+
+* **Assignment is map-only.** The K current centroids are collected
+  into ONE array row and broadcast; each vector computes all K
+  distances with array HOFs and takes the argmin in-row. No
+  per-(vector, centroid) shuffle, no row_number window over N·K rows —
+  the only data movement for assignment is the K-row broadcast.
+* **The update shuffles K·dim cells, not N rows.** Per-dimension means
+  go through posexplode → partial-aggregated groupBy(cluster, pos):
+  map-side combine reduces each partition to ≤ K·dim cells before the
+  exchange, so shuffle volume is independent of corpus size.
+* **Iterations are unrolled into one lazy plan** (same pattern as
+  q_bpe_train): a fixed ITERS keeps both engines' plans static, no
+  driver loop executes anything, and Spark's exchange reuse dedupes
+  the shared prefix stages across iterations.
+
+Engine parity: distances are strict left folds over float→double-cast
+components (bit-identical in Spark ``F.aggregate`` and DuckDB 2-arg
+``list_reduce`` — adding Spark's 0.0 init is exact), argmin ties break
+on centroid id, and centroid means are rounded to 6 decimals at every
+iteration boundary on BOTH engines so no cross-engine float drift can
+accumulate across iterations. Empty clusters simply drop out of the
+next round on both engines (textbook Lloyd caveat, semantics shared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, parallelize
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 3
+EMB_DIM = 64
+_R = 6  # per-iteration decimal rounding (cross-engine float gate)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v=array<double>) — float→double cast is exact, so both
+    engines fold over identical bits. Memo-persisted: the unrolled plan
+    scans it ITERS+1 times."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        e = parallelize(load_table(spark, sf_dir, "embeddings"))
+        return e.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+
+    return _memo_persist(spark, sf_dir, "emb_double", build)
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict left fold (bit-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_row(cur: DataFrame) -> DataFrame:
+    """K centroids collapsed into one broadcastable array row."""
+    return cur.agg(F.collect_list(F.struct("cid", "v")).alias("cs"))
+
+
+def assign_clusters(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only argmin assignment: broadcast the 1-row centroid array,
+    score all K in-row, array_sort picks (min d2, min cid) first."""
+    scored = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            F.round(_d2(F.col("v"), c["v"]), _R).alias("d2"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.array_sort(scored).getItem(0)
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", best.alias("best"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cid").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-dimension means via posexplode → groupBy(cluster, pos):
+    partial aggregation bounds the shuffle at K·dim cells. Rebuild the
+    ordered array with sort_array(collect_list(struct(pos, m))) — the
+    engine-portable ordered-list aggregate."""
+    return (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), _R).alias("m"))
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform("pm", lambda s: s["m"]).alias("v"),
+        )
+    )
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS unrolled Lloyd iterations from the deterministic
+    seed (the K lowest-vec_id vectors), then the final assignment:
+    (vec_id, cluster, d2)."""
+    emb = _emb_double(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    cur = (
+        emb.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select((F.row_number().over(w) - 1).alias("cid"), "v")
+    )
+    for _ in range(KMEANS_ITERS):
+        cur = update_centroids(assign_clusters(emb, _centroid_row(cur)))
+    return assign_clusters(emb, _centroid_row(cur)).select("vec_id", "cluster", "d2")
+
+
+def _kmeans_oracle() -> str:
+    def d2(a: str, b: str) -> str:
+        # strict left fold == Spark's F.aggregate with exact 0.0 init
+        return (
+            f"round(list_reduce(list_transform(range(1, 1 + {EMB_DIM}), "
+            f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), "
+            f"(x, y) -> x + y), {_R})"
+        )
+
+    ctes = []
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 2):
+        ctes.append(f"""
+a{it} AS (
+  SELECT vec_id, v, cid, d2 FROM (
+    SELECT e.vec_id, e.v AS v, c.cid, {d2("e.v", "c.v")} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2("e.v", "c.v")} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c)
+  WHERE rn = 1
+)""")
+        if it <= KMEANS_ITERS:
+            ctes.append(f"""
+c{it} AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM (
+    SELECT cid, u AS pos, round(avg(v[CAST(u AS INTEGER)]), {_R}) AS m
+    FROM a{it}, unnest(range(1, 1 + {EMB_DIM})) AS t(u)
+    GROUP BY cid, u)
+  GROUP BY cid
+)""")
+        prev = f"c{it}"
+    return (
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {K_CLUSTERS})
+),"""
+        + ",".join(ctes)
+        + f"""
+SELECT vec_id, cid AS cluster, d2 FROM a{KMEANS_ITERS + 1}
+"""
+    )
+
+
+QUERIES = {
+    "q_kmeans": _q_kmeans,
+}
+
+ORACLE = {
+    "q_kmeans": _kmeans_oracle(),
+}

@@ -561,7 +561,53 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring fraction — the doc-level
+    signal of substring-level exact dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    share of a document's distinct k-gram shingles that also occur in
+    at least one OTHER document. Curation pipelines drop or trim docs
+    whose text is mostly corpus-repeated boilerplate even when no
+    whole-document near-dup fires.
+
+    Scale design: reuses the persisted hashed-shingle relation (one
+    corpus pass shared with every dedup variant); the shared-shingle
+    set is computed by a partial-aggregated groupBy on the 60-bit
+    shingle hash and joined back shingle-keyed — no forced broadcast
+    (on a crawl corpus the shared set is NOT small; AQE picks the
+    strategy, same lesson as q_dedup_keep). Output:
+    (doc_id, n_shingles, n_dup, dup_frac)."""
+    return dup_span_stats(_shingled_cached(spark, sf_dir))
+
+
+def dup_span_stats(sh: DataFrame) -> DataFrame:
+    """Core of q_dup_spans over any (doc_id, sh: array<long>, sz)
+    shingle relation — seam for unit tests with synthetic twins."""
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    shared = (
+        ex.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    dup = ex.join(shared, "s").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        sh.select("doc_id", "sz")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("sz").alias("n_shingles"),
+            n_dup.alias("n_dup"),
+            F.when(F.col("sz") > 0, F.round(n_dup / F.col("sz"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
+    "q_dup_spans": _q_dup_spans,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_minhash": _q_dedup_minhash,
@@ -607,6 +653,22 @@ SELECT CAST(count(1) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
        CAST(count(1) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
 FROM h
+""",
+    "q_dup_spans": _SHINGLED_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+shared AS (SELECT sgl FROM ex GROUP BY sgl HAVING count(DISTINCT doc_id) > 1),
+dup AS (
+  SELECT doc_id, CAST(count(1) AS BIGINT) AS n_dup
+  FROM ex JOIN shared USING (sgl) GROUP BY doc_id
+)
+SELECT h.doc_id,
+       h.sz AS n_shingles,
+       COALESCE(d.n_dup, 0) AS n_dup,
+       CASE WHEN h.sz > 0
+            THEN round(COALESCE(d.n_dup, 0) / CAST(h.sz AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_frac
+FROM sh h LEFT JOIN dup d USING (doc_id)
 """,
     "q_dedup_ngram": _SHINGLED_CTE
     + f"""

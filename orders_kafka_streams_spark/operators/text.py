@@ -469,6 +469,59 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6  # unrolled merge steps (fixed K keeps both plans static)
 
 
+def _word_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word histogram (w, wc) — one corpus pass, memo-persisted,
+    shared by the BPE trainer and the unigram LM scorer."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        base = _tokenized(spark, sf_dir)
+        return (
+            base.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
+
+    return _memo_persist(spark, sf_dir, "word_hist", build)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the perplexity-proxy
+    quality score of a CCNet-style curation pipeline (docs whose tokens
+    are improbable under the corpus LM are outliers: boilerplate,
+    gibberish, wrong-language). The LM here is the corpus's own unigram
+    distribution — the honest stand-in for an external reference LM
+    (none ships in this container); the scoring plumbing is identical.
+
+    Scale design: the LM is the word HISTOGRAM (one corpus pass, memo-
+    persisted, shared with q_bpe_train), broadcast to the token stream
+    — scoring is one broadcast hash join on the exploded corpus plus a
+    partial-aggregated per-doc mean. The corpus never shuffles; only
+    doc_id-keyed partials do. A vocabulary too big to broadcast (not
+    the case for natural-language word counts) would fall back to a
+    shuffle join on the token key — one-line change.
+
+    Zero-token documents have no defined mean and are excluded by the
+    inner join on both engines. Output: (doc_id, n_tokens, avg_logp).
+    """
+    words = _word_hist(spark, sf_dir)
+    total = words.agg(F.sum("wc").alias("tot"))
+    lp = (
+        words.crossJoin(F.broadcast(total))
+        .select("w", F.log(F.col("wc") / F.col("tot")).alias("lp"))
+    )
+    base = _tokenized(spark, sf_dir)
+    return (
+        base.select("doc_id", F.explode("t").alias("w"))
+        .join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+        )
+    )
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule TRAINING (Sennrich et al. 2016, "Neural Machine
     Translation of Rare Words with Subword Units"): learn BPE_MERGES
@@ -487,17 +540,7 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled into one lazy plan (argmax per step is a 1-row
     TakeOrdered crossed into the rewrite); no driver loop executes
     anything. Output: (step, sym_a, sym_b, merged, pair_count)."""
-    from .dedup import _memo_persist
-
-    def build_words() -> DataFrame:
-        base = _tokenized(spark, sf_dir)
-        return (
-            base.select(F.explode("t").alias("w"))
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("wc"))
-        )
-
-    words = _memo_persist(spark, sf_dir, "bpe_words", build_words)
+    words = _word_hist(spark, sf_dir)
     wstr = F.concat(F.lit("|"), F.concat_ws("|", F.split(F.col("w"), "")), F.lit("|"))
     cur = words.select(wstr.alias("s"), "wc")
     rules = []
@@ -583,6 +626,7 @@ s0 AS (
 
 
 QUERIES = {
+    "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
@@ -600,6 +644,18 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_unigram_logprob": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+ex AS (SELECT doc_id, unnest(w) AS w FROM toks),
+hist AS (SELECT w, count(1) AS wc FROM ex GROUP BY w),
+tot AS (SELECT CAST(sum(wc) AS BIGINT) AS tot FROM hist),
+lp AS (SELECT w, ln(wc / (SELECT tot FROM tot)) AS lp FROM hist)
+SELECT e.doc_id,
+       CAST(count(1) AS BIGINT) AS n_tokens,
+       round(avg(l.lp), 4) AS avg_logp
+FROM ex e JOIN lp l USING (w)
+GROUP BY e.doc_id
+""",
     "q_bpe_train": _bpe_oracle(),
     "q_tfidf": f"""
 WITH terms AS (

@@ -105,3 +105,24 @@ def test_seq_pack_fuzz_vs_sequential_reference(spark):
         assert got == want
 
     check()
+
+
+def test_dup_span_fraction_invariants(spark):
+    """dup_span_stats invariants on synthetic docs: an exact twin pair
+    shares every shingle (dup_frac == 1.0), a unique doc shares none
+    (dup_frac == 0.0), and a half-overlapping doc is strictly between."""
+    from orders_kafka_streams_spark.operators.dedup import dup_span_stats
+
+    rows = [
+        (1, [11, 12, 13, 14], 4),   # exact twin of 2
+        (2, [11, 12, 13, 14], 4),
+        (3, [21, 22, 23, 24], 4),   # unique
+        (4, [11, 12, 31, 32], 4),   # half overlaps the twin pair
+        (5, [], 0),                 # empty doc: guarded division
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<long>, sz int")
+    got = {r.doc_id: r for r in dup_span_stats(sh).collect()}
+    assert got[1].dup_frac == 1.0 and got[2].dup_frac == 1.0
+    assert got[3].dup_frac == 0.0 and got[3].n_dup == 0
+    assert got[4].dup_frac == 0.5 and got[4].n_dup == 2
+    assert got[5].dup_frac == 0.0 and got[5].n_shingles == 0
