@@ -63,6 +63,13 @@ HEADLINE = [
     "q_knn_pq",
     "q_text_langid",
     "q_contamination",
+    # late round-2 operators (q_bpe_train stays a correctness-only
+    # query: its unrolled 6-step merge chain is ~20 scheduler-bound
+    # stages of tiny vocab shuffles — latency measures stage overhead,
+    # not data throughput)
+    "q_kmeans",
+    "q_unigram_logprob",
+    "q_dup_spans",
 ]
 
 
