@@ -111,10 +111,10 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMEANS_ITERS unrolled Lloyd iterations from the deterministic
     seed (the K lowest-vec_id vectors), then the final assignment:
-    (vec_id, cluster, d2)."""
+    (vec_id, v, cluster, d2). Consumed by q_kmeans and q_semdedup."""
     emb = _emb_double(spark, sf_dir)
     w = Window.orderBy("vec_id")
     cur = (
@@ -124,7 +124,67 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS):
         cur = update_centroids(assign_clusters(emb, _centroid_row(cur)))
-    return assign_clusters(emb, _centroid_row(cur)).select("vec_id", "cluster", "d2")
+    return assign_clusters(emb, _centroid_row(cur))
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(spark, sf_dir).select("vec_id", "cluster", "d2")
+
+
+SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic near-dup
+    PRUNING decisions — cluster the embedding space with k-means, then
+    compare pairs only WITHIN a cluster and drop every vector that has
+    a LOWER-id partner above the cosine cut (the deterministic one-pass
+    drop rule; a transitive representative per dup group would compose
+    this with q_dedup_clusters' connected components). Output: one row
+    per dropped vector (vec_id, cluster, kept = its lowest-id
+    above-threshold partner, max_cos).
+
+    Scale design: clustering turns the O(N²) semantic-pair search into
+    sum-of-cluster-pairs — with K ≈ √N centroids the expected cost is
+    O(N^1.5) with a cluster-keyed equi-join (one shuffle each side),
+    the same block-then-verify shape as every dedup variant. A hot
+    cluster (over-merged region of embedding space) is the skew risk;
+    the production knobs are more centroids or an in-cluster LSH
+    re-block — both compose with this plan unchanged. Cosines are
+    strict left folds over the double-cast vectors (bit-identical
+    cross-engine), so the threshold needs no rounding gate."""
+    asg = kmeans_assignments(spark, sf_dir)
+    a = asg.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cluster"
+    )
+    b = asg.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cluster")
+    dot = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def sq_norm(c: str) -> Column:
+        return F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cluster",
+            "a_id",
+            "b_id",
+            (dot / (F.sqrt(sq_norm("av")) * F.sqrt(sq_norm("bv")))).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+    )
+    return pairs.groupBy(F.col("b_id").alias("vec_id"), "cluster").agg(
+        F.min("a_id").alias("kept"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
 
 
 def _kmeans_oracle() -> str:
@@ -176,10 +236,37 @@ SELECT vec_id, cid AS cluster, d2 FROM a{KMEANS_ITERS + 1}
     )
 
 
+def _semdedup_oracle() -> str:
+    def fold(expr: str) -> str:
+        return f"list_reduce(list_transform(range(1, 1 + {EMB_DIM}), i -> {expr}), (p2, q2) -> p2 + q2)"
+
+    cos = (
+        f"{fold('a.v[i] * b.v[i]')} / "
+        f"(sqrt({fold('a.v[i] * a.v[i]')}) * sqrt({fold('b.v[i] * b.v[i]')}))"
+    )
+    return f"""
+WITH asg AS ({_kmeans_oracle()}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT x.cluster, x.vec_id AS a_id, y.vec_id AS b_id, {cos} AS cos
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN e a ON a.vec_id = x.vec_id
+  JOIN e b ON b.vec_id = y.vec_id
+)
+SELECT b_id AS vec_id, cluster, min(a_id) AS kept, round(max(cos), 6) AS max_cos
+FROM p WHERE cos >= {SEMDEDUP_T} GROUP BY b_id, cluster
+"""
+
+
 QUERIES = {
     "q_kmeans": _q_kmeans,
+    "q_semdedup": _q_semdedup,
 }
 
 ORACLE = {
     "q_kmeans": _kmeans_oracle(),
+    "q_semdedup": _semdedup_oracle(),
 }
