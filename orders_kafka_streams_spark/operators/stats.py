@@ -1,13 +1,16 @@
 """Statistical aggregates + array/string utility surface (SURVEY §2.9
 scalar/agg completeness): stddev/variance/correlation, ordered string
-aggregation, array manipulation.
+aggregation, array manipulation, Count-Min-Sketch heavy hitters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import hash60, hash60_sql
 from ..sources.tables import load_table
 
 
@@ -44,13 +47,135 @@ def _q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+def _cms_bucket(row: int, w: Column) -> Column:
+    """Deterministic CMS bucket for hash row ``row`` — portable 60-bit
+    hash of a row-salted key, so Spark and the oracle address the same
+    cell."""
+    return hash60(F.concat(F.lit(f"cms{row}:"), w)) % CMS_WIDTH
+
+
+def _cms_bucket_sql(row: int, expr: str) -> str:
+    salted = f"'cms{row}:' || {expr}"
+    return f"{hash60_sql(salted)} % {CMS_WIDTH}"
+
+
+def cms_cells(ex: DataFrame, col: str = "w") -> DataFrame:
+    """The Count-Min sketch itself: DEPTH×WIDTH counter cells built
+    straight from the raw token stream — each of the DEPTH passes is a
+    map-side-combined groupBy onto ≤WIDTH cells, so executor state is
+    bounded at DEPTH·WIDTH counters no matter the corpus size. This is
+    the path that still works when the vocabulary itself is too large
+    for a per-key shuffle (the histogram this demo compares against
+    would be infeasible)."""
+    parts = [
+        ex.groupBy(_cms_bucket(i, F.col(col)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(i).alias("i"), "b", "c")
+        for i in range(CMS_DEPTH)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    over the corpus token stream: estimate every candidate's frequency
+    as the MIN over its DEPTH sketch cells, rank by estimate. The
+    sketch uses deterministic salted hashes, so the whole pipeline —
+    cells included — is exactly reproducible and DuckDB-oracle-checked
+    (no other engine sketch, e.g. HLL/KLL, can be). The exact count
+    rides along as the error-gate column: CMS guarantees est ≥ exact,
+    with overestimate ≤ e/WIDTH · stream-length w.h.p.
+    (tests/test_cms.py asserts both).
+
+    Scale: cells aggregate map-side into DEPTH·WIDTH counters (no
+    per-key shuffle); the probe joins candidates to the BROADCAST
+    1K-cell sketch. Output: (w, exact, est, rank) top-CMS_TOPK."""
+    est = cms_estimates(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("est"), F.asc("w"))
+    return (
+        est.select(
+            "w", F.col("wc").alias("exact"), "est", F.row_number().over(rk).alias("rank")
+        )
+        .filter(F.col("rank") <= CMS_TOPK)
+    )
+
+
+def cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, wc=exact, est=CMS estimate) for every candidate token —
+    seam for the guarantee test (est ≥ exact, bounded overestimate)."""
+    from .text import _tokenized, _word_hist
+
+    ex = _tokenized(spark, sf_dir).select(F.explode("t").alias("w"))
+    cells = cms_cells(ex)
+    hist = _word_hist(spark, sf_dir)
+    probes = hist.select(
+        "w",
+        "wc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(i, F.col("w")).alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("w", "wc", F.col("p.i").alias("i"), F.col("p.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("w", "wc")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def _cms_oracle() -> str:
+    from .text import _TOKS
+
+    cell_parts = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {_cms_bucket_sql(i, 'w')} AS b, CAST(count(1) AS BIGINT) AS c "
+        f"FROM ex GROUP BY {_cms_bucket_sql(i, 'w')}"
+        for i in range(CMS_DEPTH)
+    )
+    probe_parts = "\nUNION ALL\n".join(
+        f"SELECT w, wc, {i} AS i, {_cms_bucket_sql(i, 'w')} AS b FROM hist"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (SELECT unnest(t) AS w FROM toks),
+hist AS (SELECT w, CAST(count(1) AS BIGINT) AS wc FROM ex GROUP BY w),
+cells AS ({cell_parts}),
+probes AS ({probe_parts}),
+est AS (
+  SELECT p.w, p.wc, min(c.c) AS est
+  FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+  GROUP BY p.w, p.wc
+)
+SELECT w, wc AS exact, est, rank FROM (
+  SELECT w, wc, est,
+         CAST(row_number() OVER (ORDER BY est DESC, w ASC) AS INTEGER) AS rank
+  FROM est)
+WHERE rank <= {CMS_TOPK}
+"""
+
+
 QUERIES = {
+    "q_cms_topk": _q_cms_topk,
     "q_stats_agg": _q_stats_agg,
     "q_string_agg": _q_string_agg,
     "q_array_ops": _q_array_ops,
 }
 
 ORACLE = {
+    "q_cms_topk": _cms_oracle(),
     "q_stats_agg": """
 SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 4) AS price_stddev,

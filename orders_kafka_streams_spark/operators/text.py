@@ -466,6 +466,118 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+#: fixed demo queries — q3 pairs the corpus's one rare term ('dup',
+#: df 26/500 at sf0.01) with a common one, so idf discrimination is
+#: actually exercised, not just tf/length normalization.
+BM25_QUERIES = {1: ("table", "scan"), 2: ("window", "agg"), 3: ("dup", "merge")}
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Walker 1994) of documents
+    against a fixed query set — the retrieval-scoring stage of a
+    dedup/decontamination pipeline (e.g. scoring training docs against
+    benchmark queries) built entirely from corpus statistics:
+    idf = ln((N − df + ½)/(df + ½) + 1), tf with k1/b length
+    normalization against the corpus average doc length.
+
+    Scale design: the corpus-wide scalars (N, Σdl) are a 1-row
+    broadcast; df and tf are computed only for the ≤|Q| query terms
+    (the token stream is semi-join-filtered by the broadcast term list
+    BEFORE any aggregation, so the per-key work is bounded by the
+    query vocabulary, not the corpus vocabulary); the only corpus-wide
+    shuffle is the doc_id-keyed join of per-term hits to doc lengths.
+    Per-(query, doc) scores sum ≤|terms| values and are rounded to 4
+    before ranking; ties break on doc_id so top-k is engine-stable.
+    Output: (query_id, doc_id, score, rank) top-BM25_TOPK per query."""
+    base = _tokenized(spark, sf_dir)
+    ex = base.select("doc_id", F.explode("t").alias("w"))
+    dl = base.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in sorted(BM25_QUERIES.items()) for w in ws],
+        "query_id int, w string",
+    )
+    hits = ex.join(F.broadcast(qterms.select("w").distinct()), "w")
+    dfq = hits.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    tf = (
+        ex.join(F.broadcast(qterms), "w")
+        .groupBy("query_id", "w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / (F.col("tot") / F.col("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * F.col("tf") * F.lit(BM25_K1 + 1.0) / denom).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    rk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        "query_id", "doc_id", "score", F.row_number().over(rk).alias("rank")
+    ).filter(F.col("rank") <= BM25_TOPK)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{w}')" for qid, ws in sorted(BM25_QUERIES.items()) for w in ws
+    )
+    # expression order mirrors the Spark column expressions exactly so
+    # both engines evaluate the same IEEE operation sequence pre-round
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+q(query_id, w) AS (VALUES {vals}),
+dfq AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ex WHERE w IN (SELECT w FROM q) GROUP BY w
+),
+tf AS (
+  SELECT q.query_id, e.w, e.doc_id, CAST(count(1) AS BIGINT) AS tf
+  FROM ex e JOIN q ON e.w = q.w
+  GROUP BY q.query_id, e.w, e.doc_id
+),
+s AS (
+  SELECT tf.query_id, tf.doc_id,
+         ln((s2.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / (s2.tot / s2.n_docs))) AS sc
+  FROM tf
+  JOIN dfq d USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s2
+),
+agg AS (
+  SELECT query_id, doc_id, round(sum(sc), 4) AS score
+  FROM s GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM agg)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
 BPE_MERGES = 6  # unrolled merge steps (fixed K keeps both plans static)
 
 
@@ -626,6 +738,7 @@ s0 AS (
 
 
 QUERIES = {
+    "q_bm25": _q_bm25,
     "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
     "q_text_tokens": _q_text_tokens,
@@ -644,6 +757,7 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_bm25": _bm25_oracle(),
     "q_unigram_logprob": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 ex AS (SELECT doc_id, unnest(w) AS w FROM toks),
