@@ -45,5 +45,12 @@ def hash31_sql(expr: str) -> str:
 
 
 def epoch_ms(col: Column) -> Column:
-    """Epoch milliseconds of a timestamp (== DuckDB ``epoch_ms``)."""
-    return F.unix_millis(col)
+    """Epoch milliseconds of a timestamp (== DuckDB ``epoch_ms``).
+
+    Parquet written without ``isAdjustedToUTC`` loads as TIMESTAMP_NTZ,
+    which ``unix_millis`` rejects; the session timezone is pinned to UTC
+    (session.py), so casting NTZ wall-clock → TIMESTAMP yields the same
+    instant DuckDB's ``epoch_ms`` computes on the naive value. The cast
+    is a no-op for already-TZ columns and stays inside codegen.
+    """
+    return F.unix_millis(col.cast("timestamp"))

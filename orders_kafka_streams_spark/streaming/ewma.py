@@ -66,7 +66,7 @@ def stream_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         )
 
     prepared = events.selectExpr(
-        "user_id", "event_id", "value", "unix_millis(ts) AS ts_ms"
+        "user_id", "event_id", "value", "unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         folder,

@@ -89,7 +89,7 @@ def pair_match_stateful(
         )
 
     prepared = events.selectExpr(
-        "user_id", "event_type", "event_id", "unix_millis(ts) AS ts_ms"
+        "user_id", "event_type", "event_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         matcher,

@@ -26,12 +26,14 @@ from ..functions.portable import epoch_ms
 from ..session import tune
 
 #: explicit read schema for the events parquet (streaming sources never
-#: infer). ts is LongType: the file carries TIMESTAMP(NANOS) which Spark
-#: only reads via nanosAsLong (see sources/tables.py).
+#: infer). ts is TIMESTAMP_NTZ — the generator writes parquet
+#: TIMESTAMP(MICROS, isAdjustedToUTC=false); with the session pinned to
+#: UTC (session.py) the NTZ→TIMESTAMP cast below is instant-preserving
+#: and matches DuckDB's naive-timestamp reading of the same file.
 EVENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -57,11 +59,16 @@ def _stream_dir(sf_dir: str, table: str) -> str:
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (test-mode source)."""
+    """readStream over the events parquet (test-mode source).
+
+    The NTZ→TIMESTAMP cast gives watermarks/windows a TZ-aware event
+    time; under the UTC session timezone it is a relabeling, not a
+    shift, so epoch_ms(window bounds) equals DuckDB's epoch arithmetic
+    on the naive values.
+    """
     tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(_stream_dir(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_agg(

@@ -93,7 +93,7 @@ def pair_match_tws(
             pass
 
     prepared = events.selectExpr(
-        "user_id", "event_type", "event_id", "unix_millis(ts) AS ts_ms"
+        "user_id", "event_type", "event_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms"
     )
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=PairMatch(),

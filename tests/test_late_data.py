@@ -17,8 +17,14 @@ BASE_MS = 1_700_000_040_000  # minute-aligned
 
 
 def _write_file(spark, d, name, rows):
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
     df = spark.createDataFrame(
-        [(eid, ms * 1_000_000, uid, et, val, "{}") for eid, ms, uid, et, val in rows],
+        [
+            (eid, epoch + datetime.timedelta(milliseconds=ms), uid, et, val, "{}")
+            for eid, ms, uid, et, val in rows
+        ],
         schema=EVENTS_FILE_SCHEMA,
     )
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
@@ -30,7 +36,7 @@ def _stream(spark, paths_glob, max_files=1):
         .option("maxFilesPerTrigger", max_files)
         .parquet(paths_glob)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_late_rows_dropped_after_watermark(spark, tmp_path):

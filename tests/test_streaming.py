@@ -24,8 +24,14 @@ BASE_MS = 1_700_000_040_000  # minute-aligned (multiple of 60 000)
 
 def _write_events(spark, tmp_path, rows):
     """rows: (event_id, ts_ms, user_id, event_type, value)"""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
     df = spark.createDataFrame(
-        [(eid, ms * 1_000_000, uid, et, val, "{}") for eid, ms, uid, et, val in rows],
+        [
+            (eid, epoch + datetime.timedelta(milliseconds=ms), uid, et, val, "{}")
+            for eid, ms, uid, et, val in rows
+        ],
         schema=EVENTS_FILE_SCHEMA,
     )
     out = os.path.join(str(tmp_path), "events_stream")
@@ -35,7 +41,7 @@ def _write_events(spark, tmp_path, rows):
 
 def _stream(spark, path):
     raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 MIN = 60_000
