@@ -1,0 +1,207 @@
+"""Warehouse-layer temporal modeling and data-layout operators.
+
+- q_scd2 — slowly-changing-dimension type 2 snapshot built from the
+  events stream: per user, consecutive runs of the tracked attribute
+  (event_type) collapse into effective-dated versions with
+  ``valid_from_ms`` / ``valid_to_ms`` / ``is_current``. This is the
+  batch materialization of a CDC feed — the standard way a 100 TB
+  lakehouse keeps point-in-time-correct dimensions for joins against
+  fact history (e.g. training-data snapshots "as of" a cutoff).
+- q_zorder_layout — multi-dimensional layout audit: interleave the
+  bits of two query dimensions (user hash bucket × value bucket) into
+  a Z-order key, chunk the sorted order into target "files", and
+  report each file's min/max envelope on both dimensions. On a real
+  table this IS the write path (``df.sort(zkey).write...``); the
+  min/max envelopes are exactly the parquet column statistics a scan
+  planner prunes on, so the query doubles as a measurable layout-
+  quality metric (tight envelopes ⇒ most files skipped for a 2-D
+  selective scan).
+
+Scale notes: q_scd2 is one exchange total — both window passes and
+the island aggregation share the user_id hash partitioning, so
+Catalyst inserts a single shuffle; at 100 TB SCD builds are bounded
+by that one key shuffle (plus the source scan). q_zorder_layout is
+map-only arithmetic + one global sort (the same sort the write would
+need) + one file_id aggregation satisfied by the sort's range
+partitioning.
+
+Reference connection: no equivalent in dhoard/orders-kafka-streams
+(stateless stream pipeline, no dimension persistence); SURVEY §2.9
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import epoch_ms
+from ..sources.tables import load_table
+
+#: Z-order parameters: 6 bits per dimension (64×64 grid); each
+#: simulated file covers a 2^FILE_SHIFT-wide range of the 12-bit
+#: Z-curve (=> up to 64 files). Layout-tuning knobs, not semantics.
+Z_BITS = 6
+FILE_SHIFT = 6
+
+
+def scd2(events: DataFrame, attr: str = "event_type") -> DataFrame:
+    """Collapse per-user attribute runs into SCD2 versions.
+
+    Gaps-and-islands: a version starts where the attribute differs
+    from the previous event's (or at the user's first event); the
+    running count of starts is the version ordinal; the next version's
+    start timestamps this version's ``valid_to_ms`` (NULL = current).
+    """
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev = F.lag("attr").over(w)
+    changed = F.when(prev.isNull() | (F.col("attr") != prev), 1).otherwise(0)
+    runs = (
+        events.select(
+            "user_id", "event_id", F.col(attr).alias("attr"), epoch_ms(F.col("ts")).alias("ms")
+        )
+        .withColumn(
+            "version",
+            F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            # attr is constant within an island by construction; min() is
+            # the deterministic way to surface it through the aggregate
+            F.min("attr").alias("attr"),
+            F.min("ms").alias("valid_from_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        F.col("attr").alias("event_type"),
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wv).alias("valid_to_ms"),
+        F.lead("valid_from_ms").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2(load_table(spark, sf_dir, "events"))
+
+
+def zorder_key(x: F.Column, y: F.Column, bits: int = Z_BITS) -> F.Column:
+    """Bit-interleave two ``bits``-wide ints into a Z-order key.
+
+    Pure integer arithmetic (shifts/masks) so the identical expression
+    runs on any engine — this is the portable scalar core; Delta/Iceberg
+    implement the same curve natively for OPTIMIZE ZORDER BY.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zorder_key_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-block min/max envelopes of events on (user bucket, value
+    bucket): ``file_id = zkey >> FILE_SHIFT`` chunks the Z-curve into
+    fixed key ranges — the boundaries a clustered write produces.
+
+    Deliberately NOT ``row_number() over (order by zkey)``: a global-
+    order window is a single-partition sort at 100 TB. Fixed z-ranges
+    are map-only + one tiny aggregation; the real write path would be
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey).write`` with
+    row-count balance handled by the range partitioner's sampling, and
+    this audit's envelopes are the same parquet min/max stats either
+    way."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % (1 << Z_BITS)).cast("long")
+    y = F.least(
+        F.lit((1 << Z_BITS) - 1), (F.col("value") / F.lit(4.0)).cast("long")
+    )
+    keyed = ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key(x, y).alias("zkey"),
+    )
+    return (
+        keyed.withColumn("file_id", F.shiftright("zkey", FILE_SHIFT).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+QUERIES = {
+    "q_scd2": _q_scd2,
+    "q_zorder_layout": _q_zorder_layout,
+}
+
+_ZK = _zorder_key_sql("x", "y")
+
+ORACLE = {
+    "q_scd2": """
+        WITH runs AS (
+          SELECT user_id, event_id,
+                 event_type AS attr,
+                 epoch_ms(ts) AS ms,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR event_type <> lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        ), islands AS (
+          SELECT user_id, attr, ms,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS version
+          FROM runs
+        ), versions AS (
+          SELECT user_id, version,
+                 min(attr) AS event_type,
+                 min(ms) AS valid_from_ms,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM islands GROUP BY user_id, version
+        )
+        SELECT user_id, version, event_type, valid_from_ms,
+               lead(valid_from_ms) OVER wv AS valid_to_ms,
+               (lead(valid_from_ms) OVER wv IS NULL) AS is_current,
+               n_events
+        FROM versions
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    "q_zorder_layout": f"""
+        WITH keyed AS (
+          SELECT event_id,
+                 user_id % {1 << Z_BITS} AS x,
+                 least({(1 << Z_BITS) - 1}, CAST(trunc(value / 4.0) AS BIGINT)) AS y
+          FROM events
+        ), zk AS (
+          SELECT event_id, x, y, {_ZK} AS zkey FROM keyed
+        ), filed AS (
+          SELECT x, y, CAST(zkey >> {FILE_SHIFT} AS BIGINT) AS file_id
+          FROM zk
+        )
+        SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM filed GROUP BY file_id
+    """,
+}
