@@ -35,6 +35,8 @@ _MODULES = [
     "skew",
     "stats",
     "udfs",
+    "warehouse",
+    "privacy",
     "streaming_queries",
 ]
 

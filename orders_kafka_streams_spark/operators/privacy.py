@@ -1,0 +1,104 @@
+"""Privacy-preserving curation: pseudonymization and k-anonymity.
+
+Training corpora routinely carry direct identifiers (names, account
+ids) and quasi-identifiers (demographic combinations). The standard
+pipeline treatment before data leaves the trust boundary:
+
+- q_pseudonymize — row-level de-identification of the customer
+  dimension: the direct identifier (c_name) is replaced by (a) a
+  deterministic keyed token (join-stable pseudonym — downstream joins
+  still work, but the raw name never leaves) and (b) a masked display
+  form with every digit blanked. Deterministic tokenization is the
+  industry default (HMAC-style) because it preserves referential
+  integrity across the 100 TB lake without a lookup vault.
+- q_k_anonymity — quasi-identifier audit: group sizes over the QI set
+  (c_nationkey, c_mktsegment), per-group k, and whether the group
+  meets K_ANON (groups below k are re-identification risks and get
+  suppressed/generalized by the release step).
+
+Scale notes: pseudonymization is map-only (hash + regexp per row —
+whole-stage codegen, no shuffle); the k-anonymity audit is one
+QI-keyed aggregation with map-side partials. Both are scan-bounded at
+100 TB.
+
+Token derivation uses the portable 60-bit md5 hash (functions/
+portable.py) so the DuckDB oracle computes bit-identical tokens; a
+production deployment would swap in a keyed MAC via the same seam.
+
+Reference connection: no equivalent in dhoard/orders-kafka-streams;
+SURVEY §2.9 extension surface (curation family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash60, hash60_sql
+from ..sources.tables import load_table
+
+#: minimum acceptable quasi-identifier group size
+K_ANON = 10
+
+#: salt namespacing the pseudonym domain (public constant here; a real
+#: deployment injects a secret key through this same parameter)
+TOKEN_SALT = "okss-pseud-v1"
+
+
+def pseudonymize(cust: DataFrame, salt: str = TOKEN_SALT) -> DataFrame:
+    """Deterministic pseudonym + digit-masked display name per customer."""
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        hash60(F.concat(F.lit(salt), F.lit("|"), F.col("c_name"))).alias("name_token"),
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+def _q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pseudonymize(load_table(spark, sf_dir, "customer"))
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            "k",
+            (F.col("k") >= K_ANON).alias("meets_k"),
+        )
+    )
+
+
+QUERIES = {
+    "q_pseudonymize": _q_pseudonymize,
+    "q_k_anonymity": _q_k_anonymity,
+}
+
+_TOKEN = hash60_sql(f"'{TOKEN_SALT}' || '|' || c_name")
+
+ORACLE = {
+    "q_pseudonymize": f"""
+        SELECT c_custkey AS custkey,
+               {_TOKEN} AS name_token,
+               regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+               c_nationkey AS nationkey,
+               c_mktsegment AS mktsegment
+        FROM customer
+    """,
+    "q_k_anonymity": f"""
+        SELECT c_nationkey AS nationkey,
+               c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS k,
+               (count(*) >= {K_ANON}) AS meets_k
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+}
