@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash60, hash60_sql
-from ..functions.textfns import tokens_sql
+from ..functions.textfns import stopword_count, stopword_count_sql, tokens_sql
 from ..sources.tables import load_table
 from .dedup import _SHINGLED_CTE, _shingled_cached
 from .text import _tokenized
@@ -128,6 +128,56 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_contaminated"
         ),
         F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+    )
+
+
+#: fixed public weights of the linear quality head (fasttext-style):
+#: (uniq_ratio, capped stopword signal, capped length, mean-token-len
+#: penalty, bias). Chosen so both classes are non-trivially populated
+#: at sf0.01 (~37% keep) — a decision nothing crosses verifies nothing.
+CLS_W = (2.0, 1.5, 1.0, -0.5, -1.5)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a LINEAR head: margin = w·x + b
+    over cheap per-doc features, keep = margin > 0. The linear form is
+    deliberate twice over: (a) at 100 TB a scan-bounded, codegen'd
+    scorer (no Python, no shuffle) is how corpus-wide quality gates
+    actually run — a fasttext-style linear model over char/word
+    features is the published C4/CCNet recipe; (b) it keeps the margin
+    float-exact across engines (+,×,÷ on identical operand order are
+    IEEE-deterministic; a sigmoid's exp() is not), so the oracle can
+    hash-match decisions, not just counts. Monotone in the same
+    direction as the sigmoid it replaces — decisions are identical to
+    thresholding the sigmoid at 0.5."""
+    w_uniq, w_sw, w_len, w_ml, bias = CLS_W
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    t = F.col("t")
+    n = F.size(t)
+    uniq_r = F.size(F.array_distinct(t)).cast("double") / n
+    sw_r = stopword_count(t).cast("double") / n
+    len_n = F.least(n.cast("double") / 200.0, F.lit(1.0))
+    ml = (
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n
+        / F.lit(10.0)
+    )
+    margin = (
+        F.lit(w_uniq) * uniq_r
+        + F.lit(w_sw) * F.least(sw_r * 5, F.lit(1.0))
+        + F.lit(w_len) * len_n
+        + F.lit(w_ml) * ml
+        + F.lit(bias)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        F.round(margin, 6).alias("margin"),
+        (margin > 0).alias("keep"),
     )
 
 
@@ -266,11 +316,31 @@ QUERIES = {
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
     "q_lang_mix": _q_lang_mix,
+    "q_quality_classifier": _q_quality_classifier,
 }
 
 _TOKS = tokens_sql("text")
 
+#: margin expression mirrored term-for-term (same operand order — the
+#: float-parity contract of q_quality_classifier)
+_CLS_MARGIN = (
+    f"{CLS_W[0]} * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))"
+    f" + {CLS_W[1]} * least((CAST({stopword_count_sql('t')} AS DOUBLE) / len(t)) * 5, 1.0)"
+    f" + {CLS_W[2]} * least(CAST(len(t) AS DOUBLE) / 200.0, 1.0)"
+    f" + ({CLS_W[3]}) * (list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)),"
+    f" (a, x) -> a + x) / len(t) / 10.0)"
+    f" + ({CLS_W[4]})"
+)
+
 ORACLE = {
+    "q_quality_classifier": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+f AS (SELECT doc_id, source, t FROM toks WHERE len(t) > 0)
+SELECT doc_id, source,
+       round({_CLS_MARGIN}, 6) AS margin,
+       (({_CLS_MARGIN}) > 0) AS keep
+FROM f
+""",
     "q_quality_repetition": f"""
 WITH d AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
 b AS (
