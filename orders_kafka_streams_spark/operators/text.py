@@ -652,9 +652,21 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled into one lazy plan (argmax per step is a 1-row
     TakeOrdered crossed into the rewrite); no driver loop executes
     anything. Output: (step, sym_a, sym_b, merged, pair_count)."""
+    rules, _ = _bpe_steps(spark, sf_dir)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_steps(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge unrolling: returns (per-step rule DataFrames,
+    final rewritten vocabulary carrying the source word). The trainer
+    unions the rules; the encoder keeps the final vocabulary — one
+    plan, two products, exactly like a tokenizer artifact build."""
     words = _word_hist(spark, sf_dir)
     wstr = F.concat(F.lit("|"), F.concat_ws("|", F.split(F.col("w"), "")), F.lit("|"))
-    cur = words.select(wstr.alias("s"), "wc")
+    cur = words.select("w", wstr.alias("s"), "wc")
     rules = []
     for step in range(1, BPE_MERGES + 1):
         syms = F.filter(F.split(F.col("s"), "\\|"), lambda x: x != "")
@@ -683,6 +695,7 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.crossJoin(
             F.broadcast(rule.select(F.col("a").alias("ra"), F.col("b").alias("rb")))
         ).select(
+            "w",
             F.replace(
                 F.col("s"),
                 F.concat(F.lit("|"), F.col("ra"), F.lit("|"), F.col("rb"), F.lit("|")),
@@ -690,13 +703,33 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "wc",
         )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return rules, cur
 
 
-def _bpe_oracle() -> str:
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merges: the final rewritten
+    vocabulary from the shared merge unrolling IS the encoding — each
+    word's piece sequence after all BPE_MERGES rewrites, plus its
+    corpus frequency and piece count. Runs on the word HISTOGRAM
+    (distinct words), never the raw corpus: at 100 TB you encode the
+    vocabulary once and broadcast-join the piece map back onto
+    documents — the rewrite cost is O(|vocab| · K), not O(corpus).
+    Stays fully lazy (no driver-side merge collection): each rule is a
+    1-row broadcast crossed into the next rewrite."""
+    _, cur = _bpe_steps(spark, sf_dir)
+    pieces = F.filter(F.split(F.col("s"), "\\|"), lambda x: x != "")
+    return cur.select(
+        "w",
+        "wc",
+        F.size(pieces).alias("n_pieces"),
+        F.concat_ws(" ", pieces).alias("encoding"),
+    )
+
+
+def _bpe_oracle(final: str | None = None) -> str:
+    """Unrolled BPE CTE chain; ``final`` overrides the trailing select
+    (default: the trainer's merge-rule union). The encode oracle reads
+    the last rewritten vocabulary s{BPE_MERGES} instead."""
     steps = []
     prev = "s0"
     for i in range(1, BPE_MERGES + 1):
@@ -711,11 +744,11 @@ rule{i} AS (
   FROM p{i} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
 ),
 s{i} AS (
-  SELECT replace(s, '|' || r.a || '|' || r.b || '|', '|' || r.a || r.b || '|') AS s, wc
+  SELECT w, replace(s, '|' || r.a || '|' || r.b || '|', '|' || r.a || r.b || '|') AS s, wc
   FROM {prev} CROSS JOIN rule{i} r
 )""")
         prev = f"s{i}"
-    union = "\nUNION ALL\n".join(
+    union = final or "\nUNION ALL\n".join(
         f"SELECT {i} AS step, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM rule{i}"
         for i in range(1, BPE_MERGES + 1)
     )
@@ -727,7 +760,8 @@ words AS (
   FROM (SELECT unnest(w) AS w2 FROM toks) GROUP BY w2
 ),
 s0 AS (
-  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '|') || '|' AS s,
+  SELECT w,
+         '|' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '|') || '|' AS s,
          wc
   FROM words
 ),"""
@@ -737,10 +771,21 @@ s0 AS (
     )
 
 
+def _bpe_encode_oracle() -> str:
+    return _bpe_oracle(
+        f"""
+SELECT w, wc,
+       CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS INTEGER) AS n_pieces,
+       array_to_string(list_filter(string_split(s, '|'), x -> x <> ''), ' ') AS encoding
+FROM s{BPE_MERGES}"""
+    )
+
+
 QUERIES = {
     "q_bm25": _q_bm25,
     "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
+    "q_bpe_encode": _q_bpe_encode,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
@@ -771,6 +816,7 @@ FROM ex e JOIN lp l USING (w)
 GROUP BY e.doc_id
 """,
     "q_bpe_train": _bpe_oracle(),
+    "q_bpe_encode": _bpe_encode_oracle(),
     "q_tfidf": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
