@@ -1,19 +1,23 @@
 """Generic as-of join — an operator Spark lacks natively (SURVEY §2.9).
 
-``asof_join(left, right, ...)`` matches each left row with the most
-recent right row at-or-before its timestamp (per key, optional
-tolerance), the shape of pandas ``merge_asof`` / kdb ``aj`` /
-QuestDB ``ASOF JOIN``.
+``asof_join(left, right, ...)`` matches each left row with the right
+row nearest its timestamp (per key, optional tolerance) in the chosen
+``direction`` — backward (at-or-before, the default), forward
+(at-or-after) or nearest — the full surface of pandas ``merge_asof``
+/ kdb ``aj`` / QuestDB ``ASOF JOIN``.
 
-Scale design — union + last-carry instead of join or applyInPandas:
-both sides are unioned with a side marker, shuffled ONCE on the key,
+Scale design — union + carry instead of join or applyInPandas: both
+sides are unioned with a side marker, shuffled ONCE on the key,
 sorted within partitions on (ts, side), and the right payload is
-carried forward with ``last(..., ignorenulls)``. Cost is one exchange
-+ one sort — O(n log n_partition) with no candidate-pair blowup (a
-range self-join is quadratic per key) and no Python (a per-group
-``merge_asof`` via applyInPandas pays Arrow transfer on 100% of
-rows). Skewed keys are split by AQE; the window's frame is
-running-prefix so Spark streams it without buffering whole partitions.
+carried with ``last(..., ignorenulls)`` over a running-prefix frame
+(backward) or ``first(...)`` over a running-suffix frame (forward).
+Cost is one exchange + one sort per needed direction — O(n log
+n_partition) with no candidate-pair blowup (a range self-join is
+quadratic per key) and no Python (a per-group ``merge_asof`` via
+applyInPandas pays Arrow transfer on 100% of rows). ``nearest`` runs
+both carries over the SAME key partitioning — still one exchange,
+two in-partition sorts. Skewed keys are split by AQE; prefix/suffix
+frames stream without buffering whole partitions.
 """
 
 from __future__ import annotations
@@ -36,15 +40,21 @@ def asof_join(
     order_col: str | None = None,
     tolerance_ms: int | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` on the same key (backward as-of).
+    """For each left row, attach the right row nearest its timestamp
+    on the same key: the latest with ``right.ts <= left.ts``
+    (backward), the earliest with ``right.ts >= left.ts`` (forward),
+    or whichever of the two is closer (nearest; exact ties go
+    backward — pinned, deterministic).
 
     Unmatched (or out-of-tolerance) left rows survive with null
     payload columns — left-outer semantics, like ``merge_asof``.
     ``order_col`` (a column present on both sides, e.g. an event id)
     makes tie order among equal timestamps deterministic.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     on = list(on)
     payload = list(right_payload)
     l2 = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
@@ -58,27 +68,66 @@ def asof_join(
         )
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
+    tiebreak = [F.col(order_col)] if order_col else []
 
-    order: list[Column] = [F.col("_ats"), F.col("_side")]
-    if order_col:
-        order.append(F.col(order_col))
-    w = (
+    # backward: right rows at the SAME ts sort before the left row so
+    # the prefix frame sees them; forward mirrors with side desc so the
+    # suffix frame starting at the left row still covers same-ts rights.
+    w_back = (
         Window.partitionBy(*on)
-        .orderBy(*order)
+        .orderBy(F.col("_ats"), F.col("_side"), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats"), F.col("_side").desc(), *tiebreak)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
 
-    def carry(c: Column) -> Column:
-        return F.last(F.when(F.col("_side") == 0, c), ignorenulls=True).over(w)
+    def carry_back(c: Column) -> Column:
+        return F.last(F.when(F.col("_side") == 0, c), ignorenulls=True).over(w_back)
 
-    matched_ts = carry(F.col("_ats"))
-    within = matched_ts.isNotNull()
-    if tolerance_ms is not None:
-        within = within & ((epoch_ms(F.col("_ats")) - epoch_ms(matched_ts)) <= tolerance_ms)
+    def carry_fwd(c: Column) -> Column:
+        return F.first(F.when(F.col("_side") == 0, c), ignorenulls=True).over(w_fwd)
 
-    out = u.withColumn(f"_ts{suffix}", F.when(within, matched_ts))
-    for p in payload:
-        out = out.withColumn(f"{p}{suffix}", F.when(within, carry(F.col(f"{p}{suffix}"))))
+    def within_of(m_ts: Column, back: bool) -> Column:
+        ok = m_ts.isNotNull()
+        if tolerance_ms is not None:
+            delta = (
+                epoch_ms(F.col("_ats")) - epoch_ms(m_ts)
+                if back
+                else epoch_ms(m_ts) - epoch_ms(F.col("_ats"))
+            )
+            ok = ok & (delta <= tolerance_ms)
+        return ok
+
+    if direction in ("backward", "forward"):
+        back = direction == "backward"
+        carry = carry_back if back else carry_fwd
+        within = within_of(carry(F.col("_ats")), back)
+        out = u.withColumn(f"_ts{suffix}", F.when(within, carry(F.col("_ats"))))
+        for p in payload:
+            out = out.withColumn(f"{p}{suffix}", F.when(within, carry(F.col(f"{p}{suffix}"))))
+    else:  # nearest
+        b_ts, f_ts = carry_back(F.col("_ats")), carry_fwd(F.col("_ats"))
+        b_ok, f_ok = within_of(b_ts, True), within_of(f_ts, False)
+        # backward wins exact ties: back delta <= forward delta
+        choose_back = b_ok & (
+            ~f_ok
+            | (
+                (epoch_ms(F.col("_ats")) - epoch_ms(b_ts))
+                <= (epoch_ms(f_ts) - epoch_ms(F.col("_ats")))
+            )
+        )
+        out = u.withColumn(
+            f"_ts{suffix}",
+            F.when(choose_back, b_ts).when(f_ok, f_ts),
+        )
+        for p in payload:
+            bc, fc = carry_back(F.col(f"{p}{suffix}")), carry_fwd(F.col(f"{p}{suffix}"))
+            out = out.withColumn(
+                f"{p}{suffix}", F.when(choose_back, bc).when(f_ok, fc)
+            )
     return (
         out.filter(F.col("_side") == 1)
         .withColumn(f"ts{suffix}", F.col(f"_ts{suffix}"))

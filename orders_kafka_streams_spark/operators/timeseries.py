@@ -121,6 +121,44 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_projected(spark: SparkSession, sf_dir: str, direction: str) -> DataFrame:
+    """Shared purchases←clicks as-of shape for the three directions."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_payload=["value"],
+        order_col="event_id",
+        tolerance_ms=6 * 3_600_000,
+        direction=direction,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("click_value"),
+        epoch_ms(F.col("ts_asof")).alias("click_ts_ms"),
+    )
+
+
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # purchases matched to the user's EARLIEST click at-or-after, 6 h
+    # tolerance — merge_asof(direction='forward').
+    return _asof_projected(spark, sf_dir, "forward")
+
+
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest click either side within 6 h; exact ties go backward
+    # (operators/asof.py pins the rule).
+    return _asof_projected(spark, sf_dir, "nearest")
+
+
 BIN_MS = 1_800_000  # 30-min time bins for the range-join prefilter
 
 
@@ -509,6 +547,8 @@ QUERIES = {
     "q_sessionize": _q_sessionize,
     "q_late_data": _q_late_data,
     "q_asof_join": _q_asof_join,
+    "q_asof_forward": _q_asof_forward,
+    "q_asof_nearest": _q_asof_nearest,
 }
 
 ORACLE = {
@@ -726,5 +766,68 @@ SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
              AND epoch_ms(ts) - epoch_ms(click_ts_raw) <= 21600000
             THEN epoch_ms(click_ts_raw) END AS click_ts_ms
 FROM m WHERE side = 1
+""",
+    "q_asof_forward": """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS side, value AS lvalue, NULL::DOUBLE AS rvalue
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side, NULL, value
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT *,
+         first_value(CASE WHEN side = 0 THEN rvalue END IGNORE NULLS) OVER w AS click_value_raw,
+         first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS click_ts_raw
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side DESC, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(lvalue, 4) AS purchase_value,
+       CASE WHEN click_ts_raw IS NOT NULL
+             AND epoch_ms(click_ts_raw) - epoch_ms(ts) <= 21600000
+            THEN round(click_value_raw, 4) END AS click_value,
+       CASE WHEN click_ts_raw IS NOT NULL
+             AND epoch_ms(click_ts_raw) - epoch_ms(ts) <= 21600000
+            THEN epoch_ms(click_ts_raw) END AS click_ts_ms
+FROM m WHERE side = 1
+""",
+    "q_asof_nearest": """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS side, value AS lvalue, NULL::DOUBLE AS rvalue
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side, NULL, value
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN rvalue END IGNORE NULLS) OVER wb AS bv,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wb AS bts,
+         first_value(CASE WHEN side = 0 THEN rvalue END IGNORE NULLS) OVER wf AS fv,
+         first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wf AS fts
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, side DESC, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), g AS (
+  SELECT *,
+         (bts IS NOT NULL AND epoch_ms(ts) - epoch_ms(bts) <= 21600000) AS b_ok,
+         (fts IS NOT NULL AND epoch_ms(fts) - epoch_ms(ts) <= 21600000) AS f_ok
+  FROM m
+), pick AS (
+  SELECT *,
+         (b_ok AND (NOT f_ok
+                    OR epoch_ms(ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(ts)))
+           AS choose_back
+  FROM g
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(lvalue, 4) AS purchase_value,
+       CASE WHEN choose_back THEN round(bv, 4)
+            WHEN f_ok THEN round(fv, 4) END AS click_value,
+       CASE WHEN choose_back THEN epoch_ms(bts)
+            WHEN f_ok THEN epoch_ms(fts) END AS click_ts_ms
+FROM pick WHERE side = 1
 """,
 }

@@ -80,6 +80,101 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, tol_s):
     assert got_s == exp_s
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(ROW, min_size=1, max_size=25),
+    right=st.lists(ROW, min_size=1, max_size=25),
+    tol_s=st.sampled_from([60, 3600]),
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right, tol_s):
+    ldf = _to_sdf(spark, left, 0)
+    rdf = _to_sdf(spark, right, 10_000)
+    got = asof_join(
+        ldf,
+        rdf,
+        on=["user_id"],
+        right_payload=["value"],
+        order_col="event_id",
+        tolerance_ms=tol_s * 1000,
+        direction="forward",
+    ).toPandas()
+
+    lp = ldf.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    rp = (
+        rdf.toPandas()
+        .sort_values(["ts", "event_id"])
+        # forward carry takes the FIRST right row among equal timestamps
+        # ((ts, side desc, event_id) order) — dedupe to min event_id
+        .groupby(["user_id", "ts"], as_index=False)
+        .first()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lp,
+        rp.rename(columns={"value": "value_asof", "ts": "ts_asof", "event_id": "rid"}),
+        left_on="ts",
+        right_on="ts_asof",
+        by="user_id",
+        direction="forward",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    )
+
+    def canon(eid, ts, val):
+        ts_s = "~" if pd.isna(ts) else pd.Timestamp(ts).isoformat()
+        val_s = "~" if pd.isna(val) else f"{round(float(val), 4):.4f}"
+        return f"{eid}|{ts_s}|{val_s}"
+
+    got_s = sorted(canon(r.event_id, r.ts_asof, r.value_asof) for r in got.itertuples())
+    exp_s = sorted(canon(r.event_id, r.ts_asof, r.value_asof) for r in exp.itertuples())
+    assert got_s == exp_s
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(ROW, min_size=1, max_size=25),
+    right=st.lists(ROW, min_size=1, max_size=25),
+    tol_s=st.sampled_from([60, 3600]),
+)
+def test_asof_nearest_matches_pandas_merge_asof(spark, left, right, tol_s):
+    # unique (key, ts) on the right so tie-among-duplicates semantics
+    # (engine-specific) can't leak into the comparison; the nearest
+    # back-vs-forward tie rule itself (backward wins) matches pandas
+    right = list({(k, ms): (k, ms, v) for k, ms, v in right}.values())
+    ldf = _to_sdf(spark, left, 0)
+    rdf = _to_sdf(spark, right, 10_000)
+    got = asof_join(
+        ldf,
+        rdf,
+        on=["user_id"],
+        right_payload=["value"],
+        order_col="event_id",
+        tolerance_ms=tol_s * 1000,
+        direction="nearest",
+    ).toPandas()
+
+    lp = ldf.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    rp = rdf.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp,
+        rp.rename(columns={"value": "value_asof", "ts": "ts_asof", "event_id": "rid"}),
+        left_on="ts",
+        right_on="ts_asof",
+        by="user_id",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    )
+
+    def canon(eid, ts, val):
+        ts_s = "~" if pd.isna(ts) else pd.Timestamp(ts).isoformat()
+        val_s = "~" if pd.isna(val) else f"{round(float(val), 4):.4f}"
+        return f"{eid}|{ts_s}|{val_s}"
+
+    got_s = sorted(canon(r.event_id, r.ts_asof, r.value_asof) for r in got.itertuples())
+    exp_s = sorted(canon(r.event_id, r.ts_asof, r.value_asof) for r in exp.itertuples())
+    assert got_s == exp_s
+
+
 @pytest.mark.parametrize("direction", ["empty_right"])
 def test_asof_empty_right(spark, direction):
     ldf = _to_sdf(spark, [(1, 1000, 5.0)], 0)
