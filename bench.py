@@ -70,6 +70,11 @@ HEADLINE = [
     "q_kmeans",
     "q_unigram_logprob",
     "q_dup_spans",
+    # continuation-session operators
+    "q_scd2",
+    "q_asof_nearest",
+    "q_quality_classifier",
+    "q_dq_audit",
 ]
 
 

@@ -37,6 +37,7 @@ _MODULES = [
     "udfs",
     "warehouse",
     "privacy",
+    "dq",
     "streaming_queries",
 ]
 

@@ -43,6 +43,13 @@ COMMENTARY = {
     "q_winnow_match": "posting self-join bounded by the MOSS df cutoff; rare-set broadcast",
     "q_dedup_keep": "corpus keep/drop: cluster labels broadcast, full corpus never shuffles",
     "q_histogram": "profiling agg: partial+final over ~20 bucket keys, shuffle carries buckets not rows",
+    "q_scd2": "SCD2 gaps-and-islands: both window passes + island agg share ONE user_id exchange",
+    "q_zorder_layout": "Z-key arithmetic map-side; fixed z-ranges (no global sort), one tiny envelope agg",
+    "q_pseudonymize": "map-only: token + mask in whole-stage codegen, zero exchanges",
+    "q_quality_classifier": "linear head scored in the scan stage above the token cache; no joins",
+    "q_asof_nearest": "both direction carries over the SAME key partitioning: one exchange, two sorts",
+    "q_dq_audit": "five scan-bounded constraint aggs unioned; RI join strategy left to AQE",
+    "q_bpe_encode": "vocab-histogram rewrite chain: K 1-row broadcasts, corpus never re-scanned",
 }
 
 
