@@ -726,6 +726,31 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization THROUGH the learned BPE vocabulary: the
+    piece map from the shared merge unrolling (O(|vocab|) rows) is
+    broadcast-joined onto the exploded token stream, then re-aggregated
+    per document — (doc_id, source, n_words, n_subwords). This is the
+    scale path q_bpe_encode's docstring promises: encode the vocabulary
+    once, broadcast the piece map, and the 100 TB corpus pays one
+    map-side join + one doc_id-keyed aggregation (no second corpus
+    pass, no Python)."""
+    _, cur = _bpe_steps(spark, sf_dir)
+    np = F.size(F.filter(F.split("s", "\\|"), lambda x: x != ""))
+    piece_map = cur.select("w", np.alias("np"))
+    words = _tokenized(spark, sf_dir, "source").select(
+        "doc_id", "source", F.explode("t").alias("w")
+    )
+    return (
+        words.join(F.broadcast(piece_map), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").alias("n_subwords"),
+        )
+    )
+
+
 def _bpe_oracle(final: str | None = None) -> str:
     """Unrolled BPE CTE chain; ``final`` overrides the trailing select
     (default: the trainer's merge-rule union). The encode oracle reads
@@ -781,11 +806,25 @@ FROM s{BPE_MERGES}"""
     )
 
 
+def _doc_tokenize_oracle() -> str:
+    return _bpe_oracle(
+        f"""
+SELECT d.doc_id, d.source,
+       CAST(count(1) AS BIGINT) AS n_words,
+       CAST(sum(m.np) AS BIGINT) AS n_subwords
+FROM (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents) d
+JOIN (SELECT w, len(list_filter(string_split(s, '|'), x -> x <> '')) AS np
+      FROM s{BPE_MERGES}) m USING (w)
+GROUP BY d.doc_id, d.source"""
+    )
+
+
 QUERIES = {
     "q_bm25": _q_bm25,
     "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
     "q_bpe_encode": _q_bpe_encode,
+    "q_doc_tokenize": _q_doc_tokenize,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
@@ -817,6 +856,7 @@ GROUP BY e.doc_id
 """,
     "q_bpe_train": _bpe_oracle(),
     "q_bpe_encode": _bpe_encode_oracle(),
+    "q_doc_tokenize": _doc_tokenize_oracle(),
     "q_tfidf": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
