@@ -89,6 +89,61 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2(load_table(spark, sf_dir, "events"))
 
 
+def _q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — the reason SCD2
+    exists: each purchase fact picks the account-state version (signup/
+    error runs) valid AT its event time, never a later one (no leakage
+    of future dimension state into training features).
+
+    Same union+carry shape as the as-of join, on the version-start
+    keys: dimension starts (side 0) and facts (side 1) union, shuffle
+    ONCE on user_id, and a prefix-frame last() carries the in-effect
+    version onto every fact — versions are contiguous, so carrying the
+    latest start ≤ fact time IS interval containment, with no range
+    join and no per-version explode. Facts before the first version
+    survive with NULL state (left-outer semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2(ev.filter(F.col("event_type").isin("signup", "error")))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", epoch_ms(F.col("ts")).alias("ms"), "value"
+    )
+    d2 = dim.select(
+        "user_id",
+        F.col("valid_from_ms").alias("ms"),
+        F.lit(0).alias("_side"),
+        "version",
+        F.col("event_type").alias("state"),
+    )
+    f2 = facts.withColumn("_side", F.lit(1))
+    u = f2.unionByName(d2, allowMissingColumns=True)
+    # version as the last tiebreak: two state events at the same ms
+    # yield two versions with equal valid_from — the later version must
+    # win the carry on both engines (facts have unique event_id, so the
+    # NULL-ordering difference between engines can never decide a row)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "_side", "event_id", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(c):
+        return F.last(F.when(F.col("_side") == 0, c), ignorenulls=True).over(w)
+
+    return (
+        u.withColumn("pit_version", carry(F.col("version")))
+        .withColumn("pit_state", carry(F.col("state")))
+        .filter(F.col("_side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ms",
+            F.round("value", 4).alias("value"),
+            "pit_version",
+            "pit_state",
+        )
+    )
+
+
 def zorder_key(x: F.Column, y: F.Column, bits: int = Z_BITS) -> F.Column:
     """Bit-interleave two ``bits``-wide ints into a Z-order key.
 
@@ -152,6 +207,7 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_scd2": _q_scd2,
+    "q_scd2_pit": _q_scd2_pit,
     "q_zorder_layout": _q_zorder_layout,
 }
 
@@ -186,6 +242,43 @@ ORACLE = {
                n_events
         FROM versions
         WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    "q_scd2_pit": """
+        WITH st AS (
+          SELECT user_id, event_id, event_type AS attr, epoch_ms(ts) AS ms,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR event_type <> lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM events WHERE event_type IN ('signup', 'error')
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        ), isl AS (
+          SELECT user_id, attr, ms,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS version
+          FROM st
+        ), ver AS (
+          SELECT user_id, version, min(attr) AS state, min(ms) AS vfrom
+          FROM isl GROUP BY user_id, version
+        ), u AS (
+          SELECT user_id, vfrom AS ms, 0 AS side, version, state,
+                 NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+          FROM ver
+          UNION ALL
+          SELECT user_id, epoch_ms(ts), 1, NULL, NULL, event_id, value
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT *,
+                 last_value(CASE WHEN side = 0 THEN version END IGNORE NULLS)
+                   OVER wc AS pit_version,
+                 last_value(CASE WHEN side = 0 THEN state END IGNORE NULLS)
+                   OVER wc AS pit_state
+          FROM u
+          WINDOW wc AS (PARTITION BY user_id ORDER BY ms, side, event_id, version
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ms, round(value, 4) AS value,
+               pit_version, pit_state
+        FROM c WHERE side = 1
     """,
     "q_zorder_layout": f"""
         WITH keyed AS (

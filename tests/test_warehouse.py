@@ -58,6 +58,28 @@ def test_scd2_exactly_one_current_per_user(spark, sf_dir):
     assert cur == 0
 
 
+def test_scd2_pit_no_future_leakage(spark, monkeypatch, tmp_path):
+    """A fact picks the version in effect AT its time: before the first
+    state event → NULL; between changes → the latest start ≤ fact ts;
+    never a later version (leakage)."""
+    import orders_kafka_streams_spark.operators.warehouse as wh
+    from orders_kafka_streams_spark.operators.warehouse import _q_scd2_pit
+
+    ev = _events(
+        spark,
+        [
+            (1, 500, 7, "purchase"),   # before any state -> NULL
+            (2, 1000, 7, "signup"),    # state v1
+            (3, 1500, 7, "purchase"),  # -> v1 signup
+            (4, 2000, 7, "error"),     # state v2
+            (5, 2500, 7, "purchase"),  # -> v2 error
+        ],
+    )
+    monkeypatch.setattr(wh, "load_table", lambda spark, sf_dir, name: ev)
+    out = {r.event_id: (r.pit_version, r.pit_state) for r in _q_scd2_pit(spark, "ignored").collect()}
+    assert out == {1: (None, None), 3: (1, "signup"), 5: (2, "error")}
+
+
 def _z_ref(x: int, y: int, bits: int) -> int:
     z = 0
     for i in range(bits):
