@@ -1,0 +1,92 @@
+"""Command-line entry point — the operational face of the engine.
+
+The reference is a runnable app (``java -jar`` starts the topology,
+Main.java:131); the equivalent here:
+
+    python -m orders_kafka_streams_spark list [pattern]
+    python -m orders_kafka_streams_spark run <query> [--sf-dir DIR] [-n N]
+    python -m orders_kafka_streams_spark explain <query> [--sf-dir DIR]
+    python -m orders_kafka_streams_spark oracle <query>
+
+``run`` executes any registered query and prints N rows; ``explain``
+prints the formatted physical plan (the artifact to eyeball before a
+100 TB run); ``oracle`` prints the query's DuckDB cross-check SQL.
+Exit code 2 for an unknown query, listing close names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import sys
+
+
+def _registry():
+    from .operators import all_oracles, all_queries
+
+    return all_queries(), all_oracles()
+
+
+def _resolve(name: str, queries) -> str:
+    if name in queries:
+        return name
+    if not name.startswith("q_") and f"q_{name}" in queries:
+        return f"q_{name}"
+    close = [q for q in queries if name in q]
+    hint = f"; close matches: {', '.join(sorted(close)[:8])}" if close else ""
+    print(f"unknown query {name!r}{hint}", file=sys.stderr)
+    raise SystemExit(2)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="orders_kafka_streams_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("pattern", nargs="?", default="*", help="glob, e.g. 'q_dedup_*'")
+
+    for cmd, desc in (("run", "execute a query"), ("explain", "print the physical plan")):
+        sp = sub.add_parser(cmd, help=desc)
+        sp.add_argument("query")
+        sp.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR)")
+        if cmd == "run":
+            sp.add_argument("-n", type=int, default=20, help="rows to show")
+
+    p_or = sub.add_parser("oracle", help="print the DuckDB cross-check SQL")
+    p_or.add_argument("query")
+
+    args = p.parse_args(argv)
+    queries, oracles = _registry()
+
+    if args.cmd == "list":
+        names = sorted(fnmatch.filter(queries, args.pattern))
+        for n in names:
+            print(f"{n}{'' if n in oracles else '  (rows-only)'}")
+        print(f"{len(names)} queries", file=sys.stderr)
+        return 0
+
+    name = _resolve(args.query, queries)
+
+    if args.cmd == "oracle":
+        if name not in oracles:
+            print(f"{name} is rows-only (no SQL oracle)", file=sys.stderr)
+            return 1
+        print(oracles[name].strip())
+        return 0
+
+    from .session import get_spark
+    from .sources.tables import sf_dir_default
+
+    sf_dir = args.sf_dir or sf_dir_default()
+    spark = get_spark("okss-cli")
+    df = queries[name](spark, sf_dir)
+    if args.cmd == "explain":
+        print(df._jdf.queryExecution().explainString("formatted"))
+    else:
+        df.show(args.n, truncate=False)
+        print(f"({df.count()} rows total)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

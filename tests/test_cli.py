@@ -1,0 +1,39 @@
+"""CLI surface: list/oracle paths (no Spark needed) and the unknown-
+query exit contract. run/explain are exercised manually — they build a
+session, which the suite's shared fixture already covers via the same
+registry callables."""
+
+from __future__ import annotations
+
+import pytest
+
+from orders_kafka_streams_spark.__main__ import main
+
+
+def test_list_glob(capsys):
+    assert main(["list", "q_dedup_*"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "q_dedup_minhash" in out and all(n.startswith("q_dedup_") for n in out)
+
+
+def test_list_marks_rows_only(capsys):
+    assert main(["list", "q_approx_distinct"]) == 0
+    out = capsys.readouterr().out
+    assert "(rows-only)" in out
+
+
+def test_oracle_prints_sql(capsys):
+    assert main(["oracle", "q_tpch_q6"]) == 0
+    out = capsys.readouterr().out
+    assert "lineitem" in out and "SELECT" in out.upper()
+
+
+def test_unknown_query_exit_2_with_hint(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["run", "dedup"])
+    assert e.value.code == 2
+    assert "close matches" in capsys.readouterr().err
+
+
+def test_bare_name_resolves_with_q_prefix(capsys):
+    assert main(["oracle", "tpch_q6"]) == 0
