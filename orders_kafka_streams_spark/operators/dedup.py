@@ -561,6 +561,49 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation harness: per-method precision/recall
+    against the exact all-pairs Jaccard ≥ JACCARD_T ground truth (the
+    AllPairs prefix filter is exact, so the truth relation is
+    computable at index-join cost — this is why an eval harness is
+    even feasible at scale).
+
+    What each row means: minhash's precision is 1.0 by construction
+    (candidates are verify-filtered on true Jaccard) so its RECALL is
+    the LSH banding miss rate — the number a production pipeline tunes
+    bands/rows against. simhash predicts by Hamming ≤ SIMHASH_MAX_DIST
+    on a different similarity (token-set angle), so both its precision
+    and recall vs Jaccard-truth are informative. ngram@0.8 is the
+    stricter-threshold subset — precision 1.0, recall = the fraction
+    of 0.7-pairs that clear 0.8.
+
+    Cost: the three pair relations and the shingle pass are all
+    memo-persisted (each already built by its own query); the eval
+    adds one broadcast-scale join per method + a 3-row aggregate."""
+    truth = ngram_jaccard_pairs(_shingled_cached(spark, sf_dir), JACCARD_T).select("a", "b")
+    mh = _q_dedup_minhash(spark, sf_dir).select("a", "b", F.lit("minhash_lsh").alias("method"))
+    sh = _q_dedup_simhash(spark, sf_dir).select("a", "b", F.lit("simhash_h2").alias("method"))
+    ng = _ngram_pairs_cached(spark, sf_dir).select("a", "b", F.lit("ngram_t08").alias("method"))
+    preds = mh.unionByName(sh).unionByName(ng)
+    per = (
+        preds.join(truth.withColumn("_t", F.lit(1)), ["a", "b"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.coalesce("_t", F.lit(0))).alias("tp"),
+        )
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return per.crossJoin(n_truth).select(
+        "method",
+        "n_pred",
+        "n_truth",
+        "tp",
+        F.round(F.col("tp").cast("double") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring fraction — the doc-level
     signal of substring-level exact dedup (Lee et al. 2022,
@@ -616,6 +659,7 @@ QUERIES = {
     "q_dedup_clusters": _q_dedup_clusters,
     "q_dedup_keep": _q_dedup_keep,
     "q_dedup_consensus": _q_dedup_consensus,
+    "q_dedup_eval": _q_dedup_eval,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -772,6 +816,70 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM v x JOIN v y ON x.vec_id < y.vec_id
 WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
                   (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
+""",
+    # one merged WITH: shingle pass -> truth (all-pairs >= JACCARD_T),
+    # minhash chain, simhash chain, ngram@0.8 subset -> per-method P/R
+    "q_dedup_eval": _SHINGLED_CTE
+    + f""",
+jac AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s)) /
+           CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) AS j
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+),
+truth AS (SELECT a, b FROM jac WHERE j >= {JACCARD_T}),
+hashed AS (
+  SELECT doc_id, s, sz, list_transform(s, x -> x % {MERSENNE31}) AS hs
+  FROM sh WHERE sz > 0
+),
+sig AS (
+  SELECT doc_id, s, sz,
+         {_MH_EXPRS}
+  FROM hashed
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+mh AS (
+  SELECT a, b FROM cand
+  JOIN sig sa ON sa.doc_id = a
+  JOIN sig sb ON sb.doc_id = b
+  WHERE len(list_intersect(sa.s, sb.s)) /
+        CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= {JACCARD_T}
+),
+sdist AS (
+  SELECT doc_id, list_transform(list_distinct(w), x -> {hash60_sql('x')}) AS hs
+  FROM toks
+),
+sim AS (SELECT doc_id, {_SIMHASH_SQL} AS s FROM sdist),
+shp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.s, y.s)) <= {SIMHASH_MAX_DIST}
+),
+ng8 AS (SELECT a, b FROM jac WHERE j >= {NGRAM_JACCARD_T}),
+preds AS (
+  SELECT a, b, 'minhash_lsh' AS method FROM mh
+  UNION ALL SELECT a, b, 'simhash_h2' FROM shp
+  UNION ALL SELECT a, b, 'ngram_t08' FROM ng8
+),
+per AS (
+  SELECT p.method,
+         CAST(count(1) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN t.a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS tp
+  FROM preds p LEFT JOIN truth t ON p.a = t.a AND p.b = t.b
+  GROUP BY p.method
+),
+nt AS (SELECT CAST(count(1) AS BIGINT) AS n_truth FROM truth)
+SELECT method, n_pred, n_truth, tp,
+       round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall
+FROM per CROSS JOIN nt
 """,
 }
 
