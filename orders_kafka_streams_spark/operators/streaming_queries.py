@@ -139,6 +139,34 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+def _q_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CHAINED stateful operators in one streaming query (Spark 4):
+    # at-least-once input → dropDuplicatesWithinWatermark → tumbling
+    # windowed agg, both holding state in the same query — the shape a
+    # real exactly-once metrics pipeline needs (dedup the transport
+    # layer's redeliveries BEFORE counting). The oracle is the plain
+    # tumble over distinct events with the same watermark cutoff:
+    # dedup-by-event_id of the doubled stream is exactly the original.
+    ev = events_file_stream(spark, sf_dir)
+    dup = ev.union(events_file_stream(spark, sf_dir))
+    deduped = dup.withWatermark("ts", "60 seconds").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            epoch_ms(F.col("window.end")).alias("wend_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    tab = run_to_memory(agg, "stream_dedup_agg")
+    return spark.table(tab)
+
+
 def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static enrichment: the streaming fact side joins a static
     # dim computed in batch (per-user lifetime click stats). The static
@@ -179,6 +207,7 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup": _q_stream_dedup,
+    "q_stream_dedup_agg": _q_stream_dedup_agg,
     "q_stream_static_join": _q_stream_static_join,
     "q_stream_win_session": _q_stream_win_session,
     "q_stream_win_sliding": _q_stream_win_sliding,
@@ -210,6 +239,21 @@ FROM x
 """,
     "q_stream_dedup": """
 SELECT event_id, event_type, user_id FROM events
+""",
+    # chained dedup→agg collapses to the plain tumble over (distinct)
+    # events; with two stateful operators the engine subtracts the late
+    # threshold once more before finalizing windows, hence 2× the delay
+    "q_stream_dedup_agg": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {2 * WATERMARK_MS} AS wm_ms FROM events),
+agg AS (
+  SELECT epoch_ms(date_trunc('minute', ts)) AS wstart_ms,
+         epoch_ms(date_trunc('minute', ts)) + 60000 AS wend_ms,
+         event_type, CAST(count(1) AS BIGINT) AS n,
+         round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT wstart_ms, wend_ms, event_type, n, total_value
+FROM agg CROSS JOIN wm WHERE wend_ms <= wm_ms
 """,
     "q_stream_static_join": """
 WITH profile AS (
