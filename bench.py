@@ -111,6 +111,11 @@ def main() -> None:
 
     total_cold = round(sum(cold.values()), 3)
     total_steady = round(sum(steady.values()), 3)
+    # flagship throughput: events rows through the full pair-match →
+    # windowed-agg pipeline per steady-state second (the reference's
+    # single-node rows/sec framing)
+    n_events = queries["q_filt_null"](spark, sf_dir).count()
+    flagship_rps = round(n_events / steady["q_pipeline"]) if steady["q_pipeline"] else None
     print(
         json.dumps(
             {
@@ -119,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "value_cold": total_cold,
                 "value_steady": total_steady,
+                "flagship_rows_per_sec": flagship_rps,
                 "queries": steady,
                 "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -50,6 +50,8 @@ COMMENTARY = {
     "q_asof_nearest": "both direction carries over the SAME key partitioning: one exchange, two sorts",
     "q_dq_audit": "five scan-bounded constraint aggs unioned; RI join strategy left to AQE",
     "q_bpe_encode": "vocab-histogram rewrite chain: K 1-row broadcasts, corpus never re-scanned",
+    "q_scd2_pit": "PIT join as union+carry on version starts: one exchange, no range join",
+    "q_dedup_eval": "three memoized pair relations joined to the exact truth: eval ≪ the methods it scores",
 }
 
 
