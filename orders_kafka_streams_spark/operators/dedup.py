@@ -239,6 +239,50 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_persist(spark, sf_dir, "minhash_pairs", lambda: _minhash_pairs(spark, sf_dir))
 
 
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band relation from a signature table —
+    shared by the full pair build and the incremental delta dedup."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("-", *[F.col(f"mh{j * N_ROWS + r}") for r in range(N_ROWS)])
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, explode-first (16 min-aggs in ONE groupBy —
+    see _minhash_pairs for the measured projection-collapse trap)."""
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    # sh carries hash60(shingle) longs already; reduce mod 2^31-1 for the
+    # affine perms (keeps a*h+b inside int64).
+    inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
+        "h", F.col("g") % MERSENNE31
+    )
+    return inv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
+    )
+
+
+def _bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized band relation (|docs| × N_BANDS compact rows): the full
+    pair build and the incremental delta dedup both probe it."""
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "minhash_bands",
+        lambda: _minhash_bands(_minhash_sig(spark, sf_dir)),
+    )
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification of candidates.
 
@@ -250,28 +294,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1). The groupBy shuffles only (doc_id, 60-bit hash) pairs.
     """
     sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
-    # sh carries hash60(shingle) longs already; reduce mod 2^31-1 for the
-    # affine perms (keeps a*h+b inside int64).
-    inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
-        "h", F.col("g") % MERSENNE31
-    )
-    sig = inv.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERMS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("-", *[F.col(f"mh{j * N_ROWS + r}") for r in range(N_ROWS)])
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "key"),
-    )
+    bands = _bands_cached(spark, sf_dir)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
@@ -561,6 +584,68 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic delta marker: every 5th doc "arrived today". A real
+#: pipeline keys this on an ingest-date partition column.
+DELTA_MOD = 5
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup dedup — how dedup
+    actually runs at 100 TB: yesterday's corpus is already deduped, so
+    today's delta only needs DELTA×(BASE ∪ DELTA) candidates, never
+    BASE×BASE again. The delta's band rows probe the full band
+    relation (an equi-join whose left side is only the delta — at real
+    scale the base bands live in a bucketed table and the probe is a
+    co-located join), candidates verify on exact Jaccard, and each
+    delta doc gets a verdict: drop if it duplicates the base, else
+    greedy min-id keep within the delta (the cluster-exact variant of
+    the within-delta rule is q_dedup_keep's connected components).
+
+    Output per delta doc: (doc_id, n_base_dups, n_delta_dups, keep)."""
+    bands = _bands_cached(spark, sf_dir)
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    delta_bands = bands.filter(is_delta)
+    cand = (
+        delta_bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d"), F.col("y.doc_id").alias("o"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("d"), F.col("sh").alias("sha"), F.col("sz").alias("sza"))
+    sb = sh.select(F.col("doc_id").alias("o"), F.col("sh").alias("shb"), F.col("sz").alias("szb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    dups = (
+        cand.join(sa, "d")
+        .join(sb, "o")
+        .withColumn("j", common / (F.col("sza") + F.col("szb") - common))
+        .filter(F.col("j") >= JACCARD_T)
+    )
+    o_delta = F.col("o") % DELTA_MOD == DELTA_MOD - 1
+    per = dups.groupBy("d").agg(
+        F.sum((~o_delta).cast("long")).alias("n_base_dups"),
+        F.sum(o_delta.cast("long")).alias("n_delta_dups"),
+        F.min(F.when(o_delta, F.col("o"))).alias("min_delta_partner"),
+    )
+    delta_docs = sh.filter(is_delta).select("doc_id")
+    return (
+        delta_docs.join(per, delta_docs.doc_id == per.d, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_base_dups", F.lit(0)).alias("n_base_dups"),
+            F.coalesce("n_delta_dups", F.lit(0)).alias("n_delta_dups"),
+            (
+                (F.coalesce("n_base_dups", F.lit(0)) == 0)
+                & (
+                    F.col("min_delta_partner").isNull()
+                    | (F.col("min_delta_partner") > F.col("doc_id"))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
 def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method evaluation harness: per-method precision/recall
     against the exact all-pairs Jaccard ≥ JACCARD_T ground truth (the
@@ -660,6 +745,7 @@ QUERIES = {
     "q_dedup_keep": _q_dedup_keep,
     "q_dedup_consensus": _q_dedup_consensus,
     "q_dedup_eval": _q_dedup_eval,
+    "q_dedup_incremental": _q_dedup_incremental,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -816,6 +902,50 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM v x JOIN v y ON x.vec_id < y.vec_id
 WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
                   (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
+""",
+    "q_dedup_incremental": _SHINGLED_CTE
+    + f""",
+hashed AS (
+  SELECT doc_id, s, sz, list_transform(s, x -> x % {MERSENNE31}) AS hs
+  FROM sh WHERE sz > 0
+),
+sig AS (
+  SELECT doc_id, s, sz,
+         {_MH_EXPRS}
+  FROM hashed
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d, y.doc_id AS o
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {DELTA_MOD} = {DELTA_MOD - 1} AND x.doc_id <> y.doc_id
+),
+dups AS (
+  SELECT d, o FROM cand
+  JOIN hashed sa ON sa.doc_id = d
+  JOIN hashed sb ON sb.doc_id = o
+  WHERE len(list_intersect(sa.s, sb.s)) /
+        CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= {JACCARD_T}
+),
+per AS (
+  SELECT d,
+         CAST(sum(CASE WHEN o % {DELTA_MOD} <> {DELTA_MOD - 1} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_base_dups,
+         CAST(sum(CASE WHEN o % {DELTA_MOD} = {DELTA_MOD - 1} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delta_dups,
+         min(CASE WHEN o % {DELTA_MOD} = {DELTA_MOD - 1} THEN o END) AS minp
+  FROM dups GROUP BY d
+)
+SELECT dd.doc_id,
+       coalesce(per.n_base_dups, 0) AS n_base_dups,
+       coalesce(per.n_delta_dups, 0) AS n_delta_dups,
+       (coalesce(per.n_base_dups, 0) = 0
+        AND (per.minp IS NULL OR per.minp > dd.doc_id)) AS keep
+FROM (SELECT doc_id FROM sh
+      WHERE sz > 0 AND doc_id % {DELTA_MOD} = {DELTA_MOD - 1}) dd
+LEFT JOIN per ON per.d = dd.doc_id
 """,
     # one merged WITH: shingle pass -> truth (all-pairs >= JACCARD_T),
     # minhash chain, simhash chain, ngram@0.8 subset -> per-method P/R
