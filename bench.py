@@ -75,6 +75,8 @@ HEADLINE = [
     "q_asof_nearest",
     "q_quality_classifier",
     "q_dq_audit",
+    "q_prepare_training",
+    "q_dedup_incremental",
 ]
 
 

@@ -36,6 +36,7 @@ from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import stopword_count, stopword_count_sql, tokens_sql
 from ..sources.tables import load_table
 from .dedup import _SHINGLED_CTE, _shingled_cached
+from .dedup import NGRAM_JACCARD_T as _NG_T
 from .text import _tokenized
 
 #: Gopher-style thresholds, tuned on the sf0.01 distribution so each
@@ -95,13 +96,10 @@ def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination sweep: for every corpus doc (doc_id ≥
-    BENCH_DOCS, ≥1 trigram), the fraction of its distinct word trigrams
-    that appear anywhere in the benchmark set's trigrams; per source,
-    how many docs exceed the overlap threshold. Reuses the persisted
-    hashed-shingle relation (dedup._shingled_cached) — membership over
-    60-bit hashes matches the oracle's identical hashing."""
+def _contam_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc benchmark-overlap fraction (doc_id, k, tot, overlap) for
+    corpus docs with ≥1 trigram — shared by the per-source sweep and
+    the end-to-end training-prep gate."""
     sh = _shingled_cached(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") < BENCH_DOCS)
@@ -112,7 +110,7 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.filter((F.col("doc_id") >= BENCH_DOCS) & (F.col("sz") > 0)).select(
         "doc_id", F.explode("sh").alias("g")
     )
-    per_doc = (
+    return (
         corpus.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -121,6 +119,16 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("overlap", F.col("k") / F.col("tot").cast("double"))
     )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: for every corpus doc (doc_id ≥
+    BENCH_DOCS, ≥1 trigram), the fraction of its distinct word trigrams
+    that appear anywhere in the benchmark set's trigrams; per source,
+    how many docs exceed the overlap threshold. Reuses the persisted
+    hashed-shingle relation (dedup._shingled_cached) — membership over
+    60-bit hashes matches the oracle's identical hashing."""
+    per_doc = _contam_per_doc(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return per_doc.join(src, "doc_id").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -178,6 +186,64 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(margin, 6).alias("margin"),
         (margin > 0).alias("keep"),
+    )
+
+
+def _q_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data preparation in ONE lazy plan — the
+    capstone composition of the curation surface: model quality gate
+    (linear classifier margin > 0) ∩ near-dup corpus keep (cluster
+    min-id) ∩ benchmark decontamination (trigram overlap < threshold,
+    docs without trigrams pass trivially — stated policy) → overlap
+    chunking into training windows → leak-proof hash split. Output one
+    row per training chunk: (doc_id, source, split, chunk_idx,
+    chunk_tokens).
+
+    Scale story: every gate reuses a memoized relation the standalone
+    queries already built (token cache, shingle pass, near-dup pair
+    relation), the gates compose as semi-joins on doc_id (no row
+    explosion before chunking), and the split is the append-stable
+    hash predicate — the whole corpus-to-chunks path is 3 semi-joins +
+    one map-side explode at 100 TB."""
+    from .dedup import QUERIES as _DQ
+
+    cls_keep = _q_quality_classifier(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    dedup_keep = _DQ["q_dedup_keep"](spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    contaminated = (
+        _contam_per_doc(spark, sf_dir)
+        .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
+        .select("doc_id")
+    )
+    base = _tokenized(spark, sf_dir, "source").filter(
+        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
+    )
+    survivors = (
+        base.join(cls_keep, "doc_id", "semi")
+        .join(dedup_keep, "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+    )
+    n = F.size("t")
+    n_chunks = (
+        F.when(n <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE).cast("double")) + 1)
+        .cast("int")
+    )
+    bucket = hash60(F.col("doc_id")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    chunks = survivors.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "source",
+        "split",
+        "chunk_idx",
+        F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start).alias("chunk_tokens"),
     )
 
 
@@ -317,22 +383,96 @@ QUERIES = {
     "q_seq_pack": _q_seq_pack,
     "q_lang_mix": _q_lang_mix,
     "q_quality_classifier": _q_quality_classifier,
+    "q_prepare_training": _q_prepare_training,
 }
 
 _TOKS = tokens_sql("text")
 
-#: margin expression mirrored term-for-term (same operand order — the
-#: float-parity contract of q_quality_classifier)
-_CLS_MARGIN = (
-    f"{CLS_W[0]} * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))"
-    f" + {CLS_W[1]} * least((CAST({stopword_count_sql('t')} AS DOUBLE) / len(t)) * 5, 1.0)"
-    f" + {CLS_W[2]} * least(CAST(len(t) AS DOUBLE) / 200.0, 1.0)"
-    f" + ({CLS_W[3]}) * (list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)),"
-    f" (a, x) -> a + x) / len(t) / 10.0)"
-    f" + ({CLS_W[4]})"
-)
+def _cls_margin_sql(c: str) -> str:
+    """Margin expression mirrored term-for-term (same operand order —
+    the float-parity contract of q_quality_classifier), over any token
+    array column."""
+    return (
+        f"{CLS_W[0]} * (CAST(len(list_distinct({c})) AS DOUBLE) / len({c}))"
+        f" + {CLS_W[1]} * least((CAST({stopword_count_sql(c)} AS DOUBLE) / len({c})) * 5, 1.0)"
+        f" + {CLS_W[2]} * least(CAST(len({c}) AS DOUBLE) / 200.0, 1.0)"
+        f" + ({CLS_W[3]}) * (list_reduce(list_transform({c}, x -> CAST(length(x) AS DOUBLE)),"
+        f" (a, x) -> a + x) / len({c}) / 10.0)"
+        f" + ({CLS_W[4]})"
+    )
+
+
+_CLS_MARGIN = _cls_margin_sql("t")
 
 ORACLE = {
+    # the capstone composition: dedup-keep (recursive components) ∩
+    # classifier gate ∩ decontamination → chunk → hash split; every
+    # fragment reuses the standalone queries' tested SQL shapes
+    "q_prepare_training": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {_NG_T}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs
+),
+walk AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+),
+clusters AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+keepers AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+  WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+),
+bench AS (
+  SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id < {BENCH_DOCS})
+),
+corpus AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= {BENCH_DOCS} AND sz > 0
+),
+contam AS (
+  SELECT doc_id
+  FROM (
+    SELECT c.doc_id,
+           sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS k,
+           count(1) AS tot
+    FROM corpus c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+  )
+  WHERE k / CAST(tot AS DOUBLE) >= {CONTAM_OVERLAP_T}
+),
+clskeep AS (
+  SELECT doc_id FROM toks WHERE len(w) > 0 AND ({_cls_margin_sql('w')}) > 0
+),
+surv AS (
+  SELECT t.doc_id, d.source, len(t.w) AS n
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE len(t.w) > 0 AND t.doc_id >= {BENCH_DOCS}
+    AND t.doc_id IN (SELECT doc_id FROM clskeep)
+    AND t.doc_id IN (SELECT doc_id FROM keepers)
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+chunked AS (
+  SELECT doc_id, source, n,
+         CASE WHEN {hash60_sql('doc_id')} % 100 < 80 THEN 'train'
+              WHEN {hash60_sql('doc_id')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                              ELSE CAST(ceil((n - {CHUNK_TOKENS})
+                                        / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INTEGER) + 1
+                         END)) AS chunk_idx
+  FROM surv
+)
+SELECT doc_id, source, split,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS INTEGER) AS chunk_tokens
+FROM chunked
+""",
     "q_quality_classifier": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
 f AS (SELECT doc_id, source, t FROM toks WHERE len(t) > 0)
