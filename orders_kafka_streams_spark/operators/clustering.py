@@ -114,7 +114,19 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMEANS_ITERS unrolled Lloyd iterations from the deterministic
     seed (the K lowest-vec_id vectors), then the final assignment:
-    (vec_id, v, cluster, d2). Consumed by q_kmeans and q_semdedup."""
+    (vec_id, v, cluster, d2). Consumed by q_kmeans and q_semdedup —
+    memo-persisted so the unrolled iteration chain (the dominant cost,
+    ~8 s of q_semdedup's 11 s at sf0.1) materializes once; the table
+    is one row per vector, the same artifact a production pipeline
+    would checkpoint between clustering and its consumers."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark, sf_dir, "kmeans_assignments", lambda: _kmeans_assignments_build(spark, sf_dir)
+    )
+
+
+def _kmeans_assignments_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(spark, sf_dir)
     w = Window.orderBy("vec_id")
     cur = (

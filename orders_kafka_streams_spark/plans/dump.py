@@ -52,6 +52,8 @@ COMMENTARY = {
     "q_bpe_encode": "vocab-histogram rewrite chain: K 1-row broadcasts, corpus never re-scanned",
     "q_scd2_pit": "PIT join as union+carry on version starts: one exchange, no range join",
     "q_dedup_eval": "three memoized pair relations joined to the exact truth: eval ≪ the methods it scores",
+    "q_dedup_incremental": "delta bands probe the shared band relation: DELTA×corpus candidates, never BASE×BASE",
+    "q_prepare_training": "3 doc_id semi-joins over memoized gates + map-side chunk explode; corpus scans once",
 }
 
 
