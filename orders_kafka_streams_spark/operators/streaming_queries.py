@@ -139,6 +139,31 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming SCD2 maintenance: the foreachBatch merge folds the
+    # event stream into the effective-dated dimension; hash-diffed
+    # against the BATCH scd2 oracle (the merge invariant is also
+    # batch-split-tested in tests/test_scd2_stream.py).
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.scd2_merge import scd2_sink
+
+    ev = events_file_stream(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dim_path = os.path.join(tempfile.gettempdir(), "okss-scd2", key)
+    shutil.rmtree(dim_path, ignore_errors=True)
+    q = (
+        ev.writeStream.foreachBatch(scd2_sink(dim_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dim_path)
+
+
 def _q_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CHAINED stateful operators in one streaming query (Spark 4):
     # at-least-once input → dropDuplicatesWithinWatermark → tumbling
@@ -208,6 +233,7 @@ QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
+    "q_stream_scd2": _q_stream_scd2,
     "q_stream_static_join": _q_stream_static_join,
     "q_stream_win_session": _q_stream_win_session,
     "q_stream_win_sliding": _q_stream_win_sliding,
@@ -217,7 +243,11 @@ QUERIES = {
     "q_stream_ewma": _q_stream_ewma,
 }
 
+from .warehouse import ORACLE as _WH_ORACLE
+
 ORACLE = {
+    # the streaming merge must equal the batch SCD2 build exactly
+    "q_stream_scd2": _WH_ORACLE["q_scd2"],
     "q_stream_ewma": """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 g AS (
