@@ -495,6 +495,48 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: CUSUM parameters (Page 1954): slack k (in σ units) absorbs noise,
+#: decision threshold h flags a sustained mean shift.
+CUSUM_K = 0.25
+CUSUM_H = 3.0
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint detection, formulated WITHOUT
+    the textbook recursion: CUSUM⁺_i = max(0, CUSUM⁺_{i-1} + z_i − k)
+    equals S_i − min_{j≤i} S_j where S is the prefix sum of (z − k) —
+    a prefix sum and a running min, both single-pass window functions
+    over one event_type exchange. The recursive form would force a
+    sequential fold (the EWMA path); this algebraic identity keeps
+    changepoint detection fully declarative and whole-stage-codegen'd
+    at 100 TB.
+
+    μ/σ are rounded to 6 decimals BEFORE standardization on both
+    engines: partial-aggregation order differs between engines in the
+    last ulp, and the prefix chain would amplify it; rounding pins the
+    entire downstream computation bit-identically. Output: per type,
+    event count, alarm count (cusum > h), peak cusum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    mu = F.round(F.avg("value").over(wt), 6)
+    sd = F.round(F.stddev_samp("value").over(wt), 6)
+    wp = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    zdf = ev.select(
+        "event_type", "ts", "event_id", ((F.col("value") - mu) / sd).alias("z")
+    )
+    sdf = zdf.withColumn("s", F.sum(F.col("z") - CUSUM_K).over(wp))
+    scored = sdf.withColumn("cusum", F.col("s") - F.min("s").over(wp))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cusum") > CUSUM_H).cast("long")).alias("n_alarms"),
+        F.round(F.max("cusum"), 6).alias("peak_cusum"),
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
@@ -549,6 +591,7 @@ QUERIES = {
     "q_asof_join": _q_asof_join,
     "q_asof_forward": _q_asof_forward,
     "q_asof_nearest": _q_asof_nearest,
+    "q_cusum": _q_cusum,
 }
 
 ORACLE = {
@@ -766,6 +809,33 @@ SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
              AND epoch_ms(ts) - epoch_ms(click_ts_raw) <= 21600000
             THEN epoch_ms(click_ts_raw) END AS click_ts_ms
 FROM m WHERE side = 1
+""",
+    "q_cusum": f"""
+WITH stats AS (
+  SELECT event_type,
+         round(avg(value), 6) AS mu,
+         round(stddev_samp(value), 6) AS sd
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type, e.ts, e.event_id, (e.value - s.mu) / s.sd AS z
+  FROM events e JOIN stats s USING (event_type)
+), pre AS (
+  SELECT event_type, ts, event_id,
+         sum(z - {CUSUM_K}) OVER w AS s
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT event_type,
+         s - min(s) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM pre
+)
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN cusum > {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       round(max(cusum), 6) AS peak_cusum
+FROM c GROUP BY event_type
 """,
     "q_asof_forward": """
 WITH u AS (

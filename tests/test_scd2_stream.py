@@ -73,6 +73,56 @@ def test_late_event_never_reopens_closed_version(spark):
     assert out == _canon(d0), out  # dropped, dimension unchanged
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_merge_invariant_on_random_streams_and_splits(spark, data):
+    """ANY event stream cut at ANY batch boundaries merges to exactly
+    the batch rebuild — the property that makes incremental SCD2
+    trustworthy. Timestamps are unique per user (the in-order
+    contract; equal-ts tie order is pinned separately by event_id)."""
+    n = data.draw(st.integers(min_value=2, max_value=14))
+    rows = []
+    used = set()
+    for eid in range(1, n + 1):
+        uid = data.draw(st.integers(min_value=1, max_value=3))
+        while True:
+            ms = data.draw(st.integers(min_value=0, max_value=40)) * 500
+            if (uid, ms) not in used:
+                used.add((uid, ms))
+                break
+        attr = data.draw(st.sampled_from(["A", "B", "C"]))
+        rows.append((eid, ms, uid, attr))
+    # stream order = event-time order (the watermark contract)
+    rows.sort(key=lambda r: (r[1], r[0]))
+    rows = [(i + 1, ms, uid, attr) for i, (_, ms, uid, attr) in enumerate(rows)]
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(rows) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(rows)]
+    expected = _canon(scd2(_ev_df(spark, rows)))
+    dim = spark.createDataFrame(
+        [], "user_id long, version long, event_type string, valid_from_ms long, "
+        "valid_to_ms long, is_current boolean, n_events long"
+    )
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        dim = _merge_batch(dim, _ev_df(spark, rows[lo:hi]))
+        dim = spark.createDataFrame(dim.collect(), dim.schema)
+    assert _canon(dim) == expected, (rows, bounds)
+
+
 def test_foreachbatch_sink_end_to_end(spark, tmp_path):
     src = os.path.join(str(tmp_path), "src")
     os.makedirs(src, exist_ok=True)
