@@ -167,14 +167,79 @@ WHERE rank <= {CMS_TOPK}
 """
 
 
+def _q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimation (Chao 1984) over the document
+    shingle population — the scale-planning tool for dedup: from a
+    SAMPLE's shingle frequency histogram, estimate how many DISTINCT
+    shingles the full corpus holds (Ŝ = S_obs + f1²/(2·f2), with f1 =
+    singletons, f2 = doubletons), hence how much of the dedup work is
+    still unseen. At 100 TB you run this on a 0.1% sample to budget
+    the shingle-index shuffle BEFORE paying for it.
+
+    Two tiny aggregations over the memoized shingle relation: shingle
+    → occurrence count, then the frequency-of-frequencies histogram —
+    shuffles carry one row per distinct shingle, then one per distinct
+    count. All-integer inputs to the final arithmetic; the estimate is
+    rounded on both engines."""
+    from .dedup import _shingled_cached
+
+    sh = _shingled_cached(spark, sf_dir)
+    occ = (
+        sh.select(F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = occ.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    return fof.agg(
+        F.sum("f").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, F.col("f")).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("f")).otherwise(0)).alias("f2"),
+    ).select(
+        "s_obs",
+        "f1",
+        "f2",
+        F.round(
+            F.col("s_obs")
+            + (F.col("f1") * F.col("f1")).cast("double")
+            / (2.0 * F.greatest(F.col("f2"), F.lit(1))),
+            4,
+        ).alias("chao1_est"),
+    )
+
+
 QUERIES = {
+    "q_chao1": _q_chao1,
     "q_cms_topk": _q_cms_topk,
     "q_stats_agg": _q_stats_agg,
     "q_string_agg": _q_string_agg,
     "q_array_ops": _q_array_ops,
 }
 
+def _chao1_oracle() -> str:
+    from .dedup import _SHINGLED_CTE
+
+    return (
+        _SHINGLED_CTE
+        + """,
+occ AS (
+  SELECT g, count(1) AS c FROM (SELECT unnest(s) AS g FROM sh) GROUP BY g
+),
+fof AS (SELECT c, CAST(count(1) AS BIGINT) AS f FROM occ GROUP BY c)
+SELECT CAST(sum(f) AS BIGINT) AS s_obs,
+       CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT) AS f2,
+       round(sum(f)
+             + CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END)
+                    * sum(CASE WHEN c = 1 THEN f ELSE 0 END) AS DOUBLE)
+               / (2.0 * greatest(sum(CASE WHEN c = 2 THEN f ELSE 0 END), 1)), 4)
+         AS chao1_est
+FROM fof
+"""
+    )
+
+
 ORACLE = {
+    "q_chao1": _chao1_oracle(),
     "q_cms_topk": _cms_oracle(),
     "q_stats_agg": """
 SELECT l_returnflag,

@@ -33,3 +33,15 @@ def test_cms_top1_is_true_top1(spark, sf_dir):
     by_est = min(est, key=lambda r: (-r.est, r.w))
     by_exact = min(est, key=lambda r: (-r.wc, r.w))
     assert by_est.w == by_exact.w
+
+
+def test_chao1_estimate_bounds(spark, sf_dir):
+    """Chao1 never estimates fewer species than observed, and the
+    correction term is driven by the singleton count."""
+    from orders_kafka_streams_spark.operators.stats import _q_chao1
+
+    r = _q_chao1(spark, sf_dir).first()
+    assert r.s_obs == r.f1 + r.f2 or r.s_obs > r.f1 + r.f2  # histogram sums
+    assert r.chao1_est >= r.s_obs
+    if r.f1 == 0:
+        assert r.chao1_est == r.s_obs
