@@ -77,6 +77,7 @@ HEADLINE = [
     "q_dq_audit",
     "q_prepare_training",
     "q_dedup_incremental",
+    "q_cusum",
 ]
 
 
