@@ -764,6 +764,58 @@ def _q_doc_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_V = 40  # fixed vocabulary budget for the coverage audit
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit: with a top-V frequency vocab
+    (deterministic count-desc, word-asc cut), what fraction of each
+    source's TOKEN MASS is covered, and how many distinct types fall
+    out-of-vocabulary? This is the go/no-go number for a fixed-vocab
+    tokenizer before training it — run per candidate V. The vocab is
+    a broadcast of V rows against the exploded token stream; one
+    map-side join + one source-keyed aggregation."""
+    hist = _word_hist(spark, sf_dir)
+    w = Window.orderBy(F.desc("wc"), F.asc("w"))
+    vocab = (
+        hist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= VOCAB_TOP_V)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    toks = _tokenized(spark, sf_dir, "source").select(
+        "source", F.explode("t").alias("w")
+    )
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce("in_v", F.lit(0))).alias("n_covered"),
+        F.countDistinct(F.when(F.col("in_v").isNull(), F.col("w"))).alias("n_oov_types"),
+        F.round(
+            F.sum(F.coalesce("in_v", F.lit(0))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )
+
+
+def _q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate over the word population: the
+    probability the NEXT token is a never-seen type ≈ f1/N (singleton
+    count over token mass) — the smoothing mass a unigram LM must
+    reserve (companion to q_unigram_logprob) and, like Chao1, a
+    sample-to-full-corpus extrapolation tool. One pass over the word
+    histogram."""
+    hist = _word_hist(spark, sf_dir)
+    return hist.agg(
+        F.sum("wc").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("wc") == 1, 1).otherwise(0)).alias("f1"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias("p_unseen"),
+    )
+
+
 def _bpe_oracle(final: str | None = None) -> str:
     """Unrolled BPE CTE chain; ``final`` overrides the trailing select
     (default: the trainer's merge-rule union). The encode oracle reads
@@ -838,6 +890,8 @@ QUERIES = {
     "q_bpe_train": _q_bpe_train,
     "q_bpe_encode": _q_bpe_encode,
     "q_doc_tokenize": _q_doc_tokenize,
+    "q_vocab_coverage": _q_vocab_coverage,
+    "q_good_turing": _q_good_turing,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
@@ -870,6 +924,32 @@ GROUP BY e.doc_id
     "q_bpe_train": _bpe_oracle(),
     "q_bpe_encode": _bpe_encode_oracle(),
     "q_doc_tokenize": _doc_tokenize_oracle(),
+    "q_vocab_coverage": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+ex AS (SELECT source, unnest(t) AS w FROM toks),
+hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+vocab AS (
+  SELECT w, 1 AS in_v
+  FROM (SELECT w, row_number() OVER (ORDER BY wc DESC, w) AS r FROM hist)
+  WHERE r <= {VOCAB_TOP_V}
+)
+SELECT source,
+       CAST(count(1) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(in_v, 0)) AS BIGINT) AS n_covered,
+       CAST(count(DISTINCT CASE WHEN in_v IS NULL THEN ex.w END) AS BIGINT) AS n_oov_types,
+       round(CAST(sum(coalesce(in_v, 0)) AS DOUBLE) / count(1), 6) AS coverage
+FROM ex LEFT JOIN vocab ON ex.w = vocab.w
+GROUP BY source
+""",
+    "q_good_turing": f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+SELECT CAST(sum(wc) AS BIGINT) AS n_tokens,
+       CAST(count(1) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN wc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       round(CAST(sum(CASE WHEN wc = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(wc), 6) AS p_unseen
+FROM hist
+""",
     "q_tfidf": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
