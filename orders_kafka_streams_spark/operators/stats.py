@@ -207,8 +207,50 @@ def _q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 10
+PSI_BIN_W = 20.0  # events.value spans ~[0, 200)
+PSI_ALERT = 0.2  # the standard "significant shift" threshold
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift audit: each event type's value
+    distribution vs the overall population over PSI_BINS fixed-width
+    bins, PSI = Σ (p_t − p_all)·ln(p_t/p_all) with Laplace smoothing
+    ((c+1)/(n+B)) so empty bins never hit ln(0) — the standard
+    model-monitoring drift score, fixed bins rather than quantiles so
+    both engines bucket identically. Two aggregations (type×bin cells,
+    then per-type fold over ≤B rows) — shuffles carry bins, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.least(F.lit(PSI_BINS - 1), F.floor(F.col("value") / PSI_BIN_W)).cast("int")
+    cells = ev.select("event_type", b.alias("b")).groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot_t = cells.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    tot_all = cells.agg(F.sum("c").alias("n_all"), F.lit(1).alias("one"))
+    all_b = cells.groupBy("b").agg(F.sum("c").alias("c_all")).withColumn("one", F.lit(1))
+    # dense (type × bin) grid so missing bins get the smoothed floor
+    types = tot_t.select("event_type")
+    grid = types.crossJoin(spark.range(PSI_BINS).select(F.col("id").cast("int").alias("b")))
+    j = (
+        grid.join(cells, ["event_type", "b"], "left")
+        .join(tot_t, "event_type")
+        .join(all_b.drop("one"), "b", "left")
+        .crossJoin(F.broadcast(tot_all.drop("one")))
+    )
+    p_t = (F.coalesce("c", F.lit(0)) + 1).cast("double") / (F.col("n_t") + PSI_BINS)
+    p_a = (F.coalesce("c_all", F.lit(0)) + 1).cast("double") / (F.col("n_all") + PSI_BINS)
+    term = (p_t - p_a) * F.log(p_t / p_a)
+    return (
+        j.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select("event_type", "psi", (F.col("psi") > PSI_ALERT).alias("drifted"))
+    )
+
+
 QUERIES = {
     "q_chao1": _q_chao1,
+    "q_psi_drift": _q_psi_drift,
     "q_cms_topk": _q_cms_topk,
     "q_stats_agg": _q_stats_agg,
     "q_string_agg": _q_string_agg,
@@ -240,6 +282,35 @@ FROM fof
 
 ORACLE = {
     "q_chao1": _chao1_oracle(),
+    "q_psi_drift": f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(least({PSI_BINS - 1}, floor(value / {PSI_BIN_W})) AS INTEGER) AS b
+  FROM events
+),
+cells AS (SELECT event_type, b, count(1) AS c FROM binned GROUP BY event_type, b),
+tot_t AS (SELECT event_type, sum(c) AS n_t FROM cells GROUP BY event_type),
+all_b AS (SELECT b, sum(c) AS c_all FROM cells GROUP BY b),
+tot_all AS (SELECT sum(c) AS n_all FROM cells),
+grid AS (
+  SELECT t.event_type, CAST(u AS INTEGER) AS b
+  FROM tot_t t, unnest(range(0, {PSI_BINS})) AS g(u)
+),
+j AS (
+  SELECT g.event_type, g.b,
+         CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n_t + {PSI_BINS}) AS p_t,
+         CAST(coalesce(a.c_all, 0) + 1 AS DOUBLE) / (x.n_all + {PSI_BINS}) AS p_a
+  FROM grid g
+  LEFT JOIN cells c ON g.event_type = c.event_type AND g.b = c.b
+  JOIN tot_t t ON g.event_type = t.event_type
+  LEFT JOIN all_b a ON g.b = a.b
+  CROSS JOIN tot_all x
+)
+SELECT event_type,
+       round(sum((p_t - p_a) * ln(p_t / p_a)), 6) AS psi,
+       (round(sum((p_t - p_a) * ln(p_t / p_a)), 6) > {PSI_ALERT}) AS drifted
+FROM j GROUP BY event_type
+""",
     "q_cms_topk": _cms_oracle(),
     "q_stats_agg": """
 SELECT l_returnflag,
