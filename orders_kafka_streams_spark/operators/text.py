@@ -816,6 +816,35 @@ def _q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the word histogram: least-squares slope of
+    ln(freq) on ln(rank) (natural corpora sit near −1; synthetic or
+    boilerplate-heavy corpora deviate — a one-number corpus-health
+    diagnostic). The global rank window runs on the |vocab| HISTOGRAM,
+    never the corpus — at 100 TB that is millions of rows, not
+    trillions, and the closed-form slope is one aggregate over it."""
+    hist = _word_hist(spark, sf_dir)
+    w = Window.orderBy(F.desc("wc"), F.asc("w"))
+    ranked = hist.withColumn("r", F.row_number().over(w))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("wc").cast("double"))
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "n_types",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_types"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_types")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
 def _bpe_oracle(final: str | None = None) -> str:
     """Unrolled BPE CTE chain; ``final`` overrides the trailing select
     (default: the trainer's merge-rule union). The encode oracle reads
@@ -892,6 +921,7 @@ QUERIES = {
     "q_doc_tokenize": _q_doc_tokenize,
     "q_vocab_coverage": _q_vocab_coverage,
     "q_good_turing": _q_good_turing,
+    "q_zipf_fit": _q_zipf_fit,
     "q_text_tokens": _q_text_tokens,
     "q_tfidf": _q_tfidf,
     "q_text_quality": _q_text_quality,
@@ -940,6 +970,23 @@ SELECT source,
        round(CAST(sum(coalesce(in_v, 0)) AS DOUBLE) / count(1), 6) AS coverage
 FROM ex LEFT JOIN vocab ON ex.w = vocab.w
 GROUP BY source
+""",
+    "q_zipf_fit": f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY wc DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(wc AS DOUBLE)) AS y
+  FROM hist
+),
+agg AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_types, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT n_types,
+       round((sxy - sx * sy / n_types) / (sxx - sx * sx / n_types), 4) AS zipf_slope
+FROM agg
 """,
     "q_good_turing": f"""
 WITH toks AS (SELECT {_TOKS} AS t FROM documents),

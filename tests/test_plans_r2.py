@@ -40,6 +40,25 @@ def test_zorder_layout_single_small_agg_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan and "SinglePartition" not in plan, plan
 
 
+def test_cusum_single_type_exchange(spark, sf_dir):
+    """μ/σ window, prefix sum, running min, and the final per-type agg
+    all share the event_type partitioning — one hash exchange total."""
+    from orders_kafka_streams_spark.operators import timeseries
+
+    plan = plan_of(timeseries._q_cusum(spark, sf_dir))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_psi_shuffles_carry_bins_not_rows(spark, sf_dir):
+    """After the (type, bin) cell aggregation every relation is ≤
+    types×bins rows; the scan-side aggregate must be partial."""
+    from orders_kafka_streams_spark.operators import stats
+
+    plan = plan_of(stats._q_psi_drift(spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "SortMergeJoin" not in plan, plan  # tiny sides broadcast
+
+
 def test_classifier_no_shuffle_above_token_cache(spark, sf_dir):
     """Scoring is a projection over the cached token relation — the
     only exchange permitted is the cache's own build repartition."""
