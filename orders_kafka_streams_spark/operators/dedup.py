@@ -689,6 +689,36 @@ def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty contribution: the fraction of a doc's
+    shingles whose FIRST appearance (min doc_id, the ingest-order
+    proxy) is this doc — the data-valuation complement of q_dup_spans
+    (which scores repetition; this scores what each doc ADDS). Docs
+    with novelty ≈ 0 are fully covered by earlier corpus and are
+    deletion candidates even when no single pair crosses the near-dup
+    threshold. One shingle-keyed min-aggregation + one join back +
+    one doc aggregation over the memoized shingle relation."""
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    first_seen = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring fraction — the doc-level
     signal of substring-level exact dedup (Lee et al. 2022,
@@ -746,6 +776,7 @@ QUERIES = {
     "q_dedup_consensus": _q_dedup_consensus,
     "q_dedup_eval": _q_dedup_eval,
     "q_dedup_incremental": _q_dedup_incremental,
+    "q_novelty": _q_novelty,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -902,6 +933,18 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM v x JOIN v y ON x.vec_id < y.vec_id
 WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
                   (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
+""",
+    "q_novelty": _SHINGLED_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE sz > 0),
+fs AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+SELECT e.doc_id,
+       CAST(count(1) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(1), 6) AS novelty_frac
+FROM ex e JOIN fs f USING (g)
+GROUP BY e.doc_id
 """,
     "q_dedup_incremental": _SHINGLED_CTE
     + f""",
