@@ -54,6 +54,10 @@ COMMENTARY = {
     "q_dedup_eval": "three memoized pair relations joined to the exact truth: eval ≪ the methods it scores",
     "q_dedup_incremental": "delta bands probe the shared band relation: DELTA×corpus candidates, never BASE×BASE",
     "q_prepare_training": "3 doc_id semi-joins over memoized gates + map-side chunk explode; corpus scans once",
+    "q_cusum": "changepoints without recursion: prefix sum − running min, ONE event_type exchange",
+    "q_psi_drift": "drift audit whose shuffles carry bin cells, not rows; tiny sides broadcast",
+    "q_chao1": "sample→corpus richness: two aggregations over the memoized shingle relation",
+    "q_novelty": "first-seen min-agg + join-back: data valuation at inverted-index cost",
 }
 
 
