@@ -164,6 +164,84 @@ def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dim_path)
 
 
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per DAY window and event type, the PSI
+    of that window's value distribution against the static all-time
+    baseline — the production shape of model-input monitoring (the
+    batch q_psi_drift audits offline; this emits per-window scores as
+    windows close). The engine runs the watermarked (window, type,
+    bin) cell aggregation; the PSI fold over ≤PSI_BINS cells per key
+    and the baseline join happen batch-side on the drained sink (the
+    baseline is a static broadcast either way)."""
+    from .stats import PSI_ALERT, PSI_BIN_W, PSI_BINS
+
+    ev = events_file_stream(spark, sf_dir)
+    b = F.least(F.lit(PSI_BINS - 1), F.floor(F.col("value") / PSI_BIN_W)).cast("int")
+    cells = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type", b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            epoch_ms(F.col("window.start")).alias("wstart_ms"),
+            "event_type",
+            "b",
+            "c",
+        )
+    )
+    tab = run_to_memory(cells, "stream_drift_cells")
+    got = spark.table(tab)
+    # static baseline: all-time per-bin distribution (Laplace-smoothed)
+    allb = (
+        load_table(spark, sf_dir, "events")
+        .select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_all"))
+    )
+    n_all = load_table(spark, sf_dir, "events").count()
+    # every derived frame below shares the sink's attribute ids, so the
+    # non-grid sides re-alias their join columns (fresh expr ids) and
+    # join on explicit conditions — the documented self-join pattern
+    keys = got.select("wstart_ms", "event_type").distinct()
+    grid = keys.crossJoin(spark.range(PSI_BINS).select(F.col("id").cast("int").alias("b")))
+    got_c = got.select(
+        F.col("wstart_ms").alias("cw"),
+        F.col("event_type").alias("cet"),
+        F.col("b").alias("cb"),
+        "c",
+    )
+    tot = (
+        got.groupBy("wstart_ms", "event_type")
+        .agg(F.sum("c").alias("n_t"))
+        .select(F.col("wstart_ms").alias("tw"), F.col("event_type").alias("tet"), "n_t")
+    )
+    j = (
+        grid.join(
+            got_c,
+            (F.col("wstart_ms") == F.col("cw"))
+            & (F.col("event_type") == F.col("cet"))
+            & (F.col("b") == F.col("cb")),
+            "left",
+        )
+        .join(
+            tot,
+            (F.col("wstart_ms") == F.col("tw")) & (F.col("event_type") == F.col("tet")),
+        )
+        .join(F.broadcast(allb.select(F.col("b").alias("ab"), "c_all")),
+              F.col("b") == F.col("ab"), "left")
+    )
+    p_t = (F.coalesce("c", F.lit(0)) + 1).cast("double") / (F.col("n_t") + PSI_BINS)
+    p_a = (F.coalesce("c_all", F.lit(0)) + 1).cast("double") / F.lit(float(n_all + PSI_BINS))
+    term = (p_t - p_a) * F.log(p_t / p_a)
+    return (
+        j.select("wstart_ms", "event_type", term.alias("term"))
+        .groupBy("wstart_ms", "event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "wstart_ms", "event_type", "psi", (F.col("psi") > PSI_ALERT).alias("drifted")
+        )
+    )
+
+
 def _q_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CHAINED stateful operators in one streaming query (Spark 4):
     # at-least-once input → dropDuplicatesWithinWatermark → tumbling
@@ -233,6 +311,7 @@ QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
+    "q_stream_drift": _q_stream_drift,
     "q_stream_scd2": _q_stream_scd2,
     "q_stream_static_join": _q_stream_static_join,
     "q_stream_win_session": _q_stream_win_session,
@@ -269,6 +348,45 @@ FROM x
 """,
     "q_stream_dedup": """
 SELECT event_id, event_type, user_id FROM events
+""",
+    "q_stream_drift": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+binned AS (
+  SELECT epoch_ms(date_trunc('day', ts)) AS wstart_ms,
+         epoch_ms(date_trunc('day', ts)) + 86400000 AS wend_ms,
+         event_type,
+         CAST(least(9, floor(value / 20.0)) AS INTEGER) AS b
+  FROM events
+),
+cells AS (
+  SELECT wstart_ms, event_type, b, count(1) AS c
+  FROM binned CROSS JOIN wm WHERE wend_ms <= wm_ms
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT wstart_ms, event_type, sum(c) AS n_t FROM cells GROUP BY 1, 2),
+allb AS (
+  SELECT CAST(least(9, floor(value / 20.0)) AS INTEGER) AS b, count(1) AS c_all
+  FROM events GROUP BY 1
+),
+nall AS (SELECT count(1) AS n FROM events),
+grid AS (
+  SELECT t.wstart_ms, t.event_type, CAST(u AS INTEGER) AS b
+  FROM tot t, unnest(range(0, 10)) AS g(u)
+),
+j AS (
+  SELECT g.wstart_ms, g.event_type,
+         CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n_t + 10) AS p_t,
+         CAST(coalesce(a.c_all, 0) + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE) AS p_a
+  FROM grid g
+  LEFT JOIN cells c ON g.wstart_ms = c.wstart_ms AND g.event_type = c.event_type AND g.b = c.b
+  JOIN tot t ON g.wstart_ms = t.wstart_ms AND g.event_type = t.event_type
+  LEFT JOIN allb a ON g.b = a.b
+  CROSS JOIN nall n
+)
+SELECT wstart_ms, event_type,
+       round(sum((p_t - p_a) * ln(p_t / p_a)), 6) AS psi,
+       (round(sum((p_t - p_a) * ln(p_t / p_a)), 6) > 0.2) AS drifted
+FROM j GROUP BY 1, 2
 """,
     # chained dedup→agg collapses to the plain tumble over (distinct)
     # events; with two stateful operators the engine subtracts the late
