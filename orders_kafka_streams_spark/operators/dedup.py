@@ -689,6 +689,51 @@ def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: on the LSH candidate pairs,
+    compare the signature-agreement estimate Ĵ = (matching coords)/16
+    against the exact Jaccard — the audit that tells you whether the
+    PERMS/bands/rows configuration is honest on YOUR corpus (estimator
+    bias here ⇒ retune before trusting the banding s-curve at 100 TB).
+    Output per pair: a, b, j_exact, j_est, abs_err; all arithmetic on
+    ints/sixteenths so both engines agree bit-for-bit."""
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    sig = _minhash_sig(spark, sf_dir)
+    bands = _bands_cached(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(PERMS))])
+    sb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(PERMS))])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(len(PERMS))
+    )
+    ha = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza"))
+    hb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("j_est", F.round(matches / F.lit(float(len(PERMS))), 6))
+        .join(ha, "a")
+        .join(hb, "b")
+        .withColumn(
+            "j_exact", F.round(common / (F.col("sza") + F.col("szb") - common), 6)
+        )
+        .select(
+            "a",
+            "b",
+            "j_exact",
+            "j_est",
+            F.round(F.abs(F.col("j_exact") - F.col("j_est")), 6).alias("abs_err"),
+        )
+    )
+
+
 def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty contribution: the fraction of a doc's
     shingles whose FIRST appearance (min doc_id, the ingest-order
@@ -777,6 +822,7 @@ QUERIES = {
     "q_dedup_eval": _q_dedup_eval,
     "q_dedup_incremental": _q_dedup_incremental,
     "q_novelty": _q_novelty,
+    "q_minhash_calibration": _q_minhash_calibration,
 }
 
 # --- oracles -----------------------------------------------------------------
@@ -933,6 +979,37 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM v x JOIN v y ON x.vec_id < y.vec_id
 WHERE list_reduce(list_transform(range(1, 1 + len(x.e)), i -> x.e[i] * y.e[i]),
                   (acc, p) -> acc + p) / (x.nrm * y.nrm) >= {COSINE_T}
+""",
+    "q_minhash_calibration": _SHINGLED_CTE
+    + f"""
+,hashed AS (
+  SELECT doc_id, s, sz, list_transform(s, x -> x % {MERSENNE31}) AS hs
+  FROM sh WHERE sz > 0
+),
+sig AS (
+  SELECT doc_id, s, sz,
+         {_MH_EXPRS}
+  FROM hashed
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         round(len(list_intersect(sa.s, sb.s)) /
+               CAST(sa.sz + sb.sz - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) AS j_exact,
+         round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh12 = sb.mh12 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh13 = sb.mh13 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh14 = sb.mh14 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh15 = sb.mh15 THEN 1 ELSE 0 END)) / 16.0, 6) AS j_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b
+)
+SELECT a, b, j_exact, j_est, round(abs(j_exact - j_est), 6) AS abs_err
+FROM scored
 """,
     "q_novelty": _SHINGLED_CTE
     + """,
