@@ -350,6 +350,76 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): for each probe document, rank every other document BOTH
+    lexically (shared-shingle count — sparse/BM25-family signal, over
+    the memoized shingle relation) and semantically (embedding
+    cosine), then fuse with RRF = 1/(K+r_lex) + 1/(K+r_vec) and keep
+    the top-k. This is the modern RAG retrieval stack in one query;
+    probe ids align across documents/embeddings (doc_id == vec_id by
+    the generator's construction).
+
+    Scale shape: both modality scorings broadcast the tiny probe set
+    against their corpus relation (map-only scoring), each ranking is
+    one window shuffle on probe id, and the fusion join carries two
+    rank columns per (probe, doc) — at 100 TB each modality would feed
+    from its ANN/index variant through the same rank-join seam. RRF
+    terms are 1/(int+int) doubles added in a fixed order —
+    bit-identical across engines."""
+    from .dedup import _shingled_cached
+
+    v = _prepared(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    vv = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    vec_rank = (
+        F.broadcast(q)
+        .crossJoin(vv)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select("query_id", "neighbor_id", "vec_rank")
+    )
+    sh = _shingled_cached(spark, sf_dir)
+    p = sh.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("psh")
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("neighbor_id"))
+    lex_rank = (
+        F.broadcast(p)
+        .crossJoin(sh.select(F.col("doc_id").alias("neighbor_id"), "sh"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("overlap", F.size(F.array_intersect("psh", "sh")))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    rrf = 1.0 / (F.lit(RRF_K) + F.col("lex_rank")) + 1.0 / (
+        F.lit(RRF_K) + F.col("vec_rank")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        lex_rank.join(vec_rank, ["query_id", "neighbor_id"])
+        .withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
 QUERIES = {
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
@@ -357,6 +427,7 @@ QUERIES = {
     "q_knn_ivf": _q_knn_ivf,
     "q_knn_pq": _q_knn_pq,
     "q_emb_centroid": _q_emb_centroid,
+    "q_hybrid_search": _q_hybrid_search,
 }
 
 _V_CTE = """
@@ -372,7 +443,47 @@ _DOT = (
     "list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]), (a, x) -> a + x)"
 )
 
+
+def _hybrid_oracle() -> str:
+    from .dedup import _SHINGLED_CTE
+
+    return (
+        _V_CTE.rstrip()
+        + ",\n"
+        + _SHINGLED_CTE.replace("WITH ", "", 1).strip()
+        + f""",
+vr AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY {_DOT} / (q.nrm * n.nrm) DESC, n.vec_id ASC) AS INTEGER) AS vec_rank
+  FROM v q JOIN v n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+lr AS (
+  SELECT p.doc_id AS query_id, d.doc_id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY p.doc_id
+              ORDER BY len(list_intersect(p.s, d.s)) DESC, d.doc_id ASC) AS INTEGER) AS lex_rank
+  FROM sh p JOIN sh d ON p.doc_id < {N_QUERIES} AND p.doc_id <> d.doc_id
+),
+fused AS (
+  SELECT l.query_id, l.neighbor_id, l.lex_rank, v2.vec_rank,
+         1.0 / ({RRF_K} + l.lex_rank) + 1.0 / ({RRF_K} + v2.vec_rank) AS rrf
+  FROM lr l JOIN vr v2
+    ON l.query_id = v2.query_id AND l.neighbor_id = v2.neighbor_id
+),
+final AS (
+  SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, rank, lex_rank, vec_rank, round(rrf, 6) AS rrf_score
+FROM final WHERE rank <= {TOP_K}
+"""
+    )
+
+
 ORACLE = {
+    "q_hybrid_search": _hybrid_oracle(),
     "q_emb_quantize": """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
