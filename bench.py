@@ -78,6 +78,8 @@ HEADLINE = [
     "q_prepare_training",
     "q_dedup_incremental",
     "q_cusum",
+    "q_hybrid_search",
+    "q_novelty",
 ]
 
 
