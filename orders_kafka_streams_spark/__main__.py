@@ -81,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("okss-cli")
     df = queries[name](spark, sf_dir)
     if args.cmd == "explain":
-        print(df._jdf.queryExecution().explainString("formatted"))
+        from .plans.explain import explain_str
+
+        print(explain_str(df, mode="formatted"))
     else:
         df.show(args.n, truncate=False)
         print(f"({df.count()} rows total)", file=sys.stderr)

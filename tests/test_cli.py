@@ -37,3 +37,17 @@ def test_unknown_query_exit_2_with_hint(capsys):
 
 def test_bare_name_resolves_with_q_prefix(capsys):
     assert main(["oracle", "tpch_q6"]) == 0
+
+
+def test_run_executes_and_prints_rows(spark, sf_dir, capsys):
+    # spark fixture already built the session; the CLI's getOrCreate
+    # reuses it, so this exercises the real run path cheaply
+    assert main(["run", "q_tpch_q6", "--sf-dir", sf_dir, "-n", "1"]) == 0
+    out = capsys.readouterr()
+    assert "rows total" in out.err
+
+
+def test_explain_prints_formatted_plan(spark, sf_dir, capsys):
+    assert main(["explain", "q_tpch_q6", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
