@@ -118,8 +118,11 @@ def main() -> None:
     total_steady = round(sum(steady.values()), 3)
     # flagship throughput: events rows through the full pair-match →
     # windowed-agg pipeline per steady-state second (the reference's
-    # single-node rows/sec framing)
-    n_events = queries["q_filt_null"](spark, sf_dir).count()
+    # single-node rows/sec framing) — counts the FULL events table,
+    # the pipeline's actual input cardinality
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
     flagship_rps = round(n_events / steady["q_pipeline"]) if steady["q_pipeline"] else None
     print(
         json.dumps(

@@ -24,6 +24,8 @@ SURVEY §2.9 commits to this full family for the 100 TB pipeline.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,8 +104,19 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
 #: cache entry deliberately instead of re-registering the persist each
 #: call (Spark's CacheManager would dedupe the identical plan anyway,
 #: but the memo makes the lifecycle explicit and survives plan-text
-#: drift). Entries for dead applications are pruned on insert.
-_PERSIST_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#: drift). Entries for dead applications are pruned on insert, and the
+#: memo is BOUNDED: beyond _PERSIST_MEMO_MAX live relations the
+#: least-recently-USED entry is unpersisted and dropped, so a
+#: long-lived session iterating over many sf_dirs/tags can't pin
+#: unbounded executor storage (Spark's own LRU would evict blocks, but
+#: unpersisting releases the CacheManager entry and the lineage pin).
+_PERSIST_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+
+#: live persisted relations kept per application (shingles, bands,
+#: pairs, k-means assignments, BPE vocab across a couple of sf_dirs
+#: fit comfortably; anything beyond this is a sweep workload that
+#: should not accumulate cache).
+_PERSIST_MEMO_MAX = 16
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
@@ -113,8 +126,16 @@ def _memo_persist(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFram
     if df is None:
         for stale in [k for k in _PERSIST_MEMO if k[0] != app_id]:
             del _PERSIST_MEMO[stale]
+        while len(_PERSIST_MEMO) >= _PERSIST_MEMO_MAX:
+            _, lru = _PERSIST_MEMO.popitem(last=False)
+            try:
+                lru.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to release
         df = build().persist()
-        _PERSIST_MEMO[key] = df
+    else:
+        _PERSIST_MEMO.pop(key)  # re-append below → most-recently-used
+    _PERSIST_MEMO[key] = df
     return df
 
 

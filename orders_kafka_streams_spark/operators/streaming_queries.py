@@ -152,7 +152,11 @@ def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.scd2_merge import scd2_sink
 
     ev = events_file_stream(spark, sf_dir)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key includes the Spark applicationId so concurrent sessions
+    # against the same sf_dir get isolated dimension directories (one
+    # session's rmtree/swap can't race another's running read)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
     dim_path = os.path.join(tempfile.gettempdir(), "okss-scd2", key)
     shutil.rmtree(dim_path, ignore_errors=True)
     q = (

@@ -226,8 +226,8 @@ ORACLE = {
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         ), islands AS (
           SELECT user_id, attr, ms,
-                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                ROWS UNBOUNDED PRECEDING) AS version
+                 CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
           FROM runs
         ), versions AS (
           SELECT user_id, version,
@@ -253,8 +253,8 @@ ORACLE = {
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         ), isl AS (
           SELECT user_id, attr, ms,
-                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                ROWS UNBOUNDED PRECEDING) AS version
+                 CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
           FROM st
         ), ver AS (
           SELECT user_id, version, min(attr) AS state, min(ms) AS vfrom

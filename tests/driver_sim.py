@@ -30,6 +30,62 @@ def canon(v):
     return str(v)
 
 
+def _spark_family(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith(("array", "struct", "map")):
+        return "nested"
+    return dt
+
+
+def _arrow_family(dt: str) -> str:
+    dt = dt.lower()
+    # DuckDB HUGEINT (int128) surfaces as decimal128(38,0) via Arrow — the
+    # exact widening that broke q_scd2's driver hash in round 2.
+    if dt.startswith(("decimal128(38, 0)", "decimal256")):
+        return "int128"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith(("int", "uint")):
+        return "int"
+    if dt in ("double", "float", "halffloat"):
+        return "float"
+    if dt in ("string", "large_string"):
+        return "string"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("date"):
+        return "date"
+    if dt in ("binary", "large_binary"):
+        return "binary"
+    if dt.startswith(("list", "large_list", "struct", "map")):
+        return "nested"
+    if dt == "bool":
+        return "boolean"
+    return dt
+
+
+def type_mismatches(spark_dtypes, arrow_schema):
+    """Column-level type-family diffs between a Spark result and its DuckDB
+    oracle (Arrow schema). Catches DuckDB's implicit widenings (un-cast
+    SUM -> HUGEINT/int128, DECIMAL creep) that value-string canonicalization
+    hides but the round driver's hash does not."""
+    st = dict(spark_dtypes)
+    out = []
+    for field in arrow_schema:
+        if field.name not in st:
+            continue  # column-name mismatch is caught by the column compare
+        sf, of = _spark_family(st[field.name]), _arrow_family(str(field.type))
+        if sf != of and not (sf.startswith("timestamp") and of == "timestamp"):
+            out.append(f"{field.name}: spark={st[field.name]} oracle={field.type}")
+    return out
+
+
 def main() -> int:
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -68,14 +124,16 @@ def main() -> int:
             print(f"{name}: rows-only {len(srows)}")
             continue
         cur = con.execute(osql[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        otable = cur.fetch_arrow_table()
+        ocols = otable.column_names
+        orows = [tuple(col[i].as_py() for col in otable.columns) for i in range(otable.num_rows)]
         si = sorted(range(len(scols)), key=lambda i: scols[i])
         oi = sorted(range(len(ocols)), key=lambda i: ocols[i])
         s = sorted(tuple(canon(r[i]) for i in si) for r in srows)
         o = sorted(tuple(canon(r[i]) for i in oi) for r in orows)
-        ok = sorted(scols) == sorted(ocols) and s == o
-        print(f"{name}: {len(srows)} rows, match={ok}")
+        tmis = type_mismatches(sdf.dtypes, otable.schema)
+        ok = sorted(scols) == sorted(ocols) and s == o and not tmis
+        print(f"{name}: {len(srows)} rows, match={ok}" + (f" TYPE-MISMATCH {tmis}" if tmis else ""))
         if not ok:
             fails.append(name)
     print(f"TOTAL {len(qs)} queries, {len(rows_only)} rows-only, FAILS: {fails}")
