@@ -80,6 +80,10 @@ HEADLINE = [
     "q_cusum",
     "q_hybrid_search",
     "q_novelty",
+    # round-3 additions
+    "q_knn_lsh",
+    "q_hybrid_search_ann",
+    "q_bpe_train",
 ]
 
 

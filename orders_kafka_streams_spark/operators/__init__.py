@@ -110,22 +110,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query names {dupes} in {mod.__name__}")
         seen |= set(q)
         regs.append(list(q.items()))
-    # round-robin interleave across modules (dict preserves insertion order)
-    rr: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = []
-    for i in range(max((len(r) for r in regs), default=0)):
-        for r in regs:
-            if i < len(r):
-                rr.append(r[i])
-    # rotation: recheck-pins first, then never-driver-checked (still
-    # family-interleaved), then previously-verified queries.
+    # rotation buckets: recheck-pins first, then never-driver-checked,
+    # then previously-verified queries — and WITHIN each bucket a
+    # round-robin interleave across modules, so the driver's ~50-entry
+    # prefix samples every family that still has unchecked queries.
     def _bucket(name: str) -> int:
         if name in _RECHECK_FIRST:
             return 0
         return 1 if name not in _DRIVER_CHECKED else 2
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, fn in sorted(rr, key=lambda kv: _bucket(kv[0])):
-        out[name] = fn
+    for b in (0, 1, 2):
+        b_regs = [[kv for kv in r if _bucket(kv[0]) == b] for r in regs]
+        for i in range(max((len(r) for r in b_regs), default=0)):
+            for r in b_regs:
+                if i < len(r):
+                    name, fn = r[i]
+                    out[name] = fn
     return out
 
 

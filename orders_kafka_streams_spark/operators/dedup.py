@@ -165,6 +165,14 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way, so even a collision would agree cross-engine.
     """
     docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return shingled_of(docs)
+
+
+def shingled_of(docs: DataFrame) -> DataFrame:
+    """The tokenize→shingle→hash chain over an arbitrary (doc_id, text)
+    relation — shared by the corpus build and the streaming incremental
+    probe (which shingles arriving micro-batches with the exact same
+    expressions, so batch and stream verdicts are bit-identical)."""
     sh = shingles(tokens(F.col("text")))
     return docs.select(
         "doc_id", F.transform(sh, hash60).alias("sh"), F.size(sh).alias("sz")
@@ -279,7 +287,12 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, explode-first (16 min-aggs in ONE groupBy —
     see _minhash_pairs for the measured projection-collapse trap)."""
-    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    return minhash_sig_of(_shingled_cached(spark, sf_dir).filter(F.col("sz") > 0))
+
+
+def minhash_sig_of(sh: DataFrame) -> DataFrame:
+    """Signature build over an arbitrary shingled relation — shared by
+    the corpus index build and the streaming incremental probe."""
     # sh carries hash60(shingle) longs already; reduce mod 2^31-1 for the
     # affine perms (keeps a*h+b inside int64).
     inv = sh.select("doc_id", F.explode("sh").alias("g")).withColumn(
@@ -608,6 +621,69 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: synthetic delta marker: every 5th doc "arrived today". A real
 #: pipeline keys this on an ingest-date partition column.
 DELTA_MOD = 5
+
+
+def dedup_incremental_probe(
+    spark: SparkSession, sf_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Per-doc incremental-dedup verdict for an arbitrary micro-batch of
+    delta documents (doc_id, text) — the probe side shared by the batch
+    query and the streaming twin (streaming_queries.py).
+
+    The batch's shingles/signature/bands are computed from its TEXT with
+    the corpus build's exact expressions (streaming-ingest shape); the
+    candidate side is the full memoized band index, which contains
+    base ∪ all delta — the end-of-ingest index state. Because the
+    candidate side is static and complete, the verdict for a doc is
+    IDENTICAL however the delta is split into micro-batches — the
+    batch-split invariant tested in tests/test_stream_dedup_incremental.py.
+
+    Output per delta doc with sz>0: (doc_id, n_base_dups, n_delta_dups,
+    keep) — same contract as q_dedup_incremental."""
+    sh_delta = shingled_of(delta_docs).filter(F.col("sz") > 0)
+    bands_delta = _minhash_bands(minhash_sig_of(sh_delta))
+    bands = _bands_cached(spark, sf_dir)
+    sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
+    cand = (
+        bands_delta.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d"), F.col("y.doc_id").alias("o"))
+        .distinct()
+    )
+    sa = sh_delta.select(
+        F.col("doc_id").alias("d"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+    )
+    sb = sh.select(F.col("doc_id").alias("o"), F.col("sh").alias("shb"), F.col("sz").alias("szb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    dups = (
+        cand.join(sa, "d")
+        .join(sb, "o")
+        .withColumn("j", common / (F.col("sza") + F.col("szb") - common))
+        .filter(F.col("j") >= JACCARD_T)
+    )
+    o_delta = F.col("o") % DELTA_MOD == DELTA_MOD - 1
+    per = dups.groupBy("d").agg(
+        F.sum((~o_delta).cast("long")).alias("n_base_dups"),
+        F.sum(o_delta.cast("long")).alias("n_delta_dups"),
+        F.min(F.when(o_delta, F.col("o"))).alias("min_delta_partner"),
+    )
+    ids = sh_delta.select("doc_id")
+    return (
+        ids.join(per, ids.doc_id == per.d, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_base_dups", F.lit(0)).alias("n_base_dups"),
+            F.coalesce("n_delta_dups", F.lit(0)).alias("n_delta_dups"),
+            (
+                (F.coalesce("n_base_dups", F.lit(0)) == 0)
+                & (
+                    F.col("min_delta_partner").isNull()
+                    | (F.col("min_delta_partner") > F.col("doc_id"))
+                )
+            ).alias("keep"),
+        )
+    )
 
 
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

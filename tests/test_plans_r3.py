@@ -1,0 +1,52 @@
+"""Plan-shape assertions for the round-3 additions: the ANN-fed hybrid
+search must never scan the corpus per probe (no nested-loop / cartesian
+operator anywhere — candidate generation is equality joins on
+(tbl, sig) and shingle hash), unlike the exact form which is two
+broadcast-nested-loop corpus scans by design."""
+
+from __future__ import annotations
+
+from orders_kafka_streams_spark.operators import similarity
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hybrid_ann_no_corpus_scan_per_probe(spark, sf_dir):
+    plan = plan_of(similarity._q_hybrid_search_ann(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_exact_is_the_nested_loop_baseline(spark, sf_dir):
+    """Guard the contrast: the exact form IS the corpus-scan baseline
+    (if this ever stops holding, the two queries have converged and the
+    ANN variant is no longer exercising the index seam)."""
+    plan = plan_of(similarity._q_hybrid_search(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan, plan
+
+
+def test_knn_lsh_no_cross_join(spark, sf_dir):
+    plan = plan_of(similarity._q_knn_lsh(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_every_bench_headline_query_has_a_plans_dossier():
+    """VERDICT r2 item 6: the PLANS.md dossier must cover every bench
+    headline query, and dump.py's COMMENTARY is the source of truth —
+    this gate keeps the gap from reopening as queries join the bench."""
+    import os
+    import re
+
+    import bench
+    from orders_kafka_streams_spark.plans.dump import COMMENTARY
+
+    missing_commentary = [q for q in bench.HEADLINE if q not in COMMENTARY]
+    assert not missing_commentary, missing_commentary
+
+    plans_md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    sections = set(re.findall(r"^## (\S+)", open(plans_md).read(), re.M))
+    missing_sections = [q for q in bench.HEADLINE if q not in sections]
+    assert not missing_sections, missing_sections

@@ -1,13 +1,18 @@
-"""Registry contract tests (VERDICT r1 item 2): the driver's
-CORRECTNESS report caps at ~50 entries in registry order, so the merged
-registry must sample EVERY operator family in any 50-entry prefix, and
-import failures must never silently shrink it."""
+"""Registry contract tests (VERDICT r1 item 2 + r2 item 2): the
+driver's CORRECTNESS report caps at ~50 entries in registry order.
+Round 1-2 interleaved families so any prefix sampled every family;
+round 3 ROTATES — queries never driver-checked sort first so the union
+of per-round samples converges on full coverage. The prefix must now
+sample every family that still HAS never-checked queries (families
+fully verified in earlier rounds may sit behind them), and import
+failures must never silently shrink the registry."""
 
 from __future__ import annotations
 
 from importlib import import_module
 
 from orders_kafka_streams_spark.operators import (
+    _DRIVER_CHECKED,
     _MODULES,
     SKIPPED_MODULES,
     all_oracles,
@@ -15,16 +20,20 @@ from orders_kafka_streams_spark.operators import (
 )
 
 
-def test_first_50_queries_sample_every_family():
+def test_first_50_queries_favor_unchecked_and_sample_families():
     qs = list(all_queries())
     prefix = set(qs[:50])
+    # rotation: at least 45 of the prefix must be new to the driver
+    fresh = [n for n in prefix if n not in _DRIVER_CHECKED]
+    assert len(fresh) >= 45, f"only {len(fresh)} never-checked queries in prefix"
     missing = []
     for m in _MODULES:
         mod = import_module(f"orders_kafka_streams_spark.operators.{m}")
         names = set(getattr(mod, "QUERIES", {}))
-        if names and not (names & prefix):
+        unchecked = names - _DRIVER_CHECKED
+        if unchecked and not (unchecked & prefix):
             missing.append(m)
-    assert not missing, f"families absent from the driver-checked prefix: {missing}"
+    assert not missing, f"families with unchecked queries absent from prefix: {missing}"
 
 
 def test_no_modules_silently_skipped():
