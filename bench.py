@@ -63,10 +63,7 @@ HEADLINE = [
     "q_knn_pq",
     "q_text_langid",
     "q_contamination",
-    # late round-2 operators (q_bpe_train stays a correctness-only
-    # query: its unrolled 6-step merge chain is ~20 scheduler-bound
-    # stages of tiny vocab shuffles — latency measures stage overhead,
-    # not data throughput)
+    # late round-2 operators
     "q_kmeans",
     "q_unigram_logprob",
     "q_dup_spans",
@@ -86,6 +83,21 @@ HEADLINE = [
     "q_bpe_train",
 ]
 
+#: the heaviest operators additionally timed at sf1 (10× the headline
+#: sf) — per-query sf0.1 timings drown in JVM/stage noise as the suite
+#: grows, so regressions on the queries that matter are measured above
+#: the noise floor (VERDICT r2 item 10). The sf1 corpus is generated
+#: once into .benchdata/sf1 (gitignored) by tools/gen_benchdata.py —
+#: a PERF corpus scaled from the driver's sf0.1 with key-domain
+#: shifts; correctness stays gated at the driver's sf0.01.
+SF1_HEAVY = [
+    "q_knn_pq",
+    "q_winnow_match",
+    "q_dedup_consensus",
+    "q_dup_spans",
+    "q_tpch_q21",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,8 +109,8 @@ def main() -> None:
     spark = get_spark("okss-bench")
     queries = all_queries()
 
-    def run_once(name: str) -> float:
-        df = queries[name](spark, sf_dir)
+    def run_once(name: str, data_dir: str | None = None) -> float:
+        df = queries[name](spark, data_dir or sf_dir)
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
@@ -128,6 +140,30 @@ def main() -> None:
 
     n_events = load_table(spark, sf_dir, "events").count()
     flagship_rps = round(n_events / steady["q_pipeline"]) if steady["q_pipeline"] else None
+
+    # sf1 pass: the heaviest operators at 10× scale, above the noise
+    # floor. Generated on first use; skipped (reported null) only if
+    # generation fails (e.g. read-only disk).
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".benchdata", "sf1"))
+    sf1: dict[str, float] | None = None
+    try:
+        if not os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "gen_benchdata.py"), sf_dir, sf1_dir],
+                check=True,
+                capture_output=True,
+            )
+        sf1 = {}
+        for name in SF1_HEAVY:
+            first = run_once(name, sf1_dir)
+            second = run_once(name, sf1_dir)
+            sf1[name] = round(min(first, second), 3)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"sf1 pass skipped: {e}", file=sys.stderr)
+        sf1 = None
+
     print(
         json.dumps(
             {
@@ -139,6 +175,8 @@ def main() -> None:
                 "flagship_rows_per_sec": flagship_rps,
                 "queries": steady,
                 "queries_cold": cold,
+                "sf1_queries": sf1,
+                "sf1_wall": round(sum(sf1.values()), 3) if sf1 else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
