@@ -81,6 +81,9 @@ HEADLINE = [
     "q_knn_lsh",
     "q_hybrid_search_ann",
     "q_bpe_train",
+    "q_knn_ivfpq",
+    "q_dsir_weights",
+    "q_semdedup",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

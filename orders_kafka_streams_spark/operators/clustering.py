@@ -166,36 +166,45 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-block — both compose with this plan unchanged. Cosines are
     strict left folds over the double-cast vectors (bit-identical
     cross-engine), so the threshold needs no rounding gate."""
+    import numpy as np
+    import pandas as pd
+
     asg = kmeans_assignments(spark, sf_dir)
-    a = asg.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cluster"
-    )
-    b = asg.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cluster")
-    dot = F.aggregate(
-        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
-    def sq_norm(c: str) -> Column:
-        return F.aggregate(
-            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
+    def drop_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs cosines within ONE cluster as a numpy gram matrix —
+        # the block-matrix kernel (operators/dedup.py q_dedup_embedding):
+        # the round-2 expression-fold form evaluated ~N²/K interpreted
+        # 64-term folds (57 s at sf1); the matmul is the same math at
+        # BLAS speed. Double-precision dot vs the oracle's strict left
+        # fold agree to ulps — the SEMDEDUP_T cut and round(6) would
+        # only diverge for a cosine within ~1e-12 of the threshold.
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
+            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        e_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(e_mat, axis=1)
+        cos = (e_mat @ e_mat.T) / np.outer(nrm, nrm)
+        ids = pdf["vec_id"].to_numpy()
+        out = []
+        for j in range(1, len(ids)):
+            above = cos[:j, j] >= SEMDEDUP_T
+            if above.any():
+                partners = np.where(above)[0]
+                out.append(
+                    (
+                        ids[j],
+                        int(pdf["cluster"].iloc[j]),
+                        ids[partners[0]],  # rows sorted by vec_id → min id
+                        round(float(cos[partners, j].max()), 6),
+                    )
+                )
+        return pd.DataFrame(out, columns=["vec_id", "cluster", "kept", "max_cos"])
 
-    pairs = (
-        a.join(b, ["cluster"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "cluster",
-            "a_id",
-            "b_id",
-            (dot / (F.sqrt(sq_norm("av")) * F.sqrt(sq_norm("bv")))).alias("cos"),
-        )
-        .filter(F.col("cos") >= SEMDEDUP_T)
-    )
-    return pairs.groupBy(F.col("b_id").alias("vec_id"), "cluster").agg(
-        F.min("a_id").alias("kept"),
-        F.round(F.max("cos"), 6).alias("max_cos"),
+    return asg.select("vec_id", "cluster", "v").groupBy("cluster").applyInPandas(
+        drop_rows, "vec_id long, cluster int, kept long, max_cos double"
     )
 
 

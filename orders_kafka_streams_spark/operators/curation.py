@@ -376,7 +376,62 @@ def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed n-gram feature space (DSIR §2.2)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): model the TARGET distribution (here the English
+    subset — the canonical "select data that looks like my target
+    domain" use) and the RAW pool as bag-of-hashed-n-gram generative
+    models over DSIR_BUCKETS buckets, then score every document with
+    its log importance weight Σ_features [log p_target(b) −
+    log p_raw(b)] (Laplace-smoothed). Documents scoring > 0 look more
+    target-like than pool-like — `selected` is the resampling
+    keep-set a curation pipeline feeds the sampler.
+
+    Scale shape: features are unigrams + positional bigrams hashed to
+    a FIXED bucket space, so both models are DSIR_BUCKETS-row
+    relations built with one partial-aggregated corpus pass and
+    broadcast back onto the feature stream; per-doc scoring shuffles
+    only doc_id-keyed partials. Log-ratio sums are rounded in-query
+    (the unigram-logprob portability policy)."""
+    from ..functions.textfns import shingle_seq, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats_arr = F.concat(t, shingle_seq(t, 2))
+    feats = docs.select(
+        "doc_id", "lang", F.explode(feats_arr).alias("ft")
+    ).withColumn("b", F.pmod(hash60(F.col("ft")), F.lit(DSIR_BUCKETS)))
+    is_t = (F.col("lang") == "en").cast("long")
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum(is_t).alias("ct")
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("raw_tot"), F.sum(is_t).alias("tgt_tot")
+    )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tgt_tot") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("raw_tot") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+        .withColumn("selected", F.col("log_weight") > 0)
+    )
+
+
 QUERIES = {
+    "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
     "q_contamination": _q_contamination,
     "q_doc_chunk": _q_doc_chunk,
@@ -404,7 +459,34 @@ def _cls_margin_sql(c: str) -> str:
 
 _CLS_MARGIN = _cls_margin_sql("t")
 
+from ..functions.textfns import shingle_seq_sql as _SEQ_SQL
+
 ORACLE = {
+    "q_dsir_weights": f"""
+WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
+f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),
+fx AS (SELECT doc_id, lang, unnest(fs) AS ft FROM f0),
+f AS (SELECT doc_id, lang, {hash60_sql('ft')} % {DSIR_BUCKETS} AS b FROM fx),
+cnt AS (
+  SELECT b, CAST(count(1) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM f GROUP BY b
+),
+tot AS (
+  SELECT CAST(count(1) AS BIGINT) AS raw_tot,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_tot
+  FROM f
+),
+ratio AS (
+  SELECT b, ln((ct + 1.0) / (tgt_tot + {DSIR_BUCKETS}))
+            - ln((cr + 1.0) / (raw_tot + {DSIR_BUCKETS})) AS lr
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(1) AS BIGINT) AS n_feats,
+       round(sum(lr), 4) AS log_weight,
+       round(sum(lr), 4) > 0 AS selected
+FROM f JOIN ratio USING (b) GROUP BY doc_id
+""",
     # the capstone composition: dedup-keep (recursive components) ∩
     # classifier gate ∩ decontamination → chunk → hash split; every
     # fragment reuses the standalone queries' tested SQL shapes

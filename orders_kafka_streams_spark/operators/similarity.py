@@ -278,6 +278,29 @@ K_CENTROIDS = 64  # FIXED centroid budget — independent of N
 N_PROBE = 2
 
 
+def _ivf_assign(v: DataFrame) -> DataFrame:
+    """IVF coarse assignment: every vector ranked against the bounded
+    K_CENTROIDS hash-sampled centroid set (crk=1 is its inverted list;
+    crk≤N_PROBE on the query side are the probed lists). Broadcast
+    K-row centroid cross + one per-vector argmin window — shared by
+    q_knn_ivf and the IVF+PQ composite."""
+    c = (
+        v.withColumn("hkey", hash60(F.col("vec_id")))
+        .orderBy("hkey", "vec_id")
+        .limit(K_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+        )
+    )
+    ccos = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w_assign))
+    )
+
+
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, probe the 2 nearest
     inverted lists, exact-rank within the candidate set.
@@ -300,21 +323,7 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed-fraction tradeoff (nprobe/K of the lists scanned).
     """
     v = _prepared(spark, sf_dir)
-    c = (
-        v.withColumn("hkey", hash60(F.col("vec_id")))
-        .orderBy("hkey", "vec_id")
-        .limit(K_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-        )
-    )
-    ccos = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("ccos", ccos)
-        .withColumn("crk", F.row_number().over(w_assign))
-    )
+    assign = _ivf_assign(v)
     lists = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid", "e", "nrm"
     )
@@ -341,38 +350,13 @@ PQ_K = 32  # codes per subspace
 PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
 
 
-def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with exact re-ranking (VERDICT r1 item
-    7): split each vector into PQ_M subspaces, quantize every
-    sub-vector to the nearest of PQ_K codebook entries, shortlist the
-    top PQ_RERANK neighbors by ASYMMETRIC distance (exact query ×
-    reconstructed neighbor), then re-rank the shortlist with the exact
-    cosine — the standard two-stage memory-bound ANN design (Jégou et
-    al., "Product Quantization for Nearest Neighbor Search", TPAMI
-    2011): the index stores M small code ids per vector (16×5 bits)
-    instead of d floats; full vectors are touched only for the
-    shortlist. Measured at sf0.01: recall@10 ≈ 0.96 vs q_knn_brute
-    (ADC alone ≈ 0.38 on this near-random synthetic corpus —
-    re-ranking is what makes PQ usable, tests/test_pq_recall.py).
-
-    Deterministic stand-in for k-means codebooks so the whole pipeline
-    stays oracle-checkable: the codebook of subspace s is the s-th
-    sub-vector of the PQ_K hash-top-K sampled DATA vectors (same
-    bounded TakeOrderedAndProject selection as the IVF centroids) —
-    data-adaptive, engine-portable, and swappable for trained
-    codebooks through the same seam. ADC is computed by rebuilding the
-    reconstructed vector (sort_array by subspace → flatten) and taking
-    ONE strict left-fold dot product per (query, neighbor) — fold
-    order is deterministic, so both engines produce bit-identical
-    doubles and identical rankings (a groupBy-sum over per-subspace
-    partials would be order-nondeterministic).
-
-    Scale shape: encode = N·M sub-rows × broadcast (M·K)-row codebook,
-    argmin window keyed (vec_id, s); shortlist = broadcast queries ×
-    coded vectors, one window per query; re-rank touches only
-    Q·PQ_RERANK exact rows — no shuffle ever carries N² rows.
-    """
-    v = _prepared(spark, sf_dir)
+def _pq_reconstructed(v: DataFrame) -> DataFrame:
+    """PQ encode + decode: each vector's PQ-code reconstruction
+    (vec_id, rec_e, nrm) — the ADC side of the two-stage design,
+    shared by q_knn_pq and the IVF+PQ composite. Codebooks are the
+    deterministic hash-top-K data sample (see _q_knn_pq docstring);
+    encode = N·M sub-rows against the broadcast (M·K)-row codebook,
+    argmin window keyed (vec_id, s)."""
     samp = (
         v.withColumn("hkey", hash60(F.col("vec_id")))
         .orderBy("hkey", "vec_id")
@@ -410,7 +394,42 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rec_e")
     )
-    neigh = rec.join(v.select("vec_id", "nrm"), "vec_id").select(
+    return rec.join(v.select("vec_id", "nrm"), "vec_id")
+
+
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (VERDICT r1 item
+    7): split each vector into PQ_M subspaces, quantize every
+    sub-vector to the nearest of PQ_K codebook entries, shortlist the
+    top PQ_RERANK neighbors by ASYMMETRIC distance (exact query ×
+    reconstructed neighbor), then re-rank the shortlist with the exact
+    cosine — the standard two-stage memory-bound ANN design (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): the index stores M small code ids per vector (16×5 bits)
+    instead of d floats; full vectors are touched only for the
+    shortlist. Measured at sf0.01: recall@10 ≈ 0.96 vs q_knn_brute
+    (ADC alone ≈ 0.38 on this near-random synthetic corpus —
+    re-ranking is what makes PQ usable, tests/test_pq_recall.py).
+
+    Deterministic stand-in for k-means codebooks so the whole pipeline
+    stays oracle-checkable: the codebook of subspace s is the s-th
+    sub-vector of the PQ_K hash-top-K sampled DATA vectors (same
+    bounded TakeOrderedAndProject selection as the IVF centroids) —
+    data-adaptive, engine-portable, and swappable for trained
+    codebooks through the same seam. ADC is computed by rebuilding the
+    reconstructed vector (sort_array by subspace → flatten) and taking
+    ONE strict left-fold dot product per (query, neighbor) — fold
+    order is deterministic, so both engines produce bit-identical
+    doubles and identical rankings (a groupBy-sum over per-subspace
+    partials would be order-nondeterministic).
+
+    Scale shape: encode = N·M sub-rows × broadcast (M·K)-row codebook,
+    argmin window keyed (vec_id, s); shortlist = broadcast queries ×
+    coded vectors, one window per query; re-rank touches only
+    Q·PQ_RERANK exact rows — no shuffle ever carries N² rows.
+    """
+    v = _prepared(spark, sf_dir)
+    neigh = _pq_reconstructed(v).select(
         F.col("vec_id").alias("neighbor_id"), "rec_e", "nrm"
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -425,6 +444,60 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("adc_raw", adc_cos)
         .withColumn("srk", F.row_number().over(wa2))
         .filter(F.col("srk") <= PQ_RERANK)
+        .select("query_id", "qe", "qn", "neighbor_id")
+    )
+    exact = shortlist.join(
+        v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id"
+    )
+    exact_cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("cosine_raw", exact_cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+IVFPQ_RERANK = 50  # ADC shortlist within the probed lists
+
+
+def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN — the FAISS IVFADC architecture (Jégou et
+    al. 2011 §IV): the coarse quantizer prunes the corpus to the
+    N_PROBE probed inverted lists, PQ asymmetric distance scores ONLY
+    those candidates, and the exact re-rank touches only the ADC
+    shortlist. Composes the two oracle-proven pieces through their
+    shared helpers (_ivf_assign, _pq_reconstructed); this simplified
+    form quantizes raw vectors rather than centroid residuals (the
+    classic IVFADC refinement — same seam, swap _pq_reconstructed's
+    input for v − centroid).
+
+    Scale shape: memory cost is M code-ids per vector; per query the
+    ADC work is |probed lists| ≈ nprobe·N/K rows instead of N (the PQ
+    form's corpus-wide ADC scan), and every join is an equality join
+    on cid / neighbor_id — the standard billion-scale layout."""
+    v = _prepared(spark, sf_dir)
+    assign = _ivf_assign(v)
+    lists = assign.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cid"
+    )
+    probes = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cid"
+    )
+    rec = _pq_reconstructed(v).select(
+        F.col("vec_id").alias("neighbor_id"), "rec_e", F.col("nrm").alias("rnrm")
+    )
+    adc_cos = _dot(F.col("qe"), F.col("rec_e")) / (F.col("qn") * F.col("rnrm"))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc_raw"), F.asc("neighbor_id"))
+    shortlist = (
+        F.broadcast(probes)
+        .join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(rec, "neighbor_id")
+        .withColumn("adc_raw", adc_cos)
+        .withColumn("srk", F.row_number().over(wa))
+        .filter(F.col("srk") <= IVFPQ_RERANK)
         .select("query_id", "qe", "qn", "neighbor_id")
     )
     exact = shortlist.join(
@@ -644,6 +717,7 @@ QUERIES = {
     "q_knn_lsh": _q_knn_lsh,
     "q_knn_ivf": _q_knn_ivf,
     "q_knn_pq": _q_knn_pq,
+    "q_knn_ivfpq": _q_knn_ivfpq,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
@@ -911,6 +985,87 @@ rerank AS (
   JOIN v q ON q.vec_id = s.query_id
   JOIN v n ON n.vec_id = s.neighbor_id
   WHERE s.srk <= {PQ_RERANK}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM rerank
+)
+SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= {TOP_K}
+""",
+    "q_knn_ivfpq": _V_CTE
+    + f"""
+, c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v
+  ORDER BY {hash60_sql('vec_id')}, vec_id LIMIT {K_CENTROIDS}
+), iassign AS (
+  SELECT v.vec_id, c.cid, v.e, v.nrm,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_reduce(list_transform(range(1, 1 + len(v.e)), i -> v.e[i] * c.ce[i]),
+                                (a, x) -> a + x) / (v.nrm * c.cn) DESC,
+                    c.cid ASC) AS INTEGER) AS crk
+  FROM v CROSS JOIN c
+), lists AS (
+  SELECT vec_id AS neighbor_id, cid FROM iassign WHERE crk = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid
+  FROM iassign WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}
+), h AS (SELECT vec_id, e, nrm, {hash60_sql('vec_id')} AS hkey FROM v),
+samp AS (
+  SELECT vec_id, e, row_number() OVER (ORDER BY hkey, vec_id) AS code_id
+  FROM h ORDER BY hkey, vec_id LIMIT {PQ_K}
+),
+cb AS (
+  SELECT code_id, t.s, e[t.s * {PQ_SUBDIM} + 1 : t.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS csub
+  FROM samp CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) t
+),
+subs AS (
+  SELECT vec_id, t.s, e[t.s * {PQ_SUBDIM} + 1 : t.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) t
+),
+dists AS (
+  SELECT vec_id, s, code_id, csub,
+         list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+                                    i -> (sub[i] - csub[i]) * (sub[i] - csub[i])),
+                     (a, x) -> a + x) AS l2
+  FROM subs JOIN cb USING (s)
+),
+passign AS (
+  SELECT vec_id, s, csub,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY l2 ASC, code_id ASC) AS ark
+  FROM dists
+),
+rec AS (
+  SELECT vec_id, flatten(list(csub ORDER BY s)) AS rec_e
+  FROM passign WHERE ark = 1 GROUP BY vec_id
+),
+adc AS (
+  SELECT p.query_id, l.neighbor_id, p.qe, p.qn,
+         list_reduce(list_transform(range(1, 65), i -> p.qe[i] * r.rec_e[i]),
+                     (a, x) -> a + x) / (p.qn * n.nrm) AS adc_raw
+  FROM probes p
+  JOIN lists l ON p.cid = l.cid AND p.query_id <> l.neighbor_id
+  JOIN rec r ON r.vec_id = l.neighbor_id
+  JOIN v n ON n.vec_id = l.neighbor_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_raw DESC, neighbor_id ASC) AS srk
+  FROM adc
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_reduce(list_transform(range(1, 65), i -> q.e[i] * n.e[i]),
+                     (a, x) -> a + x) / (q.nrm * n.nrm) AS cosine_raw
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+  WHERE s.srk <= {IVFPQ_RERANK}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine_raw,

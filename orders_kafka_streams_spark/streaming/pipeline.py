@@ -43,8 +43,12 @@ EVENTS_FILE_SCHEMA = T.StructType(
 
 
 def _stream_dir(sf_dir: str, table: str) -> str:
-    """File streaming sources need a DIRECTORY; expose the single
-    parquet file through a symlink in a stable temp dir."""
+    """File streaming sources need a flat DIRECTORY of data files;
+    expose the table through symlinks in a stable temp dir. A
+    single-file table links once; a directory table (multi-part
+    parquet, e.g. the generated sf1 bench corpus) links each part
+    file — the streaming source does not recurse into a linked
+    subdirectory."""
     import hashlib
     import tempfile
 
@@ -52,9 +56,17 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     key = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "okss-stream", f"{table}-{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        for part in os.listdir(src):
+            if not part.endswith(".parquet"):
+                continue
+            link = os.path.join(d, part)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(d, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 

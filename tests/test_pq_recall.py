@@ -29,3 +29,29 @@ def test_pq_recall_at_10_vs_brute(spark):
     # gate with headroom for data regeneration
     assert mean >= 0.8, recalls
     assert min(recalls.values()) >= 0.6, recalls
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_001), reason="sf0.01 testdata absent")
+def test_ivfpq_recall_bounded_by_coarse_stage(spark):
+    """The IVF+PQ composite's recall ceiling is the IVF probe stage —
+    the PQ/ADC shortlist within the probed lists must not lose what
+    the coarse stage finds (measured: identical 0.16 mean recall to
+    q_knn_ivf on this near-random corpus, where nprobe 2/64 lists is
+    the binding constraint; on clustered data the lists capture
+    neighborhoods and both rise together)."""
+    def topset(q):
+        d: dict[int, set[int]] = {}
+        for r in sim.QUERIES[q](spark, SF_001).collect():
+            d.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return d
+
+    brute = topset("q_knn_brute")
+    ivf = topset("q_knn_ivf")
+    ivfpq = topset("q_knn_ivfpq")
+
+    def mean_recall(s):
+        return sum(len(brute[q] & s.get(q, set())) / len(brute[q]) for q in brute) / len(brute)
+
+    r_ivf, r_ivfpq = mean_recall(ivf), mean_recall(ivfpq)
+    assert r_ivfpq >= r_ivf - 0.05, (r_ivfpq, r_ivf)
+    assert r_ivfpq >= 0.05, r_ivfpq
