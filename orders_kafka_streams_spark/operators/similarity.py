@@ -459,6 +459,54 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality AUDIT as a first-class query: every ANN variant's
+    recall and MRR against the exact brute-force top-10, one row per
+    method — the continuous-monitoring face of the one-off recall
+    gates in tests/ (a production vector store recomputes this on a
+    sample whenever the index or the corpus drifts).
+
+    recall = |method ∩ brute-top10| / 10 per probe, averaged; mrr =
+    mean over probes of 1/(method rank of the first true neighbor), 0
+    when the method misses entirely. Each method is audited AS
+    CONFIGURED (IVF returns its top-5, the others top-10) — the audit
+    measures what the deployed query serves, not an idealized k."""
+    methods = {
+        "lsh": _q_knn_lsh,
+        "ivf": _q_knn_ivf,
+        "pq": _q_knn_pq,
+        "ivfpq": _q_knn_ivfpq,
+    }
+    truth = _q_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    per = None
+    for mname, fn in methods.items():
+        m = fn(spark, sf_dir).select(
+            F.lit(mname).alias("method"), "query_id", "neighbor_id", "rk"
+        )
+        per = m if per is None else per.unionByName(m)
+    rel = per.join(truth, ["query_id", "neighbor_id"])
+    probes = truth.select("query_id").distinct()
+    grid = probes.crossJoin(
+        spark.createDataFrame([(m,) for m in methods], ["method"])
+    )
+    hits = rel.groupBy("method", "query_id").agg(
+        F.count(F.lit(1)).alias("n_rel"), F.min("rk").alias("first_rel")
+    )
+    return (
+        grid.join(hits, ["method", "query_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg(F.coalesce("n_rel", F.lit(0)) / float(TOP_K)), 4).alias(
+                "mean_recall"
+            ),
+            F.round(
+                F.avg(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))), 4
+            ).alias("mean_mrr"),
+        )
+    )
+
+
 IVFPQ_RERANK = 50  # ADC shortlist within the probed lists
 
 
@@ -718,6 +766,7 @@ QUERIES = {
     "q_knn_ivf": _q_knn_ivf,
     "q_knn_pq": _q_knn_pq,
     "q_knn_ivfpq": _q_knn_ivfpq,
+    "q_ann_quality": _q_ann_quality,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
@@ -1089,3 +1138,45 @@ SELECT label, CAST(count(1) AS BIGINT) AS dim,
 FROM per_dim GROUP BY label
 """,
 }
+
+
+def _ann_quality_oracle() -> str:
+    """Composes the per-method oracle SQL verbatim as derived tables
+    (DuckDB supports CTEs inside subqueries), so the audit's oracle can
+    never drift from the methods it audits."""
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS method, query_id, neighbor_id, rk FROM (\n{ORACLE[f'q_knn_{m}']}\n) sub_{m}"
+        for m in ("lsh", "ivf", "pq", "ivfpq")
+    )
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+{ORACLE['q_knn_brute']}
+  ) tb
+),
+m AS (
+{unions}
+),
+rel AS (
+  SELECT m.method, m.query_id, m.rk
+  FROM m JOIN truth USING (query_id, neighbor_id)
+),
+probes AS (SELECT DISTINCT query_id FROM truth),
+grid AS (
+  SELECT g.method, p.query_id
+  FROM probes p CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq'), ('ivfpq')) g(method)
+),
+hits AS (
+  SELECT method, query_id, CAST(count(1) AS BIGINT) AS n_rel, min(rk) AS first_rel
+  FROM rel GROUP BY method, query_id
+)
+SELECT method,
+       CAST(count(1) AS BIGINT) AS n_queries,
+       round(avg(COALESCE(n_rel, 0) / {float(TOP_K)}), 4) AS mean_recall,
+       round(avg(COALESCE(1.0 / first_rel, 0.0)), 4) AS mean_mrr
+FROM grid LEFT JOIN hits USING (method, query_id)
+GROUP BY method
+"""
+
+
+ORACLE["q_ann_quality"] = _ann_quality_oracle()

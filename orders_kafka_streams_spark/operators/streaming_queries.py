@@ -348,9 +348,42 @@ def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingest: embeddings ARRIVE as a stream and
+    each micro-batch is signed with the multi-table LSH Arrow kernel
+    and appended to the index — the continuously-ingesting face of
+    the vector store (new vectors become searchable one micro-batch
+    after arrival; the probe join is unchanged). The signature of a
+    vector depends only on that vector, so the assembled index is
+    identical however the stream batches the corpus — hash-diffed
+    against the batch index build via the oracle below."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import embeddings_file_stream
+    from .similarity import _dvec, _lsh_sigs_long, _norm
+
+    emb = embeddings_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-ann-ingest", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def ingest(batch, batch_id: int) -> None:
+        v = batch.select("vec_id", _dvec().alias("e")).withColumn("nrm", _norm(F.col("e")))
+        _lsh_sigs_long(v).write.mode("append").parquet(out_path)
+
+    q = emb.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
+    "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
     "q_stream_drift": _q_stream_drift,
@@ -373,6 +406,8 @@ ORACLE = {
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
     # the streamed per-batch probes must assemble to the batch verdicts
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
+    # the streamed index must equal the batch signature build
+    "q_stream_ann_ingest": None,  # filled below (import-order seam)
     "q_stream_ewma": """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 g AS (
@@ -584,3 +619,12 @@ WHERE event_type = 'purchase' AND last_click_ms IS NOT NULL
 if tws_available():
     QUERIES["q_stream_pair_tws"] = _q_stream_pair_tws
     ORACLE["q_stream_pair_tws"] = ORACLE["q_stream_pair_match"]
+
+# the streamed ANN index equals the batch multi-table signature build —
+# sigs depend only on the vector, so batch slicing is invisible
+from .similarity import _V_CTE as _SIM_V_CTE
+from .similarity import _lsh_sigs_cte as _sim_sigs_cte
+
+ORACLE["q_stream_ann_ingest"] = (
+    _SIM_V_CTE + f", sigs AS (\n{_sim_sigs_cte()}\n)\nSELECT vec_id, tbl, sig FROM sigs"
+)

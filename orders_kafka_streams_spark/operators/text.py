@@ -941,7 +941,58 @@ GROUP BY d.doc_id, d.source"""
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990): the corpus's most-associated adjacent word pairs —
+    PMI = ln(P(a,b) / (P(a)·P(b))) over bigram positions vs unigram
+    occurrences, with the classic min-count cutoff that kills the
+    low-frequency PMI explosion. The corpus-analysis face of phrase
+    detection / tokenizer-merge candidates.
+
+    Scale shape: three partial-aggregated counts (bigram, unigram,
+    totals), the unigram relation broadcast twice onto the bigram
+    relation (vocab ≪ corpus), one top-k TakeOrdered. The corpus
+    shuffles nothing; only count cells move."""
+    from ..functions.textfns import shingle_seq
+
+    base = _tokenized(spark, sf_dir)
+    uni = base.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    bi = (
+        base.select(F.explode(shingle_seq(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+        .withColumn("a", F.split("bg", " ").getItem(0))
+        .withColumn("b", F.split("bg", " ").getItem(1))
+    )
+    tot = base.select(
+        F.sum(F.size("t")).alias("n_uni"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_bi"),
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    pmi = F.log(
+        (F.col("cab") / F.col("n_bi"))
+        / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+    )
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "cab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
+    "q_pmi_bigrams": _q_pmi_bigrams,
     "q_bm25": _q_bm25,
     "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
@@ -966,6 +1017,35 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_pmi_bigrams": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+uni AS (
+  SELECT w, CAST(count(1) AS BIGINT) AS cw
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+bi AS (
+  SELECT bg, CAST(count(1) AS BIGINT) AS cab
+  FROM (SELECT unnest({shingle_seq_sql('t', 2)}) AS bg FROM toks)
+  GROUP BY bg HAVING count(1) >= {PMI_MIN_COUNT}
+),
+bis AS (
+  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b, cab FROM bi
+),
+tot AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
+         CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi
+  FROM toks
+)
+SELECT a, b, cab,
+       round(ln((cab / CAST(n_bi AS DOUBLE))
+                / ((ca / CAST(n_uni AS DOUBLE)) * (cb / CAST(n_uni AS DOUBLE)))), 4) AS pmi
+FROM bis
+JOIN (SELECT w AS a, cw AS ca FROM uni) USING (a)
+JOIN (SELECT w AS b, cw AS cb FROM uni) USING (b)
+CROSS JOIN tot
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT {PMI_TOP_K}
+""",
     "q_bm25": _bm25_oracle(),
     "q_unigram_logprob": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

@@ -90,6 +90,24 @@ def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDINGS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def embeddings_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the embeddings parquet (test-mode source) — the
+    continuously-ingesting face of the vector index."""
+    tune(spark)
+    return spark.readStream.schema(EMBEDDINGS_FILE_SCHEMA).parquet(
+        _stream_dir(sf_dir, "embeddings")
+    )
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (test-mode source).
 
