@@ -397,20 +397,13 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the feature stream; per-doc scoring shuffles
     only doc_id-keyed partials. Log-ratio sums are rounded in-query
     (the unigram-logprob portability policy)."""
-    from ..functions.textfns import shingle_seq, tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    feats_arr = F.concat(t, shingle_seq(t, 2))
-    feats = docs.select(
-        "doc_id", "lang", F.explode(feats_arr).alias("ft")
-    ).withColumn("b", F.pmod(hash60(F.col("ft")), F.lit(DSIR_BUCKETS)))
+    cells = _dsir_cells(spark, sf_dir)
     is_t = (F.col("lang") == "en").cast("long")
-    cnt = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"), F.sum(is_t).alias("ct")
+    cnt = cells.groupBy("b").agg(
+        F.sum("n").alias("cr"), F.sum(is_t * F.col("n")).alias("ct")
     )
-    tot = feats.agg(
-        F.count(F.lit(1)).alias("raw_tot"), F.sum(is_t).alias("tgt_tot")
+    tot = cells.agg(
+        F.sum("n").alias("raw_tot"), F.sum(is_t * F.col("n")).alias("tgt_tot")
     )
     ratio = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -420,14 +413,38 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     return (
-        feats.join(F.broadcast(ratio), "b")
+        cells.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("lr"), 4).alias("log_weight"),
+            F.sum("n").alias("n_feats"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("log_weight"),
         )
         .withColumn("selected", F.col("log_weight") > 0)
     )
+
+
+def _dsir_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-feature bucket counts (doc_id, lang, b, n) —
+    computed ONCE and session-persisted: the naive form re-ran the
+    feature explode + portable md5 hash for each of the three consumers
+    (bucket counts, totals, per-doc scoring), which was the whole cost
+    (26 s at sf1 → the cells relation is ≤ docs × DSIR_BUCKETS rows and
+    every consumer is a cell aggregation)."""
+    from ..functions.textfns import shingle_seq, tokens
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        t = tokens(F.col("text"))
+        feats_arr = F.concat(t, shingle_seq(t, 2))
+        return (
+            docs.select("doc_id", "lang", F.explode(feats_arr).alias("ft"))
+            .withColumn("b", F.pmod(hash60(F.col("ft")), F.lit(DSIR_BUCKETS)))
+            .groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return _memo_persist(spark, sf_dir, "dsir_cells", build)
 
 
 QUERIES = {
@@ -466,26 +483,30 @@ ORACLE = {
 WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
 f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),
 fx AS (SELECT doc_id, lang, unnest(fs) AS ft FROM f0),
-f AS (SELECT doc_id, lang, {hash60_sql('ft')} % {DSIR_BUCKETS} AS b FROM fx),
+cells AS (
+  SELECT doc_id, lang, {hash60_sql('ft')} % {DSIR_BUCKETS} AS b,
+         CAST(count(1) AS BIGINT) AS n
+  FROM fx GROUP BY doc_id, lang, b
+),
 cnt AS (
-  SELECT b, CAST(count(1) AS BIGINT) AS cr,
-         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-  FROM f GROUP BY b
+  SELECT b, CAST(sum(n) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct
+  FROM cells GROUP BY b
 ),
 tot AS (
-  SELECT CAST(count(1) AS BIGINT) AS raw_tot,
-         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_tot
-  FROM f
+  SELECT CAST(sum(n) AS BIGINT) AS raw_tot,
+         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tgt_tot
+  FROM cells
 ),
 ratio AS (
   SELECT b, ln((ct + 1.0) / (tgt_tot + {DSIR_BUCKETS}))
             - ln((cr + 1.0) / (raw_tot + {DSIR_BUCKETS})) AS lr
   FROM cnt CROSS JOIN tot
 )
-SELECT doc_id, CAST(count(1) AS BIGINT) AS n_feats,
-       round(sum(lr), 4) AS log_weight,
-       round(sum(lr), 4) > 0 AS selected
-FROM f JOIN ratio USING (b) GROUP BY doc_id
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+       round(sum(n * lr), 4) AS log_weight,
+       round(sum(n * lr), 4) > 0 AS selected
+FROM cells JOIN ratio USING (b) GROUP BY doc_id
 """,
     # the capstone composition: dedup-keep (recursive components) ∩
     # classifier gate ∩ decontamination → chunk → hash split; every

@@ -113,10 +113,11 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
 _PERSIST_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
 
 #: live persisted relations kept per application (shingles, bands,
-#: pairs, k-means assignments, BPE vocab across a couple of sf_dirs
-#: fit comfortably; anything beyond this is a sweep workload that
-#: should not accumulate cache).
-_PERSIST_MEMO_MAX = 16
+#: pairs, k-means assignments, BPE vocab, ANN/posting/DSIR indexes
+#: across TWO sf_dirs — bench runs sf0.1 and sf1 in one session and a
+#: cap of 16 measurably thrashed the sf1 pass; anything beyond this is
+#: a sweep workload that should not accumulate cache).
+_PERSIST_MEMO_MAX = 48
 
 
 def _memo_persist(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:

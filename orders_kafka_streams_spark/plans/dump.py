@@ -82,6 +82,8 @@ COMMENTARY = {
     "q_dsir_weights": "hashed-n-gram importance models are FIXED-bucket relations broadcast onto the feature stream; corpus never shuffles",
     "q_semdedup": "k-means blocks the N² search; within-cluster pairs via numpy gram matrix in applyInPandas (57.5→1.5 s at sf1)",
     "q_salted_join": "hot-key sharding: codegen'd xxhash64 salt, small side exploded ×salts; result provably equals the plain join",
+    "q_ann_quality": "per-method recall/MRR audit: truth set joined to each variant's own output; metric cells only in the shuffle",
+    "q_pmi_bigrams": "three count aggs + twice-broadcast vocab onto the bigram relation; corpus never shuffles, top-k TakeOrdered",
 }
 
 
