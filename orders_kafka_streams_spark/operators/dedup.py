@@ -910,6 +910,35 @@ def dup_span_stats(sh: DataFrame) -> DataFrame:
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
 
 
+def cdc_chunks(t: Column) -> Column:
+    """array<struct<ch,ln>> of content-defined chunks of a MATERIALIZED
+    token-array column: a boundary falls after every token whose
+    portable hash ≡ CDC_DIVISOR−1 — the offset-invariance property
+    (shared passages chunk identically wherever they appear) is
+    unit-tested in tests/test_cdc_property.py."""
+    n = F.size(t)
+    th = F.transform(t, hash60)
+    idx = F.sequence(F.lit(1), n)
+    pairs = F.zip_with(th, idx, lambda h, i: F.struct(h.alias("h"), i.alias("i")))
+    cuts = F.transform(
+        F.filter(pairs, lambda p: p["h"] % CDC_DIVISOR == CDC_DIVISOR - 1),
+        lambda p: p["i"],
+    )
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(n))
+    segs = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda x: x["e"] > x["s"],
+    )
+    return F.transform(
+        segs,
+        lambda x: F.struct(
+            hash60(F.concat_ws(" ", F.slice(t, x["s"] + 1, x["e"] - x["s"]))).alias("ch"),
+            (x["e"] - x["s"]).alias("ln"),
+        ),
+    )
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking for SUB-document dedup (the
     storage-dedup / LLM-data "dedup below document granularity" tool,
@@ -930,29 +959,7 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _tokenized
 
     base = _tokenized(spark, sf_dir, "source")
-    t = F.col("t")
-    n = F.size(t)
-    th = F.transform(t, hash60)
-    idx = F.sequence(F.lit(1), n)
-    pairs = F.zip_with(th, idx, lambda h, i: F.struct(h.alias("h"), i.alias("i")))
-    cuts = F.transform(
-        F.filter(pairs, lambda p: p["h"] % CDC_DIVISOR == CDC_DIVISOR - 1),
-        lambda p: p["i"],
-    )
-    starts = F.concat(F.array(F.lit(0)), cuts)
-    ends = F.concat(cuts, F.array(n))
-    segs = F.filter(
-        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
-        lambda x: x["e"] > x["s"],
-    )
-    chunks = F.transform(
-        segs,
-        lambda x: F.struct(
-            hash60(F.concat_ws(" ", F.slice(t, x["s"] + 1, x["e"] - x["s"]))).alias("ch"),
-            (x["e"] - x["s"]).alias("ln"),
-        ),
-    )
-    ex = base.filter(n > 0).select("source", F.explode(chunks).alias("c"))
+    ex = base.filter(F.size("t") > 0).select("source", F.explode(cdc_chunks(F.col("t"))).alias("c"))
     return ex.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("c.ch").alias("n_distinct"),
