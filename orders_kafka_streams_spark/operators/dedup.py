@@ -968,8 +968,58 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_DF_CUTOFF = 50  # stop-shingle cutoff for the posting join
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source
+    pair, how many distinct discriminative shingles they share and the
+    containment fraction |A∩B|/|A| — the provenance audit that answers
+    "is source X scraped from source Y?" before sources are mixed into
+    a training set.
+
+    Scale shape: distinct (source, shingle) postings from the memoized
+    shingle relation, stop-shingles (df > cutoff over sources) dropped
+    as the skew guard, one self-equi-join on the shingle hash whose
+    output is ≤ sources² aggregate cells — inverted-index cost, the
+    corpus text never moves."""
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    sh = _shingled_cached(spark, sf_dir)
+    post = (
+        sh.join(docs, "doc_id")
+        .select("source", F.explode("sh").alias("sgl"))
+        .distinct()
+    )
+    keep = post.groupBy("sgl").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= OVERLAP_DF_CUTOFF
+    )
+    postk = post.join(keep.select("sgl"), "sgl")
+    sizes = postk.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = postk.select(F.col("source").alias("source_a"), "sgl")
+    b = postk.select(F.col("source").alias("source_b"), "sgl")
+    shared = (
+        a.join(b, "sgl")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), "n_shingles")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("containment"),
+        )
+    )
+
+
 QUERIES = {
     "q_cdc_chunks": _q_cdc_chunks,
+    "q_source_overlap": _q_source_overlap,
     "q_dup_spans": _q_dup_spans,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
@@ -1014,6 +1064,27 @@ list_sum(list_transform(range(0, {SIMHASH_BITS}), k ->
 """
 
 ORACLE = {
+    "q_source_overlap": _SHINGLED_CTE
+    + f""",
+post AS (
+  SELECT DISTINCT source, sgl FROM (
+    SELECT d.source, unnest(sh.s) AS sgl
+    FROM sh JOIN documents d USING (doc_id)
+  )
+),
+keep AS (SELECT sgl FROM post GROUP BY sgl HAVING count(1) <= {OVERLAP_DF_CUTOFF}),
+postk AS (SELECT source, sgl FROM post JOIN keep USING (sgl)),
+sizes AS (SELECT source, CAST(count(1) AS BIGINT) AS n_shingles FROM postk GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(1) AS BIGINT) AS n_shared
+  FROM postk a JOIN postk b ON a.sgl = b.sgl AND a.source <> b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / CAST(n_shingles AS DOUBLE), 4) AS containment
+FROM shared JOIN (SELECT source AS source_a, n_shingles FROM sizes) USING (source_a)
+""",
     "q_cdc_chunks": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
 cut AS (

@@ -123,12 +123,123 @@ def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.round("sum_value", 4))
 
 
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the "should I salt this join?"
+    planner audit: for each candidate join/agg key, the top-1 and
+    top-10 key shares and the p50/p99 group sizes. A top-1 share near
+    1/partitions means one reducer owns the straggler; AQE skew-join
+    handles moderate cases, salting (q_salted_join) the pathological
+    ones — this query is the measurement that picks.
+
+    Scale shape: one partial-aggregated count per key per table, then
+    per-key-space aggregates over the count relation (percentile over
+    group SIZES, not rows); output is 3 rows. The facts never shuffle —
+    only (key, count) cells do."""
+    specs = [
+        ("events.user_id", load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))),
+        ("orders.o_custkey", load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))),
+        ("lineitem.l_orderkey", load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))),
+    ]
+    out = None
+    for name, df in specs:
+        g = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        # top-10 via orderBy+limit = TakeOrderedAndProject (per-partition
+        # heaps) — a global rank window would single-partition the whole
+        # (key, count) relation
+        tops = (
+            g.orderBy(F.desc("n"), F.asc("k"))
+            .limit(10)
+            .agg(F.max("n").alias("top1"), F.sum("n").alias("top10"))
+        )
+        tot = g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.percentile("n", F.lit(0.5)).alias("p50_group"),
+            F.percentile("n", F.lit(0.99)).alias("p99_group"),
+        )
+        agg = tot.crossJoin(F.broadcast(tops)).select(
+            F.lit(name).alias("key_space"),
+            "n_keys",
+            "n_rows",
+            F.round(F.col("top1") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round(F.col("top10") / F.col("n_rows"), 6).alias("top10_share"),
+            "p50_group",
+            "p99_group",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 QUERIES = {
     "q_salted_join": _q_salted_join,
     "q_salted_agg": _q_salted_agg,
+    "q_skew_audit": _q_skew_audit,
 }
 
 ORACLE = {
+    "q_skew_audit": """
+WITH g AS (
+  SELECT k, CAST(count(1) AS BIGINT) AS n FROM (
+    SELECT user_id AS k FROM events) GROUP BY k
+),
+tops AS (
+  SELECT max(n) AS top1, CAST(sum(n) AS BIGINT) AS top10
+  FROM (SELECT n FROM g ORDER BY n DESC, k ASC LIMIT 10)
+),
+tot AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         quantile_cont(n, 0.5) AS p50_group, quantile_cont(n, 0.99) AS p99_group
+  FROM g
+),
+r1 AS (
+  SELECT 'events.user_id' AS key_space, n_keys, n_rows,
+         round(top1 / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+         round(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+         p50_group, p99_group
+  FROM tot CROSS JOIN tops
+),
+g2 AS (
+  SELECT k, CAST(count(1) AS BIGINT) AS n FROM (
+    SELECT o_custkey AS k FROM orders) GROUP BY k
+),
+tops2 AS (
+  SELECT max(n) AS top1, CAST(sum(n) AS BIGINT) AS top10
+  FROM (SELECT n FROM g2 ORDER BY n DESC, k ASC LIMIT 10)
+),
+tot2 AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         quantile_cont(n, 0.5) AS p50_group, quantile_cont(n, 0.99) AS p99_group
+  FROM g2
+),
+r2 AS (
+  SELECT 'orders.o_custkey' AS key_space, n_keys, n_rows,
+         round(top1 / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+         round(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+         p50_group, p99_group
+  FROM tot2 CROSS JOIN tops2
+),
+g3 AS (
+  SELECT k, CAST(count(1) AS BIGINT) AS n FROM (
+    SELECT l_orderkey AS k FROM lineitem) GROUP BY k
+),
+tops3 AS (
+  SELECT max(n) AS top1, CAST(sum(n) AS BIGINT) AS top10
+  FROM (SELECT n FROM g3 ORDER BY n DESC, k ASC LIMIT 10)
+),
+tot3 AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         quantile_cont(n, 0.5) AS p50_group, quantile_cont(n, 0.99) AS p99_group
+  FROM g3
+),
+r3 AS (
+  SELECT 'lineitem.l_orderkey' AS key_space, n_keys, n_rows,
+         round(top1 / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+         round(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+         p50_group, p99_group
+  FROM tot3 CROSS JOIN tops3
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+""",
     "q_salted_join": """
 SELECT s_nationkey, CAST(count(1) AS BIGINT) AS n_items,
        round(sum(l_extendedprice), 2) AS total_price
