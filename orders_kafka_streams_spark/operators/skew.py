@@ -170,13 +170,59 @@ def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED tables — the 100 TB co-location
+    strategy made driver-checkable: lineitem and orders persisted
+    bucketed-and-sorted by the order key join with ZERO exchanges
+    (each bucket pair sort-merges locally; the zero-Exchange plan is
+    asserted under disabled auto-broadcast in tests/test_bucketing.py),
+    and the result is provably identical to the plain join (the oracle
+    IS the plain join).
+
+    The bucketed tables are written once per (session, sf) into the
+    session warehouse; if the warehouse is unwritable in the calling
+    environment the query falls back to the plain join — same rows,
+    co-location evidence then lives in the unit test only."""
+    import hashlib
+
+    from ..sources.bucketing import bucketed_pair
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = hashlib.md5(f"{sf_dir}:{spark.sparkContext.applicationId}".encode()).hexdigest()[:8]
+    prefix = f"okss_bj_{key}"
+    lt, rt = f"{prefix}_l", f"{prefix}_r"
+    try:
+        if spark.catalog.tableExists(lt) and spark.catalog.tableExists(rt):
+            bl, br = spark.table(lt), spark.table(rt)
+        else:
+            bl, br = bucketed_pair(spark, li, orders, "l_orderkey", "o_orderkey", prefix=prefix)
+    except Exception:
+        bl, br = li, orders  # unwritable warehouse: plain-join fallback
+    joined = bl.join(br, bl["l_orderkey"] == br["o_orderkey"])
+    return joined.groupBy((F.col("o_orderkey") % 100).alias("okey_bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 QUERIES = {
     "q_salted_join": _q_salted_join,
     "q_salted_agg": _q_salted_agg,
     "q_skew_audit": _q_skew_audit,
+    "q_bucketed_join": _q_bucketed_join,
 }
 
 ORACLE = {
+    "q_bucketed_join": """
+SELECT CAST(o_orderkey % 100 AS BIGINT) AS okey_bucket,
+       CAST(count(1) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(o_totalprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey % 100
+""",
     "q_skew_audit": """
 WITH g AS (
   SELECT k, CAST(count(1) AS BIGINT) AS n FROM (
