@@ -158,8 +158,16 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match decisions, not just counts. Monotone in the same
     direction as the sigmoid it replaces — decisions are identical to
     thresholding the sigmoid at 0.5."""
-    w_uniq, w_sw, w_len, w_ml, bias = CLS_W
     base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    return classifier_scores(base)
+
+
+def classifier_scores(base: DataFrame) -> DataFrame:
+    """The linear-head scoring over a (doc_id, source, t) relation —
+    shared by the batch gate and the streaming twin (which tokenizes
+    arriving micro-batches with the same expressions, so batch and
+    stream decisions are bit-identical)."""
+    w_uniq, w_sw, w_len, w_ml, bias = CLS_W
     t = F.col("t")
     n = F.size(t)
     uniq_r = F.size(F.array_distinct(t)).cast("double") / n

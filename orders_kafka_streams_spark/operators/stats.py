@@ -248,7 +248,46 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 1.4826  # normal-consistency constant
+MAD_CUT = 3.5  # the standard robust-z threshold (Iglewicz-Hoaglin)
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe complement to the 3-sigma filter (q_outliers): mean
+    and stddev are themselves dragged by the outliers they are supposed
+    to find; median/MAD have a 50% breakdown point. Per event type:
+    median, MAD, and the count of values whose robust z-score
+    |x − med| / (1.4826·MAD) exceeds 3.5.
+
+    Scale shape: exact medians are two passes over the (type, value)
+    relation (percentile shuffles values per type — at 100 TB swap in
+    approx_percentile through the same seam); the flag pass is a
+    broadcast join of the 5-row stats relation back onto the scan.
+    Threshold comparison happens on ROUNDED stats so both engines cut
+    identically (the avg-threshold policy of q_tpch_q17/q22)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad"))
+    )
+    stats = med.select("event_type", F.round("med", 6).alias("med")).join(mad, "event_type")
+    z = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((z > MAD_CUT).cast("long")).alias("n_outliers"),
+        )
+    )
+
+
 QUERIES = {
+    "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
     "q_cms_topk": _q_cms_topk,
@@ -281,6 +320,27 @@ FROM fof
 
 
 ORACLE = {
+    "q_mad_outliers": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_raw
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, round(quantile_cont(abs(e.value - m.med_raw), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+stats AS (
+  SELECT m.event_type, round(m.med_raw, 6) AS med, d.mad
+  FROM med m JOIN mad d USING (event_type)
+)
+SELECT s.event_type, s.med, s.mad,
+       CAST(count(1) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(e.value - s.med) / ({MAD_K} * s.mad) > {MAD_CUT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.med, s.mad
+""",
     "q_chao1": _chao1_oracle(),
     "q_psi_drift": f"""
 WITH binned AS (

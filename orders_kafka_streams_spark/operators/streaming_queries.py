@@ -380,10 +380,44 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate: documents ARRIVE as a stream; each
+    micro-batch is tokenized and scored with the batch classifier's
+    exact expressions (curation.classifier_scores) via foreachBatch —
+    the ingest-time quality-gating every production corpus pipeline
+    runs, with per-doc decisions identical to the offline batch gate
+    (same oracle as q_quality_classifier)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.textfns import tokens
+    from ..streaming.pipeline import documents_file_stream
+    from .curation import classifier_scores
+
+    docs = documents_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-qgate", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def gate(batch, batch_id: int) -> None:
+        base = batch.select("doc_id", "source", tokens(F.col("text")).alias("t")).filter(
+            F.size("t") > 0
+        )
+        classifier_scores(base).write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
+    "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
     "q_stream_drift": _q_stream_drift,
@@ -408,6 +442,8 @@ ORACLE = {
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
     # the streamed index must equal the batch signature build
     "q_stream_ann_ingest": None,  # filled below (import-order seam)
+    # the streamed per-batch gate must equal the offline batch gate
+    "q_stream_quality_gate": None,  # filled below (import-order seam)
     "q_stream_ewma": """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
 g AS (
@@ -628,3 +664,8 @@ from .similarity import _lsh_sigs_cte as _sim_sigs_cte
 ORACLE["q_stream_ann_ingest"] = (
     _SIM_V_CTE + f", sigs AS (\n{_sim_sigs_cte()}\n)\nSELECT vec_id, tbl, sig FROM sigs"
 )
+
+# the streamed quality gate equals the offline batch classifier
+from .curation import ORACLE as _CU_ORACLE
+
+ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]

@@ -26,6 +26,7 @@ from ..functions.textfns import (
 from ..sources.tables import load_table, parallelize
 
 _TOKS = tokens_sql("text")
+_SEQ8 = shingle_seq_sql("t", 8)
 
 
 def _tokenized(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
@@ -991,8 +992,44 @@ def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEM_NGRAM = 8  # span length for the memorization probe
+MEM_TOP_K = 20
+
+
+def _q_memorization_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (the Carlini et al. extraction-attack
+    setup inverted into curation): the corpus's most-REPEATED long
+    n-grams — spans repeated many times across documents are the ones
+    a model most reliably memorizes verbatim, so they are the first
+    candidates for the dedup/suppression pass. Output: top MEM_TOP_K
+    8-gram hashes with total occurrences and distinct-document reach.
+
+    Scale shape: positional 8-grams hashed at the scan (the winnowing
+    k-gram chain's cost model), one partial-aggregated count per gram,
+    top-k via TakeOrderedAndProject — inverted-index cost; only
+    (gram-hash, count) cells shuffle."""
+    from ..functions.textfns import shingle_seq
+
+    base = _tokenized(spark, sf_dir)
+    ex = base.select(
+        "doc_id", F.explode(F.transform(shingle_seq(F.col("t"), MEM_NGRAM), hash60)).alias("g")
+    )
+    return (
+        ex.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("g"))
+        .limit(MEM_TOP_K)
+        .select(F.col("g").alias("gram_hash"), "n_occurrences", "n_docs")
+    )
+
+
 QUERIES = {
     "q_pmi_bigrams": _q_pmi_bigrams,
+    "q_memorization_ngrams": _q_memorization_ngrams,
     "q_bm25": _q_bm25,
     "q_unigram_logprob": _q_unigram_logprob,
     "q_bpe_train": _q_bpe_train,
@@ -1017,6 +1054,20 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_memorization_ngrams": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (
+  SELECT doc_id, {hash60_sql('g')} AS g FROM (
+    SELECT doc_id, unnest({_SEQ8}) AS g FROM toks
+  )
+)
+SELECT g AS gram_hash,
+       CAST(count(1) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ex GROUP BY g HAVING count(1) > 1
+ORDER BY n_occurrences DESC, n_docs DESC, gram_hash ASC
+LIMIT {MEM_TOP_K}
+""",
     "q_pmi_bigrams": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 uni AS (
