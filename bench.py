@@ -84,6 +84,8 @@ HEADLINE = [
     "q_knn_ivfpq",
     "q_dsir_weights",
     "q_semdedup",
+    "q_cdc_chunks",
+    "q_source_overlap",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

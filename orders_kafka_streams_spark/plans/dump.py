@@ -84,6 +84,8 @@ COMMENTARY = {
     "q_salted_join": "hot-key sharding: codegen'd xxhash64 salt, small side exploded ×salts; result provably equals the plain join",
     "q_ann_quality": "per-method recall/MRR audit: truth set joined to each variant's own output; metric cells only in the shuffle",
     "q_pmi_bigrams": "three count aggs + twice-broadcast vocab onto the bigram relation; corpus never shuffles, top-k TakeOrdered",
+    "q_cdc_chunks": "gear-CDC: map-only array arithmetic over the persisted token relation; only (source, chunk-hash) cells shuffle",
+    "q_source_overlap": "distinct posting self-join with stop-shingle cutoff; output bounded at sources² cells, text never moves",
 }
 
 
