@@ -968,7 +968,7 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OVERLAP_DF_CUTOFF = 50  # stop-shingle cutoff for the posting join
+OVERLAP_DF_CUTOFF = 10  # a shingle in more than half the 20 sources carries no provenance signal
 
 
 def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,8 +979,11 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training set.
 
     Scale shape: distinct (source, shingle) postings from the memoized
-    shingle relation, stop-shingles (df > cutoff over sources) dropped
-    as the skew guard, one self-equi-join on the shingle hash whose
+    shingle relation; shingles present in more than OVERLAP_DF_CUTOFF
+    sources are dropped — they are corpus-wide boilerplate, not
+    provenance evidence, and they are also the join's skew (a shingle
+    in all sources contributes sources² rows). One self-equi-join on
+    the shingle hash whose
     output is ≤ sources² aggregate cells — inverted-index cost, the
     corpus text never moves."""
     docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
