@@ -15,10 +15,11 @@ document between splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash60, hash60_sql
+from .dedup import ORACLE as _DD_ORACLE
 from ..functions.textfns import stopword_count, stopword_count_sql, tokens, tokens_sql
 from ..sources.tables import load_table, parallelize
 
@@ -77,6 +78,41 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage AUDIT: q_split_assign's hash split is leak-proof
+    against EXACT duplicates by construction (identical doc_ids hash
+    together is vacuous; identical TEXTS need not share a split) — the
+    real risk is NEAR-duplicate pairs straddling train/test, which
+    inflate eval scores exactly like benchmark contamination. This
+    query classifies every verified near-dup pair (the memoized MinHash
+    relation) by its endpoints' splits; `leaks = pairs crossing
+    train↔test/val` is the number every split report should publish.
+
+    Scale shape: the pair relation is already candidates-only
+    (banded + verified); classifying it is a map over pairs with the
+    hash-split expression computed per endpoint — no join back to the
+    corpus, no new shuffle beyond the pair aggregation."""
+    from .dedup import _q_dedup_minhash
+
+    pairs = _q_dedup_minhash(spark, sf_dir).select("a", "b")
+
+    def split_of(c: Column) -> Column:
+        bucket = hash60(c) % 100
+        return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+    labeled = pairs.select(
+        split_of(F.col("a")).alias("split_a"), split_of(F.col("b")).alias("split_b")
+    )
+    leak = F.col("split_a") != F.col("split_b")
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.sum(leak.cast("long")).alias("n_leaking_pairs"),
+        F.round(
+            F.coalesce(F.sum(leak.cast("long")) / F.count(F.lit(1)), F.lit(0.0)), 4
+        ).alias("leak_frac"),
     )
 
 
@@ -162,6 +198,7 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_split_leakage": _q_split_leakage,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
@@ -172,6 +209,18 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_split_leakage": """
+WITH labeled AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train' WHEN CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sa,
+         CASE WHEN CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train' WHEN CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sb
+  FROM (__MINHASH__) p
+)
+SELECT CAST(count(1) AS BIGINT) AS n_neardup_pairs,
+       CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_pairs,
+       round(COALESCE(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) / CAST(count(1) AS DOUBLE), 0.0), 4) AS leak_frac
+FROM labeled
+""".replace("__MINHASH__", _DD_ORACLE["q_dedup_minhash"]),
+
     "q_sample_weighted": f"""
 WITH d AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
 scored AS (
