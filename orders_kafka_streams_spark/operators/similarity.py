@@ -261,6 +261,41 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit: per-dimension moments folded into
+    the three one-number diagnostics that predict retrieval quality —
+    the norm of the MEAN vector (a non-zero common direction is the
+    anisotropy problem: cosine similarity saturates and ANN contrast
+    collapses; the fix is mean-centering), the average per-dim
+    variance (effective spread), and the max/min variance ratio
+    (dimension imbalance — a few dominant dims make hyperplane LSH
+    bits redundant). Run this BEFORE building the index; if
+    mean_norm ≫ 0 or anisotropy ≫ 1, center/whiten first.
+
+    Scale shape: one posexplode pass partial-aggregated to 64
+    (pos, sum, sumsq) cells, then a 64-row fold — the corpus shuffles
+    nothing but per-dim partials. Variance is written avg(x²)−avg(x)²
+    with identical operand order on both engines (var_pop's streaming
+    algorithms differ engine-to-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode(_dvec()).alias("pos", "x"))
+    per_dim = comp.groupBy("pos").agg(
+        F.avg("x").alias("m"), (F.avg(F.col("x") * F.col("x"))).alias("m2")
+    )
+    per_dim = per_dim.select("pos", "m", (F.col("m2") - F.col("m") * F.col("m")).alias("v"))
+    n_vecs = emb.select(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        per_dim.agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("mean_norm"),
+            F.round(F.avg("v"), 4).alias("avg_var"),
+            F.round(F.max("v") / F.min("v"), 2).alias("anisotropy"),
+        )
+        .crossJoin(F.broadcast(n_vecs))
+        .select("n_vecs", "n_dims", "mean_norm", "avg_var", "anisotropy")
+    )
+
+
 def _q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid via posexplode → per-dim
     avg → re-fold. Two narrow shuffles on (label, pos) then (label)."""
@@ -767,6 +802,7 @@ QUERIES = {
     "q_knn_pq": _q_knn_pq,
     "q_knn_ivfpq": _q_knn_ivfpq,
     "q_ann_quality": _q_ann_quality,
+    "q_emb_stats": _q_emb_stats,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
@@ -886,6 +922,24 @@ FROM final WHERE rank <= {TOP_K}
 
 
 ORACLE = {
+    "q_emb_stats": """
+WITH comp AS (
+  SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+per_dim AS (
+  SELECT pos, avg(x) AS m, avg(x * x) - avg(x) * avg(x) AS v
+  FROM comp GROUP BY pos
+),
+nv AS (SELECT CAST(count(1) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT n_vecs,
+       CAST(count(1) AS BIGINT) AS n_dims,
+       round(sqrt(sum(m * m)), 4) AS mean_norm,
+       round(avg(v), 4) AS avg_var,
+       round(max(v) / min(v), 2) AS anisotropy
+FROM per_dim CROSS JOIN nv
+GROUP BY n_vecs
+""",
     "q_hybrid_search": _hybrid_oracle(),
     "q_hybrid_search_ann": _hybrid_ann_oracle(),
     "q_emb_quantize": """
