@@ -971,6 +971,25 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 OVERLAP_DF_CUTOFF = 10  # a shingle in more than half the 20 sources carries no provenance signal
 
 
+def _source_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (source, shingle) postings with boilerplate shingles
+    dropped — session-persisted like every index relation (built once
+    over the memoized shingle cache, probed by each overlap query)."""
+
+    def build() -> DataFrame:
+        docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+        sh = _shingled_cached(spark, sf_dir)
+        post = (
+            sh.join(docs, "doc_id").select("source", F.explode("sh").alias("sgl")).distinct()
+        )
+        keep = post.groupBy("sgl").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= OVERLAP_DF_CUTOFF
+        )
+        return post.join(keep.select("sgl"), "sgl")
+
+    return _memo_persist(spark, sf_dir, "source_postk", build)
+
+
 def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every ordered source
     pair, how many distinct discriminative shingles they share and the
@@ -986,17 +1005,7 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle hash whose
     output is ≤ sources² aggregate cells — inverted-index cost, the
     corpus text never moves."""
-    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
-    sh = _shingled_cached(spark, sf_dir)
-    post = (
-        sh.join(docs, "doc_id")
-        .select("source", F.explode("sh").alias("sgl"))
-        .distinct()
-    )
-    keep = post.groupBy("sgl").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= OVERLAP_DF_CUTOFF
-    )
-    postk = post.join(keep.select("sgl"), "sgl")
+    postk = _source_postings(spark, sf_dir)
     sizes = postk.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = postk.select(F.col("source").alias("source_a"), "sgl")
     b = postk.select(F.col("source").alias("source_b"), "sgl")
