@@ -116,6 +116,48 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+
+
+def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment audit — two strategies side by side:
+    (a) HASH sharding (append-stable, coordination-free, the default)
+    and (b) SIZE-STRIPED sharding (docs ranked by size, dealt
+    round-robin — the distributed longest-processing-time
+    approximation whose per-shard size spread is bounded by one max
+    doc). Per (method, shard): doc count, char budget, share of the
+    corpus — the relation a shard writer consumes and the balance
+    evidence a training job wants before reading shards in parallel.
+
+    Scale shape: hash assignment is a scan-level expression. Striping
+    needs a TOTAL order; here it is a single window over (doc_id,
+    n_chars) CELLS — bytes per row, not documents. At 100 TB the
+    two-pass form replaces it (rangepartition by size, then stripe
+    with per-partition offsets from a count pass) through the same
+    seam; the assignment semantics are identical."""
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    hash_shard = (hash60(F.col("doc_id")) % N_SHARDS).cast("int")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    striped = docs.withColumn(
+        "shard", ((F.row_number().over(w) - 1) % N_SHARDS).cast("int")
+    ).withColumn("method", F.lit("striped"))
+    hashed = docs.withColumn("shard", hash_shard).withColumn("method", F.lit("hash"))
+    both = hashed.unionByName(striped)
+    tot = docs.agg(F.sum("n_chars").alias("tot_chars"))
+    return (
+        both.groupBy("method", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "shard",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars") / F.col("tot_chars"), 4).alias("share"),
+        )
+    )
+
+
 def _q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline, end to end:
     quality-score filter → exact dedup (keep lowest doc_id per text
@@ -199,6 +241,7 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_split_leakage": _q_split_leakage,
+    "q_shard_layout": _q_shard_layout,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
@@ -209,6 +252,28 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_shard_layout": """
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+hashed AS (
+  SELECT 'hash' AS method,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS INTEGER) AS shard, n_chars
+  FROM d
+),
+striped AS (
+  SELECT 'striped' AS method,
+         CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 16 AS INTEGER) AS shard,
+         n_chars
+  FROM d
+),
+allb AS (SELECT * FROM hashed UNION ALL SELECT * FROM striped),
+tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars FROM d)
+SELECT method, shard,
+       CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / CAST(tot_chars AS DOUBLE), 4) AS share
+FROM allb CROSS JOIN tot
+GROUP BY method, shard, tot_chars
+""",
     "q_split_leakage": """
 WITH labeled AS (
   SELECT CASE WHEN CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train' WHEN CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sa,
