@@ -332,6 +332,41 @@ def seq_pack(per_doc: DataFrame, budget: int) -> DataFrame:
     )
 
 
+PACK_AUDIT_BUDGET = 256  # audit at a context length the sf0.01 corpus actually fills
+
+
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the seq-pack layout: per source,
+    the OVERFLOW fraction of its PACK_AUDIT_BUDGET training sequences —
+    cumsum packing never pads (each bin runs to at least the budget),
+    so the loss mode is TRUNCATION: tokens past the context boundary
+    in an overflowing bin are cut at training time. overflow_frac is
+    the fraction of the budget that would be truncated per closed bin;
+    with docs_per_bin it decides whether the pipeline needs document
+    CHUNKING before packing or a bigger context. The last (open) bin
+    per source is excluded.
+
+    Scale shape: a per-(source, bin) re-aggregation of the packing
+    relation — bin cells, not documents, in the shuffle."""
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
+    packed = seq_pack(per_doc, PACK_AUDIT_BUDGET)
+    last = packed.groupBy("source").agg(F.max("bin").alias("last_bin"))
+    closed = packed.join(F.broadcast(last), "source").filter(F.col("bin") < F.col("last_bin"))
+    return closed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_full_bins"),
+        F.round(
+            F.avg(
+                F.greatest(F.col("total_tokens") - PACK_AUDIT_BUDGET, F.lit(0))
+                / float(PACK_AUDIT_BUDGET)
+            ),
+            4,
+        ).alias("overflow_frac"),
+        F.round(F.avg("n_docs"), 2).alias("docs_per_bin"),
+        F.max("total_tokens").alias("max_bin_tokens"),
+    )
+
+
 MIX_BUDGET_FRAC = 0.5  # target corpus share after temperature mixing
 
 
@@ -461,6 +496,7 @@ QUERIES = {
     "q_contamination": _q_contamination,
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
+    "q_pack_efficiency": _q_pack_efficiency,
     "q_lang_mix": _q_lang_mix,
     "q_quality_classifier": _q_quality_classifier,
     "q_prepare_training": _q_prepare_training,
@@ -691,3 +727,18 @@ SELECT lang, CAST(count(1) AS BIGINT) AS n_kept,
 FROM kept GROUP BY lang
 """,
 }
+
+# packing-efficiency audit composes the seq-pack oracle verbatim
+ORACLE["q_pack_efficiency"] = f"""
+WITH packed AS ({ORACLE["q_seq_pack"].replace(str(PACK_BUDGET), str(PACK_AUDIT_BUDGET))}),
+lastb AS (SELECT source, max(bin) AS last_bin FROM packed GROUP BY source),
+closed AS (
+  SELECT p.* FROM packed p JOIN lastb l USING (source) WHERE p.bin < l.last_bin
+)
+SELECT source,
+       CAST(count(1) AS BIGINT) AS n_full_bins,
+       round(avg(greatest(total_tokens - {PACK_AUDIT_BUDGET}, 0) / {float(PACK_AUDIT_BUDGET)}), 4) AS overflow_frac,
+       round(avg(n_docs), 2) AS docs_per_bin,
+       CAST(max(total_tokens) AS BIGINT) AS max_bin_tokens
+FROM closed GROUP BY source
+"""
