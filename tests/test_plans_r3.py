@@ -50,3 +50,45 @@ def test_every_bench_headline_query_has_a_plans_dossier():
     sections = set(re.findall(r"^## (\S+)", open(plans_md).read(), re.M))
     missing_sections = [q for q in bench.HEADLINE if q not in sections]
     assert not missing_sections, missing_sections
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(
+        re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", plan)
+    )
+
+
+def test_cdc_chunks_two_cell_exchanges(spark, sf_dir):
+    """Chunking is map-only; the only shuffles carry (source, chunk-hash)
+    cells (two-phase distinct-count agg)."""
+    from orders_kafka_streams_spark.operators import dedup
+
+    plan = plan_of(dedup._q_cdc_chunks(spark, sf_dir))
+    assert _n_exchanges(plan) <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_memorization_topk_is_take_ordered(spark, sf_dir):
+    from orders_kafka_streams_spark.operators import text
+
+    plan = plan_of(text._q_memorization_ngrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan  # never a global sort
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    """The importance models are fixed-bucket relations — the scoring
+    join back onto the cell stream must broadcast, never sort-merge."""
+    from orders_kafka_streams_spark.operators import curation
+
+    plan = plan_of(curation._q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_audit_topk_via_heaps(spark, sf_dir):
+    from orders_kafka_streams_spark.operators import skew
+
+    plan = plan_of(skew._q_skew_audit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
