@@ -43,27 +43,43 @@ def stream_ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         ewma, n = state.get if state.exists else (None, 0)
-        out: list[tuple[int, int, int, float, float, int]] = []
         # materialize BEFORE the emptiness check: `if pdfs` on an
         # iterator is always truthy, so the old guard never protected
         # pd.concat([]) from raising on an empty chunk stream.
         chunks = list(pdfs)
         rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
-        if len(rows):
-            rows = rows.sort_values(["ts_ms", "event_id"])
-            for r in rows.itertuples(index=False):
-                x = float(r.value)
-                ewma = x if ewma is None else alpha * x + (1 - alpha) * ewma
-                n += 1
-                # raw ewma: rounding happens engine-side in the consuming
-                # query (Python round() is round-half-even on the binary
-                # double and disagrees with SQL ROUND on half edges)
-                out.append((user_id, int(r.event_id), int(r.ts_ms), x, ewma, n))
-        if ewma is not None:
-            state.update((ewma, n))
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "ts_ms", "value", "ewma", "n"]
+        if not len(rows):
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "ts_ms", "value", "ewma", "n"]
+            )
+            return
+        rows = rows.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
+        vals = rows["value"].astype(float)
+        # pandas ewm(adjust=False) runs the SAME recursion
+        # y_t = (1-α)·y_{t-1} + α·x_t in C — bit-identical to the
+        # per-row Python fold (multiplications share operands, IEEE
+        # addition is commutative; exactness is unit-asserted in
+        # tests/test_streaming.py). Prior state seeds via a prepended
+        # synthetic row. Raw (unrounded) ewma: rounding happens
+        # engine-side in the consuming query.
+        if ewma is None:
+            e = vals.ewm(alpha=alpha, adjust=False).mean()
+        else:
+            seeded = pd.concat([pd.Series([float(ewma)]), vals], ignore_index=True)
+            e = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+        k = len(rows)
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": rows["event_id"].astype("int64"),
+                "ts_ms": rows["ts_ms"].astype("int64"),
+                "value": vals,
+                "ewma": e.to_numpy(),
+                "n": n + pd.RangeIndex(1, k + 1).to_numpy(),
+            }
         )
+        state.update((float(e.iloc[-1]), n + k))
+        yield out
 
     prepared = events.selectExpr(
         "user_id", "event_id", "value", "unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms"
