@@ -152,7 +152,9 @@ def main() -> None:
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".benchdata", "sf1"))
     sf1: dict[str, float] | None = None
     try:
-        if not os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+        # _COMPLETE is written LAST by the generator — a corpus without
+        # it (interrupted generation) is regenerated, not trusted
+        if not os.path.exists(os.path.join(sf1_dir, "_COMPLETE")):
             import subprocess
 
             subprocess.run(
@@ -162,9 +164,14 @@ def main() -> None:
             )
         sf1 = {}
         for name in SF1_HEAVY:
-            first = run_once(name, sf1_dir)
-            second = run_once(name, sf1_dir)
-            sf1[name] = round(min(first, second), 3)
+            try:
+                first = run_once(name, sf1_dir)
+                second = run_once(name, sf1_dir)
+                sf1[name] = round(min(first, second), 3)
+            except Exception as e:  # keep the timings already collected
+                print(f"sf1 {name} failed: {e}", file=sys.stderr)
+        if not sf1:
+            sf1 = None
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"sf1 pass skipped: {e}", file=sys.stderr)
         sf1 = None

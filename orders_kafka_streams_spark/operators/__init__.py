@@ -52,8 +52,21 @@ _MODULES = [
 #: kept visible so registry shrinkage is diagnosable, never silent.
 SKIPPED_MODULES: list[tuple[str, str]] = []
 
-#: flagged by the previous round's driver report — re-verify first.
-_RECHECK_FIRST = ("q_scd2", "q_scd2_pit")
+#: pinned to the front of the driver sample: queries the previous
+#: round's driver report flagged, PLUS previously-verified queries
+#: whose IMPLEMENTATION was rewritten this round — the rotation would
+#: otherwise sort them last and a rewrite regression would ship
+#: without the hard driver-hash signal.
+_RECHECK_FIRST = (
+    "q_scd2",
+    "q_scd2_pit",
+    "q_knn_lsh",  # multi-table rewrite (r3)
+    "q_semdedup",  # numpy gram-matrix kernel (r3)
+    "q_bpe_train",  # single-partition Arrow trainer (r3)
+    "q_salted_join",  # xxhash64 salt (r3)
+    "q_tpch_q2",  # scan-level part prune (r3)
+    "q_lateral_topk",  # explicit probe predicate (r3)
+)
 
 #: union of query names in CORRECTNESS_r01.json + CORRECTNESS_r02.json
 #: (driver-verified in earlier rounds) — deprioritized so this round's

@@ -522,6 +522,31 @@ _CLS_MARGIN = _cls_margin_sql("t")
 
 from ..functions.textfns import shingle_seq_sql as _SEQ_SQL
 
+def _seq_pack_oracle(budget: int) -> str:
+    """Parameterized seq-pack oracle — shared by q_seq_pack (training
+    budget) and q_pack_efficiency (audit budget); interpolating the
+    budget here replaces the earlier digit-string substitution, which
+    would silently corrupt the SQL if the digits ever appeared in
+    another literal."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+  WHERE len({_TOKS}) > 0
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {budget}) AS BIGINT) AS bin
+  FROM d
+)
+SELECT source, bin, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
+"""
+
+
 ORACLE = {
     "q_dsir_weights": f"""
 WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
@@ -688,23 +713,7 @@ SELECT doc_id, source, CAST(u AS INTEGER) AS chunk_idx,
        CAST(least(u * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens) AS INTEGER) AS tok_end
 FROM c, unnest(range(0, n_chunks)) AS t(u)
 """,
-    "q_seq_pack": f"""
-WITH d AS (
-  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
-  WHERE len({_TOKS}) > 0
-),
-b AS (
-  SELECT doc_id, source, n_tokens,
-         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
-                    / {PACK_BUDGET}) AS BIGINT) AS bin
-  FROM d
-)
-SELECT source, bin, CAST(count(1) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM b GROUP BY source, bin
-""",
+    "q_seq_pack": _seq_pack_oracle(PACK_BUDGET),
     "q_lang_mix": f"""
 WITH d AS (
   SELECT doc_id, lang, len({_TOKS}) AS n FROM documents WHERE len({_TOKS}) > 0
@@ -730,7 +739,7 @@ FROM kept GROUP BY lang
 
 # packing-efficiency audit composes the seq-pack oracle verbatim
 ORACLE["q_pack_efficiency"] = f"""
-WITH packed AS ({ORACLE["q_seq_pack"].replace(str(PACK_BUDGET), str(PACK_AUDIT_BUDGET))}),
+WITH packed AS ({_seq_pack_oracle(PACK_AUDIT_BUDGET)}),
 lastb AS (SELECT source, max(bin) AS last_bin FROM packed GROUP BY source),
 closed AS (
   SELECT p.* FROM packed p JOIN lastb l USING (source) WHERE p.bin < l.last_bin

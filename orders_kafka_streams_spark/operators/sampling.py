@@ -252,16 +252,16 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
-    "q_shard_layout": """
+    "q_shard_layout": f"""
 WITH d AS (SELECT doc_id, n_chars FROM documents),
 hashed AS (
   SELECT 'hash' AS method,
-         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS INTEGER) AS shard, n_chars
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard, n_chars
   FROM d
 ),
 striped AS (
   SELECT 'striped' AS method,
-         CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 16 AS INTEGER) AS shard,
+         CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % {N_SHARDS} AS INTEGER) AS shard,
          n_chars
   FROM d
 ),

@@ -276,12 +276,20 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = med.select("event_type", F.round("med", 6).alias("med")).join(mad, "event_type")
     z = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    # MAD = 0 (more than half the values identical) makes z NULL on
+    # both engines and would silently report zero outliers for exactly
+    # the degenerate distribution this audit exists to catch — fall
+    # back to flagging ANY deviation from the median (the conservative
+    # end of the Iglewicz-Hoaglin meanAD fallback)
+    is_out = F.when(F.col("mad") == 0, F.col("value") != F.col("med")).otherwise(
+        z > MAD_CUT
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((z > MAD_CUT).cast("long")).alias("n_outliers"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
         )
     )
 
@@ -336,7 +344,8 @@ stats AS (
 )
 SELECT s.event_type, s.med, s.mad,
        CAST(count(1) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN abs(e.value - s.med) / ({MAD_K} * s.mad) > {MAD_CUT}
+       CAST(sum(CASE WHEN s.mad = 0 THEN CASE WHEN e.value <> s.med THEN 1 ELSE 0 END
+                     WHEN abs(e.value - s.med) / ({MAD_K} * s.mad) > {MAD_CUT}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN stats s USING (event_type)
 GROUP BY s.event_type, s.med, s.mad

@@ -363,7 +363,7 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.pipeline import embeddings_file_stream
-    from .similarity import _dvec, _lsh_sigs_long, _norm
+    from .similarity import _dvec, _lsh_sigs_long
 
     emb = embeddings_file_stream(spark, sf_dir)
     app_id = spark.sparkContext.applicationId
@@ -372,7 +372,7 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_path, ignore_errors=True)
 
     def ingest(batch, batch_id: int) -> None:
-        v = batch.select("vec_id", _dvec().alias("e")).withColumn("nrm", _norm(F.col("e")))
+        v = batch.select("vec_id", _dvec().alias("e"))
         _lsh_sigs_long(v).write.mode("append").parquet(out_path)
 
     q = emb.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()

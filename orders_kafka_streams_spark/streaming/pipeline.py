@@ -52,10 +52,20 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     import hashlib
     import tempfile
 
+    import shutil
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     key = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "okss-stream", f"{table}-{key}")
     os.makedirs(d, exist_ok=True)
+    # a regenerated source directory gets NEW part-file names, leaving
+    # dangling links (and stale live ones) behind — any dangling link
+    # means the farm predates the current source, so rebuild it
+    for entry in os.listdir(d):
+        if not os.path.exists(os.path.join(d, entry)):  # follows symlink
+            shutil.rmtree(d)
+            os.makedirs(d)
+            break
     if os.path.isdir(src):
         for part in os.listdir(src):
             if not part.endswith(".parquet"):

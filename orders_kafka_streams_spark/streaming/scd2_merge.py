@@ -129,9 +129,14 @@ def scd2_sink(dim_path: str):
         # measured 14.5 s → 10.8 s at sf0.1 coalescing the seam write
         merged.coalesce(4).write.mode("overwrite").parquet(tmp_path)
         # rename-aside swap: one valid snapshot exists on disk at every
-        # instant (a crash between the renames leaves .old-{id} intact
-        # for manual recovery; rmtree-then-replace would lose the table)
+        # instant (a crash between the renames leaves .old-{id} intact;
+        # rmtree-then-replace would lose the table). A leftover
+        # .old-{id} from a prior completed swap of this batch (crash
+        # after both renames, before cleanup) is deleted first —
+        # os.replace cannot overwrite a non-empty directory, and the
+        # leftover is safe to drop because dim_path exists.
         if os.path.exists(dim_path):
+            shutil.rmtree(old_path, ignore_errors=True)
             os.replace(dim_path, old_path)
         os.replace(tmp_path, dim_path)
         shutil.rmtree(old_path, ignore_errors=True)

@@ -23,9 +23,15 @@ from orders_kafka_streams_spark.operators import (
 def test_first_50_queries_favor_unchecked_and_sample_families():
     qs = list(all_queries())
     prefix = set(qs[:50])
-    # rotation: at least 45 of the prefix must be new to the driver
+    # rotation: the prefix is never-checked queries plus the pinned
+    # rechecks (previously-verified queries rewritten this round)
+    from orders_kafka_streams_spark.operators import _RECHECK_FIRST
+
     fresh = [n for n in prefix if n not in _DRIVER_CHECKED]
-    assert len(fresh) >= 45, f"only {len(fresh)} never-checked queries in prefix"
+    assert len(fresh) >= 50 - len(_RECHECK_FIRST), (
+        f"only {len(fresh)} never-checked queries in prefix"
+    )
+    assert set(_RECHECK_FIRST) <= prefix
     missing = []
     for m in _MODULES:
         mod = import_module(f"orders_kafka_streams_spark.operators.{m}")

@@ -120,6 +120,11 @@ def main() -> None:
         scale_table(df, table, domains).write.mode("overwrite").parquet(
             os.path.join(dst, f"{table}.parquet")
         )
+    # completeness marker written LAST: consumers (bench.py) must treat a
+    # corpus without it as absent — an interrupted generation otherwise
+    # looks complete because early tables exist
+    with open(os.path.join(dst, "_COMPLETE"), "w") as f:
+        f.write(f"{REPLICAS}x {src}\n")
     print(f"wrote {dst} ({REPLICAS}x {src})")
 
 

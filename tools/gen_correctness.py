@@ -67,6 +67,13 @@ def main() -> int:
                 entry["rows_match"] = len(srows) > 0
                 entry["err"] = "rows-only (no oracle by design)"
                 report[name] = entry
+                ok = entry["rows_match"]
+                print(
+                    f"{name}: {'OK' if ok else 'FAIL'} (rows-only, {len(srows)} rows)",
+                    flush=True,
+                )
+                if not ok:
+                    fails.append(name)
                 continue
             ot = con.execute(osql[name]).fetch_arrow_table()
             orows = [
