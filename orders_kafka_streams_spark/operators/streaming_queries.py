@@ -413,11 +413,74 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination: arriving document
+    micro-batches shingle their own text and probe the held benchmark
+    set (broadcast — benchmarks are tiny by definition) via
+    foreachBatch; the assembled per-doc overlaps aggregate to exactly
+    the batch q_contamination sweep (same oracle). The overlap of a doc
+    depends only on that doc and the static benchmark set, so batch
+    slicing is invisible — the ingest-time gate equals the offline
+    sweep."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .curation import BENCH_DOCS
+    from .dedup import _shingled_cached, shingled_of
+
+    docs = documents_file_stream(spark, sf_dir).filter(F.col("doc_id") >= BENCH_DOCS)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-contam", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def probe(batch, batch_id: int) -> None:
+        sh = shingled_of(batch.select("doc_id", "text")).filter(F.col("sz") > 0)
+        bench = (
+            _shingled_cached(spark, sf_dir)
+            .filter(F.col("doc_id") < BENCH_DOCS)
+            .select(F.explode("sh").alias("g"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        per_doc = (
+            sh.select("doc_id", F.explode("sh").alias("g"))
+            .join(F.broadcast(bench), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0))).alias("k"),
+                F.count(F.lit(1)).alias("tot"),
+            )
+        )
+        per_doc.write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    from .curation import CONTAM_OVERLAP_T
+
+    per_doc = spark.read.parquet(out_path).withColumn(
+        "overlap", F.col("k") / F.col("tot").cast("double")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_doc.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("overlap") >= CONTAM_OVERLAP_T).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+    )
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
+    "q_stream_contamination": _q_stream_contamination,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
     "q_stream_drift": _q_stream_drift,
@@ -669,3 +732,6 @@ ORACLE["q_stream_ann_ingest"] = (
 from .curation import ORACLE as _CU_ORACLE
 
 ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]
+
+# the streamed decontamination sweep equals the offline batch sweep
+ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
