@@ -77,14 +77,65 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # minimum distinct sensitive values per QI group
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    k-anonymity (Machanavajjhala et al. 2007): a QI group can satisfy
+    k ≥ K yet still leak if (nearly) every member shares the same
+    SENSITIVE value. Per (nationkey, mktsegment) quasi-identifier
+    group over customers: distinct account-balance bands (the
+    sensitive attribute, banded to make 'same value' meaningful for a
+    continuous column) and whether the group meets l ≥ L_DIV.
+
+    Scale shape: one partial-aggregated count-distinct per QI group —
+    the same single-exchange audit as q_k_anonymity, cells not rows
+    in the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("bal_band").alias("l"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "k",
+            "l",
+            (F.col("l") >= L_DIV).alias("meets_l"),
+        )
+    )
+
+
 QUERIES = {
     "q_pseudonymize": _q_pseudonymize,
     "q_k_anonymity": _q_k_anonymity,
+    "q_l_diversity": _q_l_diversity,
 }
 
 _TOKEN = hash60_sql(f"'{TOKEN_SALT}' || '|' || c_name")
 
 ORACLE = {
+    "q_l_diversity": """
+        SELECT nationkey, mktsegment,
+               CAST(count(1) AS BIGINT) AS k,
+               CAST(count(DISTINCT bal_band) AS BIGINT) AS l,
+               count(DISTINCT bal_band) >= 3 AS meets_l
+        FROM (
+          SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+          FROM customer
+        )
+        GROUP BY nationkey, mktsegment
+    """,
     "q_pseudonymize": f"""
         SELECT c_custkey AS custkey,
                {_TOKEN} AS name_token,
