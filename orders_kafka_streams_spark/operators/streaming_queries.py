@@ -437,15 +437,19 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_path = os.path.join(tempfile.gettempdir(), "okss-contam", key)
     shutil.rmtree(out_path, ignore_errors=True)
 
+    # the benchmark set is STATIC — build (and persist) it once before
+    # the stream starts instead of re-deriving it inside every batch
+    bench = (
+        _shingled_cached(spark, sf_dir)
+        .filter(F.col("doc_id") < BENCH_DOCS)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .persist()
+    )
+
     def probe(batch, batch_id: int) -> None:
         sh = shingled_of(batch.select("doc_id", "text")).filter(F.col("sz") > 0)
-        bench = (
-            _shingled_cached(spark, sf_dir)
-            .filter(F.col("doc_id") < BENCH_DOCS)
-            .select(F.explode("sh").alias("g"))
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
         per_doc = (
             sh.select("doc_id", F.explode("sh").alias("g"))
             .join(F.broadcast(bench), "g", "left")
@@ -459,6 +463,7 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
     q.awaitTermination(300)
+    bench.unpersist()
 
     from .curation import CONTAM_OVERLAP_T
 
