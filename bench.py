@@ -86,6 +86,11 @@ HEADLINE = [
     "q_semdedup",
     "q_cdc_chunks",
     "q_source_overlap",
+    # round-3 continuation operators
+    "q_ccnet_buckets",
+    "q_source_divergence",
+    "q_semantic_contamination",
+    "q_hubness",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

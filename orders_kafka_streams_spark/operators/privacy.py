@@ -115,15 +115,80 @@ def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON = 1.0  # per-cell privacy budget for the histogram release
+DP_SALT = "okss-dp-v1"  # derivation namespace for the noise stream
+
+
+def _q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (Dwork et al. 2006):
+    per (event_type, day) event counts with Laplace(1/ε) noise —
+    the standard private-release mechanism for a partition-grid count
+    query (sensitivity 1: one user event moves one cell by one).
+    Cells are disjoint, so the grid enjoys parallel composition: the
+    whole release costs ε, not ε·cells.
+
+    The noise stream here is DERIVED (inverse-CDF of a hash-uniform:
+    u = h/2⁶⁰ − ½, noise = −(1/ε)·sign(u)·ln(1−2|u|)) so the release
+    is reproducible and the DuckDB oracle can recompute it bit-for-
+    bit — the honest testing trade; a production release swaps ONE
+    line to a real RNG and keeps every other property. True counts
+    never appear in the output, and released counts clamp at 0.
+
+    Scale shape: one partial-aggregated count per grid cell, then
+    map-only noise arithmetic on the cell relation — cells (not
+    events) in the shuffle; scan-bounded at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    u = (
+        hash60(F.concat(F.lit(DP_SALT), F.lit("|"), F.col("event_type"), F.lit("|"), F.col("day")))
+        / F.lit(2.0**60)
+        - F.lit(0.5)
+    )
+    noise = (
+        -F.lit(1.0 / DP_EPSILON)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    released = F.greatest(F.lit(0).cast("long"), F.col("c") + F.round(noise).cast("long"))
+    return cells.select(
+        "event_type", "day", released.alias("released_count"), F.lit(DP_EPSILON).alias("epsilon")
+    )
+
+
 QUERIES = {
     "q_pseudonymize": _q_pseudonymize,
     "q_k_anonymity": _q_k_anonymity,
     "q_l_diversity": _q_l_diversity,
+    "q_dp_histogram": _q_dp_histogram,
 }
 
 _TOKEN = hash60_sql(f"'{TOKEN_SALT}' || '|' || c_name")
 
+_DP_U = (
+    hash60_sql(f"'{DP_SALT}' || '|' || event_type || '|' || day")
+    + " / 1152921504606846976.0 - 0.5"
+)
+
 ORACLE = {
+    "q_dp_histogram": f"""
+WITH cells AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+noised AS (
+  SELECT event_type, day, c,
+         -{1.0 / DP_EPSILON} * sign({_DP_U})
+           * ln(1.0 - 2.0 * abs({_DP_U})) AS noise
+  FROM cells
+)
+SELECT event_type, day,
+       greatest(CAST(0 AS BIGINT), c + CAST(round(noise, 0) AS BIGINT)) AS released_count,
+       CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+FROM noised
+""",
     "q_l_diversity": """
         SELECT nationkey, mktsegment,
                CAST(count(1) AS BIGINT) AS k,

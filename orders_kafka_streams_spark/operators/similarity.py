@@ -794,7 +794,84 @@ def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CONTAM_THRESH = 0.38  # max-cosine cutoff (top ~5% tail at sf0.01)
+
+
+def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    companion to q_contamination's trigram sweep: corpus vectors whose
+    nearest BENCHMARK vector (here: the label-0 suite, standing in for
+    an eval set's embeddings) exceeds SEM_CONTAM_THRESH cosine are
+    paraphrase-level contamination candidates that n-gram overlap
+    misses entirely. Output: each flagged corpus vector with its best
+    benchmark match and the cosine.
+
+    Scale shape: benchmark suites are small (10³-10⁴ vectors), so the
+    benchmark side BROADCASTS and the 100 TB corpus is scanned ONCE
+    map-side; the only shuffle carries one (vec_id, best, cos) cell
+    per corpus vector into the per-vector argmax window. The
+    LSH/IVF index variants (q_knn_lsh seam) slot in as the candidate
+    generator when even |corpus|×|bench| dot products are too many —
+    exact form kept as the oracle, same contract as q_hybrid_search."""
+    v = _prepared(spark, sf_dir)
+    bench = v.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("be"), F.col("nrm").alias("bn")
+    )
+    corpus = v.filter(F.col("label") != 0).select("vec_id", "e", "nrm")
+    cos = _dot(F.col("be"), F.col("e")) / (F.col("bn") * F.col("nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_raw"), F.asc("bench_id"))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
+        .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+HUB_EVERY = 10  # deterministic query sample: every HUB_EVERY-th vector
+HUB_TOP_K = 20
+
+
+def _q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al. 2010): the k-occurrence
+    distribution — how often each vector appears in other vectors'
+    exact top-10 — over a deterministic 1-in-HUB_EVERY query sample.
+    High-dimensional embedding spaces grow "hubs" (vectors near the
+    data mean that show up in everyone's neighbor list); a fat
+    k-occurrence tail degrades kNN search and dedup alike, and the
+    fix (mean-centering — see q_emb_stats' anisotropy) is cheap. This
+    is the measurement that says whether you need it.
+
+    Scale shape: the sampled query side (N/HUB_EVERY rows) broadcasts
+    against one corpus scan; per-query ranking is one window exchange
+    over (query, candidate) cells and the k-occurrence count is one
+    neighbor-keyed partial agg + TakeOrderedAndProject. The full-N
+    version at 100 TB runs the same count over the ANN index's
+    top-10s instead of brute force — identical downstream agg.
+
+    Output: top-HUB_TOP_K (hub_rank, neighbor_id, n_hits)."""
+    v = _prepared(spark, sf_dir)
+    sample = v.filter(F.col("vec_id") % HUB_EVERY == 0)
+    hits = knn_brute(v, sample)
+    return (
+        hits.groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("neighbor_id"))
+        .limit(HUB_TOP_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_hits"), F.asc("neighbor_id")))
+            .alias("hub_rank"),
+            "neighbor_id",
+            "n_hits",
+        )
+    )
+
+
 QUERIES = {
+    "q_semantic_contamination": _q_semantic_contamination,
+    "q_hubness": _q_hubness,
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
     "q_knn_lsh": _q_knn_lsh,
@@ -922,6 +999,49 @@ FROM final WHERE rank <= {TOP_K}
 
 
 ORACLE = {
+    "q_semantic_contamination": _V_CTE
+    + f"""
+, b AS (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM v WHERE label = 0),
+c AS (SELECT vec_id, e, nrm FROM v WHERE label <> 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         list_reduce(list_transform(range(1, 1 + len(b.be)), i -> b.be[i] * c.e[i]),
+                     (a, x) -> a + x) / (b.bn * c.nrm) AS cosine_raw
+  FROM c CROSS JOIN b
+), ranked AS (
+  SELECT vec_id, bench_id, cosine_raw,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine_raw DESC, bench_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, bench_id, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk = 1 AND cosine_raw >= {SEM_CONTAM_THRESH}
+""",
+    "q_hubness": _V_CTE
+    + f"""
+, q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+        WHERE vec_id % {HUB_EVERY} = 0),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 1 + len(q.qe)), i -> q.qe[i] * n.e[i]),
+                     (a, x) -> a + x) / (q.qn * n.nrm) AS cosine_raw
+  FROM q JOIN v n ON q.query_id <> n.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+), hits AS (
+  SELECT neighbor_id, CAST(count(1) AS BIGINT) AS n_hits
+  FROM ranked WHERE rk <= {TOP_K} GROUP BY neighbor_id
+), top AS (
+  SELECT neighbor_id, n_hits,
+         CAST(row_number() OVER (ORDER BY n_hits DESC, neighbor_id ASC) AS INTEGER)
+           AS hub_rank
+  FROM hits
+)
+SELECT hub_rank, neighbor_id, n_hits FROM top WHERE hub_rank <= {HUB_TOP_K}
+""",
     "q_emb_stats": """
 WITH comp AS (
   SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x

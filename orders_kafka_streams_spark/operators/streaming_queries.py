@@ -17,7 +17,7 @@ finalization, stream-stream join state) against ANSI SQL:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..streaming.pair_matcher import pair_match_stateful
 from ..streaming.transform_matcher import pair_match_tws, tws_available
@@ -480,8 +480,70 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC decontamination: embedding micro-batches
+    probe the static benchmark suite (label-0 vectors, broadcast —
+    eval suites are tiny by definition) as they arrive; each corpus
+    vector's best-benchmark cosine depends only on that vector and
+    the static suite, so batch slicing is invisible and the
+    assembled flag set equals the offline q_semantic_contamination
+    sweep exactly (same oracle). This is the ingest-time gate that
+    keeps paraphrase-level eval contamination out of a continuously
+    growing corpus — the embedding-space twin of
+    q_stream_contamination's trigram probe."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import embeddings_file_stream
+    from .similarity import SEM_CONTAM_THRESH, _dot, _dvec, _norm, _prepared
+
+    emb = embeddings_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-sem-contam", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    # the benchmark suite is STATIC — build it once before the stream
+    bench = (
+        _prepared(spark, sf_dir)
+        .filter(F.col("label") == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("e").alias("be"),
+            F.col("nrm").alias("bn"),
+        )
+        .persist()
+    )
+
+    def probe(batch, batch_id: int) -> None:
+        corpus = (
+            batch.filter(F.col("label") != 0)
+            .select("vec_id", _dvec().alias("e"))
+            .withColumn("nrm", _norm(F.col("e")))
+        )
+        cos = _dot(F.col("be"), F.col("e")) / (F.col("bn") * F.col("nrm"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_raw"), F.asc("bench_id"))
+        (
+            corpus.crossJoin(F.broadcast(bench))
+            .withColumn("cosine_raw", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
+            .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = emb.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    bench.unpersist()
+    return spark.read.parquet(out_path)
+
+
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
+    "q_stream_semantic_contamination": _q_stream_semantic_contamination,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
@@ -740,3 +802,8 @@ ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]
 
 # the streamed decontamination sweep equals the offline batch sweep
 ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
+
+# the streamed semantic probe equals the offline embedding sweep
+from .similarity import ORACLE as _SIM_ORACLE
+
+ORACLE["q_stream_semantic_contamination"] = _SIM_ORACLE["q_semantic_contamination"]

@@ -1027,6 +1027,186 @@ def _q_memorization_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CCNET_BUCKETS = 3  # head / middle / tail perplexity bands
+
+
+def _doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, avg_logp) — the per-document unigram-LM
+    quality score of q_unigram_logprob carried with the language
+    column, shared by the CCNet bucketing below. Same shape: broadcast
+    the word-histogram LM onto the exploded token stream, one
+    doc-keyed partial aggregation; the corpus never shuffles."""
+    words = _word_hist(spark, sf_dir)
+    total = words.agg(F.sum("wc").alias("tot"))
+    lp = words.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("wc") / F.col("tot")).alias("lp")
+    )
+    base = _tokenized(spark, sf_dir, "lang")
+    return (
+        base.select("doc_id", "lang", F.explode("t").alias("w"))
+        .join(F.broadcast(lp), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+        )
+    )
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document by its LM quality score WITHIN its language, cut
+    each language into CCNET_BUCKETS equal bands (head = most
+    probable under the LM, tail = least), and report each band's
+    volume — the standard curation move that keeps the head, samples
+    the middle, and drops/inspects the tail, per language so
+    low-resource languages aren't graded on the English LM's curve.
+
+    Scale shape: per-doc scores are one broadcast join + doc-keyed
+    agg (shared with q_unigram_logprob via the memoized histogram and
+    token projections); ntile is one per-language window over DOC
+    SCORE ROWS (not the corpus — O(docs) rows in the exchange), and
+    the band summary re-aggregates 3 rows per language. The window
+    orders by the ROUNDED score with doc_id tiebreak so band edges
+    are engine-stable.
+
+    Output: (lang, bucket, n_docs, n_tokens, avg_logp)."""
+    scored = _doc_lm_scores(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bucket", F.ntile(CCNET_BUCKETS).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("avg_logp"), 4).alias("avg_logp"),
+        )
+    )
+
+
+KL_ALPHA = 0.5  # Laplace smoothing mass for the source LM
+
+
+def _q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram LM — the
+    source-distinctiveness measurement behind mixture reweighting: a
+    source whose token distribution sits far from the pool (high KL)
+    contributes novel text (or noise — pair with the quality gates);
+    near-zero KL means the source is redundant with the pool. The
+    source LM is Laplace-smoothed over the CORPUS vocabulary so KL is
+    finite: p_s(w) = (c_sw + α) / (n_s + α·V).
+
+    Scale shape: the smoothed sum over the FULL vocabulary is split
+    into an observed part (one (source, word)-cell aggregation joined
+    to the corpus histogram on the word key — count cells in the
+    shuffle, never documents) and a closed-form unobserved remainder:
+    Σ_unobs p0·(ln p0 − ln p_c(w)) = p0·((V−V_s)·ln p0 − (L_tot −
+    L_obs_s)) where L_tot = Σ_V ln p_c(w) is ONE corpus scalar and
+    L_obs_s re-uses the per-source join — no V×S matrix is ever
+    materialized, which is what keeps a Heaps-law vocabulary at
+    100 TB out of the plan.
+
+    Output: (source, n_tokens, v_observed, kl)."""
+    words = _word_hist(spark, sf_dir)
+    tot = words.agg(
+        F.sum("wc").alias("tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pc = (
+        words.crossJoin(F.broadcast(tot))
+        .select("w", F.log(F.col("wc") / F.col("tot")).alias("ln_pc"))
+    )
+    ltot = pc.agg(F.sum("ln_pc").alias("l_tot"))
+    sw = (
+        _tokenized(spark, sf_dir, "source")
+        .select("source", F.explode("t").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(pc, "w")
+    )
+    alpha = F.lit(KL_ALPHA)
+    per_src = sw.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_observed"),
+        F.sum(F.col("ln_pc")).alias("l_obs"),
+    )
+    scal = F.broadcast(tot.crossJoin(ltot))
+    d_s = F.col("n_tokens") + alpha * F.col("v")
+    ln_p0 = F.log(alpha / d_s)
+    obs = (
+        sw.select(
+            "source",
+            "c",
+            "ln_pc",
+            ((F.col("c") + alpha)).alias("ca"),
+        )
+        .join(per_src.select("source", "n_tokens"), "source")
+        .crossJoin(scal.select("v"))
+        .select(
+            "source",
+            (
+                (F.col("ca") / (F.col("n_tokens") + alpha * F.col("v")))
+                * (
+                    F.log(F.col("ca") / (F.col("n_tokens") + alpha * F.col("v")))
+                    - F.col("ln_pc")
+                )
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("kl_obs"))
+    )
+    return (
+        per_src.crossJoin(scal)
+        .join(obs, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "v_observed",
+            F.round(
+                F.col("kl_obs")
+                + (alpha / d_s)
+                * (
+                    (F.col("v") - F.col("v_observed")) * ln_p0
+                    - (F.col("l_tot") - F.col("l_obs"))
+                ),
+                4,
+            ).alias("kl"),
+        )
+    )
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per source through the learned BPE
+    vocabulary: subword pieces per word (fertility) and characters
+    per piece — the tokenizer-efficiency numbers that decide whether
+    a vocabulary fits a corpus (a source with fertility ≫ corpus mean
+    is paying more sequence length per word, i.e. the vocabulary
+    under-serves it — the multilingual-tokenizer-tax measurement).
+
+    Scale shape: identical to q_doc_tokenize's — the piece map is
+    O(|vocab|) rows broadcast onto the exploded token stream, then
+    ONE source-keyed aggregation; character counts ride the same
+    pass. Output: (source, n_words, n_subwords, fertility,
+    chars_per_piece)."""
+    cur = _bpe_vocab_cached(spark, sf_dir)
+    np_ = F.size(F.filter(F.split("s", "\\|"), lambda x: x != ""))
+    piece_map = cur.select("w", np_.alias("np"))
+    words = _tokenized(spark, sf_dir, "source").select(
+        "source", F.explode("t").alias("w")
+    )
+    return (
+        words.join(F.broadcast(piece_map), "w")
+        .withColumn("chars", F.length("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").alias("n_subwords"),
+            F.round(F.sum("np") / F.count(F.lit(1)), 4).alias("fertility"),
+            F.round(F.sum("chars") / F.sum("np"), 4).alias("chars_per_piece"),
+        )
+    )
+
+
 QUERIES = {
     "q_pmi_bigrams": _q_pmi_bigrams,
     "q_memorization_ngrams": _q_memorization_ngrams,
@@ -1049,6 +1229,9 @@ QUERIES = {
     "q_winnow_match": _q_winnow_match,
     "q_text_bpe": _q_text_bpe,
     "q_langid_ngram": _q_langid_ngram,
+    "q_ccnet_buckets": _q_ccnet_buckets,
+    "q_source_divergence": _q_source_divergence,
+    "q_tokenizer_fertility": _q_tokenizer_fertility,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1130,6 +1313,72 @@ SELECT source,
 FROM ex LEFT JOIN vocab ON ex.w = vocab.w
 GROUP BY source
 """,
+    "q_ccnet_buckets": f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(sum(wc) AS BIGINT) AS tot FROM hist),
+lp AS (SELECT w, ln(wc / (SELECT tot FROM tot)) AS lp FROM hist),
+scored AS (
+  SELECT e.doc_id, e.lang, CAST(count(1) AS BIGINT) AS n_tokens,
+         round(avg(l.lp), 6) AS avg_logp
+  FROM ex e JOIN lp l USING (w) GROUP BY e.doc_id, e.lang
+),
+b AS (
+  SELECT lang, n_tokens, avg_logp,
+         CAST(ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS INTEGER) AS bucket
+  FROM scored
+)
+SELECT lang, bucket, CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(avg_logp), 4) AS avg_logp
+FROM b GROUP BY lang, bucket
+""",
+    "q_source_divergence": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+scal AS (SELECT CAST(sum(wc) AS BIGINT) AS tot, CAST(count(1) AS BIGINT) AS v FROM hist),
+pc AS (SELECT w, ln(wc / (SELECT tot FROM scal)) AS ln_pc FROM hist),
+lt AS (SELECT sum(ln_pc) AS l_tot FROM pc),
+sw AS (
+  SELECT source, w, count(1) AS c
+  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY source, w
+),
+swp AS (SELECT s.source, s.c, p.ln_pc FROM sw s JOIN pc p USING (w)),
+per_src AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(1) AS BIGINT) AS v_observed, sum(ln_pc) AS l_obs
+  FROM swp GROUP BY source
+),
+obs AS (
+  SELECT sp.source,
+         sum(((sp.c + {KL_ALPHA}) / (ps.n_tokens + {KL_ALPHA} * (SELECT v FROM scal)))
+             * (ln((sp.c + {KL_ALPHA}) / (ps.n_tokens + {KL_ALPHA} * (SELECT v FROM scal)))
+                - sp.ln_pc)) AS kl_obs
+  FROM swp sp JOIN per_src ps USING (source)
+  GROUP BY sp.source
+)
+SELECT ps.source, ps.n_tokens, ps.v_observed,
+       round(o.kl_obs
+             + ({KL_ALPHA} / (ps.n_tokens + {KL_ALPHA} * sc.v))
+               * ((sc.v - ps.v_observed) * ln({KL_ALPHA} / (ps.n_tokens + {KL_ALPHA} * sc.v))
+                  - (lt.l_tot - ps.l_obs)), 4) AS kl
+FROM per_src ps CROSS JOIN scal sc CROSS JOIN lt lt JOIN obs o USING (source)
+""",
+    "q_tokenizer_fertility": _bpe_oracle(
+        f"""
+SELECT d.source,
+       CAST(count(1) AS BIGINT) AS n_words,
+       CAST(sum(m.np) AS BIGINT) AS n_subwords,
+       round(sum(m.np) / CAST(count(1) AS DOUBLE), 4) AS fertility,
+       round(sum(m.chars) / CAST(sum(m.np) AS DOUBLE), 4) AS chars_per_piece
+FROM (SELECT source, unnest({_TOKS}) AS w FROM documents) d
+JOIN (SELECT w, len(list_filter(string_split(s, '|'), x -> x <> '')) AS np,
+             length(w) AS chars
+      FROM s{BPE_MERGES}) m USING (w)
+GROUP BY d.source"""
+    ),
     "q_zipf_fit": f"""
 WITH toks AS (SELECT {_TOKS} AS t FROM documents),
 hist AS (SELECT w, count(1) AS wc FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),

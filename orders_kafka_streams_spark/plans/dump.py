@@ -86,6 +86,10 @@ COMMENTARY = {
     "q_pmi_bigrams": "three count aggs + twice-broadcast vocab onto the bigram relation; corpus never shuffles, top-k TakeOrdered",
     "q_cdc_chunks": "gear-CDC: map-only array arithmetic over the persisted token relation; only (source, chunk-hash) cells shuffle",
     "q_source_overlap": "distinct posting self-join with stop-shingle cutoff; output bounded at sources² cells, text never moves",
+    "q_ccnet_buckets": "LM broadcast onto token stream; ntile over doc-score ROWS (one per-lang window), band summary = 3 rows/lang",
+    "q_source_divergence": "KL as observed-join + closed-form remainder: count cells in the shuffle, V×S matrix never materializes",
+    "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; one (vec, best, cos) cell shuffle for the argmax window",
+    "q_hubness": "sampled query side broadcast; k-occurrence = neighbor-keyed partial agg + TakeOrderedAndProject, never a global sort",
 }
 
 
