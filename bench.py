@@ -91,6 +91,9 @@ HEADLINE = [
     "q_source_divergence",
     "q_semantic_contamination",
     "q_hubness",
+    "q_heldout_bigram",
+    "q_kcenter_coreset",
+    "q_mmr_rerank",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

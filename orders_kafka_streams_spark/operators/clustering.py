@@ -208,6 +208,94 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCENTER_K = 8  # coreset size (unrolled farthest-point steps)
+
+
+def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset selection by farthest-point sampling (Gonzalez
+    1985's 2-approximation) — the geometric data-SELECTION complement
+    to SemDeDup's pruning: pick the KCENTER_K vectors that best COVER
+    the embedding space (each new pick is the vector farthest from
+    everything already picked). The standard seed set for diverse
+    few-shot selection, cluster initialization, and coverage-driven
+    data pruning. Deterministic: seeded at the lowest vec_id, ties on
+    distance break to the lower vec_id.
+
+    Scale shape: each of the K−1 unrolled steps is (a) the ≤K-row
+    selected set collapsed to ONE broadcast array row, (b) a map-only
+    min-distance pass over the memoized double-cast corpus, (c) a
+    TakeOrderedAndProject argmax — no N×K shuffle, no window over the
+    corpus; per-step data movement is one broadcast + one top-1
+    reduce, the same assignment skeleton as the unrolled Lloyd above.
+    K is fixed so the whole selection is ONE lazy plan on both
+    engines.
+
+    Output: (sel_rank, vec_id, min_d2) — min_d2 is the squared-L2
+    coverage radius at selection time (the k-center objective's
+    monotone certificate: non-increasing down the ranks)."""
+    emb = _emb_double(spark, sf_dir)
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            "v",
+            F.lit(0.0).alias("min_d2"),
+        )
+    )
+    sel = seed
+    for step in range(2, KCENTER_K + 1):
+        cs = sel.agg(F.collect_list(F.struct("vec_id", "v")).alias("cs"))
+        mind = F.array_min(
+            F.transform(F.col("cs"), lambda c: F.round(_d2(F.col("v"), c["v"]), _R))
+        )
+        nxt = (
+            emb.crossJoin(F.broadcast(cs))
+            .select("vec_id", "v", mind.alias("min_d2"))
+            .orderBy(F.desc("min_d2"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(step).alias("sel_rank"), "vec_id", "v", "min_d2")
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select("sel_rank", "vec_id", "min_d2")
+
+
+def _kcenter_oracle() -> str:
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(list_reduce(list_transform(range(1, 1 + {EMB_DIM}), "
+            f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), "
+            f"(x, y) -> x + y), {_R})"
+        )
+
+    ctes = [
+        """s1 AS (
+  SELECT CAST(1 AS INTEGER) AS sel_rank, vec_id, v, CAST(0.0 AS DOUBLE) AS min_d2
+  FROM e ORDER BY vec_id LIMIT 1
+)"""
+    ]
+    for step in range(2, KCENTER_K + 1):
+        prev = f"s{step - 1}"
+        ctes.append(
+            f"""n{step} AS (
+  SELECT CAST({step} AS INTEGER) AS sel_rank, m.vec_id, e2.v, m.d AS min_d2
+  FROM (
+    SELECT e.vec_id, min({d2("e.v", "s.v")}) AS d
+    FROM e CROSS JOIN {prev} s GROUP BY e.vec_id
+  ) m JOIN e e2 USING (vec_id)
+  ORDER BY m.d DESC, m.vec_id ASC LIMIT 1
+),
+s{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM n{step})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{body}
+SELECT sel_rank, vec_id, min_d2 FROM s{KCENTER_K}
+"""
+
+
 def _kmeans_oracle() -> str:
     def d2(a: str, b: str) -> str:
         # strict left fold == Spark's F.aggregate with exact 0.0 init
@@ -285,9 +373,11 @@ FROM p WHERE cos >= {SEMDEDUP_T} GROUP BY b_id, cluster
 QUERIES = {
     "q_kmeans": _q_kmeans,
     "q_semdedup": _q_semdedup,
+    "q_kcenter_coreset": _q_kcenter_coreset,
 }
 
 ORACLE = {
     "q_kmeans": _kmeans_oracle(),
     "q_semdedup": _semdedup_oracle(),
+    "q_kcenter_coreset": _kcenter_oracle(),
 }

@@ -869,9 +869,169 @@ def _q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_K = 5  # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight (1-λ penalizes redundancy)
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick MMR_K of each query's exact top-10 candidates
+    maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard
+    diversity re-rank between retrieval and a RAG context window
+    (near-duplicate passages waste context; MMR spends it on coverage).
+    Deterministic: ties break to the lower neighbor_id; the first pick
+    scores λ·rel (empty-set max = 0).
+
+    Scale shape: the greedy loop runs over PER-QUERY CANDIDATE SETS
+    (top-k from the retrieval stage), never the corpus — each group
+    is K rows, so the selection is one applyInPandas over Q bounded
+    groups after the (cell-sized) candidate/vector join. The greedy
+    recurrence is inherently sequential per query, which is exactly
+    the declared grouped-map tier (SURVEY §2.8) — an unrolled
+    declarative form was measured to compound the plan tree 3× per
+    step (each step re-references the selected set three times) and
+    OOMs the planner before any data moves; the kernel's per-group
+    cost is K² numpy flops. Candidate generation upstream is the
+    seam: swap knn_brute for the LSH/IVF variants unchanged.
+
+    Engine parity: the kernel rounds pairwise cosines to 6 decimals
+    (the oracle's round), scores with the same 0.7/0.3 literals, and
+    breaks ties to the lower neighbor_id — numpy-vs-fold dot products
+    agree to ulps, so divergence needs a cosine within ~1e-12 of a
+    rounding boundary (the q_semdedup precedent).
+
+    Output: (query_id, mmr_rank, neighbor_id, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    v = _prepared(spark, sf_dir)
+    # candidates with the RAW cosine (everything stays unrounded until
+    # the single output round — re-rounding a 6-dp value lands on
+    # decimal .5 boundaries systematically and the engines' round()
+    # implementations disagree there)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    n_side = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    ce = (
+        F.broadcast(q)
+        .crossJoin(n_side)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_raw", "e", "nrm")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        e_mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        sims = (e_mat @ e_mat.T) / np.outer(nrm, nrm)
+        rel = pdf["cosine_raw"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        qid = int(pdf["query_id"].iloc[0])
+        n = len(pdf)
+        first = int(np.lexsort((ids, -rel))[0])
+        picked = [first]
+        # raw scores out; the 6-dp rounding happens in Spark's F.round
+        # below (HALF_UP like the oracle's round(); Python's round()
+        # is half-EVEN and flips the last digit on .5 boundaries)
+        out = [(qid, 1, int(ids[first]), MMR_LAMBDA * float(rel[first]))]
+        for k in range(2, min(MMR_K, n) + 1):
+            best, best_key = None, None
+            for j in range(n):
+                if j in picked:
+                    continue
+                ms = float(sims[j, picked].max())
+                score = MMR_LAMBDA * float(rel[j]) - (1.0 - MMR_LAMBDA) * ms
+                key = (-score, int(ids[j]))
+                if best_key is None or key < best_key:
+                    best, best_key = j, key
+            picked.append(best)
+            out.append((qid, k, int(ids[best]), -best_key[0]))
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "neighbor_id", "mmr_score"]
+        )
+
+    return ce.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, mmr_rank int, neighbor_id long, mmr_score double"
+    ).select(
+        "query_id", "mmr_rank", "neighbor_id", F.round("mmr_score", 6).alias("mmr_score")
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = f"s{k - 1}"
+        steps.append(
+            f"""m{k} AS (
+  SELECT r.query_id, r.neighbor_id, r.cosine_raw, max(si.s) AS ms
+  FROM c r
+  JOIN sims si ON si.query_id = r.query_id AND si.a = r.neighbor_id
+  JOIN {prev} sp ON sp.query_id = si.query_id AND sp.neighbor_id = si.b
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id)
+  GROUP BY r.query_id, r.neighbor_id, r.cosine_raw
+),
+p{k} AS (
+  SELECT query_id, neighbor_id,
+         round({lam} * cosine_raw - {om} * ms, 6) AS mmr_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {lam} * cosine_raw - {om} * ms DESC,
+                                     neighbor_id ASC) AS rn
+  FROM m{k}
+),
+s{k} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, CAST({k} AS INTEGER) AS mmr_rank, neighbor_id, mmr_score
+  FROM p{k} WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(steps)
+    return (
+        _V_CTE
+        + f"""
+, scored0 AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_DOT} / (q.nrm * n.nrm) AS cosine_raw
+  FROM v q JOIN v n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+), c AS (
+  SELECT query_id, neighbor_id, rk, cosine_raw FROM (
+    SELECT query_id, neighbor_id, cosine_raw,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+    FROM scored0)
+  WHERE rk <= {TOP_K}
+), sims AS (
+  SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+         list_reduce(list_transform(range(1, 1 + len(va.e)),
+                                    i -> va.e[i] * vb.e[i]),
+                     (x, y) -> x + y) / (va.nrm * vb.nrm) AS s
+  FROM c ca
+  JOIN c cb ON ca.query_id = cb.query_id AND ca.neighbor_id <> cb.neighbor_id
+  JOIN v va ON va.vec_id = ca.neighbor_id
+  JOIN v vb ON vb.vec_id = cb.neighbor_id
+), s1 AS (
+  SELECT query_id, CAST(1 AS INTEGER) AS mmr_rank, neighbor_id,
+         round({lam} * cosine_raw, 6) AS mmr_score
+  FROM c WHERE rk = 1
+),
+{body}
+SELECT query_id, mmr_rank, neighbor_id, mmr_score FROM s{MMR_K}
+"""
+    )
+
+
 QUERIES = {
     "q_semantic_contamination": _q_semantic_contamination,
     "q_hubness": _q_hubness,
+    "q_mmr_rerank": _q_mmr_rerank,
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
     "q_knn_lsh": _q_knn_lsh,
@@ -999,6 +1159,7 @@ FROM final WHERE rank <= {TOP_K}
 
 
 ORACLE = {
+    "q_mmr_rerank": _mmr_oracle(),
     "q_semantic_contamination": _V_CTE
     + f"""
 , b AS (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM v WHERE label = 0),

@@ -1027,6 +1027,73 @@ def _q_memorization_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HELDOUT_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation"): the LM
+    trains on HALF the corpus (doc_id % 2 = 0) and scores EVERY
+    document, so held-out docs genuinely exercise the backoff path —
+    score = ln(c(w₁w₂)/c(w₁)) when the bigram was seen in training,
+    else ln(0.4·(c(w₂)+1)/(N+V)) (backoff to a Laplace-smoothed
+    unigram). This is the methodologically-honest upgrade over
+    q_unigram_logprob's self-trained LM: a doc can't inflate its own
+    score, which is exactly what a quality gate wants.
+
+    Scale shape: two train-side count relations (bigram, unigram) +
+    one 1-row scalar; scoring is the bigram position stream joined to
+    the count relations on their keys — count cells in the shuffle,
+    AQE picks broadcast while the vocab fits and degrades to a
+    shuffle join exactly when it should. One doc-keyed agg ends it.
+
+    Output: (doc_id, n_bigrams, avg_logp, in_train)."""
+    from ..functions.textfns import shingle_seq
+
+    base = _tokenized(spark, sf_dir)
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    tuni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tbi = (
+        train.select(F.explode(shingle_seq(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    scal = tuni.agg(
+        F.sum("cu").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+    pos = (
+        base.select("doc_id", F.explode(shingle_seq(F.col("t"), 2)).alias("bg"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+    )
+    lp = F.when(
+        F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cu1"))
+    ).otherwise(
+        F.log(
+            F.lit(HELDOUT_BACKOFF)
+            * (F.coalesce("cu2", F.lit(0)) + F.lit(1))
+            / (F.col("n_train") + F.col("v_train"))
+        )
+    )
+    return (
+        pos.join(tbi, "bg", "left")
+        .join(tuni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1", "left")
+        .join(tuni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+        )
+        .withColumn("in_train", F.col("doc_id") % 2 == 0)
+    )
+
+
 CCNET_BUCKETS = 3  # head / middle / tail perplexity bands
 
 
@@ -1232,6 +1299,7 @@ QUERIES = {
     "q_ccnet_buckets": _q_ccnet_buckets,
     "q_source_divergence": _q_source_divergence,
     "q_tokenizer_fertility": _q_tokenizer_fertility,
+    "q_heldout_bigram": _q_heldout_bigram,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1312,6 +1380,35 @@ SELECT source,
        round(CAST(sum(coalesce(in_v, 0)) AS DOUBLE) / count(1), 6) AS coverage
 FROM ex LEFT JOIN vocab ON ex.w = vocab.w
 GROUP BY source
+""",
+    "q_heldout_bigram": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tuni AS (SELECT w, count(1) AS cu FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+tbi AS (SELECT bg, count(1) AS cb
+        FROM (SELECT unnest({shingle_seq_sql('t', 2)}) AS bg FROM tr) GROUP BY bg),
+scal AS (SELECT CAST(sum(cu) AS BIGINT) AS n_train,
+                CAST(count(1) AS BIGINT) AS v_train FROM tuni),
+pos AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (SELECT doc_id, unnest({shingle_seq_sql('t', 2)}) AS bg FROM toks)
+),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN tb.cb IS NOT NULL THEN ln(tb.cb / u1.cu)
+              ELSE ln({HELDOUT_BACKOFF} * (coalesce(u2.cu, 0) + 1)
+                      / (s.n_train + s.v_train))
+         END AS lp
+  FROM pos p
+  LEFT JOIN tbi tb USING (bg)
+  LEFT JOIN tuni u1 ON p.w1 = u1.w
+  LEFT JOIN tuni u2 ON p.w2 = u2.w
+  CROSS JOIN scal s
+)
+SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 4) AS avg_logp,
+       (doc_id % 2 = 0) AS in_train
+FROM sc GROUP BY doc_id
 """,
     "q_ccnet_buckets": f"""
 WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),

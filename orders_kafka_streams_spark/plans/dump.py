@@ -90,6 +90,9 @@ COMMENTARY = {
     "q_source_divergence": "KL as observed-join + closed-form remainder: count cells in the shuffle, V×S matrix never materializes",
     "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; one (vec, best, cos) cell shuffle for the argmax window",
     "q_hubness": "sampled query side broadcast; k-occurrence = neighbor-keyed partial agg + TakeOrderedAndProject, never a global sort",
+    "q_heldout_bigram": "train-half count relations joined onto the bigram stream on their keys (AQE picks broadcast while vocab fits); one doc agg",
+    "q_kcenter_coreset": "K-1 unrolled farthest-point steps: selected-set broadcast + map-only min-distance + top-1 reduce each; no N×K shuffle",
+    "q_mmr_rerank": "greedy re-rank over bounded per-query candidate groups: one Arrow grouped-map after the cell-sized candidate join; corpus-independent",
 }
 
 
