@@ -94,6 +94,8 @@ HEADLINE = [
     "q_heldout_bigram",
     "q_kcenter_coreset",
     "q_mmr_rerank",
+    "q_dedup_pagerank",
+    "q_char_entropy",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -208,7 +208,14 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KCENTER_K = 8  # coreset size (unrolled farthest-point steps)
+KCENTER_K = 8  # coreset size (farthest-point steps)
+
+
+def _fps_argmax(md: DataFrame) -> DataFrame:
+    """The per-step farthest-point argmax: top-1 by (min-distance,
+    vec_id) — plans as ONE TakeOrderedAndProject reduce over the
+    persisted corpus relation (no window, no global sort)."""
+    return md.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
 
 
 def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,44 +228,54 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pruning. Deterministic: seeded at the lowest vec_id, ties on
     distance break to the lower vec_id.
 
-    Scale shape: each of the K−1 unrolled steps is (a) the ≤K-row
-    selected set collapsed to ONE broadcast array row, (b) a map-only
-    min-distance pass over the memoized double-cast corpus, (c) a
-    TakeOrderedAndProject argmax — no N×K shuffle, no window over the
-    corpus; per-step data movement is one broadcast + one top-1
-    reduce, the same assignment skeleton as the unrolled Lloyd above.
-    K is fixed so the whole selection is ONE lazy plan on both
-    engines.
+    Scale shape — the textbook distributed FPS loop: each of the K−1
+    steps is ONE map + top-1 reduce job over the memoized corpus, with
+    the running min-distance maintained INCREMENTALLY (each step folds
+    in only the distance to the NEW center via least(), so per-step
+    work is O(N·dim), not O(N·k·dim)); the only thing that crosses the
+    driver is the single argmax row whose vector becomes the next
+    step's literal — a true sequential data dependency of one row,
+    the same size class as a convergence check. (A fully-lazy unrolled
+    union chain re-executes the whole prefix at every step — measured
+    6.6 s at sf0.1 vs <1 s for this loop — because each step's
+    collect_list aggregate can't reuse the previous step's unexecuted
+    plan.)
 
     Output: (sel_rank, vec_id, min_d2) — min_d2 is the squared-L2
     coverage radius at selection time (the k-center objective's
     monotone certificate: non-increasing down the ranks)."""
     emb = _emb_double(spark, sf_dir)
-    seed = (
-        emb.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("sel_rank"),
+    seed = emb.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
+    out = [(1, seed["vec_id"], 0.0)]
+    center_v = [float(x) for x in seed["v"]]
+
+    def lit_vec(vals: list) -> Column:
+        return F.array(*[F.lit(x) for x in vals])
+
+    # md has LINEAR lineage over the persisted corpus (each step is one
+    # select over the previous — no re-referencing, no persist churn):
+    # step k's argmax recomputes k cheap least()-folds map-side, which
+    # beats per-step persist+count jobs at every scale tested.
+    md = emb.select(
+        "vec_id", "v", F.round(_d2(F.col("v"), lit_vec(center_v)), _R).alias("mind")
+    )
+    for step in range(2, KCENTER_K + 1):
+        nxt = _fps_argmax(md).collect()[0]
+        out.append((step, nxt["vec_id"], float(nxt["mind"])))
+        if step == KCENTER_K:
+            break
+        md = md.select(
             "vec_id",
             "v",
-            F.lit(0.0).alias("min_d2"),
+            F.least(
+                F.col("mind"),
+                F.round(_d2(F.col("v"), lit_vec([float(x) for x in nxt["v"]])), _R),
+            ).alias("mind"),
         )
+    return spark.createDataFrame(
+        [(int(r), int(i), float(d)) for r, i, d in out],
+        "sel_rank int, vec_id long, min_d2 double",
     )
-    sel = seed
-    for step in range(2, KCENTER_K + 1):
-        cs = sel.agg(F.collect_list(F.struct("vec_id", "v")).alias("cs"))
-        mind = F.array_min(
-            F.transform(F.col("cs"), lambda c: F.round(_d2(F.col("v"), c["v"]), _R))
-        )
-        nxt = (
-            emb.crossJoin(F.broadcast(cs))
-            .select("vec_id", "v", mind.alias("min_d2"))
-            .orderBy(F.desc("min_d2"), F.asc("vec_id"))
-            .limit(1)
-            .select(F.lit(step).alias("sel_rank"), "vec_id", "v", "min_d2")
-        )
-        sel = sel.unionByName(nxt)
-    return sel.select("sel_rank", "vec_id", "min_d2")
 
 
 def _kcenter_oracle() -> str:

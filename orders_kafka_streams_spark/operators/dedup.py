@@ -1029,8 +1029,67 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def _q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph — the
+    canonical-representative signal q_dedup_keep's lowest-id rule
+    lacks: within a duplication cluster, the doc most connected to
+    other near-dups (highest PR on the symmetric Jaccard graph) is
+    the natural canonical copy, and rank mass concentrating on a few
+    nodes flags template/boilerplate hubs worth a targeted rule.
+    PAGERANK_ITERS unrolled power-iteration steps at damping
+    PAGERANK_D on the symmetrized pair relation.
+
+    Scale shape: the graph is the MEMOIZED near-dup pair relation
+    (tiny relative to the corpus — only near-dups), and each
+    iteration is one edge-keyed join + one dst-keyed partial agg:
+    contribution cells in the shuffle, linear plan growth (each
+    iteration references the previous once). The graph is symmetric
+    so every node has out-degree ≥ 1 — no dangling-mass term needed.
+    Per-iteration sums round at 9 dp so cross-engine float order
+    can't drift across iterations (the q_kmeans gate).
+
+    Output: (doc_id, deg, pagerank)."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_rel = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(n_rel)).select(
+        "a", (F.lit(1.0) / F.col("n")).alias("pr"), "deg", "n"
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(r.select("a", (F.col("pr") / F.col("deg")).alias("c")), "a")
+            .groupBy("b")
+            .agg(F.round(F.sum("c"), 9).alias("s"))
+            .withColumnRenamed("b", "a")
+        )
+        r = (
+            deg.join(contrib, "a", "left")
+            .crossJoin(F.broadcast(n_rel))
+            .select(
+                "a",
+                (
+                    F.lit(1.0 - PAGERANK_D) / F.col("n")
+                    + F.lit(PAGERANK_D) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+                "deg",
+                "n",
+            )
+        )
+    return r.select(
+        F.col("a").alias("doc_id"), "deg", F.round("pr", 6).alias("pagerank")
+    )
+
+
 QUERIES = {
     "q_cdc_chunks": _q_cdc_chunks,
+    "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
     "q_dup_spans": _q_dup_spans,
     "q_dedup_exact": _q_dedup_exact,
@@ -1075,7 +1134,45 @@ list_sum(list_transform(range(0, {SIMHASH_BITS}), k ->
        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
 """
 
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for it in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""c{it} AS (
+  SELECT e.b AS a, round(sum(r.pr / r.deg), 9) AS s
+  FROM edges e JOIN {prev} r ON e.a = r.a GROUP BY e.b
+),
+r{it} AS (
+  SELECT d.a, (1 - CAST({PAGERANK_D} AS DOUBLE)) / nr.n
+         + CAST({PAGERANK_D} AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr,
+         d.deg
+  FROM deg d CROSS JOIN nr LEFT JOIN c{it} c ON d.a = c.a
+)"""
+        )
+        prev = f"r{it}"
+    body = ",\n".join(steps)
+    return (
+        _SHINGLED_CTE
+        + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+deg AS (SELECT a, CAST(count(1) AS BIGINT) AS deg FROM edges GROUP BY a),
+nr AS (SELECT CAST(count(1) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT d.a, CAST(1.0 AS DOUBLE) / nr.n AS pr, d.deg FROM deg d CROSS JOIN nr),
+{body}
+SELECT a AS doc_id, deg, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}
+"""
+    )
+
+
 ORACLE = {
+    "q_dedup_pagerank": _pagerank_oracle(),
     "q_source_overlap": _SHINGLED_CTE
     + f""",
 post AS (

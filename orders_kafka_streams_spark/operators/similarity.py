@@ -795,6 +795,10 @@ def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEM_CONTAM_THRESH = 0.38  # max-cosine cutoff (top ~5% tail at sf0.01)
+SEM_BENCH_CAP = 25_000  # benchmark suites are FIXED-size: cap the suite
+# at label-0 vectors below this id so the probe side stays O(suite) as
+# the corpus grows (does not bind at the sf0.01 oracle gate or sf0.1
+# bench; at sf1+ it models the real fixed eval set)
 
 
 def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,7 +818,9 @@ def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator when even |corpus|×|bench| dot products are too many —
     exact form kept as the oracle, same contract as q_hybrid_search."""
     v = _prepared(spark, sf_dir)
-    bench = v.filter(F.col("label") == 0).select(
+    bench = v.filter(
+        (F.col("label") == 0) & (F.col("vec_id") < SEM_BENCH_CAP)
+    ).select(
         F.col("vec_id").alias("bench_id"), F.col("e").alias("be"), F.col("nrm").alias("bn")
     )
     corpus = v.filter(F.col("label") != 0).select("vec_id", "e", "nrm")
@@ -831,6 +837,10 @@ def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HUB_EVERY = 10  # deterministic query sample: every HUB_EVERY-th vector
 HUB_TOP_K = 20
+HUB_MAX_QUERIES = 2_000  # audit sample size cap: a FIXED-budget sample
+# estimates the k-occurrence distribution just as well — without it the
+# query side grows linearly with the corpus and the audit cost goes
+# O(N²/HUB_EVERY). Doesn't bind at the sf0.01 gate or sf0.1 bench.
 
 
 def _q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,7 +862,10 @@ def _q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: top-HUB_TOP_K (hub_rank, neighbor_id, n_hits)."""
     v = _prepared(spark, sf_dir)
-    sample = v.filter(F.col("vec_id") % HUB_EVERY == 0)
+    sample = v.filter(
+        (F.col("vec_id") % HUB_EVERY == 0)
+        & (F.col("vec_id") < HUB_EVERY * HUB_MAX_QUERIES)
+    )
     hits = knn_brute(v, sample)
     return (
         hits.groupBy("neighbor_id")
@@ -1162,7 +1175,8 @@ ORACLE = {
     "q_mmr_rerank": _mmr_oracle(),
     "q_semantic_contamination": _V_CTE
     + f"""
-, b AS (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM v WHERE label = 0),
+, b AS (SELECT vec_id AS bench_id, e AS be, nrm AS bn FROM v
+        WHERE label = 0 AND vec_id < {SEM_BENCH_CAP}),
 c AS (SELECT vec_id, e, nrm FROM v WHERE label <> 0),
 scored AS (
   SELECT c.vec_id, b.bench_id,
@@ -1181,7 +1195,8 @@ FROM ranked WHERE rk = 1 AND cosine_raw >= {SEM_CONTAM_THRESH}
     "q_hubness": _V_CTE
     + f"""
 , q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
-        WHERE vec_id % {HUB_EVERY} = 0),
+        WHERE vec_id % {HUB_EVERY} = 0
+          AND vec_id < {HUB_EVERY * HUB_MAX_QUERIES}),
 scored AS (
   SELECT q.query_id, n.vec_id AS neighbor_id,
          list_reduce(list_transform(range(1, 1 + len(q.qe)), i -> q.qe[i] * n.e[i]),

@@ -497,7 +497,14 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     import tempfile
 
     from ..streaming.pipeline import embeddings_file_stream
-    from .similarity import SEM_CONTAM_THRESH, _dot, _dvec, _norm, _prepared
+    from .similarity import (
+        SEM_BENCH_CAP,
+        SEM_CONTAM_THRESH,
+        _dot,
+        _dvec,
+        _norm,
+        _prepared,
+    )
 
     emb = embeddings_file_stream(spark, sf_dir)
     app_id = spark.sparkContext.applicationId
@@ -508,7 +515,7 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     # the benchmark suite is STATIC — build it once before the stream
     bench = (
         _prepared(spark, sf_dir)
-        .filter(F.col("label") == 0)
+        .filter((F.col("label") == 0) & (F.col("vec_id") < SEM_BENCH_CAP))
         .select(
             F.col("vec_id").alias("bench_id"),
             F.col("e").alias("be"),

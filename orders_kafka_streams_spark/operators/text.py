@@ -1027,6 +1027,43 @@ def _q_memorization_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    tokenizer-independent gibberish/boilerplate signal (random noise
+    scores near the alphabet's max entropy, repeated templates score
+    far below the corpus mode; both tails are curation candidates).
+    Complements the token-level gates: it needs no vocabulary, so it
+    catches junk the word-based scores can't see.
+
+    Scale shape: one char-explode pass partial-aggregated to
+    (doc, char) cells (≤ alphabet-size per doc after map-side
+    combine), then a doc-keyed entropy fold — cells in the shuffle,
+    not characters. Output: (doc_id, n_chars, n_distinct, entropy)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    cells = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    ent = (
+        cells.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            "n_distinct",
+            (-(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))).alias("t"),
+        )
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.round(F.sum("t"), 4).alias("entropy"))
+    )
+    return ent.select(
+        "doc_id", F.col("n").alias("n_chars"), "n_distinct", "entropy"
+    )
+
+
 HELDOUT_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
 
@@ -1300,6 +1337,7 @@ QUERIES = {
     "q_source_divergence": _q_source_divergence,
     "q_tokenizer_fertility": _q_tokenizer_fertility,
     "q_heldout_bigram": _q_heldout_bigram,
+    "q_char_entropy": _q_char_entropy,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1380,6 +1418,22 @@ SELECT source,
        round(CAST(sum(coalesce(in_v, 0)) AS DOUBLE) / count(1), 6) AS coverage
 FROM ex LEFT JOIN vocab ON ex.w = vocab.w
 GROUP BY source
+""",
+    "q_char_entropy": """
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, 1 + length(lower(text))),
+                                       i -> lower(text)[i:i])) AS ch
+  FROM documents
+),
+cells AS (SELECT doc_id, ch, count(1) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(1) AS BIGINT) AS n_distinct
+  FROM cells GROUP BY doc_id
+)
+SELECT t.doc_id, t.n AS n_chars, t.n_distinct,
+       round(sum(-(ce.c / t.n) * ln(ce.c / t.n)), 4) AS entropy
+FROM cells ce JOIN tot t USING (doc_id)
+GROUP BY t.doc_id, t.n, t.n_distinct
 """,
     "q_heldout_bigram": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

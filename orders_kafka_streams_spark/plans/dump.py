@@ -91,8 +91,10 @@ COMMENTARY = {
     "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; one (vec, best, cos) cell shuffle for the argmax window",
     "q_hubness": "sampled query side broadcast; k-occurrence = neighbor-keyed partial agg + TakeOrderedAndProject, never a global sort",
     "q_heldout_bigram": "train-half count relations joined onto the bigram stream on their keys (AQE picks broadcast while vocab fits); one doc agg",
-    "q_kcenter_coreset": "K-1 unrolled farthest-point steps: selected-set broadcast + map-only min-distance + top-1 reduce each; no N×K shuffle",
+    "q_kcenter_coreset": "K-1 driver-paced FPS jobs, each map + TakeOrdered top-1 over the persisted corpus with least()-chained incremental min-distance; result is the K-row local relation",
     "q_mmr_rerank": "greedy re-rank over bounded per-query candidate groups: one Arrow grouped-map after the cell-sized candidate join; corpus-independent",
+    "q_dedup_pagerank": "power iteration on the memoized near-dup pair relation: per-step edge join + contribution-cell agg, linear plan growth",
+    "q_char_entropy": "char explode partial-aggregated to (doc, char) cells before the exchange; entropy fold per doc — cells in the shuffle, not characters",
 }
 
 

@@ -67,12 +67,22 @@ def test_heldout_bigram_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_kcenter_no_corpus_window(spark, sf_dir):
-    """Each unrolled step must be broadcast + TakeOrdered: no window
-    function over the corpus, no shuffled cross join."""
+def test_kcenter_step_shape(spark, sf_dir):
+    """The per-step FPS argmax must be one TakeOrderedAndProject reduce
+    over the corpus relation: no window function, no cross join. (The
+    full query executes K driver-paced jobs of exactly this shape and
+    returns a K-row local relation, so the STEP plan is the thing to
+    pin.)"""
+    from pyspark.sql import functions as F
+
     from orders_kafka_streams_spark.operators import clustering
 
-    plan = plan_of(clustering._q_kcenter_coreset(spark, sf_dir))
+    emb = clustering._emb_double(spark, sf_dir)
+    zero = F.array(*[F.lit(0.0)] * clustering.EMB_DIM)
+    md = emb.select(
+        "vec_id", "v", F.round(clustering._d2(F.col("v"), zero), 6).alias("mind")
+    )
+    plan = plan_of(clustering._fps_argmax(md))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
@@ -90,6 +100,30 @@ def test_kcenter_radius_monotone(spark, sf_dir):
     dists = [r["min_d2"] for r in rows[1:]]  # rank 1 is the seed (0.0)
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     assert len({r["vec_id"] for r in rows}) == len(rows)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Power-iteration sanity on the symmetric dup graph: ranks sum to
+    ~1 (no dangling mass — every node has out-degree ≥ 1) and every
+    rank is ≥ the teleport floor (1−d)/N."""
+    from orders_kafka_streams_spark.operators import dedup
+
+    rows = dedup._q_dedup_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    floor = (1.0 - dedup.PAGERANK_D) / n
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+
+
+def test_char_entropy_cell_bounded(spark, sf_dir):
+    """The only exchanges carry (doc, char) cells / doc aggregates —
+    no join strategy risk, no cartesian."""
+    from orders_kafka_streams_spark.operators import text
+
+    plan = plan_of(text._q_char_entropy(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_mmr_diversity_property(spark, sf_dir):
