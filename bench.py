@@ -96,6 +96,7 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_dedup_pagerank",
     "q_char_entropy",
+    "q_jsonl_roundtrip",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -113,7 +113,79 @@ def _q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+JSONL_POISON_LINES = 3  # malformed lines injected alongside the payload
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serde-ser → disk → serde-de, end-to-end in batch: events are
+    serialized to JSON-lines exactly the way the Kafka sink face wires
+    it (``to_json`` over the typed struct — JsonObjectSerializer.java:
+    37-59), written once per session, then read back through the
+    PERMISSIVE schema'd edge with JSONL_POISON_LINES deliberately
+    malformed lines injected (the LogAndContinueExceptionHandler
+    policy, Main.java:88) and re-aggregated. Checksum equality against
+    the parquet oracle proves the JSON edge is LOSSLESS for the full
+    event schema — timestamps ride as epoch-ms integers so no text
+    format ambiguity exists, doubles round-trip via Jackson's
+    shortest-exact repr.
+
+    Scale shape: both directions are map-only Catalyst expressions
+    (to_json / from_json inside whole-stage codegen); the only
+    shuffle is the final per-type checksum agg. Output: one row per
+    event_type with counts/sums plus the corrupt-line count."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions.portable import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                epoch_ms(F.col("ts")).alias("ts_ms"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("value")
+    )
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), "okss-jsonl", key)
+    marker = os.path.join(out, "_WRITTEN")  # _-prefixed: reader skips it
+    if not os.path.exists(marker):
+        payload.write.mode("overwrite").text(out)
+        with open(os.path.join(out, "poison.txt"), "w") as fh:
+            fh.write('xnot-json\n{"event_id": oops}\n}{\n')
+        open(marker, "w").close()
+    raw = spark.read.text(out)
+    good, corrupt = decode_json(raw, EVENT_JSON_SCHEMA, "value")
+    g = good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    c = corrupt.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    return g.crossJoin(F.broadcast(c))
+
+
 QUERIES = {
+    "q_jsonl_roundtrip": _q_jsonl_roundtrip,
     "q_err_handle": _q_err_handle,
     "q_approx_distinct": _q_approx_distinct,
     "q_approx_percentile": _q_approx_percentile,
@@ -123,6 +195,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_jsonl_roundtrip": f"""
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST({JSONL_POISON_LINES} AS BIGINT) AS n_corrupt
+FROM events GROUP BY event_type
+""",
     "q_err_handle": """
 WITH raw AS (
   SELECT event_id,

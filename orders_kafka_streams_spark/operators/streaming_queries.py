@@ -340,6 +340,9 @@ def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_path, ignore_errors=True)
 
     def probe(batch, batch_id: int) -> None:
+        # a file-source micro-batch inherits the FILE's partitioning
+        # (often 1) — spread it before the shingle/probe work
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         verdicts = dedup_incremental_probe(spark, sf_dir, batch.select("doc_id", "text"))
         verdicts.write.mode("append").parquet(out_path)
 
@@ -403,6 +406,8 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_path, ignore_errors=True)
 
     def gate(batch, batch_id: int) -> None:
+        # spread the (possibly 1-partition) file batch before scoring
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         base = batch.select("doc_id", "source", tokens(F.col("text")).alias("t")).filter(
             F.size("t") > 0
         )
@@ -449,6 +454,8 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probe(batch, batch_id: int) -> None:
+        # spread the (possibly 1-partition) file batch before shingling
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         sh = shingled_of(batch.select("doc_id", "text")).filter(F.col("sz") > 0)
         per_doc = (
             sh.select("doc_id", F.explode("sh").alias("g"))
@@ -477,6 +484,54 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_contaminated"
         ),
         F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+    )
+
+
+def _q_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ε-DP histogram release: the engine runs the
+    watermarked per-day count grid in append mode (cells emit exactly
+    once, when their window CLOSES — the suppress-until-close
+    semantics), and each finalized cell is stamped with the same
+    derived Laplace(1/ε) noise as the batch release. Privacy releases
+    are publish-once artifacts, so emit-on-close is the only correct
+    streaming cadence (re-releasing updated counts for the same cell
+    would burn budget per update); late events beyond the watermark
+    are sacrificed BY POLICY and the watermark delay is the knob.
+    Released values equal the batch q_dp_histogram rows for every
+    closed window (same oracle restricted by the watermark rule).
+
+    Scale shape: engine-managed watermarked agg (cells in state, not
+    events) + map-only noise arithmetic on the drained sink."""
+    from ..functions.portable import hash60
+    from .privacy import DP_EPSILON, DP_SALT
+
+    ev = events_file_stream(spark, sf_dir)
+    cells = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "c",
+        )
+    )
+    tab = run_to_memory(cells, "stream_dp_cells")
+    got = spark.table(tab)
+    u = (
+        hash60(
+            F.concat(F.lit(DP_SALT), F.lit("|"), F.col("event_type"), F.lit("|"), F.col("day"))
+        )
+        / F.lit(2.0**60)
+        - F.lit(0.5)
+    )
+    noise = -F.lit(1.0 / DP_EPSILON) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    released = F.greatest(F.lit(0).cast("long"), F.col("c") + F.round(noise).cast("long"))
+    return got.select(
+        "event_type",
+        "day",
+        released.alias("released_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
     )
 
 
@@ -525,22 +580,32 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def probe(batch, batch_id: int) -> None:
+        # repartition: a file-source micro-batch arrives with the
+        # FILE's partitioning (often 1), which would run the
+        # |batch|×|bench| scoring single-threaded (measured 130 s vs
+        # 16 s at sf1); persist so the norm fold isn't re-inlined into
+        # the per-pair cosine by CollapseProject (the _tokenized trap)
         corpus = (
-            batch.filter(F.col("label") != 0)
+            batch.repartition(spark.sparkContext.defaultParallelism)
+            .filter(F.col("label") != 0)
             .select("vec_id", _dvec().alias("e"))
             .withColumn("nrm", _norm(F.col("e")))
+            .persist()
         )
         cos = _dot(F.col("be"), F.col("e")) / (F.col("bn") * F.col("nrm"))
         w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_raw"), F.asc("bench_id"))
-        (
-            corpus.crossJoin(F.broadcast(bench))
-            .withColumn("cosine_raw", cos)
-            .withColumn("rk", F.row_number().over(w))
-            .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
-            .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        try:
+            (
+                corpus.crossJoin(F.broadcast(bench))
+                .withColumn("cosine_raw", cos)
+                .withColumn("rk", F.row_number().over(w))
+                .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
+                .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
+                .write.mode("append")
+                .parquet(out_path)
+            )
+        finally:
+            corpus.unpersist()
 
     q = emb.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
     q.awaitTermination(300)
@@ -551,6 +616,7 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
 QUERIES = {
     "q_stream_win_tumble": _q_stream_win_tumble,
     "q_stream_semantic_contamination": _q_stream_semantic_contamination,
+    "q_stream_dp_release": _q_stream_dp_release,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
@@ -814,3 +880,30 @@ ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
 from .similarity import ORACLE as _SIM_ORACLE
 
 ORACLE["q_stream_semantic_contamination"] = _SIM_ORACLE["q_semantic_contamination"]
+
+# the streamed DP release equals the batch release on CLOSED windows
+from .privacy import DP_EPSILON as _DP_EPS
+from .privacy import _DP_U as _DP_U_SQL
+
+ORACLE["q_stream_dp_release"] = f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+cells AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(1) AS BIGINT) AS c,
+         epoch_ms(date_trunc('day', ts)) + 86400000 AS wend_ms
+  FROM events GROUP BY 1, 2, 4
+),
+closed AS (
+  SELECT event_type, day, c FROM cells CROSS JOIN wm WHERE wend_ms <= wm_ms
+),
+noised AS (
+  SELECT event_type, day, c,
+         -{1.0 / _DP_EPS} * sign({_DP_U_SQL})
+           * ln(1.0 - 2.0 * abs({_DP_U_SQL})) AS noise
+  FROM closed
+)
+SELECT event_type, day,
+       greatest(CAST(0 AS BIGINT), c + CAST(round(noise, 0) AS BIGINT)) AS released_count,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM noised
+"""

@@ -102,6 +102,52 @@ def test_kcenter_radius_monotone(spark, sf_dir):
     assert len({r["vec_id"] for r in rows}) == len(rows)
 
 
+def test_jsonl_roundtrip_lossless(spark, sf_dir):
+    """The JSONL edge must round-trip the full event schema losslessly
+    AND capture exactly the injected poison lines."""
+    from orders_kafka_streams_spark.operators import robustness
+
+    rows = robustness._q_jsonl_roundtrip(spark, sf_dir).collect()
+    assert rows and all(r["n_corrupt"] == robustness.JSONL_POISON_LINES for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_dp_release_closes_windows_only(spark, sf_dir):
+    """The streamed DP release must hold the still-open tail window
+    back (publish-once) — fewer cells than the full batch grid."""
+    from orders_kafka_streams_spark.operators import privacy, streaming_queries as sq
+
+    n_stream = sq._q_stream_dp_release(spark, sf_dir).count()
+    n_batch = privacy._q_dp_histogram(spark, sf_dir).count()
+    assert 0 < n_stream < n_batch, (n_stream, n_batch)
+
+
+def test_source_divergence_nonnegative(spark, sf_dir):
+    """KL(p‖q) ≥ 0 always (Gibbs) — a negative value means the
+    observed/unobserved split dropped a term."""
+    from orders_kafka_streams_spark.operators import text
+
+    rows = text._q_source_divergence(spark, sf_dir).collect()
+    assert rows and all(r["kl"] >= 0.0 for r in rows), [
+        (r["source"], r["kl"]) for r in rows if r["kl"] < 0
+    ]
+
+
+def test_heldout_bigram_scores_are_logprobs(spark, sf_dir):
+    """Every per-doc mean is a mean of log-probabilities < 0, and the
+    corpus has both train and held-out docs (the backoff path must
+    actually run)."""
+    from orders_kafka_streams_spark.operators import text
+
+    rows = text._q_heldout_bigram(spark, sf_dir).collect()
+    assert rows and all(r["avg_logp"] < 0.0 for r in rows)
+    flags = {r["in_train"] for r in rows}
+    assert flags == {True, False}, flags
+
+
 def test_pagerank_mass_conserved(spark, sf_dir):
     """Power-iteration sanity on the symmetric dup graph: ranks sum to
     ~1 (no dangling mass — every node has out-degree ≥ 1) and every
