@@ -97,6 +97,7 @@ HEADLINE = [
     "q_dedup_pagerank",
     "q_char_entropy",
     "q_jsonl_roundtrip",
+    "q_cluster_topics",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

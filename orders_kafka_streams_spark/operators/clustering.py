@@ -313,7 +313,11 @@ SELECT sel_rank, vec_id, min_d2 FROM s{KCENTER_K}
 """
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte_prefix() -> str:
+    """The k-means unrolling as a reusable CTE prefix (ends after the
+    final assignment CTE a{ITERS+1}; composes into q_kmeans and
+    q_cluster_topics)."""
+
     def d2(a: str, b: str) -> str:
         # strict left fold == Spark's F.aggregate with exact 0.0 init
         return (
@@ -356,6 +360,12 @@ c0 AS (
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {K_CLUSTERS})
 ),"""
         + ",".join(ctes)
+    )
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _kmeans_cte_prefix()
         + f"""
 SELECT vec_id, cid AS cluster, d2 FROM a{KMEANS_ITERS + 1}
 """
@@ -387,14 +397,179 @@ FROM p WHERE cos >= {SEMDEDUP_T} GROUP BY b_id, cluster
 """
 
 
+
+
+TOPIC_MIN_COUNT = 5  # per-cluster term-count cutoff (kills lift noise)
+TOPIC_TOP_K = 5
+
+
+def _q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: the most DISTINCTIVE terms of each k-means
+    cluster — per-cluster term frequency lifted over the corpus rate
+    (lift = p(w|cluster)/p(w)), min-count-gated, top-TOPIC_TOP_K per
+    cluster. The standard corpus-exploration companion to clustering:
+    before reweighting or pruning a cluster you ask WHAT it is, and
+    the answer is its high-lift vocabulary. Joins the embedding-space
+    partition (vec_id) onto the text table (doc_id ≡ vec_id in the
+    driver corpus) — the cross-modal seam a production pipeline gets
+    from a shared document key.
+
+    Scale shape: assignments are the memoized k-means artifact; token
+    counts partial-aggregate to (cluster, word) cells; the corpus
+    histogram is the memoized _word_hist broadcast back; ranking is a
+    window over ≤vocab cells per cluster. The corpus scans once.
+
+    Output: (cluster, term, n_occurrences, lift, rank)."""
+    from .text import _tokenized, _word_hist
+
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    toks = _tokenized(spark, sf_dir)
+    ex = asg.join(toks, asg.vec_id == toks.doc_id).select(
+        "cluster", F.explode("t").alias("w")
+    )
+    cw = (
+        ex.groupBy("cluster", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TOPIC_MIN_COUNT)
+    )
+    nc = ex.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    gw = _word_hist(spark, sf_dir)
+    na = gw.agg(F.sum("wc").alias("n_all"))
+    lift = (
+        cw.join(nc, "cluster")
+        .join(F.broadcast(gw), "w")
+        .crossJoin(F.broadcast(na))
+        .select(
+            "cluster",
+            "w",
+            "c",
+            (
+                (F.col("c") / F.col("n_c")) / (F.col("wc") / F.col("n_all"))
+            ).alias("lift"),
+        )
+    )
+    wr = Window.partitionBy("cluster").orderBy(F.desc("lift"), F.asc("w"))
+    return (
+        lift.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOPIC_TOP_K)
+        .select(
+            "cluster",
+            F.col("w").alias("term"),
+            F.col("c").alias("n_occurrences"),
+            F.round("lift", 4).alias("lift"),
+            "rank",
+        )
+    )
+
+
+def _cluster_topics_oracle() -> str:
+    from ..functions.textfns import tokens_sql
+
+    toks = tokens_sql("text")
+    return (
+        _kmeans_cte_prefix()
+        + f""",
+asg AS (SELECT vec_id, cid AS cluster FROM a{KMEANS_ITERS + 1}),
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+ex AS (
+  SELECT a.cluster, unnest(t.t) AS w
+  FROM asg a JOIN toks t ON t.doc_id = a.vec_id
+),
+cw AS (
+  SELECT cluster, w, count(1) AS c FROM ex GROUP BY cluster, w
+  HAVING count(1) >= {TOPIC_MIN_COUNT}
+),
+nc AS (SELECT cluster, CAST(count(1) AS BIGINT) AS n_c FROM ex GROUP BY cluster),
+gw AS (SELECT w, count(1) AS wc
+       FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w),
+na AS (SELECT CAST(sum(wc) AS BIGINT) AS n_all FROM gw),
+lift AS (
+  SELECT cw.cluster, cw.w, cw.c,
+         (cw.c / CAST(nc.n_c AS DOUBLE)) / (gw.wc / CAST(na.n_all AS DOUBLE)) AS lift
+  FROM cw JOIN nc USING (cluster) JOIN gw USING (w) CROSS JOIN na
+)
+SELECT cluster, w AS term, CAST(c AS BIGINT) AS n_occurrences,
+       round(lift, 4) AS lift, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                                    ORDER BY lift DESC, w ASC) AS INTEGER) AS rank
+  FROM lift)
+WHERE rank <= {TOPIC_TOP_K}
+"""
+    )
+
+
+
+def _q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit vs the ground-truth labels: per
+    cluster, the majority label and the purity (majority fraction) —
+    the one-number check on whether the unsupervised partition
+    recovered the known structure. Low-purity clusters are merge
+    artifacts (increase K or iterate more); this is the audit run
+    before trusting cluster-level curation decisions (SemDeDup
+    pruning, per-cluster mixing weights, topic labels).
+
+    Scale shape: one (cluster, label) cell aggregation over the
+    memoized assignment artifact joined to the label column — cells
+    in the shuffle; the majority pick is a window over ≤K·|labels|
+    cells. Output: (cluster, n_vecs, majority_label, n_majority,
+    purity)."""
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        asg.join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("cluster").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        cells.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_vecs", F.sum("c").over(Window.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "n_vecs",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+            F.round(F.col("c") / F.col("n_vecs"), 4).alias("purity"),
+        )
+    )
+
+
+def _cluster_purity_oracle() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + f""",
+asg AS (SELECT vec_id, cid AS cluster FROM a{KMEANS_ITERS + 1}),
+cells AS (
+  SELECT a.cluster, e2.label, count(1) AS c
+  FROM asg a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+  GROUP BY a.cluster, e2.label
+),
+ranked AS (
+  SELECT cluster, label, c,
+         row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label ASC) AS rn,
+         CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs
+  FROM cells
+)
+SELECT cluster, n_vecs, label AS majority_label, CAST(c AS BIGINT) AS n_majority,
+       round(c / CAST(n_vecs AS DOUBLE), 4) AS purity
+FROM ranked WHERE rn = 1
+"""
+    )
+
 QUERIES = {
     "q_kmeans": _q_kmeans,
     "q_semdedup": _q_semdedup,
     "q_kcenter_coreset": _q_kcenter_coreset,
+    "q_cluster_topics": _q_cluster_topics,
+    "q_cluster_purity": _q_cluster_purity,
 }
 
 ORACLE = {
     "q_kmeans": _kmeans_oracle(),
     "q_semdedup": _semdedup_oracle(),
     "q_kcenter_coreset": _kcenter_oracle(),
+    "q_cluster_topics": _cluster_topics_oracle(),
+    "q_cluster_purity": _cluster_purity_oracle(),
 }

@@ -542,6 +542,97 @@ def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IDCG@10 for the linear gain g(i) = 11−i with ln(1+i) discount —
+#: computed once in Python and embedded as the SAME double literal in
+#: both engines, so the normalization can't drift.
+import math as _math
+
+NDCG_IDCG = sum((11 - i) / _math.log(1 + i) for i in range(1, TOP_K + 1))
+
+
+def _q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 audit of every ANN variant — the graded-relevance
+    companion to q_ann_quality's recall/MRR: recall treats all ten
+    true neighbors equally, NDCG pays more for retrieving the TOP
+    true neighbors early (gain 11−brute_rank, ln(1+rank) discount) —
+    the metric that distinguishes 'found the ten' from 'found the
+    best ones first'. Same composition contract as q_ann_quality:
+    each method is audited AS CONFIGURED, oracle composes the
+    per-method SQL verbatim.
+
+    Output: (method, n_queries, mean_ndcg)."""
+    methods = {
+        "lsh": _q_knn_lsh,
+        "ivf": _q_knn_ivf,
+        "pq": _q_knn_pq,
+        "ivfpq": _q_knn_ivfpq,
+    }
+    truth = _q_knn_brute(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("brk")
+    )
+    per = None
+    for mname, fn in methods.items():
+        m = fn(spark, sf_dir).select(
+            F.lit(mname).alias("method"), "query_id", "neighbor_id", "rk"
+        )
+        per = m if per is None else per.unionByName(m)
+    rel = per.join(truth, ["query_id", "neighbor_id"])
+    dcg = rel.groupBy("method", "query_id").agg(
+        F.sum(
+            (F.lit(11) - F.col("brk")) / F.log(F.lit(1.0) + F.col("rk"))
+        ).alias("dcg")
+    )
+    probes = truth.select("query_id").distinct()
+    grid = probes.crossJoin(
+        spark.createDataFrame([(m,) for m in methods], ["method"])
+    )
+    return (
+        grid.join(dcg, ["method", "query_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.avg(F.coalesce("dcg", F.lit(0.0)) / F.lit(NDCG_IDCG)), 4
+            ).alias("mean_ndcg"),
+        )
+    )
+
+
+def _ann_ndcg_oracle() -> str:
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS method, query_id, neighbor_id, rk FROM (\n{ORACLE[f'q_knn_{m}']}\n) sub_{m}"
+        for m in ("lsh", "ivf", "pq", "ivfpq")
+    )
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id, rk AS brk FROM (
+{ORACLE['q_knn_brute']}
+  ) tb
+),
+m AS (
+{unions}
+),
+rel AS (
+  SELECT m.method, m.query_id, m.rk, t.brk
+  FROM m JOIN truth t USING (query_id, neighbor_id)
+),
+dcg AS (
+  SELECT method, query_id, sum((11 - brk) / ln(1.0 + rk)) AS dcg
+  FROM rel GROUP BY method, query_id
+),
+probes AS (SELECT DISTINCT query_id FROM truth),
+grid AS (
+  SELECT g.method, p.query_id
+  FROM probes p CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq'), ('ivfpq')) g(method)
+)
+SELECT method,
+       CAST(count(1) AS BIGINT) AS n_queries,
+       round(avg(COALESCE(dcg, 0.0) / {NDCG_IDCG!r}), 4) AS mean_ndcg
+FROM grid LEFT JOIN dcg USING (method, query_id)
+GROUP BY method
+"""
+
+
 IVFPQ_RERANK = 50  # ADC shortlist within the probed lists
 
 
@@ -1052,6 +1143,7 @@ QUERIES = {
     "q_knn_pq": _q_knn_pq,
     "q_knn_ivfpq": _q_knn_ivfpq,
     "q_ann_quality": _q_ann_quality,
+    "q_ann_ndcg": _q_ann_ndcg,
     "q_emb_stats": _q_emb_stats,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
@@ -1530,3 +1622,4 @@ GROUP BY method
 
 
 ORACLE["q_ann_quality"] = _ann_quality_oracle()
+ORACLE["q_ann_ndcg"] = _ann_ndcg_oracle()
