@@ -38,6 +38,57 @@ def _resolve(name: str, queries) -> str:
     raise SystemExit(2)
 
 
+_TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _verify(df, name: str, oracles, sf_dir: str) -> tuple[bool, str]:
+    """One-query replica of the round driver's oracle diff (row count +
+    column set + order-insensitive canonical value multiset). Rows-only
+    queries get a run/stability check."""
+    import datetime
+    import math
+    import os
+
+    import duckdb
+
+    srows = [tuple(r) for r in df.collect()]
+    if name not in oracles:
+        return True, f"rows-only: {len(srows)} rows (no SQL oracle)"
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    cur = con.execute(oracles[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    def canon(v):
+        if v is None:
+            return "~"
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else f"{v:.9g}"
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return str(v)
+
+    scols = list(df.columns)
+    if sorted(scols) != sorted(ocols):
+        return False, f"COLUMNS differ: spark={sorted(scols)} oracle={sorted(ocols)}"
+    if len(srows) != len(orows):
+        return False, f"ROW COUNT differs: spark={len(srows)} oracle={len(orows)}"
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    s = sorted(tuple(canon(r[i]) for i in so) for r in srows)
+    o = sorted(tuple(canon(r[i]) for i in oo) for r in orows)
+    if s != o:
+        diff = [(a, b) for a, b in zip(s, o) if a != b][:2]
+        return False, f"VALUES differ; first sorted mismatches: {diff}"
+    return True, f"OK ({len(srows)} rows match the oracle)"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orders_kafka_streams_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -54,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p_or = sub.add_parser("oracle", help="print the DuckDB cross-check SQL")
     p_or.add_argument("query")
+
+    p_v = sub.add_parser("verify", help="run the DuckDB oracle diff for a query")
+    p_v.add_argument("query")
+    p_v.add_argument("--sf-dir", default=None, help="table directory (default $SPARK_GRAFT_SF_DIR)")
 
     args = p.parse_args(argv)
     queries, oracles = _registry()
@@ -80,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     sf_dir = args.sf_dir or sf_dir_default()
     spark = get_spark("okss-cli")
     df = queries[name](spark, sf_dir)
+    if args.cmd == "verify":
+        ok, msg = _verify(df, name, oracles, sf_dir)
+        print(f"{name}: {msg}")
+        return 0 if ok else 1
     if args.cmd == "explain":
         from .plans.explain import explain_str
 

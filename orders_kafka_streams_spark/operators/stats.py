@@ -294,7 +294,47 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal redundancy audit: the Pearson correlation matrix
+    of four cheap per-document quality signals (token count,
+    type-token ratio, stopword ratio, mean word length) — the
+    measurement behind 'which gates are redundant?': two signals with
+    |ρ| ≈ 1 gate the same documents, so a pipeline keeps one and
+    drops the compute for the other. Run it before composing gate
+    ensembles (q_clean_pipeline, q_prepare_training).
+
+    Scale shape: one pass over the memoized token projection computes
+    all four signals map-side; the corr() aggregates are partial+final
+    over ONE exchange of sufficient-statistic cells (Spark's corr and
+    DuckDB's corr both stream (n, Σx, Σy, Σxy, …) — already proven to
+    hash-match under rounding in q_stats_agg). Output: one row of the
+    six pairwise correlations."""
+    from ..functions.textfns import stopword_count
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir).filter(F.size("t") > 0)
+    chars = F.aggregate(
+        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    sig = base.select(
+        F.size("t").cast("double").alias("nt"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("ttr"),
+        (stopword_count(F.col("t")) / F.size("t")).alias("stop"),
+        (chars / F.size("t")).alias("mw"),
+    )
+    return sig.agg(
+        F.round(F.corr("nt", "ttr"), 4).alias("nt_ttr"),
+        F.round(F.corr("nt", "stop"), 4).alias("nt_stop"),
+        F.round(F.corr("nt", "mw"), 4).alias("nt_mw"),
+        F.round(F.corr("ttr", "stop"), 4).alias("ttr_stop"),
+        F.round(F.corr("ttr", "mw"), 4).alias("ttr_mw"),
+        F.round(F.corr("stop", "mw"), 4).alias("stop_mw"),
+    )
+
 QUERIES = {
+    "q_signal_correlation": _q_signal_correlation,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -327,7 +367,30 @@ FROM fof
     )
 
 
+from ..functions.textfns import stopword_count_sql, tokens_sql
+
+_TOKS = tokens_sql("text")
+_SW_COUNT = stopword_count_sql("t")
+
 ORACLE = {
+    "q_signal_correlation": f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+sig AS (
+  SELECT CAST(len(t) AS DOUBLE) AS nt,
+         len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr,
+         {_SW_COUNT} / CAST(len(t) AS DOUBLE) AS stop,
+         list_reduce(list_transform(t, x -> length(x)), (a, x) -> a + x)
+           / CAST(len(t) AS DOUBLE) AS mw
+  FROM toks WHERE len(t) > 0
+)
+SELECT round(corr(nt, ttr), 4) AS nt_ttr,
+       round(corr(nt, stop), 4) AS nt_stop,
+       round(corr(nt, mw), 4) AS nt_mw,
+       round(corr(ttr, stop), 4) AS ttr_stop,
+       round(corr(ttr, mw), 4) AS ttr_mw,
+       round(corr(stop, mw), 4) AS stop_mw
+FROM sig
+""",
     "q_mad_outliers": f"""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med_raw

@@ -47,6 +47,22 @@ def test_run_executes_and_prints_rows(spark, sf_dir, capsys):
     assert "rows total" in out.err
 
 
+def test_verify_green_query(spark, sf_dir, capsys):
+    from orders_kafka_streams_spark.__main__ import main
+
+    rc = main(["verify", "q_pred_type", "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OK" in out, out
+
+
+def test_verify_rows_only_query(spark, sf_dir, capsys):
+    from orders_kafka_streams_spark.__main__ import main
+
+    rc = main(["verify", "q_approx_distinct", "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0 and "rows-only" in out, out
+
+
 def test_explain_prints_formatted_plan(spark, sf_dir, capsys):
     assert main(["explain", "q_tpch_q6", "--sf-dir", sf_dir]) == 0
     out = capsys.readouterr().out
