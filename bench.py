@@ -98,6 +98,7 @@ HEADLINE = [
     "q_char_entropy",
     "q_jsonl_roundtrip",
     "q_cluster_topics",
+    "q_emb_principal",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -1054,10 +1054,22 @@ def _q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, deg, pagerank)."""
     pairs = _ngram_pairs_cached(spark, sf_dir).select("a", "b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    edges = _memo_persist(
+        spark,
+        sf_dir,
+        "dup_edges",
+        lambda: pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
     )
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # edges/deg are referenced once per iteration plus the finalization
+    # — persisted so each reference is a cache read, not a rebuild
+    deg = _memo_persist(
+        spark,
+        sf_dir,
+        "dup_deg",
+        lambda: edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg")),
+    )
     n_rel = deg.agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(n_rel)).select(
         "a", (F.lit(1.0) / F.col("n")).alias("pr"), "deg", "n"
@@ -1068,6 +1080,7 @@ def _q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("b")
             .agg(F.round(F.sum("c"), 9).alias("s"))
             .withColumnRenamed("b", "a")
+            .coalesce(1)  # O(nodes) cells: stay single-partition
         )
         r = (
             deg.join(contrib, "a", "left")
@@ -1081,6 +1094,11 @@ def _q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "deg",
                 "n",
             )
+            # localCheckpoint: the rank relation is referenced by the
+            # next iteration's join AND rebuild — truncating per
+            # iteration beats the lazy chained plan (4.1 -> 3.0 s
+            # steady at sf0.1; the q_emb_principal lesson)
+            .localCheckpoint()
         )
     return r.select(
         F.col("a").alias("doc_id"), "deg", F.round("pr", 6).alias("pagerank")

@@ -542,6 +542,174 @@ def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ITERS = 3  # unrolled power-iteration steps
+_PR = 9  # per-iteration rounding (cross-engine float gate)
+
+
+def _q_emb_principal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-direction audit: the top eigenvector of the embedding
+    COVARIANCE by declarative power iteration — the measurement behind
+    the standard anisotropy fix (Mu & Viswanath 2018, "All-but-the-
+    Top": remove the mean and the top principal directions and cosine
+    contrast comes back). q_emb_stats says WHETHER the space is
+    anisotropic; this says WHERE: the top eigenvalue's share of total
+    variance and the dominant dimension of the leading direction.
+
+    Scale shape: covariance cells come from a double-explode of the
+    corpus partial-aggregated to dim² cells BEFORE the exchange (the
+    shuffle carries ≤4096 cells per partition, never vectors); the
+    PCA_ITERS power steps are joins between the dim²-cell matrix and
+    a dim-row vector relation — matrix-vector products as cell joins,
+    no driver linear algebra; per-iteration renormalization rounds at
+    1e-9 on both engines so float drift can't compound. Output: one
+    row (n_dims, top_eigenvalue, trace, top_share, leading_dim).
+
+    Engine parity note: the per-cell E[xi·xj] means are rounded at
+    1e-9 before entering the iteration, the iteration renormalizes
+    with the same rounded arithmetic, and the Rayleigh quotient is
+    rounded at 1e-4 on output."""
+    from .dedup import _memo_persist
+
+    def build_cov() -> DataFrame:
+        v = _prepared(spark, sf_dir)
+        comp = v.select("vec_id", F.posexplode("e").alias("j", "xj"), F.col("e"))
+        cells = (
+            comp.select("j", "xj", F.posexplode("e").alias("i", "xi"))
+            .groupBy("j", "i")
+            .agg(F.avg(F.col("xj") * F.col("xi")).alias("m2"))
+        )
+        means = (
+            v.select(F.posexplode("e").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias("m"))
+        )
+        return (
+            cells.join(means.select(F.col("i").alias("j"), F.col("m").alias("mj")), "j")
+            .join(means.select("i", F.col("m").alias("mi")), "i")
+            .select(
+                "j", "i", F.round(F.col("m2") - F.col("mj") * F.col("mi"), _PR).alias("c")
+            )
+        )
+
+    # dim² cells, ONE corpus pass — persisted: the unrolled iteration
+    # references it 2·ITERS+2 times and would otherwise re-scan the
+    # corpus per reference (~420 stages before; ~40 after)
+    cov = _memo_persist(spark, sf_dir, "emb_cov", build_cov).coalesce(1)
+    b = cov.filter(F.col("i") == F.col("j")).select(
+        "i", F.lit(0.125).alias("b")
+    )  # uniform 1/sqrt(64)
+    for _ in range(PCA_ITERS):
+        raw = (
+            cov.join(b, "i")
+            .groupBy("j")
+            .agg(F.round(F.sum(F.col("c") * F.col("b")), _PR).alias("r"))
+            .coalesce(1)  # dim rows: keep the iteration single-partition
+        )
+        nrm = raw.agg(F.round(F.sqrt(F.sum(F.col("r") * F.col("r"))), _PR).alias("n"))
+        # localCheckpoint: b is referenced by the next iteration AND by
+        # cb/lam/lead/nd below — without truncation the dim-row chain
+        # re-executes multiplicatively (measured 10 s of scheduler for
+        # a 64-row vector; ~1 s with per-iteration truncation)
+        b = (
+            raw.crossJoin(F.broadcast(nrm))
+            .select(F.col("j").alias("i"), F.round(F.col("r") / F.col("n"), _PR).alias("b"))
+            .localCheckpoint()
+        )
+    # Rayleigh quotient λ = bᵀCb and the trace = Σ C_ii
+    cb = (
+        cov.join(b, "i")
+        .groupBy("j")
+        .agg(F.round(F.sum(F.col("c") * F.col("b")), _PR).alias("cb"))
+    )
+    lam = (
+        cb.join(b.select(F.col("i").alias("j"), "b"), "j")
+        .agg(F.sum(F.col("cb") * F.col("b")).alias("lam"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    lead = (
+        b.orderBy(F.desc(F.abs(F.col("b"))), F.asc("i"))
+        .limit(1)
+        .select(F.col("i").alias("leading_dim"))
+    )
+    nd = b.agg(F.count(F.lit(1)).alias("n_dims"))
+    return (
+        nd.crossJoin(lam)
+        .crossJoin(tr)
+        .crossJoin(lead)
+        .select(
+            "n_dims",
+            F.round("lam", 4).alias("top_eigenvalue"),
+            F.round("trace", 4).alias("trace"),
+            F.round(F.col("lam") / F.col("trace"), 4).alias("top_share"),
+            "leading_dim",
+        )
+    )
+
+
+def _emb_principal_oracle() -> str:
+    steps = []
+    prev = "b0"
+    for it in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"""r{it} AS (
+  SELECT c.j, round(sum(c.c * b.b), {_PR}) AS r
+  FROM cov c JOIN {prev} b ON c.i = b.i GROUP BY c.j
+),
+n{it} AS (SELECT round(sqrt(sum(r * r)), {_PR}) AS n FROM r{it}),
+b{it} AS (
+  SELECT r.j AS i, round(r.r / n.n, {_PR}) AS b FROM r{it} r CROSS JOIN n{it} n
+)"""
+        )
+        prev = f"b{it}"
+    body = ",\n".join(steps)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+comp AS (
+  SELECT vec_id, gj.j - 1 AS j, e[gj.j] AS xj, e
+  FROM v CROSS JOIN range(1, 65) gj(j)
+),
+cells AS (
+  SELECT j, gi.i - 1 AS i, avg(xj * e[gi.i]) AS m2
+  FROM comp CROSS JOIN range(1, 65) gi(i)
+  GROUP BY j, gi.i - 1
+),
+means AS (
+  SELECT g.i - 1 AS i, avg(e[g.i]) AS m
+  FROM v CROSS JOIN range(1, 65) g(i) GROUP BY g.i - 1
+),
+cov AS (
+  SELECT ce.j, ce.i, round(ce.m2 - mj.m * mi.m, {_PR}) AS c
+  FROM cells ce
+  JOIN means mj ON mj.i = ce.j
+  JOIN means mi ON mi.i = ce.i
+),
+b0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS b FROM means),
+{body},
+cb AS (
+  SELECT c.j, round(sum(c.c * b.b), {_PR}) AS cb
+  FROM cov c JOIN b{PCA_ITERS} b ON c.i = b.i GROUP BY c.j
+),
+lam AS (
+  SELECT sum(cb.cb * b.b) AS lam
+  FROM cb JOIN b{PCA_ITERS} b ON b.i = cb.j
+),
+tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+lead AS (
+  SELECT CAST(i AS INTEGER) AS leading_dim FROM b{PCA_ITERS}
+  ORDER BY abs(b) DESC, i ASC LIMIT 1
+),
+nd AS (SELECT CAST(count(1) AS BIGINT) AS n_dims FROM b{PCA_ITERS})
+SELECT n_dims,
+       round(lam, 4) AS top_eigenvalue,
+       round(trace, 4) AS trace,
+       round(lam / trace, 4) AS top_share,
+       leading_dim
+FROM nd CROSS JOIN lam CROSS JOIN tr CROSS JOIN lead
+"""
+
+
 #: IDCG@10 for the linear gain g(i) = 11−i with ln(1+i) discount —
 #: computed once in Python and embedded as the SAME double literal in
 #: both engines, so the normalization can't drift.
@@ -1144,6 +1312,7 @@ QUERIES = {
     "q_knn_ivfpq": _q_knn_ivfpq,
     "q_ann_quality": _q_ann_quality,
     "q_ann_ndcg": _q_ann_ndcg,
+    "q_emb_principal": _q_emb_principal,
     "q_emb_stats": _q_emb_stats,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
@@ -1623,3 +1792,4 @@ GROUP BY method
 
 ORACLE["q_ann_quality"] = _ann_quality_oracle()
 ORACLE["q_ann_ndcg"] = _ann_ndcg_oracle()
+ORACLE["q_emb_principal"] = _emb_principal_oracle()

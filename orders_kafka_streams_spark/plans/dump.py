@@ -97,6 +97,7 @@ COMMENTARY = {
     "q_char_entropy": "char explode partial-aggregated to (doc, char) cells before the exchange; entropy fold per doc — cells in the shuffle, not characters",
     "q_jsonl_roundtrip": "to_json/from_json both map-only inside codegen; one per-type checksum agg; poison routed via PERMISSIVE corrupt column",
     "q_cluster_topics": "memoized assignments joined to the token cache; (cluster, word) cells shuffle; corpus histogram broadcast back; window over vocab cells",
+    "q_emb_principal": "one corpus pass to dim² covariance cells (persisted); power steps are cell joins on a checkpointed dim-row vector — corpus never re-scans",
 }
 
 

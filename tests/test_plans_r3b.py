@@ -148,6 +148,19 @@ def test_heldout_bigram_scores_are_logprobs(spark, sf_dir):
     assert flags == {True, False}, flags
 
 
+def test_emb_principal_invariants(spark, sf_dir):
+    """Power iteration on a covariance matrix: the Rayleigh quotient is
+    a positive eigenvalue estimate, bounded by the trace, and the top
+    share lies in (0, 1]; n_dims matches the embedding width."""
+    from orders_kafka_streams_spark.operators import similarity
+
+    row = similarity._q_emb_principal(spark, sf_dir).collect()[0]
+    assert row["n_dims"] == similarity.EMB_DIM
+    assert 0.0 < row["top_eigenvalue"] <= row["trace"] + 1e-9, row
+    assert 0.0 < row["top_share"] <= 1.0, row
+    assert 0 <= row["leading_dim"] < similarity.EMB_DIM
+
+
 def test_pagerank_mass_conserved(spark, sf_dir):
     """Power-iteration sanity on the symmetric dup graph: ranks sum to
     ~1 (no dangling mass — every node has out-degree ≥ 1) and every
