@@ -64,10 +64,18 @@ def _verify(df, name: str, oracles, sf_dir: str) -> tuple[bool, str]:
     orows = cur.fetchall()
 
     def canon(v):
+        # mirrors tests/oracle_harness.canon — incl. the ±0.0 and bool
+        # normalizations (dropping them makes -0.0 vs 0.0 a false red)
         if v is None:
             return "~"
+        if isinstance(v, bool):
+            return "1" if v else "0"
         if isinstance(v, float):
-            return "nan" if math.isnan(v) else f"{v:.9g}"
+            if math.isnan(v):
+                return "nan"
+            if v == 0:
+                return "0"
+            return f"{v:.9g}"
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.isoformat()
         if isinstance(v, (list, tuple)):

@@ -141,10 +141,27 @@ def _q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    u = (
-        hash60(F.concat(F.lit(DP_SALT), F.lit("|"), F.col("event_type"), F.lit("|"), F.col("day")))
+    return dp_release(cells)
+
+
+#: clamp keeping u strictly above −0.5: hash60(cell) == 0 (prob 2⁻⁶⁰,
+#: but PERMANENT for that cell string) would otherwise hit ln(0) and
+#: the engines disagree catastrophically instead of failing together
+DP_U_FLOOR = -0.5 + 1e-15
+
+
+def dp_release(cells: DataFrame) -> DataFrame:
+    """The shared noise-stamp block for the batch release and its
+    streaming twin (both pin the same oracle semantics, so the
+    derivation lives in ONE place): derived inverse-CDF Laplace(1/ε)
+    noise on (event_type, day, c) cells, clamped non-negative."""
+    u = F.greatest(
+        hash60(
+            F.concat(F.lit(DP_SALT), F.lit("|"), F.col("event_type"), F.lit("|"), F.col("day"))
+        )
         / F.lit(2.0**60)
-        - F.lit(0.5)
+        - F.lit(0.5),
+        F.lit(DP_U_FLOOR),
     )
     noise = (
         -F.lit(1.0 / DP_EPSILON)
@@ -167,8 +184,9 @@ QUERIES = {
 _TOKEN = hash60_sql(f"'{TOKEN_SALT}' || '|' || c_name")
 
 _DP_U = (
-    hash60_sql(f"'{DP_SALT}' || '|' || event_type || '|' || day")
-    + " / 1152921504606846976.0 - 0.5"
+    "greatest("
+    + hash60_sql(f"'{DP_SALT}' || '|' || event_type || '|' || day")
+    + f" / 1152921504606846976.0 - 0.5, {DP_U_FLOOR!r})"
 )
 
 ORACLE = {

@@ -165,7 +165,24 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     app_id = spark.sparkContext.applicationId
     key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), "okss-jsonl", key)
+    base = os.path.join(tempfile.gettempdir(), "okss-jsonl")
+    out = os.path.join(base, key)
+    # each Spark application gets a fresh key, so prior sessions'
+    # corpus-sized serializations would accumulate in /tmp forever —
+    # drop STALE siblings (age-gated so a concurrently-running
+    # session's live directory is never pulled out from under it)
+    if os.path.isdir(base):
+        import shutil
+        import time
+
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                stale = d != key and time.time() - os.path.getmtime(p) > 3600
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     marker = os.path.join(out, "_WRITTEN")  # _-prefixed: reader skips it
     if not os.path.exists(marker):
         payload.write.mode("overwrite").text(out)

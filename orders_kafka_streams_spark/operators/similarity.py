@@ -1072,24 +1072,54 @@ def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: benchmark suites are small (10³-10⁴ vectors), so the
     benchmark side BROADCASTS and the 100 TB corpus is scanned ONCE
     map-side; the only shuffle carries one (vec_id, best, cos) cell
-    per corpus vector into the per-vector argmax window. The
+    per corpus vector into the min(struct) argmax aggregation (a
+    groupBy, so the combine happens map-side — a window would shuffle
+    the full corpus×bench scored product). The
     LSH/IVF index variants (q_knn_lsh seam) slot in as the candidate
     generator when even |corpus|×|bench| dot products are too many —
     exact form kept as the oracle, same contract as q_hybrid_search."""
     v = _prepared(spark, sf_dir)
-    bench = v.filter(
+    bench = sem_bench_side(v)
+    corpus = v.filter(F.col("label") != 0).select("vec_id", "e", "nrm")
+    return sem_contam_flags(corpus, bench)
+
+
+def sem_bench_side(v: DataFrame) -> DataFrame:
+    """The fixed-size benchmark suite projection (label-0, id-capped)."""
+    return v.filter(
         (F.col("label") == 0) & (F.col("vec_id") < SEM_BENCH_CAP)
     ).select(
         F.col("vec_id").alias("bench_id"), F.col("e").alias("be"), F.col("nrm").alias("bn")
     )
-    corpus = v.filter(F.col("label") != 0).select("vec_id", "e", "nrm")
+
+
+def sem_contam_flags(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    """Shared scoring block for the batch sweep and its streaming twin
+    (both pin the SAME oracle, so the math must live in one place).
+
+    Argmax via min(struct(−cos, bench_id)) — a partial-aggregable
+    groupBy, so the exchange carries ONE cell per corpus vector (a
+    row_number window would shuffle the full |corpus|×|bench| scored
+    product: windows have no map-side combine). Tie semantics equal
+    the oracle's (cosine DESC, bench_id ASC) window."""
     cos = _dot(F.col("be"), F.col("e")) / (F.col("bn") * F.col("nrm"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_raw"), F.asc("bench_id"))
     return (
         corpus.crossJoin(F.broadcast(bench))
-        .withColumn("cosine_raw", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
+        .select("vec_id", F.col("bench_id"), cos.alias("cosine_raw"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine_raw")).alias("nc"), F.col("bench_id").alias("b")
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.b").alias("bench_id"),
+            (-F.col("m.nc")).alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") >= SEM_CONTAM_THRESH)
         .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
     )
 
@@ -1236,7 +1266,7 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_oracle() -> str:
-    lam, om = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    lam, om = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
     steps = []
     for k in range(2, MMR_K + 1):
         prev = f"s{k - 1}"

@@ -502,8 +502,7 @@ def _q_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: engine-managed watermarked agg (cells in state, not
     events) + map-only noise arithmetic on the drained sink."""
-    from ..functions.portable import hash60
-    from .privacy import DP_EPSILON, DP_SALT
+    from .privacy import dp_release
 
     ev = events_file_stream(spark, sf_dir)
     cells = (
@@ -517,22 +516,8 @@ def _q_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tab = run_to_memory(cells, "stream_dp_cells")
-    got = spark.table(tab)
-    u = (
-        hash60(
-            F.concat(F.lit(DP_SALT), F.lit("|"), F.col("event_type"), F.lit("|"), F.col("day"))
-        )
-        / F.lit(2.0**60)
-        - F.lit(0.5)
-    )
-    noise = -F.lit(1.0 / DP_EPSILON) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
-    released = F.greatest(F.lit(0).cast("long"), F.col("c") + F.round(noise).cast("long"))
-    return got.select(
-        "event_type",
-        "day",
-        released.alias("released_count"),
-        F.lit(DP_EPSILON).alias("epsilon"),
-    )
+    # noise stamp = the batch release's exact shared block (same oracle)
+    return dp_release(spark.table(tab))
 
 
 def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,14 +537,7 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     import tempfile
 
     from ..streaming.pipeline import embeddings_file_stream
-    from .similarity import (
-        SEM_BENCH_CAP,
-        SEM_CONTAM_THRESH,
-        _dot,
-        _dvec,
-        _norm,
-        _prepared,
-    )
+    from .similarity import _dvec, _norm, _prepared, sem_bench_side, sem_contam_flags
 
     emb = embeddings_file_stream(spark, sf_dir)
     app_id = spark.sparkContext.applicationId
@@ -568,16 +546,7 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     shutil.rmtree(out_path, ignore_errors=True)
 
     # the benchmark suite is STATIC — build it once before the stream
-    bench = (
-        _prepared(spark, sf_dir)
-        .filter((F.col("label") == 0) & (F.col("vec_id") < SEM_BENCH_CAP))
-        .select(
-            F.col("vec_id").alias("bench_id"),
-            F.col("e").alias("be"),
-            F.col("nrm").alias("bn"),
-        )
-        .persist()
-    )
+    bench = sem_bench_side(_prepared(spark, sf_dir)).persist()
 
     def probe(batch, batch_id: int) -> None:
         # repartition: a file-source micro-batch arrives with the
@@ -592,18 +561,9 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
             .withColumn("nrm", _norm(F.col("e")))
             .persist()
         )
-        cos = _dot(F.col("be"), F.col("e")) / (F.col("bn") * F.col("nrm"))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_raw"), F.asc("bench_id"))
         try:
-            (
-                corpus.crossJoin(F.broadcast(bench))
-                .withColumn("cosine_raw", cos)
-                .withColumn("rk", F.row_number().over(w))
-                .filter((F.col("rk") == 1) & (F.col("cosine_raw") >= SEM_CONTAM_THRESH))
-                .select("vec_id", "bench_id", F.round("cosine_raw", 6).alias("cosine"))
-                .write.mode("append")
-                .parquet(out_path)
-            )
+            # scoring = the batch sweep's exact shared block (same oracle)
+            sem_contam_flags(corpus, bench).write.mode("append").parquet(out_path)
         finally:
             corpus.unpersist()
 

@@ -1041,7 +1041,11 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     not characters. Output: (doc_id, n_chars, n_distinct, entropy)."""
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     cells = (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        # length guard: Spark's split('', '') yields [''] (a phantom
+        # char row) where the oracle's range-transform yields [] —
+        # empty docs are excluded as stated policy on both engines
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -88,7 +88,7 @@ COMMENTARY = {
     "q_source_overlap": "distinct posting self-join with stop-shingle cutoff; output bounded at sources² cells, text never moves",
     "q_ccnet_buckets": "LM broadcast onto token stream; ntile over doc-score ROWS (one per-lang window), band summary = 3 rows/lang",
     "q_source_divergence": "KL as observed-join + closed-form remainder: count cells in the shuffle, V×S matrix never materializes",
-    "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; one (vec, best, cos) cell shuffle for the argmax window",
+    "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; min(struct) argmax partial-aggregates to one cell per vector before the exchange",
     "q_hubness": "sampled query side broadcast; k-occurrence = neighbor-keyed partial agg + TakeOrderedAndProject, never a global sort",
     "q_heldout_bigram": "train-half count relations joined onto the bigram stream on their keys (AQE picks broadcast while vocab fits); one doc agg",
     "q_kcenter_coreset": "K-1 driver-paced FPS jobs, each map + TakeOrdered top-1 over the persisted corpus with least()-chained incremental min-distance; result is the K-row local relation",

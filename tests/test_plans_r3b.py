@@ -48,6 +48,10 @@ def test_semantic_contamination_bench_broadcast(spark, sf_dir):
     plan = plan_of(similarity._q_semantic_contamination(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # argmax must be the partial-aggregable min(struct) groupBy, NOT a
+    # window: windows have no map-side combine, so the exchange would
+    # carry |corpus|x|bench| scored rows instead of one cell per vector
+    assert "Window" not in plan, plan
 
 
 def test_hubness_topk_take_ordered(spark, sf_dir):
