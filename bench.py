@@ -99,6 +99,7 @@ HEADLINE = [
     "q_jsonl_roundtrip",
     "q_cluster_topics",
     "q_emb_principal",
+    "q_gapfill_locf",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -573,7 +573,61 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling with last-observation-carried-
+    forward — the TSDB staple (TimescaleDB's time_bucket_gapfill +
+    locf) re-expressed Spark-first: per user, an hourly grid spanning
+    [trunc(min ts), trunc(max ts)] is UNIONED with the raw events and
+    ONE window carry fills every grid point with the latest value at
+    or before it — the same union+carry seam as the as-of joins
+    (operators/asof.py): no range join, no per-grid-point probe, one
+    user_id exchange total.
+
+    Grid marks order after same-timestamp events (ord = coalesce(
+    event_id, 2⁶²) — engines disagree on NULL sort order, so the
+    sentinel pins it), making the carry deterministic under duplicate
+    timestamps. Grid points before a user's first event stay empty
+    and are counted, not invented.
+
+    Output is the per-user audit (n_hours, n_empty, locf_checksum =
+    rounded sum of filled grid values) — the checksum pins every
+    carried value without shipping the full grid through the driver
+    compare."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("t"),
+    ).select("user_id", "t", F.lit(None).cast("double").alias("v"), F.lit(None).cast("long").alias("event_id"), F.lit(1).alias("is_grid"))
+    marks = ev.select(
+        "user_id", F.col("ts").alias("t"), F.col("value").alias("v"), "event_id", F.lit(0).alias("is_grid")
+    )
+    ord_ = F.coalesce("event_id", F.lit(1 << 62))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", ord_.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        marks.unionByName(grid)
+        .withColumn("locf", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("locf").isNull().cast("long")).alias("n_empty"),
+        F.round(F.sum("locf"), 4).alias("locf_checksum"),
+    )
+
 QUERIES = {
+    "q_gapfill_locf": _q_gapfill_locf,
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_interval_join": _q_interval_join,
@@ -595,6 +649,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_gapfill_locf": f"""
+WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t,
+         CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS event_id, 1 AS is_grid
+  FROM bounds
+),
+marks AS (SELECT user_id, ts AS t, value AS v, event_id, 0 AS is_grid FROM ev),
+u AS (SELECT * FROM marks UNION ALL SELECT * FROM grid),
+f AS (
+  SELECT user_id, is_grid,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, coalesce(event_id, {1 << 62})
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM u
+)
+SELECT user_id, CAST(count(1) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN locf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       round(sum(locf), 4) AS locf_checksum
+FROM f WHERE is_grid = 1 GROUP BY user_id
+""",
     "q_entropy": """
 WITH freq AS (SELECT event_type, count(1) AS n_t FROM events GROUP BY event_type),
 tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_events, CAST(count(1) AS BIGINT) AS n_types FROM freq)

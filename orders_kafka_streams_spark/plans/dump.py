@@ -98,6 +98,7 @@ COMMENTARY = {
     "q_jsonl_roundtrip": "to_json/from_json both map-only inside codegen; one per-type checksum agg; poison routed via PERMISSIVE corrupt column",
     "q_cluster_topics": "memoized assignments joined to the token cache; (cluster, word) cells shuffle; corpus histogram broadcast back; window over vocab cells",
     "q_emb_principal": "one corpus pass to dim² covariance cells (persisted); power steps are cell joins on a checkpointed dim-row vector — corpus never re-scans",
+    "q_gapfill_locf": "hourly grid unioned with events, one window carry on the single user_id exchange — no range join, no per-grid-point probe",
 }
 
 
