@@ -296,6 +296,73 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+import math as _math
+
+BOOT_B = 32  # bootstrap replicas
+BOOT_SALT = "okss-boot-v1"
+#: Poisson(1) CDF thresholds (inverse-CDF weight lookup, weights 0..7)
+_POIS_CDF = tuple(
+    sum(_math.exp(-1) / _math.factorial(i) for i in range(k + 1)) for k in range(7)
+)
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus metric (the
+    mean event value) — the at-scale bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams", the
+    map-reduce-friendly replacement for resampling): each of BOOT_B
+    replicas weights every row by an independent Poisson(1) draw, so
+    one corpus pass computes all replica means and the CI is the
+    spread of the 32 replica statistics. Error bars are what make a
+    curation metric decision-grade ("did the gate move the mean or is
+    that noise?"), and at 100 TB this is the only bootstrap you can
+    afford.
+
+    The draws are DERIVED (inverse Poisson CDF over the hash-uniform
+    of (salt, event_id, replica)) so the release is reproducible and
+    the oracle recomputes it bit-for-bit — the same honesty trade as
+    q_dp_histogram; swap one line for a real RNG in production.
+
+    Scale shape: a BOOT_B-way map-side explode aggregated to BOOT_B
+    (sum, count) cells — the shuffle carries replicas, not rows; the
+    CI is a sorted pick over the 32-cell relation. Output: one row
+    (n_rows, point_mean, boot_lo, boot_hi, n_replicas)."""
+    ev = load_table(spark, sf_dir, "events")
+    rep = ev.select("event_id", "value").crossJoin(
+        spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    )
+    u = hash60(
+        F.concat(
+            F.lit(BOOT_SALT),
+            F.lit("|"),
+            F.col("event_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    ) / F.lit(2.0**60)
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias("m")
+        )
+    )
+    ci = means.agg(F.sort_array(F.collect_list("m")).alias("ms")).select(
+        F.element_at("ms", 2).alias("boot_lo"),       # ~2.5th pct of 32
+        F.element_at("ms", BOOT_B - 1).alias("boot_hi"),  # ~97.5th pct
+    )
+    point = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.round(F.avg("value"), 6).alias("point_mean")
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "point_mean", "boot_lo", "boot_hi", F.lit(BOOT_B).alias("n_replicas")
+    )
+
+
 def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal redundancy audit: the Pearson correlation matrix
     of four cheap per-document quality signals (token count,
@@ -335,6 +402,7 @@ def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
+    "q_bootstrap_ci": _q_bootstrap_ci,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -372,7 +440,30 @@ from ..functions.textfns import stopword_count_sql, tokens_sql
 _TOKS = tokens_sql("text")
 _SW_COUNT = stopword_count_sql("t")
 
+_POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
+
 ORACLE = {
+    "q_bootstrap_ci": f"""
+WITH rep AS (
+  SELECT e.event_id, e.value, CAST(g.b AS INTEGER) AS b
+  FROM events e CROSS JOIN range(0, {BOOT_B}) g(b)
+),
+uu AS (
+  SELECT b, value,
+         {hash60_sql(f"'{BOOT_SALT}' || '|' || CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)")}
+           / 1152921504606846976.0 AS u
+  FROM rep
+),
+uw AS (SELECT b, value, {_POIS_CASE} AS w FROM uu),
+means AS (
+  SELECT b, round(sum(w * value) / sum(w), 6) AS m FROM uw GROUP BY b
+),
+srt AS (SELECT list_sort(list(m)) AS ms FROM means)
+SELECT pt.n_rows, pt.point_mean, srt.ms[2] AS boot_lo, srt.ms[{BOOT_B - 1}] AS boot_hi,
+       CAST({BOOT_B} AS INTEGER) AS n_replicas
+FROM (SELECT CAST(count(1) AS BIGINT) AS n_rows, round(avg(value), 6) AS point_mean
+      FROM events) pt CROSS JOIN srt
+""",
     "q_signal_correlation": f"""
 WITH toks AS (SELECT {_TOKS} AS t FROM documents),
 sig AS (

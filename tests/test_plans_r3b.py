@@ -129,6 +129,17 @@ def test_stream_dp_release_closes_windows_only(spark, sf_dir):
     assert 0 < n_stream < n_batch, (n_stream, n_batch)
 
 
+def test_bootstrap_ci_brackets_point(spark, sf_dir):
+    """The Poisson-bootstrap CI must bracket the point estimate and
+    be properly ordered (lo ≤ mean ≤ hi, lo < hi)."""
+    from orders_kafka_streams_spark.operators import stats
+
+    row = stats._q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row["boot_lo"] < row["boot_hi"], row
+    assert row["boot_lo"] <= row["point_mean"] <= row["boot_hi"], row
+    assert row["n_replicas"] == stats.BOOT_B
+
+
 def test_source_divergence_nonnegative(spark, sf_dir):
     """KL(p‖q) ≥ 0 always (Gibbs) — a negative value means the
     observed/unobserved split dropped a term."""
