@@ -595,9 +595,16 @@ def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded sum of filled grid values) — the checksum pins every
     carried value without shipping the full grid through the driver
     compare."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return gapfill_locf(ev)
+
+
+def gapfill_locf(ev: DataFrame) -> DataFrame:
+    """The gap-fill/LOCF body over any (user_id, ts, value, event_id)
+    frame — factored out so the hypothesis property test can drive it
+    with generated event sets (tests/test_gapfill_property.py)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("mn"),
         F.date_trunc("hour", F.max("ts")).alias("mx"),
