@@ -297,6 +297,51 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+TRIM_FRAC = 0.05  # two-sided trim fraction
+
+
+def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided trimmed mean per event type — the third robust
+    location estimate alongside 3-sigma (q_outliers) and median/MAD
+    (q_mad_outliers): drop the top and bottom TRIM_FRAC of values by
+    percent_rank, average the core. The robustness/efficiency
+    sweet-spot for heavy-tailed metrics where the mean is hostage to
+    outliers but the median wastes data.
+
+    Engine parity: percent_rank depends only on the VALUE's rank, so
+    ties get identical ranks on both engines and the trim boundary
+    cuts identically. Scale shape: one window over the per-type
+    partitions + one partial+final agg — both on the same event_type
+    exchange. Output: (event_type, n_total, n_kept, mean_all,
+    trimmed_mean)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    pr = F.percent_rank().over(w)
+    ranked = ev.select("event_type", "value", pr.alias("pr"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                ((F.col("pr") >= TRIM_FRAC) & (F.col("pr") <= 1.0 - TRIM_FRAC)).cast("long")
+            ).alias("n_kept"),
+            F.round(F.avg("value"), 4).alias("mean_all"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("pr") >= TRIM_FRAC) & (F.col("pr") <= 1.0 - TRIM_FRAC),
+                        F.col("value"),
+                    )
+                ),
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
 import math as _math
 
 BOOT_B = 32  # bootstrap replicas
@@ -403,6 +448,7 @@ def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
     "q_bootstrap_ci": _q_bootstrap_ci,
+    "q_trimmed_mean": _q_trimmed_mean,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -443,6 +489,21 @@ _SW_COUNT = stopword_count_sql("t")
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
 ORACLE = {
+    "q_trimmed_mean": f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+  FROM events
+)
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN pr >= {TRIM_FRAC} AND pr <= 1.0 - {TRIM_FRAC}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(value), 4) AS mean_all,
+       round(avg(CASE WHEN pr >= {TRIM_FRAC} AND pr <= 1.0 - {TRIM_FRAC}
+                      THEN value END), 4) AS trimmed_mean
+FROM ranked GROUP BY event_type
+""",
     "q_bootstrap_ci": f"""
 WITH rep AS (
   SELECT e.event_id, e.value, CAST(g.b AS INTEGER) AS b
