@@ -342,6 +342,68 @@ def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+MW_A, MW_B = "click", "purchase"  # the two samples under test
+
+
+def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (two-sided, normal approximation
+    with tie correction) between two event types' value
+    distributions — the nonparametric A/B answer to "did the metric
+    distribution actually shift?" that pairs with q_bootstrap_ci's
+    error bars: no normality assumption, rank-based, exact under
+    ties. Average ranks are rank() + (ties−1)/2 — pure rank
+    arithmetic, so both engines agree exactly before any float op.
+
+    Scale shape: one global rank window over the two filtered
+    samples (a single orderBy exchange of the candidate rows, not
+    the corpus), one tie-histogram aggregation for the variance
+    correction, and a scalar finishing expression. Output: one row
+    (n_a, n_b, u_stat, z_score, significant)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_A, MW_B)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(Window.partitionBy("value")) - 1) / 2.0
+        ).alias("r"),
+    )
+    sums = ranked.groupBy().agg(
+        F.sum(F.when(F.col("event_type") == MW_A, F.col("r"))).alias("r_a"),
+        F.sum((F.col("event_type") == MW_A).cast("long")).alias("n_a"),
+        F.sum((F.col("event_type") == MW_B).cast("long")).alias("n_b"),
+    )
+    ties = (
+        ranked.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    )
+    j = sums.crossJoin(F.broadcast(ties))
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a") * F.col("n_b") / 2.0
+    var = (
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    )
+    z = (u - mu) / F.sqrt(var)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(u, 4).alias("u_stat"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.959963984540054).alias("significant"),
+    )
+
+
 import math as _math
 
 BOOT_B = 32  # bootstrap replicas
@@ -449,6 +511,7 @@ QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
+    "q_rank_test": _q_rank_test,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -489,6 +552,38 @@ _SW_COUNT = stopword_count_sql("t")
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
 ORACLE = {
+    "q_rank_test": f"""
+WITH s AS (
+  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+),
+ranked AS (
+  SELECT event_type, value,
+         CAST(rank() OVER (ORDER BY value) AS DOUBLE)
+           + (count(1) OVER (PARTITION BY value) - 1) / 2.0 AS r
+  FROM s
+),
+sums AS (
+  SELECT sum(CASE WHEN event_type = '{MW_A}' THEN r END) AS r_a,
+         CAST(sum(CASE WHEN event_type = '{MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN event_type = '{MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM ranked
+),
+ties AS (
+  SELECT sum(t * t * t - t) AS tie3
+  FROM (SELECT count(1) AS t FROM ranked GROUP BY value)
+),
+f AS (
+  SELECT n_a, n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u,
+         n_a * n_b / 2.0 AS mu,
+         n_a * n_b / 12.0 * ((n_a + n_b + 1) - tie3 / ((n_a + n_b) * (n_a + n_b - 1))) AS var
+  FROM sums CROSS JOIN ties
+)
+SELECT n_a, n_b, round(u, 4) AS u_stat,
+       round((u - mu) / sqrt(var), 4) AS z_score,
+       abs((u - mu) / sqrt(var)) > 1.959963984540054 AS significant
+FROM f
+""",
     "q_trimmed_mean": f"""
 WITH ranked AS (
   SELECT event_type, value,
