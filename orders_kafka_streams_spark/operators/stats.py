@@ -404,6 +404,59 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the same two
+    event-type value distributions as q_rank_test — the SHAPE
+    complement to its location test: D = max |ECDF_a − ECDF_b| over
+    the pooled support reacts to variance/modality differences a
+    rank-sum test can miss. Significance at α=0.05 via the classic
+    c(α)·√((n_a+n_b)/(n_a·n_b)) critical value.
+
+    Scale shape: per distinct pooled value, cumulative per-sample
+    counts via ONE running-sum window over the distinct-value
+    relation (cells, not rows: the distinct agg partial-aggregates
+    first), then a 1-row max. All arithmetic is integer counts until
+    the final divisions. Output: (n_a, n_b, d_stat, d_crit,
+    significant)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_A, MW_B)
+    )
+    from pyspark.sql import Window
+
+    cells = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == MW_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == MW_B).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(F.col("fa") / F.col("n_a") - F.col("fb") / F.col("n_b")).alias("d"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d").alias("d_stat"))
+    )
+    crit = F.lit(1.3581015157406195) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.col("d_stat") > crit).alias("significant"),
+    )
+
+
 import math as _math
 
 BOOT_B = 32  # bootstrap replicas
@@ -512,6 +565,7 @@ QUERIES = {
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
+    "q_ks_test": _q_ks_test,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -552,6 +606,33 @@ _SW_COUNT = stopword_count_sql("t")
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
 ORACLE = {
+    "q_ks_test": f"""
+WITH s AS (
+  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+),
+cells AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = '{MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM s GROUP BY value
+),
+cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb
+  FROM cells
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
+d AS (
+  SELECT n_a, n_b, max(abs(fa / CAST(n_a AS DOUBLE) - fb / CAST(n_b AS DOUBLE))) AS d_stat
+  FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+)
+SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+       round(1.3581015157406195 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)), 6) AS d_crit,
+       d_stat > 1.3581015157406195 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) AS significant
+FROM d
+""",
     "q_rank_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
