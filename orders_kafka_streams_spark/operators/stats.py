@@ -457,6 +457,69 @@ def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between document language and source —
+    the provenance-balance check: a significant χ² means languages
+    are NOT spread evenly across sources, so per-source sampling
+    decisions (q_lang_mix, q_sample_weighted) silently reweight
+    languages too. Expected cells from the margins, χ² = Σ(O−E)²/E;
+    the α=0.05 critical value is the Wilson-Hilferty approximation
+    for the observed dof, embedded as one shared literal per engine
+    pair (no chi-square tables in either engine).
+
+    Scale shape: one (lang, source) contingency aggregation — cells
+    in every later step; margins and totals are tiny re-aggregations
+    of the cell relation. Output: (n_docs, n_cells, dof, chi2,
+    chi2_crit, significant)."""
+    import math as _m
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rn"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("lang").alias("nl"), F.countDistinct("source").alias("ns"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    # the zero-observed cells of the full grid still contribute E to
+    # χ²; build the complete lang×source grid from the margins
+    grid = rows_.crossJoin(cols_)
+    full = (
+        grid.join(cells, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.coalesce("o", F.lit(0))).alias("o"),
+            (F.col("rn") * F.col("cn") / F.col("n")).alias("e"),
+        )
+    )
+    chi2 = full.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2")
+    )
+    z95 = 1.6448536269514722
+    dof = (F.col("nl") - 1) * (F.col("ns") - 1)
+    crit = dof * F.pow(
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof)
+        + F.lit(z95) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof)),
+        F.lit(3.0),
+    )
+    out = (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            dof.alias("dof"),
+            F.round("chi2", 4).alias("chi2"),
+            F.round(crit, 4).alias("chi2_crit"),
+            (F.col("chi2") > crit).alias("significant"),
+        )
+    )
+    return out
+
+
 import math as _math
 
 BOOT_B = 32  # bootstrap replicas
@@ -566,6 +629,7 @@ QUERIES = {
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
     "q_ks_test": _q_ks_test,
+    "q_chi2_independence": _q_chi2_independence,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -606,6 +670,37 @@ _SW_COUNT = stopword_count_sql("t")
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
 ORACLE = {
+    "q_chi2_independence": """
+WITH cells AS (
+  SELECT lang, source, CAST(count(1) AS BIGINT) AS o FROM documents GROUP BY lang, source
+),
+rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY lang),
+cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY source),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+dims AS (
+  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns,
+         CAST(count(1) AS BIGINT) AS n_cells
+  FROM cells
+),
+fg AS (
+  SELECT coalesce(c.o, 0) AS o, r.rn * co.cn / CAST(t.n AS DOUBLE) AS e
+  FROM rows_ r CROSS JOIN cols_ co
+  LEFT JOIN cells c ON c.lang = r.lang AND c.source = co.source
+  CROSS JOIN tot t
+),
+x AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM fg),
+f AS (
+  SELECT t.n AS n_docs, d.n_cells, (d.nl - 1) * (d.ns - 1) AS dof, x.chi2,
+         (d.nl - 1) * (d.ns - 1)
+           * pow(1.0 - 2.0 / (9.0 * ((d.nl - 1) * (d.ns - 1)))
+                 + 1.6448536269514722 * sqrt(2.0 / (9.0 * ((d.nl - 1) * (d.ns - 1)))), 3.0) AS crit
+  FROM tot t CROSS JOIN dims d CROSS JOIN x
+)
+SELECT n_docs, n_cells, CAST(dof AS BIGINT) AS dof, round(chi2, 4) AS chi2,
+       round(crit, 4) AS chi2_crit, chi2 > crit AS significant
+FROM f
+""",
     "q_ks_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
