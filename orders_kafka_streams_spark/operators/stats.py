@@ -395,11 +395,15 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((n + 1) - F.col("tie3") / (n * (n - 1)))
     )
     z = (u - mu) / F.sqrt(var)
+    delta = F.lit(2.0) * u / (F.col("n_a") * F.col("n_b")) - F.lit(1.0)
     return j.select(
         "n_a",
         "n_b",
         F.round(u, 4).alias("u_stat"),
         F.round(z, 4).alias("z_score"),
+        # Cliff's delta: the effect SIZE the z-score lacks (at corpus
+        # scale everything is "significant"; delta says how much)
+        F.round(delta, 4).alias("cliffs_delta"),
         (F.abs(z) > 1.959963984540054).alias("significant"),
     )
 
@@ -520,6 +524,49 @@ def _q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def _q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: hourly volume
+    shares plus the peak/trough hours and their ratio — the calendar
+    rhythm that sizes streaming capacity (watermark delays, trigger
+    intervals, autoscaling floors) and flags bot traffic (a flat
+    profile where humans are diurnal is a red flag).
+
+    Scale shape: one (type, hour) cell aggregation; everything after
+    re-aggregates the ≤ 24·|types| cells. Output: one row per type
+    (event_type, peak_hour, peak_n, trough_hour, trough_n,
+    peak_trough_ratio, n_hours_seen)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("h"))
+    wt = Window.partitionBy("event_type").orderBy(F.asc("c"), F.asc("h"))
+    ranked = cells.select(
+        "event_type", "h", "c",
+        F.row_number().over(wp).alias("rp"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    peak = ranked.filter(F.col("rp") == 1).select(
+        "event_type", F.col("h").alias("peak_hour"), F.col("c").alias("peak_n")
+    )
+    trough = ranked.filter(F.col("rt") == 1).select(
+        "event_type", F.col("h").alias("trough_hour"), F.col("c").alias("trough_n")
+    )
+    seen = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours_seen"))
+    return (
+        peak.join(trough, "event_type")
+        .join(seen, "event_type")
+        .select(
+            "event_type", "peak_hour", "peak_n", "trough_hour", "trough_n",
+            F.round(F.col("peak_n") / F.col("trough_n"), 4).alias("peak_trough_ratio"),
+            "n_hours_seen",
+        )
+    )
+
+
 import math as _math
 
 BOOT_B = 32  # bootstrap replicas
@@ -630,6 +677,7 @@ QUERIES = {
     "q_rank_test": _q_rank_test,
     "q_ks_test": _q_ks_test,
     "q_chi2_independence": _q_chi2_independence,
+    "q_hourly_profile": _q_hourly_profile,
     "q_mad_outliers": _q_mad_outliers,
     "q_chao1": _q_chao1,
     "q_psi_drift": _q_psi_drift,
@@ -670,6 +718,26 @@ _SW_COUNT = stopword_count_sql("t")
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
 ORACLE = {
+    "q_hourly_profile": """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour(ts)
+),
+ranked AS (
+  SELECT event_type, h, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, h ASC) AS rp,
+         row_number() OVER (PARTITION BY event_type ORDER BY c ASC, h ASC) AS rt
+  FROM cells
+),
+seen AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_hours_seen FROM cells GROUP BY event_type)
+SELECT p.event_type, p.h AS peak_hour, p.c AS peak_n,
+       t.h AS trough_hour, t.c AS trough_n,
+       round(p.c / CAST(t.c AS DOUBLE), 4) AS peak_trough_ratio,
+       s.n_hours_seen
+FROM (SELECT * FROM ranked WHERE rp = 1) p
+JOIN (SELECT * FROM ranked WHERE rt = 1) t USING (event_type)
+JOIN seen s USING (event_type)
+""",
     "q_chi2_independence": """
 WITH cells AS (
   SELECT lang, source, CAST(count(1) AS BIGINT) AS o FROM documents GROUP BY lang, source
@@ -757,6 +825,7 @@ f AS (
 )
 SELECT n_a, n_b, round(u, 4) AS u_stat,
        round((u - mu) / sqrt(var), 4) AS z_score,
+       round(2.0 * u / (n_a * n_b) - 1.0, 4) AS cliffs_delta,
        abs((u - mu) / sqrt(var)) > 1.959963984540054 AS significant
 FROM f
 """,
