@@ -124,7 +124,14 @@ EVENT_JSON_SCHEMA = T.StructType(
     ]
 )
 
-JSONL_POISON_LINES = 3  # malformed lines injected alongside the payload
+#: the exact malformed lines injected alongside the payload — the
+#: corrupt-side aggregation checks MEMBERSHIP against this set instead
+#: of trusting a bare count, so a real event that serialized to
+#: invalid JSON (e.g. a NaN/Infinity double) surfaces as
+#: n_unexpected_corrupt > 0 (hash mismatch) rather than silently
+#: inflating the poison count (round-3 advice).
+JSONL_POISON = ("xnot-json", '{"event_id": oops}', "}{")
+JSONL_POISON_LINES = len(JSONL_POISON)
 
 
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +176,13 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, key)
     # each Spark application gets a fresh key, so prior sessions'
     # corpus-sized serializations would accumulate in /tmp forever —
-    # drop STALE siblings (age-gated so a concurrently-running
-    # session's live directory is never pulled out from under it)
+    # drop STALE siblings (age-gated). A session running longer than
+    # the gate would otherwise have its LIVE payload swept by a
+    # younger sibling (round-3 advice), so every reuse first touches
+    # our own directory's mtime: as long as a session keeps using its
+    # payload, the age gate never sees it as stale.
+    if os.path.isdir(out):
+        os.utime(out, None)
     if os.path.isdir(base):
         import shutil
         import time
@@ -187,7 +199,7 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         payload.write.mode("overwrite").text(out)
         with open(os.path.join(out, "poison.txt"), "w") as fh:
-            fh.write('xnot-json\n{"event_id": oops}\n}{\n')
+            fh.write("".join(line + "\n" for line in JSONL_POISON))
         open(marker, "w").close()
     raw = spark.read.text(out)
     good, corrupt = decode_json(raw, EVENT_JSON_SCHEMA, "value")
@@ -197,7 +209,11 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("max_ts_ms"),
         F.countDistinct("user_id").alias("n_users"),
     )
-    c = corrupt.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    is_poison = F.col("raw").isin(*JSONL_POISON)
+    c = corrupt.agg(
+        F.coalesce(F.sum(is_poison.cast("long")), F.lit(0)).alias("n_corrupt"),
+        F.coalesce(F.sum((~is_poison).cast("long")), F.lit(0)).alias("n_unexpected_corrupt"),
+    )
     return g.crossJoin(F.broadcast(c))
 
 
@@ -218,7 +234,8 @@ SELECT event_type,
        round(sum(value), 4) AS value_sum,
        CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST({JSONL_POISON_LINES} AS BIGINT) AS n_corrupt
+       CAST({JSONL_POISON_LINES} AS BIGINT) AS n_corrupt,
+       CAST(0 AS BIGINT) AS n_unexpected_corrupt
 FROM events GROUP BY event_type
 """,
     "q_err_handle": """

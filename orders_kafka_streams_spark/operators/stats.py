@@ -622,8 +622,13 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ci = means.agg(F.sort_array(F.collect_list("m")).alias("ms")).select(
-        F.element_at("ms", 2).alias("boot_lo"),       # ~2.5th pct of 32
-        F.element_at("ms", BOOT_B - 1).alias("boot_hi"),  # ~97.5th pct
+        # min/max of 32 sorted replica means = the ~3.1/96.9 empirical
+        # percentiles — the WIDEST (most conservative) cut 32 replicas
+        # support. (Round-3 advice: elements 2 and 31 were ~4.7/95.3,
+        # systematically NARROWER than the nominal 95% the comment
+        # claimed; min/max errs wide instead of narrow.)
+        F.element_at("ms", 1).alias("boot_lo"),
+        F.element_at("ms", BOOT_B).alias("boot_hi"),
     )
     point = ev.agg(
         F.count(F.lit(1)).alias("n_rows"), F.round(F.avg("value"), 6).alias("point_mean")
@@ -860,7 +865,7 @@ means AS (
   SELECT b, round(sum(w * value) / sum(w), 6) AS m FROM uw GROUP BY b
 ),
 srt AS (SELECT list_sort(list(m)) AS ms FROM means)
-SELECT pt.n_rows, pt.point_mean, srt.ms[2] AS boot_lo, srt.ms[{BOOT_B - 1}] AS boot_hi,
+SELECT pt.n_rows, pt.point_mean, srt.ms[1] AS boot_lo, srt.ms[{BOOT_B}] AS boot_hi,
        CAST({BOOT_B} AS INTEGER) AS n_replicas
 FROM (SELECT CAST(count(1) AS BIGINT) AS n_rows, round(avg(value), 6) AS point_mean
       FROM events) pt CROSS JOIN srt

@@ -864,6 +864,7 @@ noised AS (
 )
 SELECT event_type, day,
        greatest(CAST(0 AS BIGINT), c + CAST(round(noise, 0) AS BIGINT)) AS released_count,
-       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon_nominal,
+       TRUE AS derived_noise
 FROM noised
 """

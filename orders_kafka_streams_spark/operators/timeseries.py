@@ -585,11 +585,12 @@ def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/asof.py): no range join, no per-grid-point probe, one
     user_id exchange total.
 
-    Grid marks order after same-timestamp events (ord = coalesce(
-    event_id, 2⁶²) — engines disagree on NULL sort order, so the
-    sentinel pins it), making the carry deterministic under duplicate
-    timestamps. Grid points before a user's first event stay empty
-    and are counted, not invented.
+    Grid marks order after same-timestamp events via the is_grid flag
+    itself (events=0 sort before grid=1; event_id with NULLS FIRST
+    pinned on both engines breaks remaining ties), making the carry
+    deterministic under duplicate timestamps with no sentinel that a
+    real NULL/huge event_id could collide with. Grid points before a
+    user's first event stay empty and are counted, not invented.
 
     Output is the per-user audit (n_hours, n_empty, locf_checksum =
     rounded sum of filled grid values) — the checksum pins every
@@ -616,10 +617,16 @@ def gapfill_locf(ev: DataFrame) -> DataFrame:
     marks = ev.select(
         "user_id", F.col("ts").alias("t"), F.col("value").alias("v"), "event_id", F.lit(0).alias("is_grid")
     )
-    ord_ = F.coalesce("event_id", F.lit(1 << 62))
+    # Secondary sort key is is_grid (events BEFORE grid marks at the
+    # same timestamp), then event_id with NULLS FIRST pinned on both
+    # engines. Round-3 advice: the previous coalesce(event_id, 2^62)
+    # sentinel collided with grid rows whenever a real event had NULL
+    # event_id (or event_id >= 2^62), making the carry order
+    # nondeterministic; is_grid separates the two row kinds by
+    # construction, no sentinel needed.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", ord_.asc())
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("event_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = (
@@ -672,7 +679,7 @@ u AS (SELECT * FROM marks UNION ALL SELECT * FROM grid),
 f AS (
   SELECT user_id, is_grid,
          last_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY t, coalesce(event_id, {1 << 62})
+           PARTITION BY user_id ORDER BY t, is_grid, event_id ASC NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
   FROM u
 )

@@ -1,7 +1,10 @@
 """Standalone driver simulation — run from ANY cwd with a plain
 SparkSession, exactly like the round driver:
 
-    python /root/repo/tests/driver_sim.py [sf_dir]
+    python /root/repo/tests/driver_sim.py [sf_dir] [query_name ...]
+
+With query names given, only that subset is checked (fast re-verify
+of just-touched queries); with none, the full registry runs.
 
 Loads __spark_entry__ by path, runs entry() + every queries() entry
 against oracle_sql() in DuckDB, prints per-query status and a FAILS
@@ -15,6 +18,7 @@ import importlib.util
 import sys
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
@@ -109,6 +113,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     from orders_kafka_streams_spark.operators import SKIPPED_MODULES
 
     if SKIPPED_MODULES:
