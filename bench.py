@@ -2,16 +2,33 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <steady total sec>, "unit": "sec",
-   "value_cold": <first-run total>, "value_steady": <min-of-2 total>,
-   "queries": {name: steady sec, ...}, "queries_cold": {...},
-   "sf": <sf>}
+Output contract (VERDICT r3 item 3 — the round driver captures only
+the LAST 2000 chars of stdout and json-parses a line from it, so the
+63-query full dict overflowed the capture and BENCH_r03 recorded
+``parsed: null``):
+
+- the FULL per-query payload (steady + cold + sf1 + budgets) is
+  written to ``BENCH_FULL.json`` next to this script AND printed as
+  the first stdout line (for humans / whole-stdout parsers);
+- the LAST stdout line is a COMPACT summary that always fits the
+  tail capture: ``{"metric": "headline_suite_wall", "value": <steady
+  total sec>, "unit": "sec", "value_cold": ..., "flagship_rows_per_
+  sec": ..., "r1_subset_sec": ..., "sf1_wall": ..., "n_queries": ...,
+  "budget_breaches": [...], "queries_file": "BENCH_FULL.json",
+  "sf": <sf>}``.
 
 ``value`` stays the headline (steady-state, the long-running-engine
 number) but the COLD total is first-class alongside it so round-over-
 round comparisons can't be confounded by cache warm-up masking a
 regression (VERDICT r1 item 8).
+
+Per-query budgets (VERDICT r3 item 7): ``bench_budgets.json`` commits
+a steady-time budget per query (sf0.1 + the sf1 heavy set). Any query
+slower than BUDGET_FACTOR x budget is a BREACH: listed on stderr,
+named in the summary line, and the process exits 3 — aggregate wall
+can no longer hide a single-query regression. Regenerate budgets
+after an intentional perf change with ``python bench.py
+--write-budgets`` (reviewing the diff is the point).
 
 The headline set spans the engine's surface: the flagship reference
 pipeline, scan-heavy and join-heavy TPC-H shapes, window functions,
@@ -100,6 +117,8 @@ HEADLINE = [
     "q_cluster_topics",
     "q_emb_principal",
     "q_gapfill_locf",
+    # round-4 additions
+    "q_pipeline_salted",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -116,6 +135,40 @@ SF1_HEAVY = [
     "q_dup_spans",
     "q_tpch_q21",
 ]
+
+#: the round-1 comparable subset (BENCH_r01's exact query list) —
+#: summed separately every round so the like-for-like baseline
+#: comparison survives headline-suite growth.
+R1_SUBSET = HEADLINE[:23]
+
+BUDGET_FILE = os.path.join(REPO, "bench_budgets.json")
+FULL_FILE = os.path.join(REPO, "BENCH_FULL.json")
+#: breach threshold: steady > FACTOR x max(budget, FLOOR). The floor
+#: keeps sub-300ms queries (where one JIT hiccup is 2x) from paging
+#: anyone; real regressions on the heavy queries sit far above it.
+BUDGET_FACTOR = 1.5
+BUDGET_FLOOR = 0.3
+
+
+def _check_budgets(steady: dict[str, float], sf1: dict[str, float] | None) -> list[dict]:
+    if not os.path.exists(BUDGET_FILE):
+        return []
+    with open(BUDGET_FILE) as fh:
+        budgets = json.load(fh)
+    breaches: list[dict] = []
+    for tier, timings in (("sf0.1", steady), ("sf1", sf1 or {})):
+        for name, t in timings.items():
+            b = budgets.get(tier, {}).get(name)
+            if b is not None and t > BUDGET_FACTOR * max(b, BUDGET_FLOOR):
+                breaches.append({"q": name, "tier": tier, "sec": t, "budget": b})
+    return breaches
+
+
+def _write_budgets(steady: dict[str, float], sf1: dict[str, float] | None) -> None:
+    with open(BUDGET_FILE, "w") as fh:
+        json.dump({"sf0.1": steady, "sf1": sf1 or {}}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"budgets written to {BUDGET_FILE}", file=sys.stderr)
 
 
 def main() -> None:
@@ -190,6 +243,43 @@ def main() -> None:
         print(f"sf1 pass skipped: {e}", file=sys.stderr)
         sf1 = None
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    r1_subset_sec = round(sum(steady[q] for q in R1_SUBSET if q in steady), 3)
+
+    if "--write-budgets" in sys.argv:
+        _write_budgets(steady, sf1)
+        breaches: list[dict] = []
+    else:
+        breaches = _check_budgets(steady, sf1)
+    for b in breaches:
+        print(
+            f"BUDGET BREACH {b['q']} ({b['tier']}): {b['sec']}s > "
+            f"{BUDGET_FACTOR}x budget {b['budget']}s",
+            file=sys.stderr,
+        )
+
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total_steady,
+        "unit": "sec",
+        "value_cold": total_cold,
+        "value_steady": total_steady,
+        "flagship_rows_per_sec": flagship_rps,
+        "r1_subset_sec": r1_subset_sec,
+        "queries": steady,
+        "queries_cold": cold,
+        "sf1_queries": sf1,
+        "sf1_wall": round(sum(sf1.values()), 3) if sf1 else None,
+        "budget_breaches": breaches,
+        "sf": sf_val,
+    }
+    with open(FULL_FILE, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # full dict FIRST (humans / whole-stdout parsers) ...
+    print(json.dumps(full))
+    # ... compact summary LAST: always inside the driver's 2000-char
+    # stdout tail, so BENCH_r{N}.json gets a non-null "parsed" again.
     print(
         json.dumps(
             {
@@ -197,16 +287,18 @@ def main() -> None:
                 "value": total_steady,
                 "unit": "sec",
                 "value_cold": total_cold,
-                "value_steady": total_steady,
                 "flagship_rows_per_sec": flagship_rps,
-                "queries": steady,
-                "queries_cold": cold,
-                "sf1_queries": sf1,
+                "r1_subset_sec": r1_subset_sec,
                 "sf1_wall": round(sum(sf1.values()), 3) if sf1 else None,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(steady),
+                "budget_breaches": [b["q"] for b in breaches],
+                "queries_file": "BENCH_FULL.json",
+                "sf": sf_val,
             }
         )
     )
+    if breaches:
+        sys.exit(3)
 
 
 if __name__ == "__main__":
