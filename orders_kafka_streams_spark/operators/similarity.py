@@ -521,8 +521,11 @@ def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         per = m if per is None else per.unionByName(m)
     rel = per.join(truth, ["query_id", "neighbor_id"])
     probes = truth.select("query_id").distinct()
+    # explicit broadcast of the 4-row method relation: without stats
+    # Spark planned this literal cross join as CartesianProductExec,
+    # the one plan shape the registry-wide budget gate bans outright
     grid = probes.crossJoin(
-        spark.createDataFrame([(m,) for m in methods], ["method"])
+        F.broadcast(spark.createDataFrame([(m,) for m in methods], ["method"]))
     )
     hits = rel.groupBy("method", "query_id").agg(
         F.count(F.lit(1)).alias("n_rel"), F.min("rk").alias("first_rel")
@@ -751,8 +754,11 @@ def _q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dcg")
     )
     probes = truth.select("query_id").distinct()
+    # explicit broadcast of the 4-row method relation: without stats
+    # Spark planned this literal cross join as CartesianProductExec,
+    # the one plan shape the registry-wide budget gate bans outright
     grid = probes.crossJoin(
-        spark.createDataFrame([(m,) for m in methods], ["method"])
+        F.broadcast(spark.createDataFrame([(m,) for m in methods], ["method"]))
     )
     return (
         grid.join(dcg, ["method", "query_id"], "left")

@@ -1,0 +1,103 @@
+"""Registry-wide physical-plan budget analysis (VERDICT r3 item 1).
+
+Every registered query's 100 TB posture is reduced to four machine-
+checkable facts about its physical plan at the oracle scale factor:
+
+- ``exchanges``  — shuffle-exchange count (hash / range / single /
+  round-robin / rebalance). Each one is a full-data reshuffle; the
+  committed budget is the number the plan is SUPPOSED to have, so a
+  refactor that sneaks in an extra shuffle fails CI instead of
+  surfacing as a bench regression three rounds later.
+- ``cartesian``  — ``CartesianProductExec`` present. Never acceptable
+  unless the committed entry explicitly allows it (none do today).
+- ``bnlj``       — ``BroadcastNestedLoopJoin`` present. Acceptable
+  only for 1-row/scalar broadcast cross-joins (the audit-summary
+  pattern); each allowance is visible in the committed table.
+- ``python``     — the Python-eval nodes present (BatchEvalPython,
+  ArrowEvalPython, MapInPandas, FlatMapGroupsInPandas, …).
+  Acceptable only for the declared Arrow-kernel queries; a
+  row-at-a-time UDF sneaking into a relational query fails the gate.
+
+``tools/gen_plan_budgets.py`` snapshots the registry into
+``tests/plan_budgets.json`` (reviewed + committed — the diff IS the
+review); ``tests/test_plan_budget.py`` re-analyzes every query and
+asserts against the committed table.
+
+Queries registered by ``operators.streaming_queries`` EXECUTE a
+Structured Streaming query when called and return the result table,
+so their returned-DataFrame plan is a trivial memory-sink scan; they
+are recorded with ``gate: streaming`` and covered by the streaming
+module's own tests instead of this static gate.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .explain import explain_str
+
+#: shuffle exchanges (BroadcastExchange deliberately NOT matched: a
+#: broadcast of a small side is the cheap alternative to a shuffle,
+#: and penalizing it would push plans the wrong way at scale)
+_SHUFFLE_RE = re.compile(
+    r"(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|"
+    r"SinglePartition|RoundRobinPartitioning|rebalance)"
+)
+
+#: every way Python code can appear in a physical plan
+PYTHON_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "ArrowAggregatePython",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def analyze_plan(df: DataFrame) -> dict[str, Any]:
+    """The four budget facts for one DataFrame's physical plan."""
+    plan = explain_str(df)
+    python = sorted({node for node in PYTHON_NODES if node in plan})
+    return {
+        "exchanges": len(_SHUFFLE_RE.findall(plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "bnlj": "BroadcastNestedLoopJoin" in plan,
+        "python": python,
+    }
+
+
+def streaming_query_names() -> frozenset[str]:
+    """Names whose callables run the streaming engine (see module doc)."""
+    from ..operators.streaming_queries import QUERIES as SQ
+
+    return frozenset(SQ)
+
+
+def analyze_registry(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, Any]]:
+    """Analyze EVERY registered query in sorted-name order.
+
+    Sorted order matters: session-memoized relations (the dedup
+    shingle cache, the LSH index) are built by whichever caller runs
+    first and show as InMemoryTableScan for everyone after — analyzing
+    in one fixed order makes the recorded exchange counts reproducible
+    between the generator and the test fixture.
+    """
+    from ..operators import all_queries
+
+    qs = all_queries()
+    streaming = streaming_query_names()
+    out: dict[str, dict[str, Any]] = {}
+    for name in sorted(qs):
+        if name in streaming:
+            out[name] = {"gate": "streaming"}
+            continue
+        out[name] = analyze_plan(qs[name](spark, sf_dir))
+    return out

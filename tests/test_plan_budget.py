@@ -1,0 +1,92 @@
+"""Registry-wide plan-budget gate (VERDICT r3 item 1).
+
+Every registered query's physical plan is analyzed at the oracle
+scale (sf0.01) and asserted against the committed table
+``tests/plan_budgets.json``:
+
+- exchanges  <= committed budget (a refactor can REDUCE shuffles
+  freely; adding one is a conscious, diff-reviewed budget bump via
+  ``python tools/gen_plan_budgets.py``);
+- CartesianProduct: banned outright (no committed entry allows it —
+  the two audit grids that used to plan as cartesians now broadcast
+  their 4-row method relation);
+- BroadcastNestedLoopJoin: only where the committed entry records it
+  (1-row/scalar broadcast cross-joins — the audit-summary pattern);
+- Python-eval nodes: only the committed Arrow-kernel queries, and
+  only the node kinds recorded for them. BatchEvalPython (row-at-a-
+  time Python) is banned everywhere.
+
+All plans are collected by ONE module fixture in sorted-name order —
+the same order the generator uses — so session-memoized relations
+(shingle cache, LSH index) are built by the same first caller in both
+runs and the recorded exchange counts reproduce exactly, even under
+``pytest -k``.
+
+Queries from operators.streaming_queries execute the streaming engine
+when called (their returned frame is a memory-sink scan), so they are
+``gate: streaming`` rows — covered by test_streaming.py and the
+driver oracle, not by this static gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from orders_kafka_streams_spark.operators import all_queries
+from orders_kafka_streams_spark.plans.budget import analyze_plan, streaming_query_names
+
+BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
+PLAN_SF_DIR = os.environ.get("OKSS_PLAN_SF_DIR", "/root/testdata/sf0.01")
+
+with open(BUDGET_PATH) as _fh:
+    BUDGETS: dict[str, dict] = json.load(_fh)
+
+_NAMES = sorted(all_queries())
+
+#: row-at-a-time Python is never acceptable, even in kernel queries
+BANNED_PYTHON_NODES = {"BatchEvalPython"}
+
+
+@pytest.fixture(scope="module")
+def observed(spark):
+    """Analyze the full registry once, in the generator's order."""
+    qs = all_queries()
+    streaming = streaming_query_names()
+    out: dict[str, dict] = {}
+    for name in _NAMES:
+        if name in streaming:
+            out[name] = {"gate": "streaming"}
+            continue
+        out[name] = analyze_plan(qs[name](spark, PLAN_SF_DIR))
+    return out
+
+
+def test_every_query_has_a_committed_budget():
+    missing = sorted(set(_NAMES) - set(BUDGETS))
+    stale = sorted(set(BUDGETS) - set(_NAMES))
+    assert not missing, f"new queries without a committed plan budget: {missing}"
+    assert not stale, f"budgets for queries no longer registered: {stale}"
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_plan_budget(name, observed):
+    committed = BUDGETS[name]
+    got = observed[name]
+    if committed.get("gate") == "streaming":
+        assert got.get("gate") == "streaming"
+        return
+    assert not got["cartesian"], f"{name}: CartesianProduct in plan (banned)"
+    if got["bnlj"]:
+        assert committed.get("bnlj"), f"{name}: unbudgeted BroadcastNestedLoopJoin"
+    banned = set(got["python"]) & BANNED_PYTHON_NODES
+    assert not banned, f"{name}: row-at-a-time Python nodes {sorted(banned)}"
+    extra_py = set(got["python"]) - set(committed.get("python", []))
+    assert not extra_py, f"{name}: unbudgeted Python nodes {sorted(extra_py)}"
+    assert got["exchanges"] <= committed["exchanges"], (
+        f"{name}: {got['exchanges']} shuffle exchanges > committed budget "
+        f"{committed['exchanges']} — if intentional, regenerate via "
+        f"tools/gen_plan_budgets.py and review the diff"
+    )
