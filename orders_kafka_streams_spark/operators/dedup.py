@@ -173,10 +173,34 @@ def shingled_of(docs: DataFrame) -> DataFrame:
     """The tokenize→shingle→hash chain over an arbitrary (doc_id, text)
     relation — shared by the corpus build and the streaming incremental
     probe (which shingles arriving micro-batches with the exact same
-    expressions, so batch and stream verdicts are bit-identical)."""
-    sh = shingles(tokens(F.col("text")))
+    expressions, so batch and stream verdicts are bit-identical).
+
+    Shape note (r4 profiling): the chain is projected ONCE and ``sz``
+    is derived from the hashed array in a SECOND projection.
+    CollapseProject declines to inline a non-cheap alias referenced
+    twice, so the tokenize→shingle→hash work runs once per row —
+    the previous single-projection form evaluated it twice (once for
+    ``sh``, once for ``size``): 5.2 s → 0.9 s materializing sf1.
+    Consumers that only need the exploded grams should use
+    :func:`exploded_shingles_of` (the Generate form is another ~2×
+    on top when the array itself is never needed)."""
+    hashed = docs.select(
+        "doc_id", F.transform(shingles(tokens(F.col("text"))), hash60).alias("sh")
+    )
+    return hashed.select("doc_id", "sh", F.size("sh").alias("sz"))
+
+
+def exploded_shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) — one row per distinct hashed shingle, straight from
+    text through a single Generate: no array materialization, no
+    re-evaluation of the chain for a separate size column (docs with
+    zero shingles vanish, exactly like the ``sz > 0`` filter). The
+    shape for one-shot probes over UNCACHED text, e.g. streaming
+    micro-batches; cached multi-consumer scans keep the array form
+    (:func:`shingled_of` + persist)."""
     return docs.select(
-        "doc_id", F.transform(sh, hash60).alias("sh"), F.size(sh).alias("sz")
+        "doc_id",
+        F.explode(F.transform(shingles(tokens(F.col("text"))), hash60)).alias("g"),
     )
 
 
