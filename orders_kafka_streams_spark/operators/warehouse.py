@@ -205,15 +205,87 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning through the date-partitioned layout
+    (VERDICT r3 item 6 — the other half of the at-rest story the
+    bucketed join started): events re-laid-out ``partitionBy(
+    event_date)``, then a predicate ON the partition column (Mondays)
+    selects 5 of 30 directories at FILE-LISTING time — the scan's
+    ``PartitionFilters`` carries the predicate and the other 25
+    partitions are never opened (asserted in
+    tests/test_partitioned.py). At 100 TB this is the difference
+    between reading a week and reading a decade."""
+    from ..sources.partitioned import PARTITION_COL, partitioned_events
+
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.dayofweek(F.col(PARTITION_COL)) == 2)  # Monday
+        .groupBy(PARTITION_COL, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def _q_partition_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning through the same layout: the fact
+    side joins a filtered calendar dimension on the partition column,
+    and Spark injects a ``dynamicpruning`` subquery into the fact scan
+    — partitions are skipped based on the DIM's runtime contents, the
+    mechanism that makes star-schema date-dim queries read only the
+    matching fact directories. Plan assertion in
+    tests/test_partitioned.py; result provably equals the plain join
+    (the oracle is the plain join over a generated calendar)."""
+    from ..sources.partitioned import PARTITION_COL, calendar_dim, partitioned_events
+
+    ev = partitioned_events(spark, sf_dir)
+    dim = calendar_dim(spark).filter(F.col("dow") == 2)  # Mondays
+    return (
+        ev.join(F.broadcast(dim), ev[PARTITION_COL] == dim["d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct(PARTITION_COL).alias("n_days"),
+        )
+    )
+
+
 QUERIES = {
     "q_scd2": _q_scd2,
     "q_scd2_pit": _q_scd2_pit,
     "q_zorder_layout": _q_zorder_layout,
+    "q_partition_prune": _q_partition_prune,
+    "q_partition_dpp": _q_partition_dpp,
 }
 
 _ZK = _zorder_key_sql("x", "y")
 
 ORACLE = {
+    # DuckDB dayofweek(): Sunday = 0, so Monday = 1 (Spark's dayofweek
+    # is Sunday = 1, Monday = 2 — both sides select the same days)
+    "q_partition_prune": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_type,
+       CAST(count(1) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+WHERE dayofweek(CAST(date_trunc('day', ts) AS DATE)) = 1
+GROUP BY 1, 2
+""",
+    "q_partition_dpp": """
+WITH dim AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+mon AS (SELECT d FROM dim WHERE dayofweek(d) = 1)
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value,
+       CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS n_days
+FROM events JOIN mon ON CAST(date_trunc('day', ts) AS DATE) = mon.d
+GROUP BY event_type
+""",
     "q_scd2": """
         WITH runs AS (
           SELECT user_id, event_id,
