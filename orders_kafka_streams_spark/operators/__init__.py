@@ -58,20 +58,39 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    "q_scd2",
-    "q_scd2_pit",
-    "q_knn_lsh",  # multi-table rewrite (r3)
-    "q_semdedup",  # numpy gram-matrix kernel (r3)
-    "q_bpe_train",  # single-partition Arrow trainer (r3)
-    "q_salted_join",  # xxhash64 salt (r3)
-    "q_tpch_q2",  # scan-level part prune (r3)
-    "q_lateral_topk",  # explicit probe predicate (r3)
+    # round-4 rewrites / schema changes — the driver must re-hash these
+    "q_dp_histogram",  # epsilon -> epsilon_nominal + derived_noise col
+    "q_stream_dp_release",  # same schema change through the stream
+    "q_bootstrap_ci",  # CI cut widened to min/max of 32 replicas
+    "q_gapfill_locf",  # carry tie-break re-keyed on is_grid
+    "q_jsonl_roundtrip",  # + n_unexpected_corrupt column
+    "q_semdedup",  # cluster-size-capped block-pair decomposition
+    "q_stream_contamination",  # exploded-shingle probe + direct bench
+    "q_pipeline_salted",  # NEW: two-phase skew-safe flagship twin
+    "q_partition_prune",  # NEW: partitioned-layout static pruning
+    "q_partition_dpp",  # NEW: dynamic partition pruning
+    "q_ann_quality",  # method grid now explicitly broadcast
+    "q_ann_ndcg",  # same
 )
 
-#: union of query names in CORRECTNESS_r01.json + CORRECTNESS_r02.json
+#: union of query names in CORRECTNESS_r01/r02/r03.json
 #: (driver-verified in earlier rounds) — deprioritized so this round's
 #: 50-query driver sample lands on never-checked queries.
 _DRIVER_CHECKED = frozenset({
+    # r3-verified (CORRECTNESS_r03.json)
+    "q_approx_percentile", "q_bootstrap_ci", "q_bpe_encode", "q_bucketed_join",
+    "q_cdc_chunks", "q_cluster_topics", "q_date_funcs", "q_dedup_pagerank",
+    "q_dp_histogram", "q_drop_duplicates", "q_dsir_weights", "q_ewma",
+    "q_except", "q_gapfill_locf", "q_histogram", "q_hubness",
+    "q_jsonl_roundtrip", "q_kcenter_coreset", "q_l_diversity", "q_math_funcs",
+    "q_memorization_ngrams", "q_mmr_rerank", "q_multimodal_audio",
+    "q_multimodal_resize", "q_pack_efficiency", "q_pandas_udaf",
+    "q_pmi_bigrams", "q_regexp", "q_semantic_contamination", "q_seq_pack",
+    "q_shard_layout", "q_signal_correlation", "q_skew_audit",
+    "q_source_overlap", "q_split_assign", "q_split_leakage",
+    "q_stream_dp_release", "q_stream_semantic_contamination",
+    "q_window_lag_lead", "q_window_ntile", "q_window_running",
+    "q_zorder_layout",
     "q_agg_pair", "q_agg_stats", "q_approx_distinct", "q_bm25", "q_bpe_train",
     "q_chao1", "q_contamination", "q_cube", "q_dead_letter", "q_dedup_exact",
     "q_dedup_ngram", "q_doc_chunk", "q_dq_audit", "q_dup_spans",
