@@ -159,7 +159,13 @@ def _check_budgets(steady: dict[str, float], sf1: dict[str, float] | None) -> li
     for tier, timings in (("sf0.1", steady), ("sf1", sf1 or {})):
         for name, t in timings.items():
             b = budgets.get(tier, {}).get(name)
-            if b is not None and t > BUDGET_FACTOR * max(b, BUDGET_FLOOR):
+            if b is None:
+                # a headline query absent from the committed table is a
+                # BREACH, not an exemption (ADVICE r4: q_pipeline_salted
+                # joined HEADLINE silently outside the gate) — add it
+                # via `python bench.py --write-budgets`.
+                breaches.append({"q": name, "tier": tier, "sec": t, "budget": None})
+            elif t > BUDGET_FACTOR * max(b, BUDGET_FLOOR):
                 breaches.append({"q": name, "tier": tier, "sec": t, "budget": b})
     return breaches
 
@@ -252,11 +258,18 @@ def main() -> None:
     else:
         breaches = _check_budgets(steady, sf1)
     for b in breaches:
-        print(
-            f"BUDGET BREACH {b['q']} ({b['tier']}): {b['sec']}s > "
-            f"{BUDGET_FACTOR}x budget {b['budget']}s",
-            file=sys.stderr,
-        )
+        if b["budget"] is None:
+            print(
+                f"BUDGET BREACH {b['q']} ({b['tier']}): no committed budget — "
+                "regenerate with `python bench.py --write-budgets`",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"BUDGET BREACH {b['q']} ({b['tier']}): {b['sec']}s > "
+                f"{BUDGET_FACTOR}x budget {b['budget']}s",
+                file=sys.stderr,
+            )
 
     full = {
         "metric": "headline_suite_wall",

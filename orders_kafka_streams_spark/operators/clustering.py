@@ -152,6 +152,33 @@ SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
 SEMDEDUP_CLUSTER_CAP = 4096
 
 
+def _block_pair_fanout(big: DataFrame, cap: int) -> DataFrame:
+    """The exact block-pair fan-out over oversized clusters — one
+    (cluster, a, b) group per block pair, every group ≤ 2·cap rows
+    (tests/test_semdedup_cap.py asserts the bound on THIS relation).
+    Contiguous blocks of ``cap`` by vec_id rank; each row fans out
+    once per block pair it participates in — O(B) copies per row, the
+    unavoidable price of distributing an O(c²) gram over c²/cap²
+    bounded tasks. Input must carry (vec_id, cluster, v, c_sz)."""
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    blocked = big.select(
+        "vec_id", "cluster", "v",
+        ((F.row_number().over(w) - 1) / cap).cast("int").alias("blk"),
+        (F.ceil(F.col("c_sz") / cap)).cast("int").alias("nblk"),
+    )
+    as_src = blocked.select(
+        "vec_id", "cluster", "v", F.lit(0).alias("side"),
+        F.col("blk").alias("a"),
+        F.explode(F.sequence(F.col("blk"), F.col("nblk") - 1)).alias("b"),
+    )
+    as_tgt = blocked.select(
+        "vec_id", "cluster", "v", F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("a"),
+        F.col("blk").alias("b"),
+    )
+    return as_src.unionByName(as_tgt)
+
+
 def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
                    cap: int = SEMDEDUP_CLUSTER_CAP) -> DataFrame:
     """SemDeDup drop decisions over a (vec_id, cluster, v) assignment
@@ -166,27 +193,39 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
     min(kept) / max(max_cos) — associative, so the union over block
     pairs equals the single-matrix answer bit-for-bit (doubles: both
     paths take maxima of the identical cosine values, no re-summation).
+
+    Adaptive plan choice (r5, VERDICT r4 item 2): the r4 form ran the
+    size-join + empty block-pair subtree unconditionally, which charged
+    the common all-clusters-small case 2.4× its pre-cap budget (sizes
+    agg, broadcast join, window, two explodes, union, two extra
+    shuffles — all for zero rows). Instead we probe max cluster size
+    with ONE tiny count job over the (persisted) assignment relation —
+    the same driver-side scalar plan choice AQE makes from runtime
+    stats — and emit the pre-cap single-kernel plan when every cluster
+    fits, the full decomposition only when one doesn't. Both plans are
+    exact, so the branch is invisible to correctness; the cap remains
+    the hard backstop for the degenerate-hot-cluster case.
     """
     import numpy as np
     import pandas as pd
 
     def _partials(ids: np.ndarray, clusters, left: np.ndarray, lids: np.ndarray,
                   cos: np.ndarray) -> list[tuple]:
-        # cos: |left| x |targets|; partners must have lower vec_id
-        out = []
-        for j in range(cos.shape[1]):
-            mask = (cos[:, j] >= threshold) & (lids < ids[j])
-            if mask.any():
-                partners = np.where(mask)[0]
-                out.append(
-                    (
-                        int(ids[j]),
-                        int(clusters[j]),
-                        int(lids[partners].min()),
-                        float(cos[partners, j].max()),
-                    )
-                )
-        return out
+        # cos: |left| x |targets|; partners must have lower vec_id.
+        # Fully vectorized (r5: the per-column Python loop dominated
+        # the kernel at ~1.5k-vector clusters): callers pass lids
+        # sorted ascending, so argmax over the boolean mask gives the
+        # FIRST partner row = the minimum partner id per column.
+        mask = (cos >= threshold) & (lids[:, None] < ids[None, :])
+        anyc = mask.any(axis=0)
+        if not anyc.any():
+            return []
+        kept = lids[mask.argmax(axis=0)]
+        maxc = np.where(mask, cos, -np.inf).max(axis=0)
+        return [
+            (int(ids[j]), int(clusters[j]), int(kept[j]), float(maxc[j]))
+            for j in np.where(anyc)[0]
+        ]
 
     def _gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         na = np.linalg.norm(a, axis=1)
@@ -228,34 +267,23 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
         return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept", "max_cos"])
 
     sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_sz"))
+    max_sz = (sizes.agg(F.max("c_sz")).first() or [0])[0] or 0
+    if max_sz <= cap:
+        # every cluster fits in one task: the pre-cap single-kernel
+        # plan, bit-identical answers, no decomposition machinery
+        out = asg.groupBy("cluster").applyInPandas(small_kernel, partial_schema)
+        return out.select(
+            "vec_id", "cluster", "kept", F.round("max_cos", 6).alias("max_cos")
+        )
+
     sized = asg.join(F.broadcast(sizes), "cluster")
     small = sized.filter(F.col("c_sz") <= cap).select("vec_id", "cluster", "v")
     big = sized.filter(F.col("c_sz") > cap)
 
     small_out = small.groupBy("cluster").applyInPandas(small_kernel, partial_schema)
 
-    # oversized clusters: contiguous blocks of `cap` by vec_id rank;
-    # each row fans out once per block pair it participates in —
-    # O(B) copies per row, the unavoidable price of distributing an
-    # O(c²) gram over c²/cap² bounded tasks.
-    w = Window.partitionBy("cluster").orderBy("vec_id")
-    blocked = big.select(
-        "vec_id", "cluster", "v",
-        ((F.row_number().over(w) - 1) / cap).cast("int").alias("blk"),
-        (F.ceil(F.col("c_sz") / cap)).cast("int").alias("nblk"),
-    )
-    as_src = blocked.select(
-        "vec_id", "cluster", "v", F.lit(0).alias("side"),
-        F.col("blk").alias("a"),
-        F.explode(F.sequence(F.col("blk"), F.col("nblk") - 1)).alias("b"),
-    )
-    as_tgt = blocked.select(
-        "vec_id", "cluster", "v", F.lit(1).alias("side"),
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("a"),
-        F.col("blk").alias("b"),
-    )
     big_partials = (
-        as_src.unionByName(as_tgt)
+        _block_pair_fanout(big, cap)
         .groupBy("cluster", "a", "b")
         .applyInPandas(pair_kernel, partial_schema)
     )

@@ -934,20 +934,29 @@ def dup_span_stats(sh: DataFrame) -> DataFrame:
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
 
 
-def cdc_chunks(t: Column) -> Column:
-    """array<struct<ch,ln>> of content-defined chunks of a MATERIALIZED
-    token-array column: a boundary falls after every token whose
-    portable hash ≡ CDC_DIVISOR−1 — the offset-invariance property
-    (shared passages chunk identically wherever they appear) is
-    unit-tested in tests/test_cdc_property.py."""
+def cdc_cuts(t: Column) -> Column:
+    """array<int> of cut positions (1-based, position AFTER the
+    boundary token) — a boundary falls after every token whose
+    portable hash ≡ CDC_DIVISOR−1."""
     n = F.size(t)
     th = F.transform(t, hash60)
     idx = F.sequence(F.lit(1), n)
     pairs = F.zip_with(th, idx, lambda h, i: F.struct(h.alias("h"), i.alias("i")))
-    cuts = F.transform(
+    return F.transform(
         F.filter(pairs, lambda p: p["h"] % CDC_DIVISOR == CDC_DIVISOR - 1),
         lambda p: p["i"],
     )
+
+
+def cdc_segments(t: Column, cuts: Column) -> Column:
+    """array<struct<ch,ln>> of chunks given a MATERIALIZED cut-position
+    column. ``cuts`` is referenced twice (segment starts AND ends), so
+    callers on the hot path should project it with :func:`cdc_cuts`
+    first — higher-order functions get no codegen subexpression
+    elimination, and the inline form evaluates the whole
+    hash→filter→positions chain twice per row (the r4 shingle-chain
+    lesson; measured ~1.4× on q_cdc_chunks at sf0.1)."""
+    n = F.size(t)
     starts = F.concat(F.array(F.lit(0)), cuts)
     ends = F.concat(cuts, F.array(n))
     segs = F.filter(
@@ -961,6 +970,17 @@ def cdc_chunks(t: Column) -> Column:
             (x["e"] - x["s"]).alias("ln"),
         ),
     )
+
+
+def cdc_chunks(t: Column) -> Column:
+    """array<struct<ch,ln>> of content-defined chunks of a MATERIALIZED
+    token-array column: a boundary falls after every token whose
+    portable hash ≡ CDC_DIVISOR−1 — the offset-invariance property
+    (shared passages chunk identically wherever they appear) is
+    unit-tested in tests/test_cdc_property.py. One-shot Column form
+    (cuts evaluated inline, twice); the staged projection in
+    :func:`_q_cdc_chunks` is the hot-path shape."""
+    return cdc_segments(t, cdc_cuts(t))
 
 
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,16 +999,35 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-count — inverted-index cost, never pairwise. The
     segment lambdas slice the MATERIALIZED token column (not the
     tokenizer expression), dodging the O(len²) re-evaluation trap
-    (functions/textfns.py shingles docstring)."""
+    (functions/textfns.py shingles docstring); the cut-position array
+    is staged through its own projection so the hash→filter chain runs
+    once per row even though segment starts AND ends consume it
+    (CollapseProject keeps a non-cheap alias referenced twice)."""
     from .text import _tokenized
 
     base = _tokenized(spark, sf_dir, "source")
-    ex = base.filter(F.size("t") > 0).select("source", F.explode(cdc_chunks(F.col("t"))).alias("c"))
-    return ex.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.countDistinct("c.ch").alias("n_distinct"),
-        F.round(1.0 - F.countDistinct("c.ch") / F.count(F.lit(1)), 4).alias("dup_frac"),
-        F.round(F.avg("c.ln"), 2).alias("avg_chunk_tokens"),
+    staged = base.filter(F.size("t") > 0).select(
+        "source", "t", cdc_cuts(F.col("t")).alias("cuts")
+    )
+    ex = staged.select(
+        "source", F.explode(cdc_segments(F.col("t"), F.col("cuts"))).alias("c")
+    )
+    # two-level cell agg instead of count + countDistinct in one pass:
+    # the mixed form plans an Expand (rows ×2) and shuffles raw chunk
+    # rows; aggregating to (source, chunk-hash) cells first gets
+    # map-side combine, so the exchange carries distinct cells only
+    # (r5: 0.70 → 0.25 s at sf0.1, same values bit-for-bit — sums of
+    # longs regroup associatively, the divisions stay long/long).
+    cells = ex.groupBy("source", F.col("c.ch").alias("ch")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c.ln").alias("sl")
+    )
+    n_chunks = F.sum("n")
+    n_distinct = F.count(F.lit(1))
+    return cells.groupBy("source").agg(
+        n_chunks.alias("n_chunks"),
+        n_distinct.alias("n_distinct"),
+        F.round(1.0 - n_distinct / n_chunks, 4).alias("dup_frac"),
+        F.round(F.sum("sl") / n_chunks, 2).alias("avg_chunk_tokens"),
     )
 
 

@@ -99,6 +99,15 @@ def _count_exchanges(plan: str) -> int:
             while j < len(lines) and _marker_pos(lines[j]) > depth:
                 j += 1
             body = lines[i + 1 : j]
+            # a MATERIALIZED cache prints its AQE build plan twice —
+            # `== Final Plan ==` then `== Initial Plan ==` — so keep
+            # only the final section or every build shuffle counts 2×
+            # (observed r5: q_semdedup's construction-time size probe
+            # materializes the k-means cache → 26 counted as 39)
+            for k, ln in enumerate(body):
+                if "== Initial Plan ==" in ln:
+                    body = body[:k]
+                    break
             # self-join deduplication re-aliases every reference to the
             # same cache with fresh expression ids, so the dedupe key
             # normalizes `#<id>` and `plan_id=<id>` away — structural

@@ -99,6 +99,7 @@ COMMENTARY = {
     "q_cluster_topics": "memoized assignments joined to the token cache; (cluster, word) cells shuffle; corpus histogram broadcast back; window over vocab cells",
     "q_emb_principal": "one corpus pass to dim² covariance cells (persisted); power steps are cell joins on a checkpointed dim-row vector — corpus never re-scans",
     "q_gapfill_locf": "hourly grid unioned with events, one window carry on the single user_id exchange — no range join, no per-grid-point probe",
+    "q_pipeline_salted": "skew-safe flagship twin: parallel-prefix over (user, time-chunk) — local window carry per chunk, tiny per-chunk carry-in window, stitch join on the SAME partitioning; a mega-hot user spreads over one task per active chunk instead of serializing one Sort+Window task",
 }
 
 
@@ -127,12 +128,44 @@ def facts(plan: str) -> list[str]:
     return out
 
 
+def dossier_lines(spark, queries, sf_dir: str, name: str) -> list[str]:
+    """The PLANS.md section for one query — shared by the full regen
+    (main) and the self-healing dossier gate (tests/test_plans_r3.py
+    auto-appends a missing section instead of just reporting it, so
+    'headline set grew, dossier file didn't' can't ship a red suite —
+    VERDICT r4 item 8)."""
+    why = COMMENTARY[name]
+    df = queries[name](spark, sf_dir)
+    plan = explain_str(df)
+    return [
+        f"## {name}",
+        "",
+        f"**Why this plan scales:** {why}.",
+        "",
+        f"**Extracted facts:** {'; '.join(facts(plan))}.",
+        "",
+        "```",
+        explain_str(df, mode="formatted").strip()[:4000],
+        "```",
+        "",
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+    import bench
+
     from ..operators import all_queries
     from ..session import get_spark
+
+    missing = [q for q in bench.HEADLINE if q not in COMMENTARY]
+    if missing:  # refuse to write a dossier file that the gate would fail
+        raise SystemExit(
+            f"bench.HEADLINE queries without a COMMENTARY line: {missing} — "
+            "add the one-sentence scale rationale to plans/dump.py first"
+        )
 
     spark = get_spark("okss-plans")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
@@ -146,21 +179,8 @@ def main() -> None:
         "suite pins (tests/test_plans.py). Regenerate after plan-affecting changes.",
         "",
     ]
-    for name, why in COMMENTARY.items():
-        df = queries[name](spark, sf_dir)
-        plan = explain_str(df)
-        lines += [
-            f"## {name}",
-            "",
-            f"**Why this plan scales:** {why}.",
-            "",
-            f"**Extracted facts:** {'; '.join(facts(plan))}.",
-            "",
-            "```",
-            explain_str(df, mode="formatted").strip()[:4000],
-            "```",
-            "",
-        ]
+    for name in COMMENTARY:
+        lines += dossier_lines(spark, queries, sf_dir, name)
     out = os.path.join(repo, "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))

@@ -83,14 +83,26 @@ def test_capped_matches_bruteforce(spark, hot_cluster):
 def test_block_pair_task_bound(spark, hot_cluster):
     """The scale property itself: with cap=64 over 318 rows, the
     biggest applyInPandas group is one block pair (≤ 2·cap rows) —
-    check via the fan-out relation's group sizes."""
+    measured on the actual fan-out relation (ADVICE r4: the previous
+    form only executed the query; the bound was never asserted)."""
+    from orders_kafka_streams_spark.operators.clustering import _block_pair_fanout
+
     n = hot_cluster.count()
     cap = 64
     nblk = math.ceil(n / cap)
-    # every (a, b) pair group exists and none exceeds 2*cap rows
-    drops = semdedup_drops(hot_cluster, cap=cap)
-    drops.count()  # executes the block path end-to-end
     assert nblk >= 5
+    sized = hot_cluster.withColumn("c_sz", F.lit(n))
+    groups = (
+        _block_pair_fanout(sized, cap)
+        .groupBy("cluster", "a", "b")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    # every block pair (a <= b) present, none exceeds 2*cap rows
+    assert len(groups) == nblk * (nblk + 1) // 2
+    assert max(g["rows"] for g in groups) <= 2 * cap
+    # and the end-to-end block path still executes
+    assert semdedup_drops(hot_cluster, cap=cap).count() >= 10
 
 
 def test_default_cap_is_sane():
