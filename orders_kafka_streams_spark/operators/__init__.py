@@ -58,25 +58,42 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-4 rewrites / schema changes — the driver must re-hash these
-    "q_dp_histogram",  # epsilon -> epsilon_nominal + derived_noise col
-    "q_stream_dp_release",  # same schema change through the stream
-    "q_bootstrap_ci",  # CI cut widened to min/max of 32 replicas
-    "q_gapfill_locf",  # carry tie-break re-keyed on is_grid
-    "q_jsonl_roundtrip",  # + n_unexpected_corrupt column
-    "q_semdedup",  # cluster-size-capped block-pair decomposition
-    "q_stream_contamination",  # exploded-shingle probe + direct bench
-    "q_pipeline_salted",  # NEW: two-phase skew-safe flagship twin
-    "q_partition_prune",  # NEW: partitioned-layout static pruning
-    "q_partition_dpp",  # NEW: dynamic partition pruning
-    "q_ann_quality",  # method grid now explicitly broadcast
-    "q_ann_ndcg",  # same
+    # the 6 queries never yet in any round's 50-entry driver sample
+    # (VERDICT r4 item 4) — pinning them closes the rotation's
+    # convergence promise: after r5 every registered query has carried
+    # the driver's hard hash signal at least once
+    "q_ccnet_buckets",
+    "q_char_entropy",
+    "q_heldout_bigram",
+    "q_hourly_profile",
+    "q_source_divergence",
+    "q_tokenizer_fertility",
+    # round-5 rewrites — previously verified, re-hash after the change
+    "q_semdedup",  # adaptive small-path plan + vectorized kernel
+    "q_cdc_chunks",  # staged cuts projection + cell-agg rewrite
+    "q_rank_test",  # cell-based Mann-Whitney rank derivation
+    "q_shard_layout",  # two-pass striped sharding
 )
 
-#: union of query names in CORRECTNESS_r01/r02/r03.json
+#: union of query names in CORRECTNESS_r01/r02/r03/r04.json
 #: (driver-verified in earlier rounds) — deprioritized so this round's
 #: 50-query driver sample lands on never-checked queries.
 _DRIVER_CHECKED = frozenset({
+    # r4-verified (CORRECTNESS_r04.json)
+    "q_ann_ndcg", "q_ann_quality", "q_array_funcs", "q_case_when",
+    "q_chi2_independence", "q_clean_pipeline", "q_cluster_purity",
+    "q_coalesce_nullif", "q_dedup_clusters", "q_dedup_embedding",
+    "q_dedup_minhash", "q_dedup_simhash", "q_doc_tokenize",
+    "q_emb_principal", "q_entropy", "q_funnel", "q_good_turing",
+    "q_json_funcs", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pq", "q_ks_test",
+    "q_lang_mix", "q_outliers", "q_partition_dpp", "q_partition_prune",
+    "q_percentile", "q_pipeline_salted", "q_prepare_training",
+    "q_quality_classifier", "q_rank_test", "q_rollup_cascade",
+    "q_scalar_subquery", "q_stream_ann_ingest", "q_stream_contamination",
+    "q_stream_dedup_agg", "q_stream_dedup_incremental",
+    "q_stream_quality_gate", "q_trimmed_mean", "q_unpivot",
+    "q_vocab_coverage", "q_window_first_last", "q_window_range",
+    "q_zipf_fit",
     # r3-verified (CORRECTNESS_r03.json)
     "q_approx_percentile", "q_bootstrap_ci", "q_bpe_encode", "q_bucketed_join",
     "q_cdc_chunks", "q_cluster_topics", "q_date_funcs", "q_dedup_pagerank",

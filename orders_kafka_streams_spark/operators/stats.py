@@ -355,36 +355,43 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties. Average ranks are rank() + (ties−1)/2 — pure rank
     arithmetic, so both engines agree exactly before any float op.
 
-    Scale shape: one global rank window over the two filtered
-    samples (a single orderBy exchange of the candidate rows, not
-    the corpus), one tie-histogram aggregation for the variance
-    correction, and a scalar finishing expression. Output: one row
-    (n_a, n_b, u_stat, z_score, significant)."""
+    Scale shape (r5 rewrite, VERDICT r4 item 3): the rank window runs
+    over (value, count_a, count_b) CELLS, not event rows — the
+    distinct-value aggregation partial-combines map-side first, and
+    the single-partition running-sum window (global ranks are a
+    prefix by construction) then orders O(distinct values) cells
+    instead of every filtered event (the q_ks_test pattern; the
+    row-level form was the WindowExec single-partition scale hazard
+    the r4 verdict flagged). Per cell the t tied rows all take
+    average rank cum_before + (t+1)/2, so the sample-A rank sum is
+    sum(ca * (cum_before + (t+1)/2)) — ranks are half-integers,
+    exactly representable, so the cell form is bit-identical to the
+    row form. Output: one row (n_a, n_b, u_stat, z_score,
+    cliffs_delta, significant)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(MW_A, MW_B)
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("value")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        (
-            F.rank().over(w).cast("double")
-            + (F.count(F.lit(1)).over(Window.partitionBy("value")) - 1) / 2.0
-        ).alias("r"),
+    cells = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == MW_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == MW_B).cast("long")).alias("cb"),
     )
-    sums = ranked.groupBy().agg(
-        F.sum(F.when(F.col("event_type") == MW_A, F.col("r"))).alias("r_a"),
-        F.sum((F.col("event_type") == MW_A).cast("long")).alias("n_a"),
-        F.sum((F.col("event_type") == MW_B).cast("long")).alias("n_b"),
+    t = F.col("ca") + F.col("cb")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    with_rank = cells.select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum_before"),
     )
-    ties = (
-        ranked.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    avg_rank = F.col("cum_before") + (F.col("t") + 1) / 2.0
+    j = with_rank.groupBy().agg(
+        F.sum(F.col("ca") * avg_rank).alias("r_a"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
     )
-    j = sums.crossJoin(F.broadcast(ties))
     n = F.col("n_a") + F.col("n_b")
     u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
     mu = F.col("n_a") * F.col("n_b") / 2.0
