@@ -134,6 +134,10 @@ SF1_HEAVY = [
     "q_dedup_consensus",
     "q_dup_spans",
     "q_tpch_q21",
+    # r5 additions (VERDICT r4 item 5): the two queries with active
+    # sf1 regression/fix stories, pinned above the sf0.1 noise floor
+    "q_semdedup",
+    "q_stream_contamination",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —

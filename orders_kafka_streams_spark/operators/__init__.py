@@ -73,6 +73,7 @@ _RECHECK_FIRST = (
     "q_cdc_chunks",  # staged cuts projection + cell-agg rewrite
     "q_rank_test",  # cell-based Mann-Whitney rank derivation
     "q_shard_layout",  # two-pass striped sharding
+    "q_tpch_q21",  # windowed per-order qualification (single fact pass)
 )
 
 #: union of query names in CORRECTNESS_r01/r02/r03/r04.json

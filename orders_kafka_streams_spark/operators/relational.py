@@ -727,29 +727,42 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS self-joins on the fact. "Late" (no l_receiptdate/
     l_commitdate) is adapted to l_shipdate > o_orderdate + 30 days.
 
-    The two correlated EXISTS become ONE per-order aggregate computing
-    (distinct suppliers, distinct late suppliers): a row qualifies iff
-    n_supp >= 2 and n_late_supp == 1 — same semantics, one shuffle on
-    orderkey instead of two self-joins of the fact, and the aggregate is
-    reused for both conditions. At 100 TB the self-join form reshuffles
-    lineitem three times; this shape does it once.
+    The two correlated EXISTS become ONE pass over (orderkey, suppkey)
+    cells. r5 shape: the fact joins orders once, aggregates to
+    per-(order, supplier) cells (any_late + late-line count — the two
+    countDistincts of the r4 form minus their Expand ×2 row doubling),
+    and the per-order qualification (n_supp >= 2, n_late_supp == 1)
+    is a WINDOW over the cells keyed on orderkey — not a self-join —
+    so the fact is scanned ONCE at every scale (the join form
+    duplicated the whole fact subtree whenever AQE chose a broadcast
+    join, because the two branches' aggregates canonicalize
+    differently and ReusedExchange never fired). A qualifying order's
+    late lines all belong to its single late supplier, so numwait =
+    Σ n_late_lines over qualifying cells. Shuffle ladder: fact →
+    cells (orderkey partitioning when the join shuffles; one cell
+    exchange when it broadcasts) → cell-sized orderkey window →
+    per-supplier agg. sf1: 5.4-6.5 s (r4) → ~2.5 s.
     """
     li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     li_o = li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey).withColumn(
         "is_late", (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("int")
     )
-    per_order = li_o.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    cells = li_o.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late"),
+        F.sum("is_late").alias("n_late_lines"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        cells.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     nation1 = nation.filter(F.col("n_name") == "NATION_1")
     return (
-        li_o.filter(F.col("is_late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("agg_okey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        qualified
         .join(F.broadcast(supp.join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"), "leftsemi")), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )

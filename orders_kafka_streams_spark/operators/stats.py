@@ -98,12 +98,15 @@ def _q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimates(spark, sf_dir)
     from pyspark.sql import Window
 
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — heap per
+    # partition, one k-row reduce), THEN rank the k-row result; the
+    # only window runs over CMS_TOPK rows, never the candidate stream
     rk = Window.orderBy(F.desc("est"), F.asc("w"))
     return (
-        est.select(
-            "w", F.col("wc").alias("exact"), "est", F.row_number().over(rk).alias("rank")
-        )
-        .filter(F.col("rank") <= CMS_TOPK)
+        est.select("w", F.col("wc").alias("exact"), "est")
+        .orderBy(F.desc("est"), F.asc("w"))
+        .limit(CMS_TOPK)
+        .select("w", "exact", "est", F.row_number().over(rk).alias("rank"))
     )
 
 

@@ -805,10 +805,12 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast of V rows against the exploded token stream; one
     map-side join + one source-keyed aggregation."""
     hist = _word_hist(spark, sf_dir)
-    w = Window.orderBy(F.desc("wc"), F.asc("w"))
+    # top-V as orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + one V-row reduce), not a single-partition rank window
+    # over the histogram; same deterministic (count desc, word asc) cut
     vocab = (
-        hist.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= VOCAB_TOP_V)
+        hist.orderBy(F.desc("wc"), F.asc("w"))
+        .limit(VOCAB_TOP_V)
         .select("w", F.lit(1).alias("in_v"))
     )
     toks = _tokenized(spark, sf_dir, "source").select(

@@ -35,7 +35,7 @@ COMMENTARY = {
     "q_tfidf": "df table broadcast (terms ≪ rows); per-doc ranking = one window shuffle",
     "q_retention": "int64 week binning inline in scan stage; two shuffles (cohort agg, distinct count)",
     "q_tpch_q17": "correlated per-part AVG decorrelated: fact scanned ONCE, avg table broadcast, 1 exchange",
-    "q_tpch_q21": "EXISTS + NOT-EXISTS as one reused per-order aggregate; fact shuffles once, not three times",
+    "q_tpch_q21": "EXISTS + NOT-EXISTS as one (order, supplier) cell agg + per-order window; fact scanned and shuffled ONCE, no Expand, no self-join",
     "q_sessionize": "gaps-and-islands: window + (user, session) agg share ONE user_id exchange",
     "q_interval_join": "interval-overlap as EQUI join on (key, time-bin): both sides binned, residual exact check",
     "q_ewma": "sequential recurrence as collect→sort→fold: one shuffle, no window frames",
