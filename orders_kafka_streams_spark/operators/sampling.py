@@ -120,16 +120,13 @@ N_SHARDS = 16
 STRIPE_PARTS = 32  # range partitions for the two-pass stripe (≈ cluster parallelism)
 
 
-def striped_shards(docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS) -> DataFrame:
-    """(doc_id, n_chars, shard): size-striped round-robin assignment —
-    docs ranked by (n_chars desc, doc_id asc), dealt shard = rank % n —
-    computed WITHOUT a global single-partition window (VERDICT r4
-    item 6; the r4 form put every doc cell in ONE Sort+Window task).
+def global_row_numbers(df: DataFrame, key: list, n_parts: int = STRIPE_PARTS) -> DataFrame:
+    """``df`` + ``rn`` (1-based global row_number by ``key``, which must
+    totally order the rows) WITHOUT a single-partition window — the
+    generic two-pass range-partition form (VERDICT r4 item 6), shared
+    by striped sharding and the Zipf rank assignment.
 
-    Two-pass range-partition form, all passes over one materialized
-    relation:
-
-    1. ``repartitionByRange`` on the stripe key + sortWithinPartitions:
+    1. ``repartitionByRange`` on the key + sortWithinPartitions:
        partition i's rows ALL order before partition i+1's, and rows
        are locally sorted. ``monotonically_increasing_id`` then encodes
        (partition, local row index) — its documented layout is the
@@ -140,37 +137,48 @@ def striped_shards(docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS) 
        rank offsets via a running sum over the TINY per-partition
        relation (the only window, n_parts rows), broadcast-joined back.
 
-    global_rank = offset[pid] + local_index, exactly the row_number
-    the one-window form produced (the stripe key totally orders docs:
-    doc_id breaks n_chars ties). The relation is persisted before the
-    two consuming passes so both see one materialization (range
-    boundaries are sampled; two independent evaluations are not
-    guaranteed identical)."""
-    key = [F.desc("n_chars"), F.asc("doc_id")]
+    rn = offset[pid] + local_index + 1, exactly the row_number the
+    one-window form produces. The relation is persisted before the two
+    consuming passes so both see one materialization (range boundaries
+    are sampled; two independent evaluations are not guaranteed
+    identical)."""
+    cols = df.columns
     ranged = (
-        docs.repartitionByRange(n_parts, *key)
+        df.repartitionByRange(n_parts, *key)
         .sortWithinPartitions(*key)
         .select(
-            "doc_id",
-            "n_chars",
-            F.spark_partition_id().alias("pid"),
-            F.monotonically_increasing_id().alias("mid"),
+            *cols,
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
         )
         .persist()
     )
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+        "_pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("_off")
     )
-    local_ix = F.col("mid") - F.col("pid").cast("long") * F.lit(1 << 33)
+    local_ix = F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33)
     return (
-        ranged.join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            "n_chars",
-            ((F.col("off") + local_ix) % n_shards).cast("int").alias("shard"),
-        )
+        ranged.join(F.broadcast(offsets), "_pid")
+        .select(*cols, (F.col("_off") + local_ix + 1).alias("rn"))
+    )
+
+
+def striped_shards(docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS) -> DataFrame:
+    """(doc_id, n_chars, shard): size-striped round-robin assignment —
+    docs ranked by (n_chars desc, doc_id asc), dealt shard = rank % n —
+    via :func:`global_row_numbers` (no single-partition window; the r4
+    form put every doc cell in ONE Sort+Window task)."""
+    ranked = global_row_numbers(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        n_parts,
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("rn") - 1) % n_shards).cast("int").alias("shard"),
     )
 
 

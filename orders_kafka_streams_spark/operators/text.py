@@ -851,12 +851,17 @@ def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the word histogram: least-squares slope of
     ln(freq) on ln(rank) (natural corpora sit near −1; synthetic or
     boilerplate-heavy corpora deviate — a one-number corpus-health
-    diagnostic). The global rank window runs on the |vocab| HISTOGRAM,
-    never the corpus — at 100 TB that is millions of rows, not
-    trillions, and the closed-form slope is one aggregate over it."""
+    diagnostic). Ranks are assigned over the |vocab| HISTOGRAM, never
+    the corpus — and via the two-pass range-partition form
+    (sampling.global_row_numbers), so even a 100 TB corpus's
+    multi-million-type histogram never funnels through one
+    Sort+Window task; the closed-form slope is one aggregate."""
+    from .sampling import global_row_numbers
+
     hist = _word_hist(spark, sf_dir)
-    w = Window.orderBy(F.desc("wc"), F.asc("w"))
-    ranked = hist.withColumn("r", F.row_number().over(w))
+    ranked = global_row_numbers(hist, [F.desc("wc"), F.asc("w")]).withColumnRenamed(
+        "rn", "r"
+    )
     x = F.log(F.col("r").cast("double"))
     y = F.log(F.col("wc").cast("double"))
     pts = ranked.select(x.alias("x"), y.alias("y"))

@@ -51,6 +51,24 @@ def test_no_global_window_over_docs(spark):
     assert "row_number" not in plan, plan
 
 
+def test_global_row_numbers_equals_window(spark):
+    from orders_kafka_streams_spark.operators.sampling import global_row_numbers
+
+    docs = _fixture(spark, n=3000)
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in global_row_numbers(
+            docs, [F.desc("n_chars"), F.asc("doc_id")], n_parts=8
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in docs.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
 def test_balance_property(spark):
     """Striping's whole point: per-shard char budgets are near-equal
     (spread bounded by roughly one max doc per deal round)."""
