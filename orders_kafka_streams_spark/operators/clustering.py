@@ -152,6 +152,21 @@ SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
 SEMDEDUP_CLUSTER_CAP = 4096
 
 
+def _guard_task_size(n: int, cap: int) -> None:
+    """Runtime backstop for the adaptive plan choice: the single-task
+    gram kernel must never own more than ``cap`` rows. The adaptive
+    branch trusts a construction-time size probe; if the input mutated
+    between probe and execution (unpersisted nondeterministic source,
+    cache eviction + re-sample), a hot cluster would otherwise build an
+    unbounded O(c²) matrix in ONE task — fail loudly instead."""
+    if n > cap:
+        raise ValueError(
+            f"semdedup single-task kernel got {n} rows > cap {cap}: cluster "
+            "sizes changed between the plan-choice probe and execution — "
+            "rerun over a persisted/deterministic input"
+        )
+
+
 def _block_pair_fanout(big: DataFrame, cap: int) -> DataFrame:
     """The exact block-pair fan-out over oversized clusters — one
     (cluster, a, b) group per block pair, every group ≤ 2·cap rows
@@ -235,6 +250,7 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
     partial_schema = "vec_id long, cluster int, kept long, max_cos double"
 
     def small_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        _guard_task_size(len(pdf), cap)
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}

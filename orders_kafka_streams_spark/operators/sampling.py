@@ -120,7 +120,9 @@ N_SHARDS = 16
 STRIPE_PARTS = 32  # range partitions for the two-pass stripe (≈ cluster parallelism)
 
 
-def global_row_numbers(df: DataFrame, key: list, n_parts: int = STRIPE_PARTS) -> DataFrame:
+def global_row_numbers(
+    df: DataFrame, key: list, n_parts: int = STRIPE_PARTS, memo=None
+) -> DataFrame:
     """``df`` + ``rn`` (1-based global row_number by ``key``, which must
     totally order the rows) WITHOUT a single-partition window — the
     generic two-pass range-partition form (VERDICT r4 item 6), shared
@@ -141,18 +143,26 @@ def global_row_numbers(df: DataFrame, key: list, n_parts: int = STRIPE_PARTS) ->
     one-window form produces. The relation is persisted before the two
     consuming passes so both see one materialization (range boundaries
     are sampled; two independent evaluations are not guaranteed
-    identical)."""
+    identical). ``memo`` lets query-registry callers route that persist
+    through the bounded session memo (dedup._memo_persist) instead of
+    registering an unmanaged cache entry per call — pass a callable
+    taking the build thunk (r5 review finding; for one-shot callers the
+    plain persist is deduped by Spark's CacheManager on the identical
+    plan, so growth is bounded by distinct inputs either way)."""
     cols = df.columns
-    ranged = (
-        df.repartitionByRange(n_parts, *key)
-        .sortWithinPartitions(*key)
-        .select(
-            *cols,
-            F.spark_partition_id().alias("_pid"),
-            F.monotonically_increasing_id().alias("_mid"),
+
+    def build() -> DataFrame:
+        return (
+            df.repartitionByRange(n_parts, *key)
+            .sortWithinPartitions(*key)
+            .select(
+                *cols,
+                F.spark_partition_id().alias("_pid"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
         )
-        .persist()
-    )
+
+    ranged = memo(build) if memo is not None else build().persist()
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -165,7 +175,9 @@ def global_row_numbers(df: DataFrame, key: list, n_parts: int = STRIPE_PARTS) ->
     )
 
 
-def striped_shards(docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS) -> DataFrame:
+def striped_shards(
+    docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS, memo=None
+) -> DataFrame:
     """(doc_id, n_chars, shard): size-striped round-robin assignment —
     docs ranked by (n_chars desc, doc_id asc), dealt shard = rank % n —
     via :func:`global_row_numbers` (no single-partition window; the r4
@@ -174,6 +186,7 @@ def striped_shards(docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS) 
         docs.select("doc_id", "n_chars"),
         [F.desc("n_chars"), F.asc("doc_id")],
         n_parts,
+        memo=memo,
     )
     return ranked.select(
         "doc_id",
@@ -200,7 +213,13 @@ def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     is property-tested in tests/test_striped_sharding.py)."""
     docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
     hash_shard = (hash60(F.col("doc_id")) % N_SHARDS).cast("int")
-    striped = striped_shards(docs, N_SHARDS).withColumn("method", F.lit("striped"))
+    from .dedup import _memo_persist
+
+    striped = striped_shards(
+        docs,
+        N_SHARDS,
+        memo=lambda build: _memo_persist(spark, sf_dir, "stripe_ranked:documents", build),
+    ).withColumn("method", F.lit("striped"))
     hashed = docs.withColumn("shard", hash_shard).withColumn("method", F.lit("hash"))
     both = hashed.unionByName(striped)
     tot = docs.agg(F.sum("n_chars").alias("tot_chars"))

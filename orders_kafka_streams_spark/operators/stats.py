@@ -374,11 +374,18 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(MW_A, MW_B)
     )
+    return mann_whitney(ev, "event_type", "value", MW_A)
+
+
+def mann_whitney(ev: DataFrame, group_col: str, value_col: str, a_label) -> DataFrame:
+    """Core of q_rank_test over any (group, value) relation where
+    ``group == a_label`` marks sample A and everything else sample B —
+    seam for the property suite (tests/test_mannwhitney_property.py)."""
     from pyspark.sql import Window
 
-    cells = ev.groupBy("value").agg(
-        F.sum((F.col("event_type") == MW_A).cast("long")).alias("ca"),
-        F.sum((F.col("event_type") == MW_B).cast("long")).alias("cb"),
+    cells = ev.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum((F.col(group_col) == a_label).cast("long")).alias("ca"),
+        F.sum((F.col(group_col) != a_label).cast("long")).alias("cb"),
     )
     t = F.col("ca") + F.col("cb")
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
@@ -404,7 +411,10 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 12.0
         * ((n + 1) - F.col("tie3") / (n * (n - 1)))
     )
-    z = (u - mu) / F.sqrt(var)
+    # var == 0 ⇔ every pooled value tied: the test is undefined — NULL
+    # z, not an ANSI divide-by-zero (surfaced by the property suite;
+    # unreachable on the events fixture, oracle shares the semantics)
+    z = F.when(var > 0, (u - mu) / F.sqrt(var))
     delta = F.lit(2.0) * u / (F.col("n_a") * F.col("n_b")) - F.lit(1.0)
     return j.select(
         "n_a",

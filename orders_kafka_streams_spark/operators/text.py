@@ -856,12 +856,20 @@ def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sampling.global_row_numbers), so even a 100 TB corpus's
     multi-million-type histogram never funnels through one
     Sort+Window task; the closed-form slope is one aggregate."""
+    from .dedup import _memo_persist
     from .sampling import global_row_numbers
 
     hist = _word_hist(spark, sf_dir)
-    ranked = global_row_numbers(hist, [F.desc("wc"), F.asc("w")]).withColumnRenamed(
-        "rn", "r"
-    )
+    # float note: the slope's four double sums now merge 32 range-
+    # partition partials in fetch order instead of one partition's row
+    # order — same kind of last-ulp exposure the cross-engine rounding
+    # contract already carries (sums of ~|V| ln-terms ⇒ abs error
+    # ~1e-7 on 1e5-magnitude sums, vs the 5e-5 round(4) boundary)
+    ranked = global_row_numbers(
+        hist,
+        [F.desc("wc"), F.asc("w")],
+        memo=lambda build: _memo_persist(spark, sf_dir, "zipf_ranked:hist", build),
+    ).withColumnRenamed("rn", "r")
     x = F.log(F.col("r").cast("double"))
     y = F.log(F.col("wc").cast("double"))
     pts = ranked.select(x.alias("x"), y.alias("y"))

@@ -33,7 +33,7 @@ def test_knn_lsh_no_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_every_bench_headline_query_has_a_plans_dossier(spark, sf_dir):
+def test_every_bench_headline_query_has_a_plans_dossier(spark):
     """VERDICT r2 item 6 / r4 item 8: the PLANS.md dossier must cover
     every bench headline query, and dump.py's COMMENTARY is the source
     of truth. The gate is SELF-HEALING for the mechanical half: a
@@ -61,10 +61,26 @@ def test_every_bench_headline_query_has_a_plans_dossier(spark, sf_dir):
     sections = set(re.findall(r"^## (\S+)", open(plans_md).read(), re.M))
     missing_sections = [q for q in bench.HEADLINE if q not in sections]
     if missing_sections:
-        queries = all_queries()
-        with open(plans_md, "a") as f:
-            for q in missing_sections:
-                f.write("\n".join(dossier_lines(spark, queries, sf_dir, q)) + "\n")
+        # generate under dump.py main's CANONICAL config — oracle-scale
+        # data, untruncated metadata, 32 shuffle partitions — not the
+        # test session's sf0.001/8-partition config, so the appended
+        # section is byte-comparable to a full `plans.dump` regen
+        # (r5 review finding)
+        canonical_sf = "/root/testdata/sf0.01"
+        saved = {
+            k: spark.conf.get(k)
+            for k in ("spark.sql.maxMetadataStringLength", "spark.sql.shuffle.partitions")
+        }
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            queries = all_queries()
+            with open(plans_md, "a") as f:
+                for q in missing_sections:
+                    f.write("\n".join(dossier_lines(spark, queries, canonical_sf, q)) + "\n")
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         sections = set(re.findall(r"^## (\S+)", open(plans_md).read(), re.M))
     assert not [q for q in bench.HEADLINE if q not in sections]
 

@@ -27,9 +27,15 @@ def test_first_50_queries_favor_unchecked_and_sample_families():
     # rechecks (previously-verified queries rewritten this round)
     from orders_kafka_streams_spark.operators import _RECHECK_FIRST
 
+    # r5: _DRIVER_CHECKED is derived from the committed CORRECTNESS
+    # artifacts and coverage has converged — there may be FEWER
+    # never-checked queries than prefix capacity, in which case every
+    # one of them must be in the prefix (not a fixed count).
+    unchecked_total = [n for n in qs if n not in _DRIVER_CHECKED]
     fresh = [n for n in prefix if n not in _DRIVER_CHECKED]
-    assert len(fresh) >= 50 - len(_RECHECK_FIRST), (
-        f"only {len(fresh)} never-checked queries in prefix"
+    expect = min(len(unchecked_total), 50 - len(_RECHECK_FIRST))
+    assert len(fresh) >= expect, (
+        f"only {len(fresh)} never-checked queries in prefix (expected ≥ {expect})"
     )
     assert set(_RECHECK_FIRST) <= prefix
     missing = []

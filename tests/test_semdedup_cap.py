@@ -107,3 +107,33 @@ def test_block_pair_task_bound(spark, hot_cluster):
 
 def test_default_cap_is_sane():
     assert 1024 <= SEMDEDUP_CLUSTER_CAP <= 65536
+
+
+def test_decomposed_plan_shape(spark, hot_cluster):
+    """The block-pair plan is no longer the one plan_budgets.json pins
+    (the registry records the adaptive small path at oracle scale), so
+    pin its physical shape here: both Arrow kernels present, no
+    cartesian/nested-loop anywhere in the fan-out."""
+    plan = (
+        semdedup_drops(hot_cluster, cap=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # small + pair kernels
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_small_path_guard(spark, hot_cluster):
+    """The single-task kernel must refuse a group larger than the cap
+    (stale construction-time probe) instead of silently building an
+    unbounded gram matrix — and must allow exactly-at-cap groups."""
+    from orders_kafka_streams_spark.operators.clustering import _guard_task_size
+
+    _guard_task_size(64, 64)  # boundary allowed
+    with pytest.raises(ValueError, match="cluster sizes changed"):
+        _guard_task_size(65, 64)
+    # end-to-end: the probe-chosen single-kernel plan executes with the
+    # guard in place (every group <= cap holds, nothing raises)
+    n = hot_cluster.count()
+    assert semdedup_drops(hot_cluster, cap=n).count() >= 10
