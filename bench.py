@@ -119,6 +119,8 @@ HEADLINE = [
     "q_gapfill_locf",
     # round-4 additions
     "q_pipeline_salted",
+    # round-5 additions
+    "q_excise_spans",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

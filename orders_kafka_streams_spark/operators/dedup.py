@@ -30,7 +30,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import MERSENNE31, hash60, hash60_sql
-from ..functions.textfns import shingles, shingles_sql, tokens, tokens_sql
+from ..functions.textfns import (
+    shingle_seq_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
 from ..sources.tables import load_table, parallelize
 
 #: fixed MinHash permutations (seed=42): h_i(x) = (a_i * x + b_i) mod 2^31-1.
@@ -931,6 +937,96 @@ def dup_span_stats(sh: DataFrame) -> DataFrame:
     )
 
 
+EXCISE_MIN_TOKENS = 12  # spans shorter than this aren't worth cutting
+_EXCISE_N = 3  # shingle width the span geometry is derived from
+
+
+def _shingle_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, g): POSITIONAL hashed shingles — duplicates kept,
+    0-based document order — session-persisted (consumed twice by the
+    excision query: shared-shingle histogram + join-back, plus the
+    per-doc token-count rollup). The hashed array is staged through
+    its own projection before posexplode (the r4 shingle-chain
+    lesson: HOF chains under a Generate re-evaluate per consumer)."""
+
+    def build() -> DataFrame:
+        from ..functions.textfns import shingle_seq
+
+        docs = parallelize(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        )
+        hashed = docs.select(
+            "doc_id", F.transform(shingle_seq(F.col("t"), _EXCISE_N), hash60).alias("hs")
+        )
+        return hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+
+    return _memo_persist(spark, sf_dir, "shingle_pos", build)
+
+
+def _q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION boundaries — the actionable artifact
+    sub-document dedup actually cuts (the RefinedWeb/"deduplicate text
+    datasets" removal step; Penedo et al. 2023, Lee et al. 2022):
+    where q_dup_spans reports each doc's duplicated-shingle FRACTION,
+    this emits the merged token spans a cleaner would excise. A
+    position is duplicated when its 3-shingle also occurs in another
+    document; runs of duplicated positions whose shingle windows
+    overlap (gap ≤ N−1 = 2) merge into ONE span covering tokens
+    [p0, p1+N−1], so spans are disjoint in token space by
+    construction; spans shorter than EXCISE_MIN_TOKENS are kept.
+    Output per affected doc: n_spans, dup_tokens, longest_span,
+    dup_token_frac.
+
+    Scale shape: the positional shingle relation is built once and
+    persisted; the shared-shingle set is a shingle-keyed count
+    aggregate (inverted-index cost, partial-aggregated); the
+    span-merge is two same-sort window passes + the rollups all on
+    ONE doc_id partitioning. Nothing is pairwise: the corpus never
+    joins itself, only positions join the shared-shingle relation."""
+    seq = _shingle_pos(spark, sf_dir)
+    shared = (
+        seq.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    dup = seq.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    flagged = dup.withColumn(
+        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
+    )
+    isl = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        isl.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+        .select(
+            "doc_id", (F.col("p1") - F.col("p0") + _EXCISE_N).alias("span_tokens")
+        )
+        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
+    )
+    ntok = seq.groupBy("doc_id").agg((F.max("pos") + _EXCISE_N).alias("n_tokens"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("longest_span"),
+        )
+        .join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "longest_span",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_token_frac"),
+        )
+    )
+
+
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
 
 
@@ -1173,6 +1269,7 @@ QUERIES = {
     "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
     "q_dup_spans": _q_dup_spans,
+    "q_excise_spans": _q_excise_spans,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_minhash": _q_dedup_minhash,
@@ -1191,6 +1288,7 @@ QUERIES = {
 
 _TOKS = tokens_sql("text")
 _SHINGLES = shingles_sql("w")
+_seq_sql = shingle_seq_sql("w", _EXCISE_N)
 
 _SHINGLED_CTE = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
@@ -1329,6 +1427,34 @@ SELECT h.doc_id,
             THEN round(COALESCE(d.n_dup, 0) / CAST(h.sz AS DOUBLE), 4)
             ELSE 0.0 END AS dup_frac
 FROM sh h LEFT JOIN dup d USING (doc_id)
+""",
+    "q_excise_spans": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seqs AS (SELECT doc_id,
+                list_transform({_seq_sql}, s -> {hash60_sql('s')}) AS hs
+         FROM toks),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS g
+        FROM seqs),
+shared AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT doc_id, pos FROM pos JOIN shared USING (g)),
+flag AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= {_EXCISE_N - 1} THEN 0 ELSE 1 END AS new_span
+         FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flag),
+spans AS (SELECT doc_id, max(pos) - min(pos) + {_EXCISE_N} AS span_tokens
+          FROM isl GROUP BY doc_id, span_id
+          HAVING max(pos) - min(pos) + {_EXCISE_N} >= {EXCISE_MIN_TOKENS}),
+ntok AS (SELECT doc_id, max(pos) + {_EXCISE_N} AS n_tokens FROM pos GROUP BY doc_id)
+SELECT s.doc_id AS doc_id,
+       CAST(count(1) AS BIGINT) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(max(span_tokens) AS BIGINT) AS longest_span,
+       round(CAST(sum(span_tokens) AS DOUBLE) / n.n_tokens, 4) AS dup_token_frac
+FROM spans s JOIN ntok n USING (doc_id)
+GROUP BY s.doc_id, n.n_tokens
 """,
     "q_dedup_ngram": _SHINGLED_CTE
     + f"""

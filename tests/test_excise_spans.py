@@ -1,0 +1,108 @@
+"""Duplicate-span excision (q_excise_spans): planted-passage fixtures
+pin the exact span geometry — merged boundaries, token counts, the
+gap ≤ N−1 merge rule, and the min-length cut — independently of the
+DuckDB oracle (which checks the corpus-level results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orders_kafka_streams_spark.functions.portable import hash60
+from orders_kafka_streams_spark.functions.textfns import shingle_seq
+from orders_kafka_streams_spark.operators.dedup import (
+    _EXCISE_N,
+    EXCISE_MIN_TOKENS,
+)
+
+
+def _spans(spark, docs, min_len=EXCISE_MIN_TOKENS):
+    """Run the excision span pipeline over in-memory (doc_id, text)
+    rows — same expressions as _q_excise_spans, fixture-scoped."""
+    from pyspark.sql import Window
+
+    from orders_kafka_streams_spark.functions.textfns import tokens
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hashed = df.select(
+        "doc_id", F.transform(shingle_seq(tokens(F.col("text")), _EXCISE_N), hash60).alias("hs")
+    )
+    seq = hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+    shared = (
+        seq.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1).select("g")
+    )
+    dup = seq.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    # NB: the frame must be Window.unboundedPreceding — a large finite
+    # negative literal like -(1<<31) is silently interpreted as an
+    # unbounded-BOTH-SIDES frame and collapses every island into one
+    isl = dup.withColumn(
+        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
+    ).withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return {
+        (r["doc_id"], r["p0"], r["tokens"])
+        for r in isl.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("p0"), (F.max("pos") - F.min("pos") + _EXCISE_N).alias("tokens"))
+        .filter(F.col("tokens") >= min_len)
+        .collect()
+    }
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_planted_shared_passage_boundaries(spark):
+    """A 20-token passage shared by two docs at different offsets is
+    excised from both, with exact token boundaries."""
+    passage = _words("dup", 20)
+    doc_a = _words("ua", 5) + " " + passage + " " + _words("za", 7)
+    doc_b = passage + " " + _words("zb", 9)
+    got = _spans(spark, [(1, doc_a), (2, doc_b)])
+    # doc 1: shingle positions 5..22 duplicated → tokens [5, 24] = 20
+    # doc 2: positions 0..17 → tokens [0, 19] = 20
+    assert got == {(1, 5, 20), (2, 0, 20)}
+
+
+def test_short_shared_runs_are_dropped(spark):
+    """A shared trigram (3 tokens < EXCISE_MIN_TOKENS) never yields a span."""
+    tri = "shared tri gram"
+    got = _spans(spark, [(1, _words("a", 6) + " " + tri), (2, tri + " " + _words("b", 6))])
+    assert got == set()
+
+
+def test_overlapping_shared_regions_merge(spark):
+    """Shared regions from DIFFERENT partner docs that overlap (or abut
+    within the shingle window) in one doc merge into a single span."""
+    a = [f"a{i}" for i in range(17)]
+    doc_a = " ".join(a)                                   # a0..a16
+    doc_b = " ".join(a[:9]) + " " + _words("tb", 6)       # shares a0..a8
+    doc_c = _words("hc", 6) + " " + " ".join(a[8:])       # shares a8..a16
+    got = _spans(spark, [(1, doc_a), (2, doc_b), (3, doc_c)], min_len=5)
+    # doc 1: dup positions 0..6 (from B) and 8..14 (from C): gap 2 ≤
+    # N−1 → ONE merged span over tokens [0, 16] = 17 tokens (token a8
+    # belongs to both shared regions, so the merge is token-exact)
+    assert {s for s in got if s[0] == 1} == {(1, 0, 17)}
+    # partners keep their own 9-token spans at their own offsets
+    assert {s for s in got if s[0] == 2} == {(2, 0, 9)}
+    assert {s for s in got if s[0] == 3} == {(3, 6, 9)}
+
+
+def test_disjoint_shared_regions_stay_separate(spark):
+    """Passages separated by even ONE unique token have disjoint
+    shingle windows (position gap ≥ N) and must NOT merge."""
+    p1, p2 = _words("x", 9), _words("y", 9)
+    doc_a = p1 + " only1 " + p2
+    doc_b = p1 + " " + _words("other", 8) + " " + p2
+    got = _spans(spark, [(1, doc_a), (2, doc_b)], min_len=5)
+    assert sorted(s for s in got if s[0] == 1) == [(1, 0, 9), (1, 10, 9)]
+    assert sorted(s for s in got if s[0] == 2) == [(2, 0, 9), (2, 17, 9)]
+
+
+def test_registry_and_oracle_registered():
+    from orders_kafka_streams_spark.operators.dedup import ORACLE, QUERIES
+
+    assert "q_excise_spans" in QUERIES and "q_excise_spans" in ORACLE
