@@ -941,26 +941,96 @@ EXCISE_MIN_TOKENS = 12  # spans shorter than this aren't worth cutting
 _EXCISE_N = 3  # shingle width the span geometry is derived from
 
 
+def shingle_pos_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): POSITIONAL hashed shingles of an arbitrary
+    (doc_id, text) relation — duplicates kept, 0-based document
+    order. The hashed array is staged through its own projection
+    before posexplode (the r4 shingle-chain lesson: HOF chains under
+    a Generate re-evaluate per consumer). Shared by the corpus build
+    and the streaming micro-batch probe, so batch and stream span
+    verdicts are expression-identical."""
+    from ..functions.textfns import shingle_seq
+
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingle_seq(tokens(F.col("text")), _EXCISE_N), hash60).alias("hs"),
+    )
+    return hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+
+
 def _shingle_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, g): POSITIONAL hashed shingles — duplicates kept,
-    0-based document order — session-persisted (consumed twice by the
-    excision query: shared-shingle histogram + join-back, plus the
-    per-doc token-count rollup). The hashed array is staged through
-    its own projection before posexplode (the r4 shingle-chain
-    lesson: HOF chains under a Generate re-evaluate per consumer)."""
+    """Corpus-wide :func:`shingle_pos_of`, session-persisted (consumed
+    twice by the excision query: shared-shingle histogram + join-back,
+    plus the per-doc token-count rollup)."""
 
     def build() -> DataFrame:
-        from ..functions.textfns import shingle_seq
-
         docs = parallelize(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", tokens(F.col("text")).alias("t")
+            "doc_id", "text"
         )
-        hashed = docs.select(
-            "doc_id", F.transform(shingle_seq(F.col("t"), _EXCISE_N), hash60).alias("hs")
-        )
-        return hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+        return shingle_pos_of(docs)
 
     return _memo_persist(spark, sf_dir, "shingle_pos", build)
+
+
+def _excise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide shared-shingle set (distinct-doc count > 1) —
+    session-persisted: the batch query consumes it once, but the
+    streaming twin probes it once per micro-batch and must not rebuild
+    the histogram each trigger."""
+
+    def build() -> DataFrame:
+        return (
+            _shingle_pos(spark, sf_dir)
+            .groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("g")
+        )
+
+    return _memo_persist(spark, sf_dir, "excise_shared", build)
+
+
+def excise_spans_of(pos: DataFrame, shared: DataFrame) -> DataFrame:
+    """Span rollup over any positional-shingle relation + shared set —
+    the per-doc computation is independent across docs (positions join
+    the static shared relation, then doc-local windows), which is what
+    makes the streaming twin's verdicts invariant to how the delta is
+    batched."""
+    dup = pos.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    flagged = dup.withColumn(
+        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
+    )
+    isl = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        isl.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+        .select(
+            "doc_id", (F.col("p1") - F.col("p0") + _EXCISE_N).alias("span_tokens")
+        )
+        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
+    )
+    ntok = pos.groupBy("doc_id").agg((F.max("pos") + _EXCISE_N).alias("n_tokens"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("longest_span"),
+        )
+        .join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "longest_span",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_token_frac"),
+        )
+    )
 
 
 def _q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,48 +1053,7 @@ def _q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-merge is two same-sort window passes + the rollups all on
     ONE doc_id partitioning. Nothing is pairwise: the corpus never
     joins itself, only positions join the shared-shingle relation."""
-    seq = _shingle_pos(spark, sf_dir)
-    shared = (
-        seq.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
-    dup = seq.join(shared, "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    flagged = dup.withColumn(
-        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
-    )
-    isl = flagged.withColumn(
-        "span_id",
-        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = (
-        isl.groupBy("doc_id", "span_id")
-        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
-        .select(
-            "doc_id", (F.col("p1") - F.col("p0") + _EXCISE_N).alias("span_tokens")
-        )
-        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
-    )
-    ntok = seq.groupBy("doc_id").agg((F.max("pos") + _EXCISE_N).alias("n_tokens"))
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("span_tokens").cast("long").alias("dup_tokens"),
-            F.max("span_tokens").cast("long").alias("longest_span"),
-        )
-        .join(ntok, "doc_id")
-        .select(
-            "doc_id",
-            "n_spans",
-            "dup_tokens",
-            "longest_span",
-            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_token_frac"),
-        )
-    )
+    return excise_spans_of(_shingle_pos(spark, sf_dir), _excise_shared(spark, sf_dir))
 
 
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)

@@ -418,6 +418,48 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicate-span excision: delta documents ARRIVE as a
+    stream; each micro-batch derives positional shingles with the
+    corpus build's exact expressions (dedup.shingle_pos_of) and joins
+    the memoized corpus-wide shared-shingle set, emitting the same
+    merged excision spans the batch q_excise_spans produces for those
+    docs — the ingest-time "cut these spans before training" gate. A
+    doc's spans depend only on its own positions plus the static
+    shared set, so the verdict is invariant to how the delta is
+    batched (tests/test_excise_spans.py pins batch-split invariance)
+    and the assembled output hash-matches the batch oracle restricted
+    to delta docs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import DELTA_MOD, _excise_shared, excise_spans_of, shingle_pos_of
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-excise", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    shared = _excise_shared(spark, sf_dir)  # static, built pre-stream
+
+    def probe(batch, batch_id: int) -> None:
+        # spread the (possibly 1-partition) file batch before the
+        # shingle/window work — the sf1 foreachBatch lesson
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        spans = excise_spans_of(shingle_pos_of(batch.select("doc_id", "text")), shared)
+        spans.write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination: arriving document
     micro-batches shingle their own text and probe the held benchmark
@@ -588,6 +630,7 @@ QUERIES = {
     "q_stream_semantic_contamination": _q_stream_semantic_contamination,
     "q_stream_dp_release": _q_stream_dp_release,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
+    "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_contamination": _q_stream_contamination,
@@ -613,6 +656,9 @@ ORACLE = {
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
     # the streamed per-batch probes must assemble to the batch verdicts
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
+    # the streamed span gate must equal the batch excision restricted
+    # to the delta docs it ingests
+    "q_stream_excise_spans": None,  # filled below (delta-scoped batch SQL)
     # the streamed index must equal the batch signature build
     "q_stream_ann_ingest": None,  # filled below (import-order seam)
     # the streamed per-batch gate must equal the offline batch gate
@@ -836,6 +882,14 @@ from .similarity import _lsh_sigs_cte as _sim_sigs_cte
 
 ORACLE["q_stream_ann_ingest"] = (
     _SIM_V_CTE + f", sigs AS (\n{_sim_sigs_cte()}\n)\nSELECT vec_id, tbl, sig FROM sigs"
+)
+
+from .dedup import DELTA_MOD as _EX_DELTA_MOD
+
+ORACLE["q_stream_excise_spans"] = (
+    "SELECT * FROM (\n"
+    + _DD_ORACLE["q_excise_spans"]
+    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
 )
 
 # the streamed quality gate equals the offline batch classifier

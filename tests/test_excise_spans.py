@@ -106,3 +106,39 @@ def test_registry_and_oracle_registered():
     from orders_kafka_streams_spark.operators.dedup import ORACLE, QUERIES
 
     assert "q_excise_spans" in QUERIES and "q_excise_spans" in ORACLE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_probe_batch_split_invariant(spark, sf_dir):
+    """spans(half A) ∪ spans(half B) == spans(whole delta): a doc's
+    spans depend only on its own positions + the static shared set."""
+    from orders_kafka_streams_spark.operators import dedup
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    delta = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_MOD - 1)
+        .select("doc_id", "text")
+    )
+    shared = dedup._excise_shared(spark, sf_dir)
+    whole = dedup.excise_spans_of(dedup.shingle_pos_of(delta), shared)
+    lo = delta.filter(F.col("doc_id") % (2 * dedup.DELTA_MOD) == dedup.DELTA_MOD - 1)
+    hi = delta.filter(F.col("doc_id") % (2 * dedup.DELTA_MOD) != dedup.DELTA_MOD - 1)
+    a = dedup.excise_spans_of(dedup.shingle_pos_of(lo), shared)
+    b = dedup.excise_spans_of(dedup.shingle_pos_of(hi), shared)
+    assert _rows(a.unionByName(b)) == _rows(whole)
+
+
+def test_stream_twin_matches_delta_scoped_batch(spark, sf_dir):
+    """The assembled streaming output equals the batch q_excise_spans
+    restricted to the delta docs it ingested."""
+    from orders_kafka_streams_spark.operators import dedup, streaming_queries
+
+    got = streaming_queries.QUERIES["q_stream_excise_spans"](spark, sf_dir)
+    want = dedup.QUERIES["q_excise_spans"](spark, sf_dir).filter(
+        F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_MOD - 1
+    )
+    assert _rows(got) == _rows(want)
