@@ -942,20 +942,27 @@ _EXCISE_N = 3  # shingle width the span geometry is derived from
 
 
 def shingle_pos_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, g): POSITIONAL hashed shingles of an arbitrary
-    (doc_id, text) relation — duplicates kept, 0-based document
-    order. The hashed array is staged through its own projection
-    before posexplode (the r4 shingle-chain lesson: HOF chains under
-    a Generate re-evaluate per consumer). Shared by the corpus build
-    and the streaming micro-batch probe, so batch and stream span
-    verdicts are expression-identical."""
+    """(doc_id, n_tokens, pos, g): POSITIONAL hashed shingles of an
+    arbitrary (doc_id, text) relation — duplicates kept, 0-based
+    document order, with the doc's token count carried on every row
+    (size(hs) + N − 1, computed map-side from the pre-explode array so
+    downstream consumers never need a second pass over the relation —
+    r5 review finding). The hashed array is staged through its own
+    projection before posexplode (the r4 shingle-chain lesson: HOF
+    chains under a Generate re-evaluate per consumer). Shared by the
+    corpus build and the streaming micro-batch probe, so batch and
+    stream span verdicts are expression-identical."""
     from ..functions.textfns import shingle_seq
 
     hashed = docs.select(
         "doc_id",
         F.transform(shingle_seq(tokens(F.col("text")), _EXCISE_N), hash60).alias("hs"),
     )
-    return hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+    return hashed.select(
+        "doc_id",
+        (F.size("hs") + _EXCISE_N - 1).alias("n_tokens"),
+        F.posexplode("hs").alias("pos", "g"),
+    )
 
 
 def _shingle_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,50 +986,82 @@ def _excise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram each trigger."""
 
     def build() -> DataFrame:
-        return (
-            _shingle_pos(spark, sf_dir)
-            .groupBy("g")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .filter(F.col("nd") > 1)
-            .select("g")
-        )
+        return shared_shingles_of(_shingle_pos(spark, sf_dir))
 
     return _memo_persist(spark, sf_dir, "excise_shared", build)
 
 
-def excise_spans_of(pos: DataFrame, shared: DataFrame) -> DataFrame:
-    """Span rollup over any positional-shingle relation + shared set —
-    the per-doc computation is independent across docs (positions join
-    the static shared relation, then doc-local windows), which is what
-    makes the streaming twin's verdicts invariant to how the delta is
-    batched."""
-    dup = pos.join(shared, "g").select("doc_id", "pos")
+def shared_shingles_of(pos: DataFrame) -> DataFrame:
+    """Distinct shingles occurring in more than one document of a
+    positional relation — the static candidate side every excision
+    probe joins."""
+    return (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+
+
+def excise_span_rows(
+    pos: DataFrame, shared: DataFrame, min_tokens: int = EXCISE_MIN_TOKENS
+) -> DataFrame:
+    """ONE ROW PER EXCISION SPAN: (doc_id, n_tokens, p0, span_tokens)
+    over any positional-shingle relation + shared set — the per-doc
+    computation is independent across docs (positions join the static
+    shared relation, then doc-local windows), which is what makes the
+    streaming twin's verdicts invariant to how the delta is batched.
+    Duplicated runs merge when the position gap ≤ N — exactly token
+    contiguity: position p covers tokens [p, p+N−1], so the next dup
+    at p+N abuts it and the union span has no uncovered token, while
+    p+N+1 leaves token p+N unique and must not merge (r5 review: the
+    earlier gap ≤ N−1 window-overlap rule split a contiguous
+    duplicated run whose halves could then BOTH fall under the
+    min-length cut). The relation is consumed ONCE: n_tokens rides
+    every positional row, so no second pass and no join-back. The
+    geometry tests pin this seam directly; the per-doc rollup
+    (excise_spans_of) composes on top."""
+    dup = pos.join(shared, "g").select("doc_id", "pos", "n_tokens")
     w = Window.partitionBy("doc_id").orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
     flagged = dup.withColumn(
-        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
+        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N), 1).otherwise(0)
     )
     isl = flagged.withColumn(
         "span_id",
         F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = (
-        isl.groupBy("doc_id", "span_id")
-        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
-        .select(
-            "doc_id", (F.col("p1") - F.col("p0") + _EXCISE_N).alias("span_tokens")
-        )
-        .filter(F.col("span_tokens") >= EXCISE_MIN_TOKENS)
-    )
-    ntok = pos.groupBy("doc_id").agg((F.max("pos") + _EXCISE_N).alias("n_tokens"))
     return (
-        spans.groupBy("doc_id")
+        isl.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("p0"),
+            F.max("pos").alias("p1"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "p0",
+            (F.col("p1") - F.col("p0") + _EXCISE_N).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+
+
+def excise_spans_of(
+    pos: DataFrame, shared: DataFrame, min_tokens: int = EXCISE_MIN_TOKENS
+) -> DataFrame:
+    """Per-doc rollup of :func:`excise_span_rows` — the registered
+    query surface: (doc_id, n_spans, dup_tokens, longest_span,
+    dup_token_frac)."""
+    spans = excise_span_rows(pos, shared, min_tokens)
+    return (
+        spans.groupBy("doc_id", "n_tokens")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum("span_tokens").cast("long").alias("dup_tokens"),
             F.max("span_tokens").cast("long").alias("longest_span"),
         )
-        .join(ntok, "doc_id")
         .select(
             "doc_id",
             "n_spans",
@@ -1040,10 +1079,10 @@ def _q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     where q_dup_spans reports each doc's duplicated-shingle FRACTION,
     this emits the merged token spans a cleaner would excise. A
     position is duplicated when its 3-shingle also occurs in another
-    document; runs of duplicated positions whose shingle windows
-    overlap (gap ≤ N−1 = 2) merge into ONE span covering tokens
-    [p0, p1+N−1], so spans are disjoint in token space by
-    construction; spans shorter than EXCISE_MIN_TOKENS are kept.
+    document; runs of duplicated positions whose covered tokens are
+    contiguous (position gap ≤ N) merge into ONE span over tokens
+    [p0, p1+N−1], so spans are token-disjoint AND maximal by
+    construction; spans shorter than EXCISE_MIN_TOKENS are dropped.
     Output per affected doc: n_spans, dup_tokens, longest_span,
     dup_token_frac.
 
@@ -1468,7 +1507,7 @@ shared AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) > 1),
 dup AS (SELECT doc_id, pos FROM pos JOIN shared USING (g)),
 flag AS (SELECT doc_id, pos,
                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                          <= {_EXCISE_N - 1} THEN 0 ELSE 1 END AS new_span
+                          <= {_EXCISE_N} THEN 0 ELSE 1 END AS new_span
          FROM dup),
 isl AS (SELECT doc_id, pos,
                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id

@@ -7,47 +7,25 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from orders_kafka_streams_spark.functions.portable import hash60
-from orders_kafka_streams_spark.functions.textfns import shingle_seq
-from orders_kafka_streams_spark.operators.dedup import (
-    _EXCISE_N,
-    EXCISE_MIN_TOKENS,
-)
+from orders_kafka_streams_spark.operators.dedup import EXCISE_MIN_TOKENS
 
 
 def _spans(spark, docs, min_len=EXCISE_MIN_TOKENS):
-    """Run the excision span pipeline over in-memory (doc_id, text)
-    rows — same expressions as _q_excise_spans, fixture-scoped."""
-    from pyspark.sql import Window
-
-    from orders_kafka_streams_spark.functions.textfns import tokens
+    """Span geometry {(doc_id, span_start_pos, span_tokens)} via the
+    PRODUCTION seams (r5 review: a hand-copied pipeline here would
+    keep passing after a production rule change and stop pinning
+    behavior)."""
+    from orders_kafka_streams_spark.operators.dedup import (
+        excise_span_rows,
+        shared_shingles_of,
+        shingle_pos_of,
+    )
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    hashed = df.select(
-        "doc_id", F.transform(shingle_seq(tokens(F.col("text")), _EXCISE_N), hash60).alias("hs")
-    )
-    seq = hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
-    shared = (
-        seq.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1).select("g")
-    )
-    dup = seq.join(shared, "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    # NB: the frame must be Window.unboundedPreceding — a large finite
-    # negative literal like -(1<<31) is silently interpreted as an
-    # unbounded-BOTH-SIDES frame and collapses every island into one
-    isl = dup.withColumn(
-        "new_span", F.when(gap.isNull() | (gap > _EXCISE_N - 1), 1).otherwise(0)
-    ).withColumn(
-        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    pos = shingle_pos_of(df)
     return {
-        (r["doc_id"], r["p0"], r["tokens"])
-        for r in isl.groupBy("doc_id", "span_id")
-        .agg(F.min("pos").alias("p0"), (F.max("pos") - F.min("pos") + _EXCISE_N).alias("tokens"))
-        .filter(F.col("tokens") >= min_len)
-        .collect()
+        (r["doc_id"], r["p0"], r["span_tokens"])
+        for r in excise_span_rows(pos, shared_shingles_of(pos), min_tokens=min_len).collect()
     }
 
 
@@ -92,14 +70,33 @@ def test_overlapping_shared_regions_merge(spark):
 
 
 def test_disjoint_shared_regions_stay_separate(spark):
-    """Passages separated by even ONE unique token have disjoint
-    shingle windows (position gap ≥ N) and must NOT merge."""
+    """Passages separated by a unique token leave that token uncovered
+    (position gap N+1 = 4 here) and must NOT merge."""
     p1, p2 = _words("x", 9), _words("y", 9)
     doc_a = p1 + " only1 " + p2
     doc_b = p1 + " " + _words("other", 8) + " " + p2
     got = _spans(spark, [(1, doc_a), (2, doc_b)], min_len=5)
     assert sorted(s for s in got if s[0] == 1) == [(1, 0, 9), (1, 10, 9)]
     assert sorted(s for s in got if s[0] == 2) == [(2, 0, 9), (2, 17, 9)]
+
+
+def test_abutting_regions_merge(spark):
+    """Two duplicated passages that ABUT in token space (position gap
+    exactly N — no uncovered token between them) merge into one
+    maximal span; the r5 pre-fix rule split them, and each half could
+    then fall under the min-length cut despite 20 contiguous
+    duplicated tokens."""
+    a = [f"a{i}" for i in range(20)]
+    doc_a = " ".join(a)                                  # a0..a19
+    doc_b = " ".join(a[:10]) + " " + _words("tb", 6)     # shares a0..a9
+    doc_c = _words("hc", 6) + " " + " ".join(a[10:])     # shares a10..a19
+    got = _spans(spark, [(1, doc_a), (2, doc_b), (3, doc_c)], min_len=12)
+    # doc 1: dup positions 0..7 (from B) and 10..17 (from C): gap 3 =
+    # N → one merged span of 20 tokens; with the min cut at 12, the
+    # split form would report doc 1 span-free (both halves = 10)
+    assert {s for s in got if s[0] == 1} == {(1, 0, 20)}
+    # the 10-token halves in the partner docs stay below the cut
+    assert {s for s in got if s[0] != 1} == set()
 
 
 def test_registry_and_oracle_registered():
