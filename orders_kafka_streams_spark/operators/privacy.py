@@ -187,7 +187,119 @@ def dp_release(cells: DataFrame) -> DataFrame:
     )
 
 
+#: PII pattern library — written in the Java-regex ∩ RE2 common
+#: subset (character classes, \b, \d, bounded quantifiers) so Spark
+#: and the DuckDB oracle compile the same automaton. Order is the
+#: redaction order (applied identically in both engines).
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("govid", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_augmented_text() -> F.Column:
+    """The synthetic corpus carries no real PII, so the scan would be
+    a vacuous zero. Instead a deterministic PII *fixture stream* is
+    derived from doc_id residues (≈14% of docs get an email, ≈9% a
+    phone, ≈6% a gov-id, ≈8% an IPv4; residue classes overlap so some
+    docs carry several kinds) and appended to the text. The SAME
+    derivation is written into the DuckDB oracle, so what the gate
+    actually verifies is the detection/redaction machinery itself:
+    that both engines' regex automata count and excise identically.
+    Swapping this column for the raw text column is the production
+    deployment."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), s, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 3,
+        F.concat(
+            F.lit(" call 555-"),
+            (d % 900 + 100).cast("string"),
+            F.lit("-"),
+            (d % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    govid = F.when(
+        d % 17 == 2,
+        F.concat(
+            F.lit(" id "),
+            (d % 900 + 100).cast("string"),
+            F.lit("-"),
+            (d % 90 + 10).cast("string"),
+            F.lit("-"),
+            (d % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    ipv4 = F.when(
+        d % 13 == 5,
+        F.concat(
+            F.lit(" host 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 250).cast("string"),
+            F.lit("."),
+            (d % 200).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, govid, ipv4)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Pattern-based PII audit + redaction accounting per source — the
+    scrub step every corpus runs before release (cf. the public
+    BigCode/CCNet pipelines: regex families for emails, phone
+    numbers, government ids, IP addresses; spans replaced with typed
+    placeholder tokens).
+
+    Per source: document count, documents carrying any PII, per-kind
+    match counts, and the net character delta of replacing every span
+    with its placeholder (negative when placeholders are shorter —
+    the audit quantity a release report carries).
+
+    Scale shape: the scan is map-only regex work inside whole-stage
+    codegen (no Python), followed by ONE aggregation whose shuffle
+    carries 5 source cells, not rows. At 100 TB this is scan-bounded
+    — the same posture as q_text_quality.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (privacy/curation family)."""
+    aug = docs.select("source", pii_augmented_text().alias("text"))
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    per_doc = aug.select(
+        "source",
+        *[
+            F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        (F.length(red) - F.length("text")).alias("delta"),
+    )
+    any_pii = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_pii.cast("long")).alias("docs_with_pii"),
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+            F.sum("delta").alias("redaction_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "q_pii_scan": _q_pii_scan,
     "q_pseudonymize": _q_pseudonymize,
     "q_k_anonymity": _q_k_anonymity,
     "q_l_diversity": _q_l_diversity,
@@ -202,7 +314,57 @@ _DP_U = (
     + f" / 1152921504606846976.0 - 0.5, {DP_U_FLOOR!r})"
 )
 
+def _pii_oracle_sql() -> str:
+    """Mirror of pii_augmented_text + pii_scan in DuckDB SQL: same
+    injection arithmetic, same patterns, same redaction order
+    (DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all semantics)."""
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 3 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 2 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 5 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END"
+    )
+    red = "text"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in PII_PATTERNS
+    )
+    any_pii = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    sums = ",\n       ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}" for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (
+  SELECT source, {aug} AS text FROM documents
+),
+per_doc AS (
+  SELECT source,
+         {counts},
+         length({red}) - length(text) AS delta
+  FROM aug
+)
+SELECT source,
+       CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       {sums},
+       CAST(sum(delta) AS BIGINT) AS redaction_delta
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 ORACLE = {
+    "q_pii_scan": _pii_oracle_sql(),
     "q_dp_histogram": f"""
 WITH cells AS (
   SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
