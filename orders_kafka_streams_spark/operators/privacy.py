@@ -250,6 +250,28 @@ def pii_augmented_text() -> F.Column:
     return F.concat(F.col("text"), email, phone, govid, ipv4)
 
 
+def pii_doc_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII verdicts: (doc_id, source, per-kind match
+    counts, redaction char delta). A doc's verdict depends only on
+    that doc, so this relation is the shared block between the batch
+    audit (q_pii_scan aggregates it) and the streaming ingest gate
+    (q_stream_pii_gate emits it per micro-batch, batch-split
+    invariant by construction). Map-only regex, no shuffle."""
+    aug = docs.select("doc_id", "source", pii_augmented_text().alias("text"))
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return aug.select(
+        "doc_id",
+        "source",
+        *[
+            F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        (F.length(red) - F.length("text")).alias("delta"),
+    )
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """Pattern-based PII audit + redaction accounting per source — the
     scrub step every corpus runs before release (cf. the public
@@ -269,21 +291,10 @@ def pii_scan(docs: DataFrame) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams; SURVEY
     §2.9 extension surface (privacy/curation family)."""
-    aug = docs.select("source", pii_augmented_text().alias("text"))
-    red = F.col("text")
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
-    per_doc = aug.select(
-        "source",
-        *[
-            F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
-            for name, pat, _ in PII_PATTERNS
-        ],
-        (F.length(red) - F.length("text")).alias("delta"),
-    )
     any_pii = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0
     return (
-        per_doc.groupBy("source")
+        pii_doc_scan(docs)
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(any_pii.cast("long")).alias("docs_with_pii"),
@@ -314,11 +325,11 @@ _DP_U = (
     + f" / 1152921504606846976.0 - 0.5, {DP_U_FLOOR!r})"
 )
 
-def _pii_oracle_sql() -> str:
-    """Mirror of pii_augmented_text + pii_scan in DuckDB SQL: same
-    injection arithmetic, same patterns, same redaction order
-    (DuckDB's regexp_replace needs the explicit 'g' flag to match
-    Spark's replace-all semantics)."""
+def _pii_doc_cte() -> str:
+    """The per-doc scan as a DuckDB CTE prefix (mirrors
+    pii_augmented_text + pii_doc_scan: same injection arithmetic,
+    same patterns, same redaction order; DuckDB's regexp_replace
+    needs the explicit 'g' flag to match Spark's replace-all)."""
     aug = (
         "text"
         " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
@@ -338,20 +349,33 @@ def _pii_oracle_sql() -> str:
     counts = ",\n         ".join(
         f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in PII_PATTERNS
     )
-    any_pii = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
-    sums = ",\n       ".join(
-        f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}" for name, _, _ in PII_PATTERNS
-    )
     return f"""
 WITH aug AS (
-  SELECT source, {aug} AS text FROM documents
+  SELECT doc_id, source, {aug} AS text FROM documents
 ),
 per_doc AS (
-  SELECT source,
+  SELECT doc_id, source,
          {counts},
          length({red}) - length(text) AS delta
   FROM aug
 )
+"""
+
+
+def _pii_doc_oracle_sql() -> str:
+    """Per-doc verdict relation (the q_stream_pii_gate oracle: the
+    assembled stream output must equal the batch per-doc scan)."""
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return _pii_doc_cte() + f"SELECT doc_id, source, {cols}, delta FROM per_doc"
+
+
+def _pii_oracle_sql() -> str:
+    """Per-source audit (the q_pii_scan oracle)."""
+    any_pii = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    sums = ",\n       ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}" for name, _, _ in PII_PATTERNS
+    )
+    return _pii_doc_cte() + f"""
 SELECT source,
        CAST(count(1) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,

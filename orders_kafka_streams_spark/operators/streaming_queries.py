@@ -418,6 +418,40 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII ingest gate: documents ARRIVE as a stream; each
+    micro-batch is scanned and redaction-accounted with the batch
+    audit's exact shared block (privacy.pii_doc_scan) via
+    foreachBatch — the scrub-before-anything-else step a corpus
+    ingest runs. A doc's verdict depends only on that doc, so the
+    assembled output is invariant to how the stream batches the
+    corpus and hash-matches the batch per-doc scan (oracle below).
+    Scale shape: map-only regex per micro-batch — no state store, no
+    shuffle; the gate rides the ingest scan."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .privacy import pii_doc_scan
+
+    docs = documents_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-piigate", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def gate(batch, batch_id: int) -> None:
+        # spread the (possibly 1-partition) file batch before the scan
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        pii_doc_scan(batch).write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -633,6 +667,7 @@ QUERIES = {
     "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
+    "q_stream_pii_gate": _q_stream_pii_gate,
     "q_stream_contamination": _q_stream_contamination,
     "q_stream_dedup": _q_stream_dedup,
     "q_stream_dedup_agg": _q_stream_dedup_agg,
@@ -896,6 +931,11 @@ ORACLE["q_stream_excise_spans"] = (
 from .curation import ORACLE as _CU_ORACLE
 
 ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]
+
+# the streamed PII gate equals the batch per-doc scan
+from .privacy import _pii_doc_oracle_sql
+
+ORACLE["q_stream_pii_gate"] = _pii_doc_oracle_sql()
 
 # the streamed decontamination sweep equals the offline batch sweep
 ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]

@@ -86,6 +86,23 @@ def test_redaction_is_complete(spark, docs):
     assert residue.first()["left"] == 0
 
 
+def test_stream_gate_equals_batch_scan(spark, sf_dir):
+    """The assembled streaming-gate output is exactly the batch
+    per-doc scan — a doc's verdict depends only on that doc, so
+    batching cannot change it."""
+    from orders_kafka_streams_spark.operators.privacy import pii_doc_scan
+    from orders_kafka_streams_spark.operators.streaming_queries import QUERIES
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r) for r in QUERIES["q_stream_pii_gate"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pii_doc_scan(load_table(spark, sf_dir, "documents")).collect()
+    )
+    assert got == want
+
+
 def test_scan_is_single_exchange(spark, docs):
     """Scale posture: map-only regex + one cell aggregation — the
     plan must carry exactly one Exchange (plus the tiny final sort)
