@@ -1,0 +1,83 @@
+"""Unit checks for bench.py's drift-normalized budget gate (pure
+functions — no Spark). The gate's contract: flag a query that
+regresses RELATIVE to the suite, never flag suite-wide ambient
+machine drift, and never let drift normalization excuse more than
+DRIFT_CAP.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "okss_bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+)
+_argv = sys.argv
+sys.argv = ["bench.py"]  # module-level argv peeks must not see pytest args
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+sys.argv = _argv
+
+BUDGETS = {"a": 1.0, "b": 2.0, "c": 0.5, "d": 4.0, "tiny": 0.05}
+
+
+def test_drift_is_median_of_budgeted_ratios():
+    timings = {"a": 1.2, "b": 2.4, "c": 0.6, "d": 4.8}
+    assert abs(bench._drift(timings, BUDGETS) - 1.2) < 1e-9
+
+
+def test_drift_never_tightens_below_one():
+    timings = {"a": 0.5, "b": 1.0, "c": 0.25}
+    assert bench._drift(timings, BUDGETS) == 1.0
+
+
+def test_drift_capped():
+    timings = {"a": 10.0, "b": 20.0, "c": 5.0}
+    assert bench._drift(timings, BUDGETS) == bench.DRIFT_CAP
+
+
+def test_drift_excludes_floor_size_budgets():
+    # 'tiny' (budget 0.05 < FLOOR) blowing up 20x must not drag the
+    # median — JIT hiccups on sub-floor queries are noise
+    timings = {"a": 1.0, "b": 2.0, "c": 0.5, "tiny": 1.0}
+    assert bench._drift(timings, BUDGETS) == 1.0
+
+
+def test_uniform_slowdown_not_flagged(tmp_path, monkeypatch):
+    """Every query 1.6x slower (> BUDGET_FACTOR) but uniformly: that is
+    machine drift, and with normalization nothing breaches."""
+    import json
+
+    f = tmp_path / "budgets.json"
+    f.write_text(json.dumps({"sf0.1": BUDGETS, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    timings = {n: b * 1.6 for n, b in BUDGETS.items()}
+    breaches, drifts = bench._check_budgets(timings, None)
+    assert breaches == []
+    assert abs(drifts["sf0.1"] - 1.6) < 1e-9
+
+
+def test_single_query_regression_still_flagged(tmp_path, monkeypatch):
+    """One query 4x over budget while the suite holds: the drift stays
+    ~1 and the regression breaches."""
+    import json
+
+    f = tmp_path / "budgets.json"
+    f.write_text(json.dumps({"sf0.1": BUDGETS, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    timings = {"a": 1.0, "b": 2.0, "c": 0.5, "d": 16.0}
+    breaches, _ = bench._check_budgets(timings, None)
+    assert [b["q"] for b in breaches] == ["d"]
+
+
+def test_missing_budget_is_a_breach(tmp_path, monkeypatch):
+    import json
+
+    f = tmp_path / "budgets.json"
+    f.write_text(json.dumps({"sf0.1": {"a": 1.0}, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    breaches, _ = bench._check_budgets({"a": 1.0, "new_q": 0.1}, None)
+    assert [b["q"] for b in breaches] == ["new_q"]
+    assert breaches[0]["budget"] is None
