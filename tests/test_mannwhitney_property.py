@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -21,6 +22,15 @@ ROW = st.tuples(
 ROWS = st.lists(ROW, min_size=2, max_size=80).filter(
     lambda rs: any(a for a, _ in rs) and any(not a for a, _ in rs)
 )
+
+
+def _round4(x):
+    """HALF_UP 4-decimal rounding — Spark's F.round (and DuckDB's
+    round) semantics. Python's built-in round is banker's
+    (half-to-even) and disagrees on exact midpoints: hypothesis found
+    cliffs_delta = 5/32 = 0.15625 exactly, which Spark rounds to
+    0.1563 and round() to 0.1562."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
 def _reference(rows):
@@ -40,7 +50,7 @@ def _reference(rows):
     var = n_a * n_b / 12 * ((n + 1) - tie3 / (n * (n - 1)))
     z = (u - mu) / math.sqrt(var) if var > 0 else None
     delta = 2 * u / (n_a * n_b) - 1
-    return n_a, n_b, round(u, 4), (round(z, 4) if z is not None else None), round(delta, 4)
+    return n_a, n_b, _round4(u), (_round4(z) if z is not None else None), _round4(delta)
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
