@@ -121,6 +121,7 @@ HEADLINE = [
     "q_pipeline_salted",
     # round-5 additions
     "q_excise_spans",
+    "q_pii_scan",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
