@@ -122,6 +122,9 @@ HEADLINE = [
     # round-5 additions
     "q_excise_spans",
     "q_pii_scan",
+    "q_maxsim",
+    "q_transition_matrix",
+    "q_distinct_ngrams",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -1336,7 +1336,124 @@ SELECT query_id, mmr_rank, neighbor_id, mmr_score FROM s{MMR_K}
     )
 
 
+MV_SUBVECS = 4  # consecutive vec_ids folded into one multi-vector doc
+MV_QUERY_DOCS = 4  # doc < 4 are the late-interaction probe docs
+MV_TOP_K = 10
+
+
+def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (Khattab & Zaharia 2020,
+    ColBERT): each document is a BAG of subvectors (here MV_SUBVECS
+    consecutive vec_ids folded into one doc — the synthetic stand-in
+    for per-token/per-chunk embeddings) and the query-document score is
+    MaxSim — for every query subvector, the best cosine against any
+    document subvector, summed over the query's subvectors. The shape
+    single-vector ANN cannot express: a doc matching two DIFFERENT
+    query aspects with two different chunks outranks one chunk matching
+    both weakly.
+
+    Scale shape: the probe side (MV_QUERY_DOCS × MV_SUBVECS unit
+    vectors) is a bounded driver-side constant embedded in one Arrow
+    mapInPandas matmul kernel — the same vectorized-kernel pattern as
+    the LSH index build (_lsh_sigs_long): the corpus is scanned once,
+    each Arrow batch computes ALL query-subvec cosines as one
+    E/‖E‖ · Qᵀ product (the interpreted per-pair aggregate/zip_with
+    fold was the CPU bottleneck: ~2× slower at sf0.1), then map-side
+    partial max collapses into ONE (doc) cell exchange and a stack()
+    fans the per-query scores out of the cell columns. Cosines are
+    emitted RAW and rounded to 6 engine-side before the max, and the
+    per-query sum uses a fixed operand order, so both engines produce
+    identical scores (the only cross-engine delta is the matmul's
+    1-ulp summation-order noise, invisible at 1e-6 — the same
+    contract the block-matrix embedding dedup relies on)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    v = _prepared(spark, sf_dir)
+    sub = v.select(
+        F.expr(f"vec_id DIV {MV_SUBVECS}").alias("doc"),
+        (F.col("vec_id") % MV_SUBVECS).alias("sub"),
+        "e",
+        "nrm",
+    )
+    # bounded probe collect: MV_QUERY_DOCS×MV_SUBVECS rows off the
+    # persisted corpus relation (the FPS-pacing exemption class — a
+    # constant-size side input, never O(corpus))
+    qrows = sorted(
+        sub.filter(F.col("doc") < MV_QUERY_DOCS).collect(),
+        key=lambda r: (r["doc"], r["sub"]),
+    )
+    qt = np.array([np.array(r["e"]) / r["nrm"] for r in qrows], dtype=np.float64).T
+    qidx = [(int(r["doc"]), int(r["sub"])) for r in qrows]
+    ncols = len(qidx)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e_mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            cos = (e_mat / pdf["nrm"].to_numpy()[:, None]) @ qt
+            out = {"doc": pdf["doc"].to_numpy()}
+            for j in range(ncols):
+                out[f"c{j}"] = cos[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "doc long, " + ", ".join(f"c{j} double" for j in range(ncols))
+    scored = sub.select("doc", "e", "nrm").mapInPandas(gen, schema)
+    cells = scored.groupBy("doc").agg(
+        *[F.max(F.round(F.col(f"c{j}"), 6)).alias(f"m{j}") for j in range(ncols)]
+    )
+    per_q = ", ".join(
+        f"CAST({qd} AS BIGINT), round("
+        + " + ".join(f"m{j}" for j, (d, _) in enumerate(qidx) if d == qd)
+        + ", 6)"
+        for qd in sorted({d for d, _ in qidx})
+    )
+    nq = len({d for d, _ in qidx})
+    long = cells.selectExpr(
+        "doc", f"stack({nq}, {per_q}) AS (query_doc, maxsim)"
+    ).filter(F.col("query_doc") != F.col("doc"))
+    w = Window.partitionBy("query_doc").orderBy(F.desc("maxsim"), F.asc("doc"))
+    return (
+        long.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MV_TOP_K)
+        .select("query_doc", "doc", "rk", "maxsim")
+    )
+
+
+def _maxsim_oracle() -> str:
+    dotqd = (
+        "list_reduce(list_transform(range(1, 1 + len(q.e)), "
+        "i -> q.e[i] * d.e[i]), (a, x) -> a + x)"
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN qs = {i} THEN cos END) AS m{i}" for i in range(MV_SUBVECS)
+    )
+    return (
+        _V_CTE
+        + f"""
+, s AS (SELECT vec_id // {MV_SUBVECS} AS doc, vec_id % {MV_SUBVECS} AS sub, e, nrm FROM v),
+p AS (
+  SELECT q.doc AS query_doc, q.sub AS qs, d.doc AS doc,
+         round({dotqd} / (q.nrm * d.nrm), 6) AS cos
+  FROM s q JOIN s d ON q.doc < {MV_QUERY_DOCS} AND q.doc <> d.doc
+),
+cells AS (SELECT query_doc, doc, {maxes} FROM p GROUP BY query_doc, doc),
+scored AS (SELECT query_doc, doc, round(m0 + m1 + m2 + m3, 6) AS maxsim FROM cells)
+SELECT query_doc, doc, rk, maxsim FROM (
+  SELECT query_doc, doc, maxsim,
+         CAST(row_number() OVER (PARTITION BY query_doc
+                                 ORDER BY maxsim DESC, doc ASC) AS INTEGER) AS rk
+  FROM scored)
+WHERE rk <= {MV_TOP_K}
+"""
+    )
+
+
 QUERIES = {
+    "q_maxsim": _q_maxsim,
     "q_semantic_contamination": _q_semantic_contamination,
     "q_hubness": _q_hubness,
     "q_mmr_rerank": _q_mmr_rerank,
@@ -1469,6 +1586,7 @@ FROM final WHERE rank <= {TOP_K}
 
 
 ORACLE = {
+    "q_maxsim": _maxsim_oracle(),
     "q_mmr_rerank": _mmr_oracle(),
     "q_semantic_contamination": _V_CTE
     + f"""

@@ -311,6 +311,34 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab).withColumn("ewma", F.round("ewma", 6))
 
 
+def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix fed by the streaming engine: the
+    stateful per-user last-event cursor (streaming/transitions.py)
+    emits adjacent prev→next pairs; the matrix rollup runs over the
+    drained pair relation. The emitted pair SET is batch-split
+    invariant (state carries the cursor across micro-batches —
+    tests/test_stream_transitions.py), so the matrix equals the batch
+    window-lag form and shares q_transition_matrix's oracle."""
+    from ..streaming.transitions import stream_transitions
+
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(stream_transitions(ev), "transitions_stream")
+    cells = (
+        spark.table(tab)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w), 6
+        ).alias("prob"),
+    )
+
+
 def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental near-dup dedup (VERDICT r2 item 8): delta
     documents ARRIVE as a stream; each micro-batch is shingled /
@@ -680,6 +708,7 @@ QUERIES = {
     "q_stream_dead_letter": _q_stream_dead_letter,
     "q_stream_pair_match": _q_stream_pair_match,
     "q_stream_ewma": _q_stream_ewma,
+    "q_stream_transition_matrix": _q_stream_transition_matrix,
 }
 
 from .warehouse import ORACLE as _WH_ORACLE
@@ -944,6 +973,11 @@ ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
 from .similarity import ORACLE as _SIM_ORACLE
 
 ORACLE["q_stream_semantic_contamination"] = _SIM_ORACLE["q_semantic_contamination"]
+
+# the streamed transition pairs equal the batch window-lag pairs
+from .timeseries import ORACLE as _TS_ORACLE
+
+ORACLE["q_stream_transition_matrix"] = _TS_ORACLE["q_transition_matrix"]
 
 # the streamed DP release equals the batch release on CLOSED windows
 from .privacy import DP_EPSILON as _DP_EPS

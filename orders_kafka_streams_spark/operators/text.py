@@ -1330,7 +1330,46 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity audit per source: distinct-n (Li et al. 2016
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models") for n ∈ {1,2,3} — distinct n-grams over total n-gram
+    positions. The degeneration detector for generated/boilerplate
+    text: template farms and model-generated spam have distinct-2/3
+    far below organic prose, so a source whose ratio collapses is the
+    first candidate for the dedup/quality gates upstream of training.
+
+    Scale shape: one explode per n partially aggregated to
+    (source, n, gram-hash) count cells — inverted-index cost, the
+    corpus itself never shuffles, and grams travel as 60-bit hashes
+    (the dedup.py shingle economy: 8 bytes per cell key instead of a
+    raw trigram string) — then a tiny (source, n) rollup where
+    distinct = cell count and total = Σcount. Output long-form:
+    (source, n, distinct_ngrams, total_ngrams, distinct_ratio)."""
+    from ..functions.textfns import shingle_seq
+
+    base = _tokenized(spark, sf_dir, "source")
+    parts = []
+    for n in (1, 2, 3):
+        seq = F.col("t") if n == 1 else shingle_seq(F.col("t"), n)
+        parts.append(
+            base.select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(F.transform(seq, hash60)).alias("g"),
+            )
+        )
+    ex = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    cells = ex.groupBy("source", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    return cells.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.sum("c").alias("total_ngrams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
 QUERIES = {
+    "q_distinct_ngrams": _q_distinct_ngrams,
     "q_pmi_bigrams": _q_pmi_bigrams,
     "q_memorization_ngrams": _q_memorization_ngrams,
     "q_bm25": _q_bm25,
@@ -1362,6 +1401,24 @@ QUERIES = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 ORACLE = {
+    "q_distinct_ngrams": f"""
+WITH toks AS (SELECT source, {_TOKS} AS w FROM documents),
+ex AS (
+  SELECT source, CAST(1 AS INTEGER) AS n,
+         unnest(list_transform(w, s -> {hash60_sql('s')})) AS g FROM toks
+  UNION ALL
+  SELECT source, CAST(2 AS INTEGER) AS n,
+         unnest(list_transform({shingle_seq_sql('w', 2)}, s -> {hash60_sql('s')})) AS g FROM toks
+  UNION ALL
+  SELECT source, CAST(3 AS INTEGER) AS n,
+         unnest(list_transform({shingle_seq_sql('w', 3)}, s -> {hash60_sql('s')})) AS g FROM toks
+),
+cells AS (SELECT source, n, g, count(1) AS c FROM ex GROUP BY source, n, g)
+SELECT source, n, CAST(count(1) AS BIGINT) AS distinct_ngrams,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       round(count(1) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio
+FROM cells GROUP BY source, n
+""",
     "q_memorization_ngrams": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 ex AS (

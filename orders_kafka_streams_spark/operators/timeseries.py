@@ -640,8 +640,48 @@ def gapfill_locf(ev: DataFrame) -> DataFrame:
         F.round(F.sum("locf"), 4).alias("locf_checksum"),
     )
 
+def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for
+    every adjacent pair of events within a user's timeline (ordered by
+    ts, event_id), count prev_type → next_type and normalize per
+    prev_type row — the journey-analysis complement of the funnel
+    (which pins ONE path) and the input to next-event prediction,
+    anomaly scoring (improbable transitions), and bot detection
+    (near-deterministic rows). Reference scope: the pair-matching
+    topology of OrderProcessor.process (reference
+    src/main/java/com/github/dhoard/kstreams/OrderProcessor.java)
+    generalized from one (ORDER_CREATED→ORDER_CONFIRMED) pair to the
+    full event-type alphabet.
+
+    Scale shape: ONE exchange on user_id for the lag window, then the
+    corpus collapses to |alphabet|² count cells; the row-normalizing
+    window runs over that tiny cell relation. Pre-bucketing events by
+    user_id would remove the exchange entirely (same note as
+    q_sessionize)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    cells = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wrow), 6
+        ).alias("prob"),
+    )
+
+
 QUERIES = {
     "q_gapfill_locf": _q_gapfill_locf,
+    "q_transition_matrix": _q_transition_matrix,
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_interval_join": _q_interval_join,
@@ -663,6 +703,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_transition_matrix": """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(1) AS BIGINT) AS n_transitions,
+       round(count(1) / CAST(sum(count(1)) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
     "q_gapfill_locf": f"""
 WITH ev AS (SELECT user_id, ts, value, event_id FROM events),
 bounds AS (
