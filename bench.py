@@ -125,6 +125,9 @@ HEADLINE = [
     "q_maxsim",
     "q_transition_matrix",
     "q_distinct_ngrams",
+    "q_hard_negatives",
+    "q_doremi_step",
+    "q_autocorr",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

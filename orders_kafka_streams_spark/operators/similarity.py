@@ -1452,8 +1452,58 @@ WHERE rk <= {MV_TOP_K}
     )
 
 
+HN_TOP_K = 10
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-
+    negatives upgrade every embedding-model recipe needs — DPR,
+    Karpukhin et al. 2020 §4.2): for each probe, the top-k most-
+    similar vectors with a DIFFERENT label — maximally confusable
+    wrong answers. High-cosine wrong-label neighbors are exactly the
+    gradient-rich pairs; random negatives are trivially separable.
+
+    Scale shape: identical to q_knn_brute (broadcast probe side, one
+    window top-k) plus the label-mismatch predicate pushed before
+    ranking — the candidate relation only shrinks. The ANN variants
+    (LSH/IVF/PQ) drop in as the candidate generator at corpus scale
+    the same way they do for q_knn_brute; the exact form is the
+    recall yardstick."""
+    v = _prepared(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    n = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "e",
+        "nrm",
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("qlabel") != F.col("neighbor_label"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rk",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
 QUERIES = {
     "q_maxsim": _q_maxsim,
+    "q_hard_negatives": _q_hard_negatives,
     "q_semantic_contamination": _q_semantic_contamination,
     "q_hubness": _q_hubness,
     "q_mmr_rerank": _q_mmr_rerank,
@@ -1585,8 +1635,27 @@ FROM final WHERE rank <= {TOP_K}
     )
 
 
+_HARD_NEG_SQL = (
+    _V_CTE
+    + f"""
+, scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS neighbor_label,
+         {_DOT} / (q.nrm * n.nrm) AS cosine_raw
+  FROM v q JOIN v n ON q.vec_id < {N_QUERIES} AND q.label <> n.label
+)
+SELECT query_id, neighbor_id, neighbor_label, rk, round(cosine_raw, 6) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, neighbor_label, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM scored)
+WHERE rk <= {HN_TOP_K}
+"""
+)
+
 ORACLE = {
     "q_maxsim": _maxsim_oracle(),
+    "q_hard_negatives": _HARD_NEG_SQL,
     "q_mmr_rerank": _mmr_oracle(),
     "q_semantic_contamination": _V_CTE
     + f"""

@@ -679,9 +679,71 @@ def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AC_LAGS = (1, 6, 24)  # hourly, shift-scale, daily seasonality probes
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1/6/24
+    — the seasonality detector behind capacity planning and anomaly
+    baselines (a strong lag-24 says 'compare to yesterday's hour, not
+    to the last hour'). The series is the ZERO-FILLED hourly grid
+    (skipping empty hours would silently misalign every lag — the
+    same grid discipline as q_gapfill_locf).
+
+    Scale shape: the corpus collapses to hourly count cells in one
+    partial aggregation; lag pairing is a self-JOIN of the tiny cell
+    relation on shifted hour keys (no global-order window — the
+    series is dim-table sized but the join form stays partitionable
+    if it ever isn't). Pearson terms are integer-valued doubles
+    (exact, order-independent sums well under 2^53), so both engines
+    agree bit-for-bit before the single rounded division.
+
+    Output: (lag, n_pairs, autocorr)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    cnt = ev.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    series = grid.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    shifted = None
+    for lag in AC_LAGS:
+        s = series.select(
+            F.lit(lag).alias("lag"),
+            (F.col("h") + F.expr(f"INTERVAL {lag} HOUR")).alias("h"),
+            F.col("c").alias("cl"),
+        )
+        shifted = s if shifted is None else shifted.unionByName(s)
+    x = F.col("c").cast("double")
+    y = F.col("cl").cast("double")
+    a = (
+        series.join(shifted, "h")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n_pairs").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return a.select("lag", "n_pairs", F.round(r, 6).alias("autocorr"))
+
+
 QUERIES = {
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
+    "q_autocorr": _q_autocorr,
     "q_win_tumble": _q_win_tumble,
     "q_range_join": _q_range_join,
     "q_interval_join": _q_interval_join,
@@ -703,6 +765,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_autocorr": """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+cnt AS (SELECT date_trunc('hour', ts) AS h, count(1) AS c FROM events GROUP BY 1),
+series AS (SELECT g.h, CAST(coalesce(c.c, 0) AS BIGINT) AS c FROM grid g LEFT JOIN cnt c USING (h)),
+sh AS (
+  SELECT CAST(1 AS INTEGER) AS lag, h + INTERVAL 1 HOUR AS h, c AS cl FROM series
+  UNION ALL SELECT CAST(6 AS INTEGER), h + INTERVAL 6 HOUR, c FROM series
+  UNION ALL SELECT CAST(24 AS INTEGER), h + INTERVAL 24 HOUR, c FROM series
+),
+a AS (
+  SELECT lag, CAST(count(1) AS BIGINT) AS n_pairs,
+         sum(CAST(s.c AS DOUBLE)) AS sx, sum(CAST(sh.cl AS DOUBLE)) AS sy,
+         sum(CAST(s.c AS DOUBLE) * CAST(s.c AS DOUBLE)) AS sxx,
+         sum(CAST(sh.cl AS DOUBLE) * CAST(sh.cl AS DOUBLE)) AS syy,
+         sum(CAST(s.c AS DOUBLE) * CAST(sh.cl AS DOUBLE)) AS sxy
+  FROM series s JOIN sh USING (h) GROUP BY lag
+)
+SELECT lag, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS autocorr
+FROM a
+""",
     "q_transition_matrix": """
 WITH seq AS (
   SELECT event_type,

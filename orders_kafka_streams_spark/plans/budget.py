@@ -86,10 +86,29 @@ def _count_exchanges(plan: str) -> int:
     The cache materializes once per session, so each distinct cached
     BUILD subtree (keyed by its normalized body — expr-ids inside the
     shared cached plan are identical across references) is counted
-    once, plus everything outside cached subtrees."""
-    lines = plan.splitlines()
-    main: list[str] = []
+    once, plus everything outside cached subtrees.
+
+    Extraction is RECURSIVE: a cached build can itself reference other
+    cached relations (q_doremi_step's memoized KL relation scans the
+    memoized tokenized/word-histogram memos), and those inner reprints
+    both inflate the outer body's count and destabilize its dedupe key
+    (observed r5: 171 raw shuffle lines / 45 counted for a query that
+    executes ~18 build shuffles once per session). Inner builds are
+    lifted into the same global once-per-distinct-body dict before the
+    outer body is keyed and counted."""
     subtrees: dict[tuple[str, ...], str] = {}
+    main_text = _extract_cached(plan.splitlines(), subtrees)
+    n = len(_SHUFFLE_RE.findall(main_text))
+    for body in subtrees.values():
+        n += len(_SHUFFLE_RE.findall(body))
+    return n
+
+
+def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> str:
+    """Strip every InMemoryRelation build subtree out of ``lines``
+    (recursively), registering each distinct normalized body in
+    ``subtrees``; returns the remaining main-plan text."""
+    main: list[str] = []
     i = 0
     while i < len(lines):
         line = lines[i]
@@ -108,22 +127,21 @@ def _count_exchanges(plan: str) -> int:
                 if "== Initial Plan ==" in ln:
                     body = body[:k]
                     break
+            body_text = _extract_cached(body, subtrees)
             # self-join deduplication re-aliases every reference to the
             # same cache with fresh expression ids, so the dedupe key
             # normalizes `#<id>` and `plan_id=<id>` away — structural
             # identity modulo ids IS the same materialized relation
             key = tuple(
-                re.sub(r"#\d+|plan_id=\d+", "#", ln.lstrip(" :+-")) for ln in body
+                re.sub(r"#\d+|plan_id=\d+", "#", ln.lstrip(" :+-"))
+                for ln in body_text.splitlines()
             )
-            subtrees.setdefault(key, "\n".join(body))
+            subtrees.setdefault(key, body_text)
             i = j
             continue
         main.append(line)
         i += 1
-    n = len(_SHUFFLE_RE.findall("\n".join(main)))
-    for body in subtrees.values():
-        n += len(_SHUFFLE_RE.findall(body))
-    return n
+    return "\n".join(main)
 
 
 def analyze_plan(df: DataFrame) -> dict[str, Any]:

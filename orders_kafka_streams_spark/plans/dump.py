@@ -105,6 +105,9 @@ COMMENTARY = {
     "q_maxsim": "late-interaction MaxSim: bounded 16-subvector probe embedded in ONE Arrow matmul kernel (E·Qᵀ per batch, no join at all), map-side partial max into ONE (doc) cell exchange, stack() fans per-query scores, top-k window over 4 tiny partitions",
     "q_transition_matrix": "Markov transitions: one user_id exchange for the lag window, corpus collapses map-side to |alphabet|² count cells, row-normalizing window over the cell relation only",
     "q_distinct_ngrams": "distinct-n diversity: three explodes partially aggregated to (source, n, gram-hash) cells — grams travel as 60-bit ints, corpus never shuffles — then a 60-cell rollup",
+    "q_hard_negatives": "hard-negative mining: knn_brute's broadcast-probe + window shape with the wrong-label predicate pushed BEFORE ranking — candidates only shrink; ANN variants drop in as the generator at scale",
+    "q_doremi_step": "DoReMi step: rides the memoized source-KL cell relation (referenced 3×; the persist is what keeps the KL subtree single-evaluation), then a |sources|-row fold with two scalar attachments",
+    "q_autocorr": "autocorrelation: corpus → hourly count cells in one partial agg, lag pairing is a cell self-join on shifted hour keys (no global-order window), integer-exact Pearson terms",
 }
 
 
