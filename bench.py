@@ -128,6 +128,10 @@ HEADLINE = [
     "q_hard_negatives",
     "q_doremi_step",
     "q_autocorr",
+    "q_fuzzy_join",
+    "q_phrase_search",
+    "q_event_pattern",
+    "q_roc_auc",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -162,11 +162,14 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_scores(base)
 
 
-def classifier_scores(base: DataFrame) -> DataFrame:
+def classifier_scores(base: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """The linear-head scoring over a (doc_id, source, t) relation —
     shared by the batch gate and the streaming twin (which tokenizes
     arriving micro-batches with the same expressions, so batch and
-    stream decisions are bit-identical)."""
+    stream decisions are bit-identical). ``extra`` names passthrough
+    columns of ``base`` to carry alongside the scores (q_roc_auc
+    threads the label column through instead of re-joining on
+    doc_id — one less shuffle)."""
     w_uniq, w_sw, w_len, w_ml, bias = CLS_W
     t = F.col("t")
     n = F.size(t)
@@ -192,6 +195,7 @@ def classifier_scores(base: DataFrame) -> DataFrame:
     return base.select(
         "doc_id",
         "source",
+        *extra,
         F.round(margin, 6).alias("margin"),
         (margin > 0).alias("keep"),
     )

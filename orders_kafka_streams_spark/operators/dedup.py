@@ -1332,7 +1332,108 @@ def _q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 2  # Levenshtein acceptance threshold for a match
+FUZZY_BLOCK = 2  # prefix/suffix block-key width (chars)
+
+
+def _fuzzy_dirty_expr(name: str, key: str) -> str:
+    """Deterministic single-edit corruption of ``name`` keyed by the
+    record id — the shared SQL splice (Spark ``F.expr`` and the DuckDB
+    oracle run the IDENTICAL string, so the fixture can't drift):
+    mode ``key % 3`` deletes (0) or duplicates (1) the character at
+    0-based position ``key % length`` or leaves the name clean (2).
+    Same fixture-stream idea as privacy.pii_augmented_text — the
+    synthetic names carry no real typos, so the gate manufactures a
+    known-answer corruption and verifies the RESOLUTION machinery."""
+    pos = f"CAST({key} % length({name}) AS INT)"
+    return (
+        f"CASE {key} % 3 "
+        f"WHEN 0 THEN substr({name}, 1, {pos}) || substr({name}, {pos} + 2) "
+        f"WHEN 1 THEN substr({name}, 1, {pos} + 1) || substr({name}, {pos} + 1) "
+        f"ELSE {name} END"
+    )
+
+
+def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution (record linkage): every part
+    name is deterministically corrupted by one edit (see
+    _fuzzy_dirty_expr), then resolved BACK against the distinct-name
+    dictionary via Levenshtein <= FUZZY_MAX_DIST, candidate pairs
+    generated only inside blocks — the standard blocking-based ER
+    recipe (Fellegi-Sunter blocking step; cf. dedupe/splink's
+    predicate blocking). Per corruption mode: records, resolved,
+    correctly resolved (name equality — part names repeat, so the
+    entity is the NAME, not the key), mean edit distance.
+
+    Scale shape: NEVER all-pairs. Candidates come from an equi-join
+    on a union of two block keys (first-FUZZY_BLOCK / last-FUZZY_BLOCK
+    chars — a single edit can break one of them but
+    not both, so recall of true matches is exact by construction);
+    the distinct-name dictionary is dimension-sized and broadcast,
+    so the corrupted fact stream never shuffles. The expensive
+    levenshtein() runs only on deduped in-block pairs, and the
+    argmin(dist, name) winner uses a window PARTITIONED by record id
+    (no global ordering). At 100 TB: block sizes are bounded by name
+    prefix cardinality; a skewed block would salt the same way
+    q_pipeline_salted does.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup / record-linkage family)."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_name").alias("true_name"),
+        F.expr(_fuzzy_dirty_expr("p_name", "p_partkey")).alias("dirty"),
+        (F.col("p_partkey") % 3).cast("int").alias("mode"),
+    )
+    dictionary = part.select(F.col("p_name").alias("cand")).distinct()
+
+    def _blocked(df: DataFrame, col: str) -> DataFrame:
+        pre = df.withColumn(
+            "bk", F.concat(F.lit("p:"), F.substring(F.col(col), 1, FUZZY_BLOCK))
+        )
+        suf = df.withColumn(
+            "bk", F.concat(F.lit("s:"), F.substring(F.col(col), -FUZZY_BLOCK, FUZZY_BLOCK))
+        )
+        return pre.unionByName(suf)
+
+    # NOTE: a (rec_id, cand) pair surviving under BOTH block keys is
+    # deliberately NOT deduplicated — the duplicates tie on (dist,
+    # cand) in the argmin window below and rn=1 returns the identical
+    # winner, so a whole (rec_id, cand)-keyed shuffle is saved.
+    pairs = (
+        _blocked(dirty.select("rec_id", "dirty"), "dirty")
+        .join(F.broadcast(_blocked(dictionary, "cand")), "bk")
+        .select("rec_id", "dirty", "cand")
+    )
+    scored = pairs.withColumn("dist", F.levenshtein("dirty", "cand")).filter(
+        F.col("dist") <= FUZZY_MAX_DIST
+    )
+    # argmin(dist, cand) as a partial-combinable MIN over a struct —
+    # each map task pre-reduces its in-block pairs to one winner per
+    # record before the rec_id exchange (a row_number window would
+    # shuffle and sort EVERY candidate pair; the oracle keeps that
+    # formulation as the independent algorithm)
+    best = scored.groupBy("rec_id").agg(
+        F.min(F.struct("dist", "cand")).alias("m")
+    ).select("rec_id", F.col("m.cand").alias("cand"), F.col("m.dist").alias("dist"))
+    return (
+        dirty.join(best, "rec_id", "left")
+        .groupBy("mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("cand").alias("n_resolved"),
+            F.sum((F.col("cand") == F.col("true_name")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+        .orderBy("mode")
+    )
+
+
 QUERIES = {
+    "q_fuzzy_join": _q_fuzzy_join,
     "q_cdc_chunks": _q_cdc_chunks,
     "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
@@ -1419,6 +1520,49 @@ SELECT a AS doc_id, deg, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}
 
 
 ORACLE = {
+    "q_fuzzy_join": f"""
+WITH dirty AS (
+  SELECT p_partkey AS rec_id, p_name AS true_name,
+         {_fuzzy_dirty_expr("p_name", "p_partkey")} AS dirty,
+         CAST(p_partkey % 3 AS INTEGER) AS mode
+  FROM part
+),
+dict AS (SELECT DISTINCT p_name AS cand FROM part),
+db AS (
+  SELECT rec_id, dirty, 'p:' || substr(dirty, 1, {FUZZY_BLOCK}) AS bk FROM dirty
+  UNION ALL
+  SELECT rec_id, dirty,
+         's:' || substr(dirty, length(dirty) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
+  FROM dirty
+),
+nb AS (
+  SELECT cand, 'p:' || substr(cand, 1, {FUZZY_BLOCK}) AS bk FROM dict
+  UNION ALL
+  SELECT cand, 's:' || substr(cand, length(cand) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
+  FROM dict
+),
+pairs AS (SELECT DISTINCT rec_id, dirty, cand FROM db JOIN nb USING (bk)),
+scored AS (
+  SELECT rec_id, cand, levenshtein(dirty, cand) AS dist
+  FROM pairs WHERE levenshtein(dirty, cand) <= {FUZZY_MAX_DIST}
+),
+best AS (
+  SELECT rec_id, cand, dist FROM (
+    SELECT rec_id, cand, dist,
+           row_number() OVER (PARTITION BY rec_id ORDER BY dist, cand) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT mode,
+       CAST(count(1) AS BIGINT) AS n_records,
+       CAST(count(b.cand) AS BIGINT) AS n_resolved,
+       CAST(sum(CASE WHEN b.cand = d.true_name THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(b.dist), 6) AS avg_dist
+FROM dirty d LEFT JOIN best b USING (rec_id)
+GROUP BY mode
+ORDER BY mode
+""",
     "q_dedup_pagerank": _pagerank_oracle(),
     "q_source_overlap": _SHINGLED_CTE
     + f""",

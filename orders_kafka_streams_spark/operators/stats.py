@@ -695,8 +695,66 @@ def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("stop", "mw"), 4).alias("stop_mw"),
     )
 
+def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the linear quality classifier's margin
+    (curation.classifier_scores) as a ranker for English documents —
+    the threshold-free eval a corpus team runs before picking the
+    q_quality_classifier cutoff: AUC = P(margin_en > margin_other)
+    + ½·P(tie), computed exactly from rank sums (AUC is the
+    Mann-Whitney U normalized by n_pos·n_neg — Hanley & McNeil 1982),
+    plus the Gini coefficient 2·AUC − 1.
+
+    Scale shape: the same cell trick as q_rank_test — scores
+    aggregate to (margin, n_pos, n_neg) CELLS first (map-side
+    partial combine), the single running-sum window then orders
+    O(distinct margins) cells instead of every document, and rank
+    arithmetic stays on integers/half-integers until the final
+    division, so both engines agree bit-exactly. The margin is the
+    already-proven cross-engine-deterministic linear head (grouping
+    on its round-6 value is exactly the hash the q_quality_classifier
+    oracle already matches per doc). Output: one row (n_pos, n_neg,
+    auc, gini).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / model-eval family)."""
+    from pyspark.sql import Window
+
+    from .curation import classifier_scores
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
+    scored = classifier_scores(base, extra=("lang",))
+    cells = scored.groupBy(F.col("margin").alias("value")).agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("cp"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cn"),
+    )
+    t = F.col("cp") + F.col("cn")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "cp",
+        "cn",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum_before"),
+    )
+    avg_rank = F.col("cum_before") + (F.col("t") + 1) / 2.0
+    j = ranked.groupBy().agg(
+        F.sum(F.col("cp") * avg_rank).alias("r_pos"),
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+    )
+    u = F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    auc = u / (F.col("n_pos") * F.col("n_neg"))
+    return j.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - 1.0, 6).alias("gini"),
+    )
+
+
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
+    "q_roc_auc": _q_roc_auc,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
@@ -742,7 +800,37 @@ _SW_COUNT = stopword_count_sql("t")
 
 _POIS_CASE = "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238463 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
+def _roc_auc_oracle() -> str:
+    """Deliberately the ROW-LEVEL rank-window formulation (the cell
+    form's algebraic twin) so the oracle is a different algorithm
+    arriving at the same half-integer rank sums."""
+    from .curation import _CLS_MARGIN
+
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+f AS (SELECT lang, round({_CLS_MARGIN}, 6) AS margin FROM toks WHERE len(t) > 0),
+ranked AS (
+  SELECT lang,
+         CAST(rank() OVER (ORDER BY margin) AS DOUBLE)
+           + (count(1) OVER (PARTITION BY margin) - 1) / 2.0 AS r
+  FROM f
+),
+s AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN r END) AS r_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc,
+       round(2.0 * ((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)) - 1.0, 6)
+         AS gini
+FROM s
+"""
+
+
 ORACLE = {
+    "q_roc_auc": _roc_auc_oracle(),
     "q_hourly_profile": """
 WITH cells AS (
   SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, CAST(count(1) AS BIGINT) AS c

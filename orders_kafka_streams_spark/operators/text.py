@@ -1435,7 +1435,55 @@ def _q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("table", "scan")  # the exact-adjacency phrase under query
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-posting-list phrase query — the inverted-index
+    primitive behind exact-phrase search ("table scan", adjacency
+    required): tokenize, keep only the two query terms' postings
+    (doc_id, position), and verify adjacency with an equi-join on
+    (doc_id, next_position). Per source: documents containing the
+    phrase and total occurrences. Bigrams of two DISTINCT words
+    cannot overlap, so join-counted occurrences equal a non-
+    overlapping regex scan — the oracle-independence check.
+
+    Scale shape: the posexplode is map-side and the term filter
+    collapses it IMMEDIATELY — only the two terms' posting rows
+    (corpus frequency of 'table' + 'scan', a vanishing fraction of
+    token volume) survive to the one (doc_id, pos)-keyed shuffle; the
+    source rollup then moves per-source cells. This is exactly how a
+    search engine executes phrases over a positional index at scale —
+    intersect the shortest posting lists, never rescan documents. A
+    pre-materialized postings table (the q_text_tf family) would make
+    repeated phrase queries index-only.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (text-analysis / retrieval
+    family)."""
+    w1, w2 = PHRASE
+    ex = (
+        _tokenized(spark, sf_dir, "source")
+        .select("doc_id", "source", F.posexplode("t").alias("pos", "w"))
+        .filter(F.col("w").isin(w1, w2))
+    )
+    p1 = ex.filter(F.col("w") == w1).select("doc_id", "source", "pos")
+    p2 = ex.filter(F.col("w") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "q_phrase_search": _q_phrase_search,
     "q_distinct_ngrams": _q_distinct_ngrams,
     "q_doremi_step": _q_doremi_step,
     "q_pmi_bigrams": _q_pmi_bigrams,
@@ -1503,7 +1551,30 @@ _SRC_DIV_SELECT = f"""SELECT ps.source, ps.n_tokens, ps.v_observed,
 FROM per_src ps CROSS JOIN scal sc CROSS JOIN lt lt JOIN obs o USING (source)"""
 
 
+def _phrase_search_oracle() -> str:
+    """Regex formulation over the raw text — a genuinely DIFFERENT
+    algorithm (no tokenization, no join) that must agree with the
+    positional-index join because the corpus is single-space
+    separated and the phrase's two words differ (so non-overlapping
+    regex matches = all adjacency pairs)."""
+    w1, w2 = PHRASE
+    rx = rf"\b{w1} {w2}\b"
+    return f"""
+SELECT source,
+       CAST(count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{rx}')) AS n
+  FROM documents
+)
+GROUP BY source HAVING sum(n) > 0
+ORDER BY source
+"""
+
+
 ORACLE = {
+    "q_phrase_search": _phrase_search_oracle(),
     "q_distinct_ngrams": f"""
 WITH toks AS (SELECT source, {_TOKS} AS w FROM documents),
 ex AS (

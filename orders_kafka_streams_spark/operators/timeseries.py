@@ -740,7 +740,73 @@ def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select("lag", "n_pairs", F.round(r, 6).alias("autocorr"))
 
 
+#: regex patterns over the per-user event-code string (S=signup,
+#: C=click, P=purchase, V=view, E=error). Both engines' regex scans
+#: are leftmost non-overlapping, so counts agree by construction.
+SEQ_PATTERNS = (
+    ("cp", "CP"),  # click immediately converting to purchase
+    ("ccp", "CC+P"),  # purchase after a click burst (>=2 clicks)
+    ("vcp", "VCP"),  # full browse->click->purchase run
+    ("ep", "E[VC]*P"),  # purchase recovering from an error
+)
+
+
+def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's
+    event history (ordered by ts, event_id) is encoded as a string of
+    single-char event codes, and CONTIGUOUS behavioral motifs are
+    counted by regex — the complement to q_funnel's milestone
+    conversion (funnel asks "did C ever happen after S"; this asks
+    "did C happen IMMEDIATELY before P", adjacency a min-per-stage
+    funnel cannot express). Per pattern: users matched at least once,
+    total occurrences, max per user.
+
+    Scale shape: ONE shuffle keyed by user_id (partial-combinable
+    collect_list), then pure map-side work — sort_array makes the
+    nondeterministic collect order canonical (ts, then event_id — a
+    total order, so both engines build the identical string), and the
+    regex counting is per-user codegen. A user's sequence is bounded
+    by their activity; unbounded histories would sessionize first
+    (q_sessionize) and match within sessions. The 4-pattern unpivot
+    (stack) multiplies only the per-user summary rows, never raw
+    events, and the final per-pattern rollup shuffles 4 cells.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sessionization / sequence-mining
+    family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            "ts", "event_id", F.upper(F.substring("event_type", 1, 1)).alias("c")
+        ).alias("e"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("e")), lambda x: x["c"]), ""
+        ).alias("seq")
+    )
+    counted = seqs.select(
+        "user_id",
+        *[F.regexp_count("seq", F.lit(rx)).alias(name) for name, rx in SEQ_PATTERNS],
+    )
+    stack_expr = "stack({n}, {args}) as (pattern, n)".format(
+        n=len(SEQ_PATTERNS),
+        args=", ".join(f"'{name}', {name}" for name, _ in SEQ_PATTERNS),
+    )
+    return (
+        counted.select(F.expr(stack_expr))
+        .groupBy("pattern")
+        .agg(
+            F.sum((F.col("n") > 0).cast("long")).alias("n_users_matched"),
+            F.sum("n").alias("n_occurrences"),
+            F.max("n").alias("max_per_user"),
+        )
+        .orderBy("pattern")
+    )
+
+
 QUERIES = {
+    "q_event_pattern": _q_event_pattern,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -764,7 +830,38 @@ QUERIES = {
     "q_cusum": _q_cusum,
 }
 
+def _event_pattern_oracle() -> str:
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(seq, '{rx}')) AS {name}"
+        for name, rx in SEQ_PATTERNS
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, {name} AS n FROM counted"
+        for name, _ in SEQ_PATTERNS
+    )
+    return f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(upper(substr(event_type, 1, 1)), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+counted AS (
+  SELECT {counts}
+  FROM seqs
+),
+u AS (
+  {unions}
+)
+SELECT pattern,
+       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_matched,
+       CAST(sum(n) AS BIGINT) AS n_occurrences,
+       CAST(max(n) AS INTEGER) AS max_per_user
+FROM u GROUP BY pattern ORDER BY pattern
+"""
+
+
 ORACLE = {
+    "q_event_pattern": _event_pattern_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),

@@ -108,6 +108,10 @@ COMMENTARY = {
     "q_hard_negatives": "hard-negative mining: knn_brute's broadcast-probe + window shape with the wrong-label predicate pushed BEFORE ranking — candidates only shrink; ANN variants drop in as the generator at scale",
     "q_doremi_step": "DoReMi step: rides the memoized source-KL cell relation (referenced 3×; the persist is what keeps the KL subtree single-evaluation), then a |sources|-row fold with two scalar attachments",
     "q_autocorr": "autocorrelation: corpus → hourly count cells in one partial agg, lag pairing is a cell self-join on shifted hour keys (no global-order window), integer-exact Pearson terms",
+    "q_fuzzy_join": "blocked fuzzy ER: never all-pairs — candidates from a broadcast block-key equi-join (union of prefix/suffix keys, single-edit recall exact), levenshtein only on in-block pairs, argmin window partitioned by record id",
+    "q_phrase_search": "positional phrase query: posexplode collapses at the term filter — only the two posting lists shuffle on (doc_id, pos), adjacency is one equi-join, rollup moves per-source cells",
+    "q_event_pattern": "sequence motifs: ONE user_id exchange builds canonical event strings (sort_array fixes collect order), regex counting map-side, stack() fans per-user summaries, 4-cell rollup",
+    "q_roc_auc": "ROC-AUC: scores partial-combine to (margin, pos, neg) cells map-side; the single-partition running-sum window orders O(distinct margins) cells, not documents — rank arithmetic stays integer-exact",
 }
 
 
