@@ -480,6 +480,38 @@ def _q_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming phrase monitor: documents ARRIVE as a stream and each
+    micro-batch is scanned for the query phrase with the map-only
+    per-doc form (text.phrase_doc_counts — count adjacent bigram hits
+    in the doc's token array; no index, no state, no shuffle), the
+    ingest-time complement to q_phrase_search's posting-list join.
+    A doc's count depends only on that doc, so the assembled output
+    is invariant to how the stream batches the corpus and equals the
+    per-doc regex oracle. Scale shape: rides the ingest scan."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .text import phrase_doc_counts
+
+    docs = documents_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-phrase", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def scan(batch, batch_id: int) -> None:
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        phrase_doc_counts(batch).write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(scan).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -693,6 +725,7 @@ QUERIES = {
     "q_stream_dp_release": _q_stream_dp_release,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_excise_spans": _q_stream_excise_spans,
+    "q_stream_phrase_search": _q_stream_phrase_search,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
@@ -965,6 +998,18 @@ ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]
 from .privacy import _pii_doc_oracle_sql
 
 ORACLE["q_stream_pii_gate"] = _pii_doc_oracle_sql()
+
+# per-doc regex form of the phrase oracle (the batch q_phrase_search
+# oracle aggregates this same relation per source)
+from .text import PHRASE as _PHRASE
+
+ORACLE["q_stream_phrase_search"] = rf"""
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(lower(text), '\b{_PHRASE[0]} {_PHRASE[1]}\b'))
+            AS INTEGER) AS n_occurrences
+FROM documents
+WHERE len(regexp_extract_all(lower(text), '\b{_PHRASE[0]} {_PHRASE[1]}\b')) > 0
+"""
 
 # the streamed decontamination sweep equals the offline batch sweep
 ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]

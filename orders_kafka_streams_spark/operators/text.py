@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import (
     STOPWORDS,
+    shingle_seq,
     shingle_seq_sql,
     stopword_count,
     stopword_count_sql,
@@ -1479,6 +1480,26 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .orderBy("source")
+    )
+
+
+def phrase_doc_counts(docs: DataFrame) -> DataFrame:
+    """Map-only per-document occurrence counts of PHRASE — the scan
+    form of the phrase query (count adjacent bigram hits inside each
+    doc's token array; no index, no shuffle), vs q_phrase_search's
+    index form (posting-list join). The two are the classic
+    scan-vs-index duality: the streaming ingest gate rides the
+    arriving batch's scan, the batch query demonstrates the
+    posting-list intersection an indexed corpus would use. A doc's
+    count depends only on that doc, so the relation is batch-split
+    invariant by construction. Docs without the phrase are dropped
+    (the gate emits hits only)."""
+    w1, w2 = PHRASE
+    target = F.lit(f"{w1} {w2}")
+    base = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    n = F.size(F.filter(shingle_seq(F.col("t"), 2), lambda g: g == target))
+    return base.select("doc_id", "source", n.alias("n_occurrences")).filter(
+        F.col("n_occurrences") > 0
     )
 
 
