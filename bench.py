@@ -132,6 +132,9 @@ HEADLINE = [
     "q_phrase_search",
     "q_event_pattern",
     "q_roc_auc",
+    "q_seasonal_outliers",
+    "q_item_cooccurrence",
+    "q_stream_phrase_search",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

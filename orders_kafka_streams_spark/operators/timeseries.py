@@ -740,6 +740,143 @@ def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select("lag", "n_pairs", F.round(r, 6).alias("autocorr"))
 
 
+SEAS_TREND_W = 12  # ± hours of the centered moving-average trend
+SEAS_Z = 3.0  # residual-sigma flag threshold
+
+
+def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection over the hourly event-count series —
+    an STL-lite decomposition (count = trend + hour-of-day seasonal +
+    residual) that flags hours whose residual exceeds SEAS_Z sigmas:
+    the ops question q_autocorr's lag-24 answer sets up ("compare to
+    yesterday's hour") made operational. Trend is a centered ±
+    SEAS_TREND_W-hour moving average (window truncates at the series
+    edges — same semantics both engines); seasonal is the
+    hour-of-day mean deviation from the overall mean, over the SAME
+    zero-filled grid as q_autocorr (skipping empty hours would
+    misalign the seasonal index). Output: the flagged hours
+    (hour_ms, c, expected, resid).
+
+    Scale shape: the corpus collapses to hourly count cells in one
+    partial aggregation; every window/join after that runs on the
+    O(hours) cell relation (the global-order trend window is over
+    series cells, dim-table sized — at years×high-resolution scale
+    it would range-partition with ±W overlap, the q_shard_layout
+    two-pass pattern). The 24-cell seasonal index and the 1-row
+    mean/sigma attach as broadcasts.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / time-series family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    cnt = ev.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    series = grid.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.orderBy("h").rowsBetween(-SEAS_TREND_W, SEAS_TREND_W)
+    t = series.select("h", "c", F.avg("c").over(w).alias("trend"))
+    hod = series.groupBy(F.hour("h").alias("hh")).agg(F.avg("c").alias("hod_avg"))
+    mu = series.agg(F.avg("c").alias("mu"))
+    e = (
+        t.join(F.broadcast(hod), F.hour(t["h"]) == hod["hh"])
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "h",
+            "c",
+            (F.col("trend") + F.col("hod_avg") - F.col("mu")).alias("expected"),
+            (
+                F.col("c") - (F.col("trend") + F.col("hod_avg") - F.col("mu"))
+            ).alias("resid"),
+        )
+    )
+    sd = e.agg(F.stddev_samp("resid").alias("sd"))
+    return (
+        e.crossJoin(F.broadcast(sd))
+        .filter(F.abs(F.col("resid")) > SEAS_Z * F.col("sd"))
+        .select(
+            epoch_ms(F.col("h")).alias("hour_ms"),
+            "c",
+            F.round("expected", 4).alias("expected"),
+            F.round("resid", 4).alias("resid"),
+        )
+        .orderBy("hour_ms")
+    )
+
+
+COOC_MIN_SUPPORT = 5  # minimum co-occurring-user count for a pair
+COOC_TOP_K = 20  # association pairs reported
+
+
+def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item co-occurrence with lift — the association
+    signal behind "users who touched item a also touched b"
+    (item-item collaborative filtering's input, Amazon 2003; a-priori
+    support pruning): baskets are each user's DISTINCT item set
+    (events.props.$.k), pairs are counted once per co-occurring user,
+    and lift = P(a,b) / (P(a)·P(b)) normalizes away item popularity.
+    Reported: the COOC_TOP_K pairs by lift above COOC_MIN_SUPPORT
+    users, with support and confidence.
+
+    Scale shape: the basket relation (distinct user×item) is ONE
+    exchange; the pair generation self-joins it on user_id (reused
+    sort/partitioning), and the (a, b) pair counts partial-combine
+    map-side into ≤ |items|² cells — raw pair rows never hit one
+    reducer. Item marginals are an |items|-row broadcast; the user
+    count a 1-row broadcast. Per-user pair fan-out is quadratic in
+    basket size: at 100 TB the standard mitigations are capping
+    baskets at the (documented) head or frequency-pruning items
+    first (a-priori) — the fixture's baskets are catalog-bounded
+    (k < 100). Top-k is TakeOrdered, never a global sort.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sessionization / behavioral
+    analytics family)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull()
+    )
+    baskets = ev.select(
+        "user_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).distinct()
+    users = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .groupBy(F.col("a.k").alias("ia"), F.col("b.k").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= COOC_MIN_SUPPORT)
+    )
+    na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))
+    nb = items.select(F.col("k").alias("ib"), F.col("n_i").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .crossJoin(F.broadcast(users))
+    )
+    lift = F.col("n_ab") * F.col("n_users") / (F.col("n_a") * F.col("n_b"))
+    return (
+        j.select(
+            "ia",
+            "ib",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ia", "ib")
+        .limit(COOC_TOP_K)
+    )
+
+
 #: regex patterns over the per-user event-code string (S=signup,
 #: C=click, P=purchase, V=view, E=error). Both engines' regex scans
 #: are leftmost non-overlapping, so counts agree by construction.
@@ -807,6 +944,8 @@ def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_event_pattern": _q_event_pattern,
+    "q_seasonal_outliers": _q_seasonal_outliers,
+    "q_item_cooccurrence": _q_item_cooccurrence,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -829,6 +968,59 @@ QUERIES = {
     "q_asof_nearest": _q_asof_nearest,
     "q_cusum": _q_cusum,
 }
+
+def _seasonal_outliers_oracle() -> str:
+    return f"""
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+cnt AS (SELECT date_trunc('hour', ts) AS h, count(1) AS c FROM events GROUP BY 1),
+series AS (SELECT g.h, CAST(coalesce(c.c, 0) AS BIGINT) AS c FROM grid g LEFT JOIN cnt c USING (h)),
+t AS (
+  SELECT h, c,
+         avg(c) OVER (ORDER BY h ROWS BETWEEN {SEAS_TREND_W} PRECEDING
+                      AND {SEAS_TREND_W} FOLLOWING) AS trend
+  FROM series
+),
+hod AS (SELECT extract(hour FROM h) AS hh, avg(c) AS hod_avg FROM series GROUP BY 1),
+m AS (SELECT avg(c) AS mu FROM series),
+e AS (
+  SELECT h, c, trend + hod_avg - mu AS expected, c - (trend + hod_avg - mu) AS resid
+  FROM t JOIN hod ON extract(hour FROM t.h) = hod.hh CROSS JOIN m
+),
+sd AS (SELECT stddev_samp(resid) AS sd FROM e)
+SELECT epoch_ms(h) AS hour_ms, c, round(expected, 4) AS expected, round(resid, 4) AS resid
+FROM e CROSS JOIN sd WHERE abs(resid) > {SEAS_Z} * sd
+ORDER BY hour_ms
+"""
+
+
+def _item_cooccurrence_oracle() -> str:
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets),
+items AS (SELECT k, CAST(count(1) AS BIGINT) AS n_i FROM baskets GROUP BY k),
+pairs AS (
+  SELECT a.k AS ia, b.k AS ib, CAST(count(1) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b ON a.user_id = b.user_id AND a.k < b.k
+  GROUP BY a.k, b.k
+  HAVING count(1) >= {COOC_MIN_SUPPORT}
+)
+SELECT ia, ib, n_ab,
+       round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / na.n_i, 6) AS confidence,
+       round(CAST(n_ab AS DOUBLE) * n_users / (na.n_i * nb.n_i), 6) AS lift
+FROM pairs
+JOIN items na ON pairs.ia = na.k
+JOIN items nb ON pairs.ib = nb.k
+CROSS JOIN users
+ORDER BY lift DESC, ia, ib
+LIMIT {COOC_TOP_K}
+"""
+
 
 def _event_pattern_oracle() -> str:
     counts = ",\n         ".join(
@@ -862,6 +1054,8 @@ FROM u GROUP BY pattern ORDER BY pattern
 
 ORACLE = {
     "q_event_pattern": _event_pattern_oracle(),
+    "q_seasonal_outliers": _seasonal_outliers_oracle(),
+    "q_item_cooccurrence": _item_cooccurrence_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),

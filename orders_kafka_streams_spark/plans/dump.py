@@ -112,6 +112,9 @@ COMMENTARY = {
     "q_phrase_search": "positional phrase query: posexplode collapses at the term filter — only the two posting lists shuffle on (doc_id, pos), adjacency is one equi-join, rollup moves per-source cells",
     "q_event_pattern": "sequence motifs: ONE user_id exchange builds canonical event strings (sort_array fixes collect order), regex counting map-side, stack() fans per-user summaries, 4-cell rollup",
     "q_roc_auc": "ROC-AUC: scores partial-combine to (margin, pos, neg) cells map-side; the single-partition running-sum window orders O(distinct margins) cells, not documents — rank arithmetic stays integer-exact",
+    "q_seasonal_outliers": "STL-lite anomalies: corpus collapses to hourly cells in one partial agg; trend window + seasonal index + sigma all run on the O(hours) cell relation, stats attach as broadcasts",
+    "q_item_cooccurrence": "market-basket lift: one basket exchange, self-join reuses it, (a,b) pair counts partial-combine map-side into catalog-bounded cells; marginals broadcast, top-k is TakeOrdered",
+    "q_stream_phrase_search": "streaming phrase gate: map-only per-doc bigram scan per micro-batch — no index, no state, no shuffle; steady cost is reading the assembled per-doc relation",
 }
 
 
