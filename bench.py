@@ -154,6 +154,9 @@ SF1_HEAVY = [
     # sf1 regression/fix stories, pinned above the sf0.1 noise floor
     "q_semdedup",
     "q_stream_contamination",
+    # r5: catalog-bounded but fan-out-heavy — the one new operator
+    # whose regression would hide in sf0.1 noise
+    "q_item_cooccurrence",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —

@@ -833,7 +833,12 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size: at 100 TB the standard mitigations are capping
     baskets at the (documented) head or frequency-pruning items
     first (a-priori) — the fixture's baskets are catalog-bounded
-    (k < 100). Top-k is TakeOrdered, never a global sort.
+    (k < 100). Top-k is TakeOrdered, never a global sort. The
+    collect_set + nested-transform array form was measured SLOWER
+    (12.4 vs 9.5 s at sf1): slice(ks, i+2, …) inside the pair lambda
+    re-evaluates per element (the interpreted-HOF hazard
+    textfns.shingles documents), while the self-join fan-out stays
+    in whole-stage codegen. Pinned in the bench sf1 heavy tier.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (sessionization / behavioral
