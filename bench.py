@@ -135,6 +135,7 @@ HEADLINE = [
     "q_seasonal_outliers",
     "q_item_cooccurrence",
     "q_stream_phrase_search",
+    "q_ivm_refresh",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

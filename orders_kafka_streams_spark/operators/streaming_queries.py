@@ -512,6 +512,40 @@ def _q_stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: documents arrive as a
+    stream and each micro-batch's (source, lang) partial cells merge
+    ADDITIVELY into the persisted view snapshot (streaming/ivm.py) —
+    the live half of q_ivm_refresh. Counts/sums are
+    self-maintainable, so the final snapshot is batch-split invariant
+    and hash-matches the full-table recompute oracle (shared with
+    q_ivm_refresh). Per-batch cost: the batch scan + a cell-sized
+    merge; history is never rescanned."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ivm import ivm_sink
+    from ..streaming.pipeline import documents_file_stream
+
+    docs = documents_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    view_path = os.path.join(tempfile.gettempdir(), "okss-ivm", key)
+    shutil.rmtree(view_path, ignore_errors=True)
+    q = docs.writeStream.foreachBatch(ivm_sink(view_path)).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    cells = spark.read.parquet(view_path)
+    return cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+    ).orderBy("source", "lang")
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -726,6 +760,7 @@ QUERIES = {
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_phrase_search": _q_stream_phrase_search,
+    "q_stream_ivm": _q_stream_ivm,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
@@ -751,6 +786,8 @@ from .dedup import ORACLE as _DD_ORACLE
 ORACLE = {
     # the streaming merge must equal the batch SCD2 build exactly
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
+    # the streaming cell merge must equal the full-table recompute
+    "q_stream_ivm": _WH_ORACLE["q_ivm_refresh"],
     # the streamed per-batch probes must assemble to the batch verdicts
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
     # the streamed span gate must equal the batch excision restricted

@@ -252,7 +252,69 @@ def _q_partition_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVM_DELTA_MOD = 10  # docs with doc_id % IVM_DELTA_MOD == 9 arrive "today"
+
+
+def _ivm_cells(docs: DataFrame) -> DataFrame:
+    """The mergeable partial-aggregate cells of the maintained view —
+    (source, lang) → (n_docs, sum_chars). Counts and sums are the
+    textbook self-maintainable aggregates; avg is DERIVED at read
+    time (sum/count), never stored, so merging stays exact."""
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-(source, lang)
+    document-stats view is REFRESHED by merging the arriving delta's
+    partial cells into the stored snapshot's cells — never by
+    recomputing over the base. The algebra is the classic
+    self-maintainable-aggregate IVM (counts/sums merge by addition;
+    averages derive at read time), and the DuckDB oracle computes the
+    view from the FULL table directly — so the hash match proves
+    refresh(snapshot, delta) == recompute(base ∪ delta) exactly.
+
+    Scale shape: the snapshot cells are |sources × langs| rows
+    (memoized/persisted here, a stored table in production); a
+    refresh costs one scan of the DELTA plus a cell-sized merge —
+    at 100 TB with a daily delta this is the difference between
+    touching 100 TB and touching the day's arrivals. Both partial
+    aggregations partial-combine map-side; the merge shuffles cells
+    only.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (warehouse family)."""
+    from .dedup import _memo_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % IVM_DELTA_MOD == IVM_DELTA_MOD - 1
+    # the stored snapshot: computed once per session, then reused —
+    # refresh runs never rescan the base corpus
+    snapshot = _memo_persist(
+        spark, sf_dir, "ivm_snapshot", lambda: _ivm_cells(docs.filter(~is_delta))
+    )
+    delta = _ivm_cells(docs.filter(is_delta))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+        )
+    )
+    return merged.select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+    ).orderBy("source", "lang")
+
+
 QUERIES = {
+    "q_ivm_refresh": _q_ivm_refresh,
     "q_scd2": _q_scd2,
     "q_scd2_pit": _q_scd2_pit,
     "q_zorder_layout": _q_zorder_layout,
@@ -263,6 +325,17 @@ QUERIES = {
 _ZK = _zorder_key_sql("x", "y")
 
 ORACLE = {
+    # the IVM proof: the oracle recomputes the view from the FULL
+    # table — matching it shows merge(snapshot, delta) == recompute
+    "q_ivm_refresh": """
+SELECT source, lang,
+       CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(1), 6) AS avg_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
     # DuckDB dayofweek(): Sunday = 0, so Monday = 1 (Spark's dayofweek
     # is Sunday = 1, Monday = 2 — both sides select the same days)
     "q_partition_prune": """

@@ -115,6 +115,7 @@ COMMENTARY = {
     "q_seasonal_outliers": "STL-lite anomalies: corpus collapses to hourly cells in one partial agg; trend window + seasonal index + sigma all run on the O(hours) cell relation, stats attach as broadcasts",
     "q_item_cooccurrence": "market-basket lift: one basket exchange, self-join reuses it, (a,b) pair counts partial-combine map-side into catalog-bounded cells; marginals broadcast, top-k is TakeOrdered",
     "q_stream_phrase_search": "streaming phrase gate: map-only per-doc bigram scan per micro-batch — no index, no state, no shuffle; steady cost is reading the assembled per-doc relation",
+    "q_ivm_refresh": "incremental view maintenance: refresh = delta scan + cell-sized additive merge into the memoized snapshot — the base corpus is never rescanned; avg derives at read time",
 }
 
 

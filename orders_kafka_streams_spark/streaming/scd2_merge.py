@@ -117,28 +117,10 @@ def scd2_sink(dim_path: str):
         else:
             dim = spark.createDataFrame([], DIM_SCHEMA)
         merged = _merge_batch(dim, batch)
-        # plain-parquet seam: write beside, then swap directories —
-        # never overwrite a path mid-read, never collect to the driver
-        # (a lakehouse MERGE INTO replaces this block)
-        import shutil
+        # plain-parquet seam: crash-safe rename-aside swap (shared
+        # with the IVM sink; a lakehouse MERGE INTO replaces it)
+        from .sinks import swap_snapshot_write
 
-        tmp_path = f"{dim_path}.tmp-{batch_id}"
-        old_path = f"{dim_path}.old-{batch_id}"
-        # the dimension is row-per-version (small); 32 shuffle
-        # partitions would write 32 tiny files re-listed every batch —
-        # measured 14.5 s → 10.8 s at sf0.1 coalescing the seam write
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp_path)
-        # rename-aside swap: one valid snapshot exists on disk at every
-        # instant (a crash between the renames leaves .old-{id} intact;
-        # rmtree-then-replace would lose the table). A leftover
-        # .old-{id} from a prior completed swap of this batch (crash
-        # after both renames, before cleanup) is deleted first —
-        # os.replace cannot overwrite a non-empty directory, and the
-        # leftover is safe to drop because dim_path exists.
-        if os.path.exists(dim_path):
-            shutil.rmtree(old_path, ignore_errors=True)
-            os.replace(dim_path, old_path)
-        os.replace(tmp_path, dim_path)
-        shutil.rmtree(old_path, ignore_errors=True)
+        swap_snapshot_write(merged, dim_path, batch_id)
 
     return apply
