@@ -136,6 +136,8 @@ HEADLINE = [
     "q_item_cooccurrence",
     "q_stream_phrase_search",
     "q_ivm_refresh",
+    "q_table_diff",
+    "q_state_inspect",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -546,6 +546,52 @@ def _q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+def _q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE introspection via the state data source
+    (SPARK-45511, `spark.read.format("statestore")`): run the
+    watermarked tumbling aggregation to a checkpointed sink, then
+    read the state store itself — the rows still IN FLIGHT (windows
+    the final watermark has not closed). This is the debugging /
+    capacity-audit surface streaming operators need in production
+    ("how much state is this query holding, and for which keys?"),
+    and it is exactly verifiable: append mode emitted and EVICTED
+    every window with wend <= watermark, so remaining state must be
+    the complement (wend > max(ts) − delay — the oracle's cutoff is
+    q_stream_win_tumble's, flipped). Scale shape: the state source
+    reads per-partition state files in parallel; nothing rescans the
+    input."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ev = events_file_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    ckpt = os.path.join(tempfile.gettempdir(), "okss-stateinspect", key)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        epoch_ms(F.col("key.window.start")).alias("wstart_ms"),
+        epoch_ms(F.col("key.window.end")).alias("wend_ms"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    ).orderBy("wstart_ms", "event_type")
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -761,6 +807,7 @@ QUERIES = {
     "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_phrase_search": _q_stream_phrase_search,
     "q_stream_ivm": _q_stream_ivm,
+    "q_state_inspect": _q_state_inspect,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
@@ -921,6 +968,17 @@ expanded AS (
 )
 SELECT wstart_ms, wend_ms, event_type, n, total_value
 FROM agg CROSS JOIN wm WHERE wend_ms <= wm_ms
+""",
+    "q_state_inspect": f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
+agg AS (
+  SELECT epoch_ms(date_trunc('minute', ts)) AS wstart_ms,
+         epoch_ms(date_trunc('minute', ts)) + 60000 AS wend_ms,
+         event_type, CAST(count(1) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT wstart_ms, wend_ms, event_type, n
+FROM agg CROSS JOIN wm WHERE wend_ms > wm_ms
 """,
     "q_stream_win_tumble": f"""
 WITH wm AS (SELECT max(epoch_ms(ts)) - {WATERMARK_MS} AS wm_ms FROM events),

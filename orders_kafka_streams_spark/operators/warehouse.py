@@ -313,8 +313,74 @@ def _q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+#: snapshot-diff fixture residues: docs with doc_id % DIFF_ADD_MOD == 9
+#: exist only in NEW (arrivals), % DIFF_DEL_MOD == 4 only in OLD
+#: (deletions), % DIFF_CHG_MOD == 3 in both with changed text.
+DIFF_ADD_MOD = 10
+DIFF_DEL_MOD = 17
+DIFF_CHG_MOD = 7
+
+
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the reverse of CDC apply): diff two
+    table states key-by-key into added / removed / modified /
+    unchanged counts per source — the audit a warehouse runs after a
+    backfill, a migration, or an untrusted pipeline hop ("did the
+    rewrite change anything it shouldn't have?"). Snapshots are
+    deterministic fixtures of the documents table (residue-class
+    adds, deletes, and a text-splice modification — both engines
+    derive the SAME two states, so the gate verifies the diff
+    machinery, exactly like privacy.pii_augmented_text).
+
+    Scale shape: each side is projected to (doc_id, source,
+    content-hash) BEFORE the full-outer join, so the shuffle carries
+    16-byte hashes, never document text — reconciliation of a 100 TB
+    table moves keys + digests only. One doc_id-keyed join, then a
+    per-source cell rollup. Both sides read the same scan (self-diff
+    fixture); real deployments point the two legs at two snapshot
+    paths with the identical plan.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (warehouse family)."""
+    from ..functions.portable import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    old_text = F.when(
+        d % DIFF_CHG_MOD == 3,
+        F.substring(F.col("text"), 1, F.greatest(F.length("text") - 10, F.lit(1))),
+    ).otherwise(F.col("text"))
+    old = docs.filter(d % DIFF_ADD_MOD != DIFF_ADD_MOD - 1).select(
+        "doc_id", "source", hash60(old_text).alias("h_old")
+    )
+    new = docs.filter(d % DIFF_DEL_MOD != 4).select(
+        "doc_id", "source", hash60(F.col("text")).alias("h_new")
+    )
+    j = old.withColumnRenamed("source", "src_old").join(
+        new.withColumnRenamed("source", "src_new"), "doc_id", "full"
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce("src_new", "src_old").alias("source"), status.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("long")).alias("n_removed"),
+            F.sum((F.col("st") == "modified").cast("long")).alias("n_modified"),
+            F.sum((F.col("st") == "unchanged").cast("long")).alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q_ivm_refresh": _q_ivm_refresh,
+    "q_table_diff": _q_table_diff,
     "q_scd2": _q_scd2,
     "q_scd2_pit": _q_scd2_pit,
     "q_zorder_layout": _q_zorder_layout,
@@ -324,7 +390,41 @@ QUERIES = {
 
 _ZK = _zorder_key_sql("x", "y")
 
+def _table_diff_oracle() -> str:
+    from ..functions.portable import hash60_sql
+
+    old_text = (
+        f"CASE WHEN doc_id % {DIFF_CHG_MOD} = 3 "
+        "THEN substr(text, 1, greatest(length(text) - 10, 1)) ELSE text END"
+    )
+    return f"""
+WITH old AS (
+  SELECT doc_id, source, {hash60_sql(old_text)} AS h_old
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} <> {DIFF_ADD_MOD - 1}
+),
+new AS (
+  SELECT doc_id, source, {hash60_sql("text")} AS h_new
+  FROM documents WHERE doc_id % {DIFF_DEL_MOD} <> 4
+),
+j AS (
+  SELECT coalesce(new.source, old.source) AS source,
+         CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old <> h_new THEN 'modified'
+              ELSE 'unchanged' END AS st
+  FROM old FULL OUTER JOIN new USING (doc_id)
+)
+SELECT source,
+       CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN st = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 ORACLE = {
+    "q_table_diff": _table_diff_oracle(),
     # the IVM proof: the oracle recomputes the view from the FULL
     # table — matching it shows merge(snapshot, delta) == recompute
     "q_ivm_refresh": """

@@ -116,6 +116,8 @@ COMMENTARY = {
     "q_item_cooccurrence": "market-basket lift: one basket exchange, self-join reuses it, (a,b) pair counts partial-combine map-side into catalog-bounded cells; marginals broadcast, top-k is TakeOrdered",
     "q_stream_phrase_search": "streaming phrase gate: map-only per-doc bigram scan per micro-batch — no index, no state, no shuffle; steady cost is reading the assembled per-doc relation",
     "q_ivm_refresh": "incremental view maintenance: refresh = delta scan + cell-sized additive merge into the memoized snapshot — the base corpus is never rescanned; avg derives at read time",
+    "q_table_diff": "snapshot reconciliation: both sides project to (key, content-hash) BEFORE the full-outer join — the shuffle carries digests, never text; one keyed join + per-source cells",
+    "q_state_inspect": "state-store introspection: the state data source reads per-partition state files in parallel; nothing rescans the input — verified as the exact complement of the append-mode emission",
 }
 
 
