@@ -138,6 +138,7 @@ HEADLINE = [
     "q_ivm_refresh",
     "q_table_diff",
     "q_state_inspect",
+    "q_pysource_batch",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -401,7 +401,39 @@ def _q_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pysource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline on the custom Python DataSource
+    (sources/pysource.py — the jar-free connector surface): read the
+    deterministic order stream via ``format("order_events")``
+    (N_PARTS partitioned parallel generator reads, no driver
+    materialization), pair each order's placed/fulfilled events by
+    order_id, derive processing time, and aggregate per facility —
+    the Main.java:137-205 topology with the connector swapped in.
+    The oracle regenerates the identical relation from range(n) with
+    the same integer arithmetic, so the hash match verifies the
+    CONNECTOR (partitioning, schema, row generation), not a fixture
+    file. sf_dir is unused: a connector test has no table inputs."""
+    from ..sources.pysource import PYSRC_N, register
+
+    register(spark)
+    ev = spark.read.format("order_events").option("n", PYSRC_N).load()
+    orders = ev.groupBy("order_id", "facility").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("processing_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        orders.groupBy("facility")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("processing_ms").alias("total_ms"),
+            F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
+        )
+        .orderBy("facility")
+    )
+
+
 QUERIES = {
+    "q_pysource_batch": _q_pysource_batch,
     "q_pipeline": _q_pipeline,
     "q_pipeline_salted": _q_pipeline_salted,
     "q_order_info": _q_order_info,
@@ -414,7 +446,43 @@ QUERIES = {
     "q_join_order": _q_join_order,
 }
 
+def _pysource_oracle() -> str:
+    from ..sources.pysource import (
+        PYSRC_BASE_MS,
+        PYSRC_FACILITIES,
+        PYSRC_LATENCY_MOD,
+        PYSRC_MIX,
+        PYSRC_MOD,
+        PYSRC_N,
+    )
+
+    return f"""
+WITH r AS (SELECT unnest(range({PYSRC_N})) AS i),
+ev AS (
+  SELECT i AS event_id,
+         i // 2 AS order_id,
+         'fac' || (((i // 2) * {PYSRC_MIX}) % {PYSRC_MOD}) % {PYSRC_FACILITIES} AS facility,
+         {PYSRC_BASE_MS} + (i // 2) * 1000
+           + CASE WHEN i % 2 = 0 THEN 0
+                  ELSE (((i // 2) * {PYSRC_MIX}) % {PYSRC_MOD}) % {PYSRC_LATENCY_MOD}
+             END AS ts_ms
+  FROM r
+),
+orders AS (
+  SELECT order_id, facility,
+         max(ts_ms) - min(ts_ms) AS processing_ms
+  FROM ev GROUP BY order_id, facility
+)
+SELECT facility,
+       CAST(count(1) AS BIGINT) AS n_orders,
+       CAST(sum(processing_ms) AS BIGINT) AS total_ms,
+       round(avg(processing_ms), 4) AS avg_ms
+FROM orders GROUP BY facility ORDER BY facility
+"""
+
+
 ORACLE = {
+    "q_pysource_batch": _pysource_oracle(),
     "q_pipeline": _ORDER_INFO_SQL
     + f"""
 SELECT 'facility.info' AS event_type,

@@ -592,6 +592,52 @@ def _q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wstart_ms", "event_type")
 
 
+def _q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource's STREAMING face: readStream on
+    format("order_events") drains the deterministic order stream
+    through the real offset protocol (initialOffset → latestOffset →
+    partitions → commit, CHUNK rows per micro-batch — ceil(n/CHUNK)
+    real batches, checkpointed), micro-batches append to parquet, and
+    the assembled rows aggregate to the SAME per-facility relation as
+    the batch read — shared oracle, so the hash match verifies offset
+    tracking and replay safety, not just row generation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pysource import PYSRC_N, register
+
+    register(spark)
+    ev = spark.readStream.format("order_events").option("n", PYSRC_N).load()
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "okss-pysource", key)
+    out_path, ckpt = os.path.join(base, "rows"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(out_path)
+    orders = rows.groupBy("order_id", "facility").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("processing_ms")
+    )
+    return (
+        orders.groupBy("facility")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("processing_ms").alias("total_ms"),
+            F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
+        )
+        .orderBy("facility")
+    )
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -808,6 +854,7 @@ QUERIES = {
     "q_stream_phrase_search": _q_stream_phrase_search,
     "q_stream_ivm": _q_stream_ivm,
     "q_state_inspect": _q_state_inspect,
+    "q_stream_pysource": _q_stream_pysource,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
@@ -826,6 +873,7 @@ QUERIES = {
     "q_stream_transition_matrix": _q_stream_transition_matrix,
 }
 
+from .pipeline import ORACLE as _PL_ORACLE
 from .warehouse import ORACLE as _WH_ORACLE
 
 from .dedup import ORACLE as _DD_ORACLE
@@ -835,6 +883,8 @@ ORACLE = {
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
     # the streaming cell merge must equal the full-table recompute
     "q_stream_ivm": _WH_ORACLE["q_ivm_refresh"],
+    # the drained custom-source stream must equal the batch read
+    "q_stream_pysource": _PL_ORACLE["q_pysource_batch"],
     # the streamed per-batch probes must assemble to the batch verdicts
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
     # the streamed span gate must equal the batch excision restricted

@@ -118,6 +118,7 @@ COMMENTARY = {
     "q_ivm_refresh": "incremental view maintenance: refresh = delta scan + cell-sized additive merge into the memoized snapshot — the base corpus is never rescanned; avg derives at read time",
     "q_table_diff": "snapshot reconciliation: both sides project to (key, content-hash) BEFORE the full-outer join — the shuffle carries digests, never text; one keyed join + per-source cells",
     "q_state_inspect": "state-store introspection: the state data source reads per-partition state files in parallel; nothing rescans the input — verified as the exact complement of the append-mode emission",
+    "q_pysource_batch": "custom Python DataSource: N_PARTS partitioned parallel generator reads (no driver materialization), then the flagship pair shape — order_id agg + facility cells",
 }
 
 

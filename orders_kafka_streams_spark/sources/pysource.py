@@ -1,0 +1,140 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource`) — a
+jar-free connector surface. The reference ingests order events from
+four Kafka topics (Main.java:137-205); this container has no Kafka
+jar (BASELINE.md), so beyond the pre-written kafka.py builders the
+engine also ships a CUSTOM SOURCE demonstrating the same contract
+end-to-end with machinery we can actually execute: a deterministic
+order-event generator exposed as
+
+- a BATCH source — ``spark.read.format("order_events")`` with
+  partitioned parallel reads (N_PARTS input partitions, each worker
+  generates its slice independently; no driver materialization), and
+- a STREAMING source — ``spark.readStream.format("order_events")``
+  with real offset tracking (initialOffset / latestOffset /
+  partitions / commit), advancing CHUNK rows per micro-batch, so a
+  multi-batch drain exercises exactly the replay/commit protocol a
+  Kafka source uses.
+
+Every row derives from its index by pure integer arithmetic (Knuth
+multiplicative mix — no RNG state), so the DuckDB oracle generates
+the IDENTICAL relation from ``range(n)`` and the driver hash-diffs a
+connector, not a fixture file. The stream's assembled output must
+equal the batch read (tests/test_pysource.py pins batch-split
+invariance across the CHUNK boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: generator parameters — shared literals with the SQL oracle
+PYSRC_N = 20_000  # events (2 per order)
+PYSRC_MIX = 2_654_435_761  # Knuth multiplicative hash constant
+PYSRC_BASE_MS = 1_700_000_000_000  # epoch-ms origin of the order stream
+PYSRC_MOD = 2_147_483_647  # mix modulus (2^31 - 1)
+PYSRC_LATENCY_MOD = 3_600_000  # fulfilment latency < 1 h
+PYSRC_FACILITIES = 5
+N_PARTS = 8  # batch input partitions
+CHUNK = 4_096  # streaming rows per micro-batch
+
+SCHEMA = (
+    "event_id long, order_id long, event_type string, facility string, ts_ms long"
+)
+
+
+def gen_row(i: int) -> tuple:
+    """Row i of the deterministic order stream: even indices place an
+    order, odd indices fulfil it after a mix-derived latency."""
+    order_id = i // 2
+    mix = (order_id * PYSRC_MIX) % PYSRC_MOD
+    placed = (i % 2) == 0
+    ts = PYSRC_BASE_MS + order_id * 1000 + (0 if placed else mix % PYSRC_LATENCY_MOD)
+    return (
+        i,
+        order_id,
+        "order.placed" if placed else "order.fulfilled",
+        f"fac{mix % PYSRC_FACILITIES}",
+        ts,
+    )
+
+
+class _Range(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, n: int):
+        self.n = n
+
+    def partitions(self):
+        step = max(1, -(-self.n // N_PARTS))
+        return [_Range(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)]
+
+    def read(self, part: _Range):
+        for i in range(part.lo, part.hi):
+            yield gen_row(i)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offset protocol: offsets are plain row indices. latestOffset
+    advances at most CHUNK rows per call (it is invoked once per
+    trigger), so draining the stream with processAllAvailable takes
+    ceil(n / CHUNK) micro-batches — which is what makes the
+    assembled output a real batch-split-invariance check. The
+    monotone guard (hi >= lo) keeps a checkpoint restart sane: the
+    engine resumes from its COMMITTED offset even though a fresh
+    reader's pace counter restarts at zero."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + CHUNK, self.n)
+        return {"i": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo = start["i"]
+        hi = max(end["i"], lo)
+        return [_Range(lo, hi)]
+
+    def read(self, part: _Range):
+        for i in range(part.lo, part.hi):
+            yield gen_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — the generator is stateless
+
+
+class OrderEventsSource(DataSource):
+    """``format("order_events")``; option ``n`` bounds the stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "order_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema):
+        return _BatchReader(int(self.options.get("n", PYSRC_N)))
+
+    def streamReader(self, schema):
+        return _StreamReader(int(self.options.get("n", PYSRC_N)))
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    key = "okss.pysource.registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(OrderEventsSource)
+        spark.conf.set(key, "1")

@@ -1,0 +1,60 @@
+"""Custom Python DataSource (sources/pysource.py): the offset
+protocol and partition coverage are asserted directly — the driver
+oracle proves end-to-end row equality, these pin the connector
+mechanics (monotone offsets, CHUNK pacing, disjoint covering
+partitions) that a green hash can't localize when they break.
+"""
+
+from __future__ import annotations
+
+import math
+
+from orders_kafka_streams_spark.sources.pysource import (
+    CHUNK,
+    PYSRC_N,
+    _BatchReader,
+    _StreamReader,
+    gen_row,
+)
+
+
+def test_batch_partitions_cover_disjointly():
+    r = _BatchReader(PYSRC_N)
+    parts = r.partitions()
+    spans = sorted((p.lo, p.hi) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == PYSRC_N
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi == lo  # no gap, no overlap
+
+
+def test_stream_offsets_advance_by_chunk_until_bound():
+    r = _StreamReader(PYSRC_N)
+    assert r.initialOffset() == {"i": 0}
+    seen = []
+    for _ in range(math.ceil(PYSRC_N / CHUNK) + 2):
+        seen.append(r.latestOffset()["i"])
+    # monotone, CHUNK-paced, clamped at n, then stable
+    assert seen[0] == min(CHUNK, PYSRC_N)
+    assert all(b >= a for a, b in zip(seen, seen[1:]))
+    assert seen[-1] == seen[-2] == PYSRC_N
+
+
+def test_stream_read_covers_every_row():
+    r = _StreamReader(PYSRC_N)
+    got = []
+    lo = r.initialOffset()
+    while lo["i"] < PYSRC_N:
+        hi = r.latestOffset()
+        for part in r.partitions(lo, hi):
+            got.extend(r.read(part))
+        r.commit(hi)
+        lo = hi
+    assert got == [gen_row(i) for i in range(PYSRC_N)]
+
+
+def test_gen_row_pairs_share_facility():
+    for oid in (0, 1, 7, 4999):
+        placed, fulfilled = gen_row(2 * oid), gen_row(2 * oid + 1)
+        assert placed[1] == fulfilled[1] == oid
+        assert placed[3] == fulfilled[3]  # same facility
+        assert fulfilled[4] >= placed[4]  # fulfilment never precedes
