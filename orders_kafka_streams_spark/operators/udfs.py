@@ -9,6 +9,9 @@ else:
 - q_grouped_map: per-group z-score via ``applyInPandas`` (grouped map:
   one pandas DataFrame per group, Arrow both ways).
 - q_pandas_scalar: batch-vectorized ``pandas_udf`` projection.
+- q_pandas_udaf: grouped-agg pandas UDF (the UDAF tier).
+- q_udtf_chunks: Python UDTF applied via LATERAL correlated TVF — the
+  table-function tier, sharing the declarative chunker's oracle.
 
 Kernels are self-contained closures (pandas/numpy only) so Python
 workers never need this package on their path.
@@ -87,10 +90,58 @@ def _q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function tier — the LAST rung of
+    §2.8's extensibility ladder after scalar/grouped-agg/grouped-map):
+    a user-defined TABLE function expanding each document's token
+    count into its training-chunk spans, applied per-row via LATERAL
+    correlated TVF syntax. Deliberately the UDTF twin of the
+    DECLARATIVE chunker — it shares q_doc_chunk's oracle verbatim, so
+    the hash match proves the Python generator reproduces the
+    sequence+explode arithmetic row-for-row (the same kernel-parity
+    discipline as the LSH Arrow kernel's fold-expression twin).
+
+    Scale shape: the UDTF runs Arrow-batched per input row with no
+    shuffle (the lateral join is a generator, not a join exchange);
+    it remains the SLOW path vs q_doc_chunk's codegen'd explode —
+    covered for surface completeness, with the declarative form as
+    the production recommendation (its own docstring says why)."""
+    from pyspark.sql.functions import udtf
+
+    from .curation import CHUNK_STRIDE, CHUNK_TOKENS
+    from .text import _tokenized
+
+    @udtf(returnType="chunk_idx int, tok_start int, tok_end int")
+    class ChunkSpans:
+        def eval(self, n: int):
+            if n is None or n <= 0:
+                return
+            idx = 0
+            while True:
+                start = idx * CHUNK_STRIDE
+                yield idx, start + 1, min(start + CHUNK_TOKENS, n)
+                if start + CHUNK_TOKENS >= n:
+                    return
+                idx += 1
+
+    spark.udtf.register("okss_chunk_spans", ChunkSpans)
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    base.select("doc_id", "source", F.size("t").alias("n_tokens")).createOrReplaceTempView(
+        "okss_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, d.source, c.chunk_idx, c.tok_start, c.tok_end
+        FROM okss_udtf_docs d, LATERAL okss_chunk_spans(d.n_tokens) c
+        """
+    )
+
+
 QUERIES = {
     "q_grouped_map": _q_grouped_map,
     "q_pandas_scalar": _q_pandas_scalar,
     "q_pandas_udaf": _q_pandas_udaf,
+    "q_udtf_chunks": _q_udtf_chunks,
 }
 
 ORACLE = {
@@ -128,3 +179,9 @@ WITH q AS (
 SELECT event_type, trimmed_mean_value, n FROM t JOIN c USING (event_type)
 """,
 }
+
+from .curation import ORACLE as _CU_ORACLE
+
+# the UDTF twin shares the declarative chunker's oracle verbatim —
+# kernel parity, not a separate truth
+ORACLE["q_udtf_chunks"] = _CU_ORACLE["q_doc_chunk"]
