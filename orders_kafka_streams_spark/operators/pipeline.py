@@ -432,8 +432,46 @@ def _q_pysource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYSRC_PUSH_LO = 1_000  # pushed event_id range under test
+PYSRC_PUSH_HI = 4_000
+
+
+def _q_pysource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO the custom Python DataSource: the
+    event_id range predicate is consumed by the reader's
+    pushFilters (sources/pysource.py) and narrows the generation
+    range itself — rows outside [PYSRC_PUSH_LO, PYSRC_PUSH_HI) are
+    never produced, the connector analogue of parquet row-group
+    pruning (the physical plan shows only the residual isnotnull
+    re-applied above the scan; tests/test_pysource.py asserts the
+    reader's narrowed bounds directly). The oracle generates only
+    the bounded range, so the hash match also proves the pushdown
+    did not drop or duplicate boundary rows."""
+    from ..sources.pysource import PYSRC_N, register
+
+    register(spark)
+    ev = (
+        spark.read.format("order_events")
+        .option("n", PYSRC_N)
+        .load()
+        .filter(
+            (F.col("event_id") >= PYSRC_PUSH_LO) & (F.col("event_id") < PYSRC_PUSH_HI)
+        )
+    )
+    return (
+        ev.groupBy("facility")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("order_id").alias("n_orders"),
+            F.sum("ts_ms").alias("sum_ts_ms"),
+        )
+        .orderBy("facility")
+    )
+
+
 QUERIES = {
     "q_pysource_batch": _q_pysource_batch,
+    "q_pysource_pushdown": _q_pysource_pushdown,
     "q_pipeline": _q_pipeline,
     "q_pipeline_salted": _q_pipeline_salted,
     "q_order_info": _q_order_info,
@@ -481,8 +519,37 @@ FROM orders GROUP BY facility ORDER BY facility
 """
 
 
+def _pysource_pushdown_oracle() -> str:
+    from ..sources.pysource import (
+        PYSRC_BASE_MS,
+        PYSRC_FACILITIES,
+        PYSRC_LATENCY_MOD,
+        PYSRC_MIX,
+        PYSRC_MOD,
+    )
+
+    return f"""
+WITH r AS (SELECT unnest(range({PYSRC_PUSH_LO}, {PYSRC_PUSH_HI})) AS i),
+ev AS (
+  SELECT i // 2 AS order_id,
+         'fac' || (((i // 2) * {PYSRC_MIX}) % {PYSRC_MOD}) % {PYSRC_FACILITIES} AS facility,
+         {PYSRC_BASE_MS} + (i // 2) * 1000
+           + CASE WHEN i % 2 = 0 THEN 0
+                  ELSE (((i // 2) * {PYSRC_MIX}) % {PYSRC_MOD}) % {PYSRC_LATENCY_MOD}
+             END AS ts_ms
+  FROM r
+)
+SELECT facility,
+       CAST(count(1) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT order_id) AS BIGINT) AS n_orders,
+       CAST(sum(ts_ms) AS BIGINT) AS sum_ts_ms
+FROM ev GROUP BY facility ORDER BY facility
+"""
+
+
 ORACLE = {
     "q_pysource_batch": _pysource_oracle(),
+    "q_pysource_pushdown": _pysource_pushdown_oracle(),
     "q_pipeline": _ORDER_INFO_SQL
     + f"""
 SELECT 'facility.info' AS event_type,

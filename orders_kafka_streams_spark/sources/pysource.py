@@ -69,12 +69,54 @@ class _Range(InputPartition):
 
 
 class _BatchReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN: event_id range predicates
+    narrow the generation range itself (the connector's analogue of
+    parquet row-group pruning — rows outside the bound are never
+    generated, not generated-then-filtered). Unsupported filters are
+    returned to Spark, which re-applies them above the scan — the
+    standard partial-pushdown contract."""
+
     def __init__(self, n: int):
         self.n = n
+        self.lo_bound = 0
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "event_id" and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, LessThan):
+                    self.n = min(self.n, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.n = min(self.n, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo_bound = max(self.lo_bound, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    self.n = min(self.n, f.value + 1)
+                    continue
+            yield f  # not handled — Spark re-applies it above the scan
 
     def partitions(self):
-        step = max(1, -(-self.n // N_PARTS))
-        return [_Range(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)]
+        lo0, n = self.lo_bound, self.n
+        span = max(0, n - lo0)
+        step = max(1, -(-span // N_PARTS))
+        return [
+            _Range(lo, min(lo + step, n)) for lo in range(lo0, n, step)
+        ] or [_Range(0, 0)]
 
     def read(self, part: _Range):
         for i in range(part.lo, part.hi):
@@ -133,8 +175,12 @@ class OrderEventsSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Python-source filter
+    pushdown is opt-in (spark.sql.python.filterPushdown.enabled,
+    runtime-settable) and REQUIRED once a reader implements
+    pushFilters — enabled here so the driver's plain session works."""
     key = "okss.pysource.registered"
     if spark.conf.get(key, None) != "1":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(OrderEventsSource)
         spark.conf.set(key, "1")

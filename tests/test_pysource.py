@@ -58,3 +58,44 @@ def test_gen_row_pairs_share_facility():
         assert placed[1] == fulfilled[1] == oid
         assert placed[3] == fulfilled[3]  # same facility
         assert fulfilled[4] >= placed[4]  # fulfilment never precedes
+
+
+def test_pushdown_narrows_generation_range():
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    r = _BatchReader(PYSRC_N)
+    leftover = list(
+        r.pushFilters(
+            [
+                IsNotNull(attribute=("event_id",)),
+                GreaterThanOrEqual(attribute=("event_id",), value=1000),
+                LessThan(attribute=("event_id",), value=4000),
+            ]
+        )
+    )
+    # range predicates consumed; isnotnull handed back to Spark
+    assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
+    assert (r.lo_bound, r.n) == (1000, 4000)
+    spans = sorted((p.lo, p.hi) for p in r.partitions())
+    assert spans[0][0] == 1000 and spans[-1][1] == 4000
+    total = sum(hi - lo for lo, hi in spans)
+    assert total == 3000  # nothing outside the bound is ever generated
+
+
+def test_pushdown_empty_range_yields_no_rows():
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = _BatchReader(PYSRC_N)
+    list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(attribute=("event_id",), value=5000),
+                LessThan(attribute=("event_id",), value=100),
+            ]
+        )
+    )
+    assert sum(p.hi - p.lo for p in r.partitions()) == 0
