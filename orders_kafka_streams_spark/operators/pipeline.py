@@ -469,9 +469,50 @@ def _q_pysource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pysource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python SINK (sources/pysource.py JsonlManifestSink):
+    write the order stream through Spark's two-phase commit protocol
+    (executors emit task files + commit messages; the DRIVER writes
+    the manifest only when every task succeeded), then read back ONLY
+    manifest-committed files and aggregate — the same relation as
+    q_pysource_batch (shared oracle), so the hash match proves the
+    sink round-trips rows losslessly and the manifest names exactly
+    the committed task files."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pysource import PYSRC_N, read_manifest, register, register_sink
+
+    register(spark)
+    register_sink(spark)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), "okss-pysink", key)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = spark.read.format("order_events").option("n", PYSRC_N).load()
+    ev.write.format("jsonl_manifest").option("path", out).mode("append").save()
+    files, _ = read_manifest(out)
+    rows = spark.read.json(files)
+    orders = rows.groupBy("order_id", "facility").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("processing_ms"),
+    )
+    return (
+        orders.groupBy("facility")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("processing_ms").alias("total_ms"),
+            F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
+        )
+        .orderBy("facility")
+    )
+
+
 QUERIES = {
     "q_pysource_batch": _q_pysource_batch,
     "q_pysource_pushdown": _q_pysource_pushdown,
+    "q_pysource_sink": _q_pysource_sink,
     "q_pipeline": _q_pipeline,
     "q_pipeline_salted": _q_pipeline_salted,
     "q_order_info": _q_order_info,
@@ -550,6 +591,8 @@ FROM ev GROUP BY facility ORDER BY facility
 ORACLE = {
     "q_pysource_batch": _pysource_oracle(),
     "q_pysource_pushdown": _pysource_pushdown_oracle(),
+    # the sink round-trip must reproduce the batch read exactly
+    "q_pysource_sink": _pysource_oracle(),
     "q_pipeline": _ORDER_INFO_SQL
     + f"""
 SELECT 'facility.info' AS event_type,

@@ -638,6 +638,60 @@ def _q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_pysource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full jar-free topology: custom Python STREAM SOURCE →
+    custom Python STREAM SINK. The order stream drains CHUNK rows per
+    micro-batch; each epoch's task files are committed by a per-epoch
+    manifest (exactly-once-per-batch visibility — a replayed epoch
+    re-commits the same manifest name). Reading back only
+    manifest-committed files and aggregating must equal the batch
+    read (shared oracle): offsets, epochs, and the commit protocol
+    all verified by one hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pysource import (
+        PYSRC_N,
+        read_manifest,
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "okss-pysink-stream", key)
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = spark.readStream.format("order_events").option("n", PYSRC_N).load()
+    q = (
+        ev.writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    files, _ = read_manifest(out)
+    rows = spark.read.json(files)
+    orders = rows.groupBy("order_id", "facility").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("processing_ms")
+    )
+    return (
+        orders.groupBy("facility")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("processing_ms").alias("total_ms"),
+            F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
+        )
+        .orderBy("facility")
+    )
+
+
 def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming duplicate-span excision: delta documents ARRIVE as a
     stream; each micro-batch derives positional shingles with the
@@ -855,6 +909,7 @@ QUERIES = {
     "q_stream_ivm": _q_stream_ivm,
     "q_state_inspect": _q_state_inspect,
     "q_stream_pysource": _q_stream_pysource,
+    "q_stream_pysource_sink": _q_stream_pysource_sink,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
@@ -885,6 +940,7 @@ ORACLE = {
     "q_stream_ivm": _WH_ORACLE["q_ivm_refresh"],
     # the drained custom-source stream must equal the batch read
     "q_stream_pysource": _PL_ORACLE["q_pysource_batch"],
+    "q_stream_pysource_sink": _PL_ORACLE["q_pysource_batch"],
     # the streamed per-batch probes must assemble to the batch verdicts
     "q_stream_dedup_incremental": _DD_ORACLE["q_dedup_incremental"],
     # the streamed span gate must equal the batch excision restricted

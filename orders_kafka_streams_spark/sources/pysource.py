@@ -179,8 +179,139 @@ def register(spark) -> None:
     pushdown is opt-in (spark.sql.python.filterPushdown.enabled,
     runtime-settable) and REQUIRED once a reader implements
     pushFilters — enabled here so the driver's plain session works."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = "okss.pysource.registered"
     if spark.conf.get(key, None) != "1":
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(OrderEventsSource)
+        spark.conf.set(key, "1")
+
+
+# ---------------------------------------------------------------- sink
+# The sink half of the jar-free connector story (the reference's four
+# Kafka SINKS, Main.java:141-205, are env-gated like its sources): a
+# custom Python DataSourceWriter speaking Spark's two-phase commit
+# protocol — executors write task files and return commit messages,
+# the DRIVER writes the manifest only if every task succeeded, so
+# readers that honor the manifest never observe a partial job. The
+# streaming face commits one manifest per epoch (micro-batch), giving
+# exactly-once-per-batch visibility on replay: a re-run of epoch N
+# rewrites task files and re-commits the SAME manifest name.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _write_task(path_dir: str, it) -> _TaskFile:
+    _os.makedirs(path_dir, exist_ok=True)
+    name = _os.path.join(path_dir, f"task-{_uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(name, "w") as fh:
+        for row in it:
+            fh.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _TaskFile(path=name, rows=n)
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, it):
+        return _write_task(self.path, it)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(_os.path.basename(m.path) for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming face: same task-file writes, one manifest PER EPOCH
+    (commit receives the batch id) — replaying an epoch re-commits
+    the same manifest name, so manifest-honoring readers see each
+    batch exactly once."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, it):
+        return _write_task(self.path, it)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "files": sorted(_os.path.basename(m.path) for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(_os.path.join(self.path, f"_MANIFEST-{batchId}"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonlManifestSink(DataSource):
+    """``format("jsonl_manifest")`` writer-only source; option
+    ``path`` is the target directory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options["path"])
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamWriter(self.options["path"])
+
+
+def read_manifest(path: str) -> tuple[list[str], int]:
+    """Manifest-honoring read: only files named by committed
+    manifests are visible (task files without a manifest entry are
+    uncommitted garbage, invisible by contract)."""
+    files: list[str] = []
+    rows = 0
+    for entry in sorted(_os.listdir(path)):
+        if entry == "_MANIFEST" or entry.startswith("_MANIFEST-"):
+            with open(_os.path.join(path, entry)) as fh:
+                m = _json.load(fh)
+            files.extend(_os.path.join(path, f) for f in m["files"])
+            rows += m["rows"]
+    return files, rows
+
+
+def register_sink(spark) -> None:
+    key = "okss.pysink.registered"
+    if spark.conf.get(key, None) != "1":
+        spark.dataSource.register(JsonlManifestSink)
         spark.conf.set(key, "1")

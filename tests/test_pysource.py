@@ -8,6 +8,7 @@ partitions) that a green hash can't localize when they break.
 from __future__ import annotations
 
 import math
+import os
 
 from orders_kafka_streams_spark.sources.pysource import (
     CHUNK,
@@ -99,3 +100,55 @@ def test_pushdown_empty_range_yields_no_rows():
         )
     )
     assert sum(p.hi - p.lo for p in r.partitions()) == 0
+
+
+def test_stream_sink_commits_one_manifest_per_epoch(spark):
+    """source → sink end-to-end: CHUNK-paced drain must leave exactly
+    ceil(n / CHUNK) per-epoch manifests, and the union of committed
+    files must carry every generated row exactly once."""
+    import os
+    import shutil
+    import tempfile
+
+    from orders_kafka_streams_spark.sources.pysource import (
+        read_manifest,
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    n = 3 * CHUNK + 17  # deliberately not CHUNK-aligned
+    base = os.path.join(tempfile.gettempdir(), "okss-pysink-test")
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = spark.readStream.format("order_events").option("n", n).load()
+    q = (
+        ev.writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    assert len(manifests) == math.ceil(n / CHUNK)
+    files, rows = read_manifest(out)
+    assert rows == n
+    ids = sorted(
+        int(r.event_id) for r in spark.read.json(files).select("event_id").collect()
+    )
+    assert ids == list(range(n))
+
+
+def test_sink_abort_removes_task_files(tmp_path):
+    from orders_kafka_streams_spark.sources.pysource import _JsonlWriter, _TaskFile
+
+    d = str(tmp_path)
+    f1 = os.path.join(d, "task-a.jsonl")
+    open(f1, "w").write("{}\n")
+    w = _JsonlWriter(d)
+    w.abort([_TaskFile(path=f1, rows=1), None])
+    assert not os.path.exists(f1)  # uncommitted garbage swept
+    assert not os.path.exists(os.path.join(d, "_MANIFEST"))
