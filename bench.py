@@ -139,6 +139,7 @@ HEADLINE = [
     "q_table_diff",
     "q_state_inspect",
     "q_pysource_batch",
+    "q_drop_ledger",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

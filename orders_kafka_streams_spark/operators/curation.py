@@ -494,7 +494,67 @@ def _dsir_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_persist(spark, sf_dir, "dsir_cells", build)
 
 
+def _q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution ledger — "where did my data go?": for every
+    candidate training doc, WHICH of q_prepare_training's three gates
+    (model quality, near-dup canonical-keep, benchmark contamination)
+    would remove it, rolled up per (source, verdict). The capstone
+    reports only survivors; curation decisions need the complement
+    attributed — a source whose drops are mostly 'dedup' needs a
+    different fix than one failing 'quality', and multi-gate drops
+    ('quality+dedup') say the gates overlap rather than compose.
+
+    Scale shape: rides the SAME memoized relations the capstone
+    uses (token cache, shingle pass, near-dup pair relation) — the
+    three verdict joins are doc_id-keyed onto slim flag projections,
+    and the rollup shuffles (source, verdict) cells. Verdict labels
+    are a fixed-order concat, so the relation is deterministic.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (curation family)."""
+    from .dedup import QUERIES as _DQ
+
+    base = _tokenized(spark, sf_dir, "source").filter(
+        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
+    )
+    cls = _q_quality_classifier(spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("f_quality")
+    )
+    dedup = _DQ["q_dedup_keep"](spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("f_dedup")
+    )
+    contam = _contam_per_doc(spark, sf_dir).select(
+        "doc_id", (F.col("overlap") >= CONTAM_OVERLAP_T).alias("f_contam")
+    )
+    j = (
+        base.select("doc_id", "source")
+        .join(cls, "doc_id", "left")
+        .join(dedup, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    fq = F.coalesce("f_quality", F.lit(False))
+    fd = F.coalesce("f_dedup", F.lit(False))
+    fc = F.coalesce("f_contam", F.lit(False))
+    verdict = F.when(
+        ~(fq | fd | fc), F.lit("kept")
+    ).otherwise(
+        F.concat_ws(
+            "+",
+            F.when(fq, "quality"),
+            F.when(fd, "dedup"),
+            F.when(fc, "contam"),
+        )
+    )
+    return (
+        j.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "verdict")
+    )
+
+
 QUERIES = {
+    "q_drop_ledger": _q_drop_ledger,
     "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
     "q_contamination": _q_contamination,
@@ -551,41 +611,10 @@ FROM b GROUP BY source, bin
 """
 
 
-ORACLE = {
-    "q_dsir_weights": f"""
-WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
-f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),
-fx AS (SELECT doc_id, lang, unnest(fs) AS ft FROM f0),
-cells AS (
-  SELECT doc_id, lang, {hash60_sql('ft')} % {DSIR_BUCKETS} AS b,
-         CAST(count(1) AS BIGINT) AS n
-  FROM fx GROUP BY doc_id, lang, b
-),
-cnt AS (
-  SELECT b, CAST(sum(n) AS BIGINT) AS cr,
-         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct
-  FROM cells GROUP BY b
-),
-tot AS (
-  SELECT CAST(sum(n) AS BIGINT) AS raw_tot,
-         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tgt_tot
-  FROM cells
-),
-ratio AS (
-  SELECT b, ln((ct + 1.0) / (tgt_tot + {DSIR_BUCKETS}))
-            - ln((cr + 1.0) / (raw_tot + {DSIR_BUCKETS})) AS lr
-  FROM cnt CROSS JOIN tot
-)
-SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
-       round(sum(n * lr), 4) AS log_weight,
-       round(sum(n * lr), 4) > 0 AS selected
-FROM cells JOIN ratio USING (b) GROUP BY doc_id
-""",
-    # the capstone composition: dedup-keep (recursive components) ∩
-    # classifier gate ∩ decontamination → chunk → hash split; every
-    # fragment reuses the standalone queries' tested SQL shapes
-    "q_prepare_training": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
+#: the three gate CTEs shared by the capstone oracle and the drop
+#: ledger — near-dup components/keepers, benchmark contamination,
+#: and the classifier gate, all over the shingle CTE's relations.
+_GATES_CTE = f""",
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM sh x JOIN sh y ON x.doc_id < y.doc_id
@@ -624,7 +653,64 @@ contam AS (
 ),
 clskeep AS (
   SELECT doc_id FROM toks WHERE len(w) > 0 AND ({_cls_margin_sql('w')}) > 0
+)"""
+
+
+ORACLE = {
+    "q_dsir_weights": f"""
+WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
+f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),
+fx AS (SELECT doc_id, lang, unnest(fs) AS ft FROM f0),
+cells AS (
+  SELECT doc_id, lang, {hash60_sql('ft')} % {DSIR_BUCKETS} AS b,
+         CAST(count(1) AS BIGINT) AS n
+  FROM fx GROUP BY doc_id, lang, b
 ),
+cnt AS (
+  SELECT b, CAST(sum(n) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct
+  FROM cells GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS raw_tot,
+         CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tgt_tot
+  FROM cells
+),
+ratio AS (
+  SELECT b, ln((ct + 1.0) / (tgt_tot + {DSIR_BUCKETS}))
+            - ln((cr + 1.0) / (raw_tot + {DSIR_BUCKETS})) AS lr
+  FROM cnt CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+       round(sum(n * lr), 4) AS log_weight,
+       round(sum(n * lr), 4) > 0 AS selected
+FROM cells JOIN ratio USING (b) GROUP BY doc_id
+""",
+    # the capstone composition: dedup-keep (recursive components) ∩
+    # classifier gate ∩ decontamination → chunk → hash split; every
+    # fragment reuses the standalone queries' tested SQL shapes
+    "q_drop_ledger": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _GATES_CTE
+    + f""",
+base AS (
+  SELECT t.doc_id, d.source,
+         t.doc_id NOT IN (SELECT doc_id FROM clskeep) AS fq,
+         t.doc_id NOT IN (SELECT doc_id FROM keepers) AS fd,
+         t.doc_id IN (SELECT doc_id FROM contam) AS fc
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE len(t.w) > 0 AND t.doc_id >= {BENCH_DOCS}
+)
+SELECT source,
+       CASE WHEN NOT (fq OR fd OR fc) THEN 'kept'
+            ELSE concat_ws('+', CASE WHEN fq THEN 'quality' END,
+                                CASE WHEN fd THEN 'dedup' END,
+                                CASE WHEN fc THEN 'contam' END) END AS verdict,
+       CAST(count(1) AS BIGINT) AS n_docs
+FROM base GROUP BY 1, 2 ORDER BY source, verdict
+""",
+    "q_prepare_training": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _GATES_CTE
+    + f""",
 surv AS (
   SELECT t.doc_id, d.source, len(t.w) AS n
   FROM toks t JOIN documents d ON t.doc_id = d.doc_id

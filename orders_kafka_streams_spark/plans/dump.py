@@ -119,6 +119,7 @@ COMMENTARY = {
     "q_table_diff": "snapshot reconciliation: both sides project to (key, content-hash) BEFORE the full-outer join — the shuffle carries digests, never text; one keyed join + per-source cells",
     "q_state_inspect": "state-store introspection: the state data source reads per-partition state files in parallel; nothing rescans the input — verified as the exact complement of the append-mode emission",
     "q_pysource_batch": "custom Python DataSource: N_PARTS partitioned parallel generator reads (no driver materialization), then the flagship pair shape — order_id agg + facility cells",
+    "q_drop_ledger": "drop attribution: three doc_id-keyed flag joins over the capstone's MEMOIZED gate relations (no gate recomputes), rollup shuffles (source, verdict) cells",
 }
 
 
