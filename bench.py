@@ -140,6 +140,7 @@ HEADLINE = [
     "q_state_inspect",
     "q_pysource_batch",
     "q_drop_ledger",
+    "q_holt_forecast",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

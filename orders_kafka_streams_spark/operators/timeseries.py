@@ -882,6 +882,80 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt smoothing constants — exactly-representable binary fractions
+#: so neither engine's literal parse introduces a ULP of drift (each
+#: step's op sequence is identical anyway; this removes even the
+#: parse-time question).
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_H = 24  # forecast horizon (hours ahead)
+
+
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasting (Holt 1957 double exponential
+    smoothing) of the per-event-type hourly count series — the
+    capacity-planning projection that pairs with q_autocorr (detects
+    rhythm) and q_seasonal_outliers (flags deviations): level
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1})
+    + (1−β)b_{t−1}, initialized l₁=y₁, b₁=y₂−y₁, forecast
+    ŷ_{n+h} = l_n + h·b_n. Series is the zero-filled hourly grid
+    (missing hours are real zeros — skipping them would inflate the
+    trend).
+
+    Scale shape: one partial agg to (type, hour) cells, ONE
+    event_type exchange, then the recursion folds per key over the
+    collected cell array (the q_ewma collect→sort→fold pattern —
+    bounded by hours retained, not events; years of hourly history
+    is ~10⁴ doubles per key). The ORACLE deliberately runs a
+    different mechanism — a recursive CTE iterating t — with the
+    identical arithmetic sequence, so the hash match proves the fold
+    IS the recursion, bit-for-bit (IEEE ops in identical order).
+
+    Output: (event_type, n_hours, level, trend, forecast_24h).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (time-series family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(ev.select("event_type").distinct())
+    series = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    )
+    g = series.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "c"))), lambda s: s["c"]
+        ).alias("v")
+    )
+    v, a, b = F.col("v"), F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    init = F.struct(
+        F.element_at(v, 1).alias("l"),
+        (F.element_at(v, 2) - F.element_at(v, 1)).alias("b"),
+    )
+    new_l = lambda acc, x: a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+    folded = F.aggregate(
+        F.slice(v, 2, F.size(v) - 1),
+        init,
+        lambda acc, x: F.struct(
+            new_l(acc, x).alias("l"),
+            (b * (new_l(acc, x) - acc["l"]) + (F.lit(1.0) - b) * acc["b"]).alias("b"),
+        ),
+    )
+    return g.select(
+        "event_type",
+        F.size(v).alias("n_hours"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["l"] + F.lit(float(HOLT_H)) * folded["b"], 6).alias(
+            "forecast_24h"
+        ),
+    ).orderBy("event_type")
+
+
 #: regex patterns over the per-user event-code string (S=signup,
 #: C=click, P=purchase, V=view, E=error). Both engines' regex scans
 #: are leftmost non-overlapping, so counts agree by construction.
@@ -950,6 +1024,7 @@ def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_event_pattern": _q_event_pattern,
     "q_seasonal_outliers": _q_seasonal_outliers,
+    "q_holt_forecast": _q_holt_forecast,
     "q_item_cooccurrence": _q_item_cooccurrence,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
@@ -1057,9 +1132,51 @@ FROM u GROUP BY pattern ORDER BY pattern
 """
 
 
+def _holt_oracle() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    return f"""
+WITH RECURSIVE bnds AS (
+  SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bnds) g
+),
+cnt AS (SELECT event_type, date_trunc('hour', ts) AS h, count(1) AS c FROM events GROUP BY 1, 2),
+series AS (
+  SELECT g.event_type, g.h,
+         CAST(coalesce(c.c, 0) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.h) AS t
+  FROM grid g LEFT JOIN cnt c ON g.event_type = c.event_type AND g.h = c.h
+),
+n AS (SELECT event_type, CAST(max(t) AS INTEGER) AS n_hours FROM series GROUP BY 1),
+it AS (
+  SELECT s1.event_type, 1 AS t, s1.y AS l, s2.y - s1.y AS b
+  FROM series s1 JOIN series s2 ON s1.event_type = s2.event_type AND s1.t = 1 AND s2.t = 2
+  UNION ALL
+  SELECT it.event_type, it.t + 1,
+         {a} * s.y + (1.0 - {a}) * (it.l + it.b),
+         {b} * (({a} * s.y + (1.0 - {a}) * (it.l + it.b)) - it.l) + (1.0 - {b}) * it.b
+  FROM it JOIN series s ON s.event_type = it.event_type AND s.t = it.t + 1
+),
+fin AS (
+  SELECT i.event_type, i.l, i.b
+  FROM it i JOIN n ON i.event_type = n.event_type AND i.t = n.n_hours
+)
+SELECT f.event_type, n.n_hours,
+       round(f.l, 6) AS level,
+       round(f.b, 6) AS trend,
+       round(f.l + {float(HOLT_H)} * f.b, 6) AS forecast_24h
+FROM fin f JOIN n ON f.event_type = n.event_type
+ORDER BY f.event_type
+"""
+
+
 ORACLE = {
     "q_event_pattern": _event_pattern_oracle(),
     "q_seasonal_outliers": _seasonal_outliers_oracle(),
+    "q_holt_forecast": _holt_oracle(),
     "q_item_cooccurrence": _item_cooccurrence_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),

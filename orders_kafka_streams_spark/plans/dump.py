@@ -120,6 +120,7 @@ COMMENTARY = {
     "q_state_inspect": "state-store introspection: the state data source reads per-partition state files in parallel; nothing rescans the input — verified as the exact complement of the append-mode emission",
     "q_pysource_batch": "custom Python DataSource: N_PARTS partitioned parallel generator reads (no driver materialization), then the flagship pair shape — order_id agg + facility cells",
     "q_drop_ledger": "drop attribution: three doc_id-keyed flag joins over the capstone's MEMOIZED gate relations (no gate recomputes), rollup shuffles (source, verdict) cells",
+    "q_holt_forecast": "Holt forecast: corpus to (type, hour) cells in one partial agg, ONE type exchange, recursion folds per key over the collected cell array (bounded by hours, not events)",
 }
 
 
