@@ -752,9 +752,123 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) of
+    time-to-conversion: for every signed-up user, days from FIRST
+    signup to FIRST subsequent purchase; users who never purchase are
+    right-CENSORED at the corpus horizon — the estimator retention
+    and conversion teams use precisely because ignoring censored
+    users (q_funnel's implicit stance) biases conversion-time
+    downward. Ŝ(d) = ∏_{i≤d} (1 − events_i / at_risk_i) over event
+    days.
+
+    Scale shape: two min-aggregations shuffle on user_id (signup,
+    first-purchase-after), then the corpus collapses to (day,
+    events, censored) CELLS; at-risk counts are one running-sum
+    window over the O(distinct days) cell relation, and the
+    cumulative product folds over the collected cell array in day
+    order (multiplication only — IEEE-deterministic in identical
+    order, so no exp/ln transcendentals whose libm could differ
+    across engines). The oracle runs the product as a recursive CTE
+    — same arithmetic sequence, different mechanism (the
+    q_holt_forecast discipline).
+
+    Output: one row per event day (day, at_risk, events, censored,
+    survival).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events")
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_ms(F.col("ts"))).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_ms(F.col("ts")).alias("tp"))
+        .join(s, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    horizon = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("tmax"))
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor(
+                (F.coalesce("tp", "tmax") - F.col("t0")) / F.lit(86_400_000)
+            ).alias("day"),
+            F.col("tp").isNotNull().alias("event"),
+        )
+    )
+    cells = obs.groupBy("day").agg(
+        F.sum(F.col("event").cast("long")).alias("d"),
+        F.sum((~F.col("event")).cast("long")).alias("c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    tot = cells.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    risk = cells.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).alias("at_risk"),
+    )
+    rows = F.sort_array(F.collect_list(F.struct("day", "at_risk", "d", "c")))
+    folded = F.aggregate(
+        rows,
+        F.struct(
+            F.lit(1.0).alias("surv"),
+            F.array().cast(
+                "array<struct<day:long,at_risk:long,d:long,c:long,surv:double>>"
+            ).alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["surv"] * (F.lit(1.0) - x["d"] / x["at_risk"])).alias("surv"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["at_risk"].alias("at_risk"),
+                        x["d"].alias("d"),
+                        x["c"].alias("c"),
+                        (acc["surv"] * (F.lit(1.0) - x["d"] / x["at_risk"])).alias(
+                            "surv"
+                        ),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )["out"]
+    curve = (
+        risk.agg(folded.alias("out"))
+        .select(F.explode("out").alias("r"))
+        .select(
+            F.col("r.day").alias("day"),
+            F.col("r.at_risk").alias("at_risk"),
+            F.col("r.d").alias("events"),
+            F.col("r.c").alias("censored"),
+            F.round("r.surv", 6).alias("survival"),
+        )
+        .orderBy("day")
+    )
+    return curve
+
+
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
     "q_roc_auc": _q_roc_auc,
+    "q_survival_km": _q_survival_km,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
@@ -831,6 +945,56 @@ FROM s
 
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
+    # Kaplan-Meier: the cumulative survival product runs as a recursive
+    # CTE over row_number-chained day cells — a different mechanism from
+    # the Spark side's higher-order array fold, but the identical
+    # multiplication sequence in the identical day order (the
+    # q_holt_forecast discipline), so the doubles agree bit-for-bit.
+    "q_survival_km": """
+WITH RECURSIVE
+s AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS tp
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.t0
+  GROUP BY e.user_id
+),
+h AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+obs AS (
+  SELECT CAST(floor((coalesce(p.tp, h.tmax) - s.t0) / 86400000.0) AS BIGINT) AS day,
+         p.tp IS NOT NULL AS event
+  FROM s LEFT JOIN p USING (user_id) CROSS JOIN h
+),
+cells AS (
+  SELECT day,
+         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM obs GROUP BY day
+),
+risk AS (
+  SELECT day, d, c,
+         (SELECT CAST(sum(d + c) AS BIGINT) FROM cells)
+           - CAST(coalesce(sum(d + c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS at_risk,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM cells
+),
+km AS (
+  SELECT i, day, at_risk, d, c,
+         1.0 * (1.0 - d / CAST(at_risk AS DOUBLE)) AS surv
+  FROM risk WHERE i = 1
+  UNION ALL
+  SELECT r.i, r.day, r.at_risk, r.d, r.c,
+         km.surv * (1.0 - r.d / CAST(r.at_risk AS DOUBLE))
+  FROM km JOIN risk r ON r.i = km.i + 1
+)
+SELECT day, at_risk, d AS events, c AS censored, round(surv, 6) AS survival
+FROM km ORDER BY day
+""",
     "q_hourly_profile": """
 WITH cells AS (
   SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, CAST(count(1) AS BIGINT) AS c

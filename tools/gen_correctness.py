@@ -7,7 +7,12 @@ Per query: row count / column set / order-insensitive canonical value
 multiset vs the DuckDB oracle, plus the type-family check that catches
 DuckDB's implicit widenings (the q_scd2 HUGEINT lesson).
 
-Run: python tools/gen_correctness.py [sf_dir] [out.json]
+Run: python tools/gen_correctness.py [sf_dir] [out.json] [name ...]
+
+With query names given, only those queries are (re)run and their
+entries MERGED into the existing out.json — the incremental path for
+"one new query since the last full sweep" (the full sweep takes
+~15 min; a lagging snapshot was the r4 red-round failure mode).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "CORRECTNESS_FULL.json")
+    only = set(sys.argv[3:])
 
     from driver_sim import canon, type_mismatches
 
@@ -49,8 +55,18 @@ def main() -> int:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     report: dict[str, dict] = {}
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                report = json.load(f)
     fails = []
     for name in qs:  # registry order — same order the driver samples
+        if only and name not in only:
+            continue
         entry: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -99,6 +115,8 @@ def main() -> int:
         if not ok:
             fails.append(name)
 
+    if only:  # keep the merged snapshot in registry order
+        report = {n: report[n] for n in qs if n in report}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {out_path}: {len(report)} queries, FAILS: {fails}")
