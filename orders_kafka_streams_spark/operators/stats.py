@@ -865,10 +865,159 @@ def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve
 
 
+CUPED_SALT = "okss-cuped-v1"  # deterministic arm assignment
+CUPED_SPLIT_MS = 15 * 86_400_000  # pre/post boundary: corpus start + 15 d
+
+
+def _q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B estimate (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): users hash-split into two arms, the experiment metric
+    is each user's POST-period value sum and the covariate their
+    PRE-period sum; θ = cov(x,y)/var(x) (pooled) gives the adjusted
+    lift ŷ_B−ŷ_A − θ·(x̄_B−x̄_A), and ρ² the fraction of metric
+    variance the covariate removes — the technique that lets an
+    experiment platform reach significance with ~1/(1−ρ²)× less
+    traffic. Closed-form moments from sufficient statistics so both
+    engines run the IDENTICAL arithmetic (streaming co-moment
+    implementations differ engine-to-engine).
+
+    Scale shape: one conditional-sum aggregation per user (single
+    exchange on user_id), then the corpus collapses to per-arm
+    sufficient-statistic cells (n, Σx, Σy, Σxy, Σx², Σy²) — six
+    doubles per arm, combined map-side; everything after is 1-row
+    arithmetic. Per-user sums round to 6 dp before the moment pass so
+    both engines feed identical inputs into the float pipeline.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from ..functions.portable import epoch_ms, hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(epoch_ms(F.col("ts"))).alias("tmin"))
+    per_user = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        epoch_ms(F.col("ts")) < F.col("tmin") + CUPED_SPLIT_MS,
+                        F.col("value"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("x"),
+            F.round(
+                F.sum(
+                    F.when(
+                        epoch_ms(F.col("ts")) >= F.col("tmin") + CUPED_SPLIT_MS,
+                        F.col("value"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            (hash60(F.concat(F.lit(CUPED_SALT + "|"), F.col("user_id"))) % 2).alias(
+                "arm"
+            ),
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(F.lit(0.0))).alias(
+            "sx_b"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0.0))).alias(
+            "sy_b"
+        ),
+    )
+    mx, my = F.col("sx") / F.col("n"), F.col("sy") / F.col("n")
+    cov = F.col("sxy") / F.col("n") - mx * my
+    varx = F.col("sxx") / F.col("n") - mx * mx
+    vary = F.col("syy") / F.col("n") - my * my
+    theta = cov / varx
+    n_a = F.col("n") - F.col("n_b")
+    mxa = (F.col("sx") - F.col("sx_b")) / n_a
+    mya = (F.col("sy") - F.col("sy_b")) / n_a
+    mxb = F.col("sx_b") / F.col("n_b")
+    myb = F.col("sy_b") / F.col("n_b")
+    return s.select(
+        n_a.alias("n_a"),
+        F.col("n_b").alias("n_b"),
+        F.round(myb - mya, 4).alias("diff_raw"),
+        F.round(theta, 6).alias("theta"),
+        F.round((myb - mya) - theta * (mxb - mxa), 4).alias("diff_cuped"),
+        F.round(cov * cov / (varx * vary), 4).alias("var_reduction"),
+    )
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of ``events.value`` — the
+    fraud/synthetic-data smell test: naturally occurring multi-scale
+    quantities follow P(d) = log10(1+1/d) (Benford 1938, Hill 1995);
+    a generator or instrumentation bug that draws uniforms does not.
+    Digits extract from a FIXED '%.6f' decimal rendering (both
+    engines' printf) — never floor(log10(v)), whose libm ulp
+    differences at power-of-ten boundaries diverge engine-to-engine.
+    Expected probabilities are Python-computed literals EMBEDDED in
+    both plans, so neither engine's log10 participates.
+
+    Scale shape: one scan → per-digit counts partial-combine to ≤9
+    cells; the digit spine left-join keeps zero-count digits present.
+    Output: digit, n, p_obs, p_benford, abs_dev (one row per digit).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / drift family)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1e-6)
+    counts = (
+        ev.select(
+            F.regexp_extract(
+                F.format_string("%.6f", F.col("value")), "[1-9]", 0
+            ).alias("ds")
+        )
+        .filter(F.col("ds") != "")
+        .groupBy(F.col("ds").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("n_tot"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    import math
+
+    p_exp = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("n_tot"), 6).alias("p_obs"),
+            p_exp.alias("p_benford"),
+            F.round(
+                F.abs(F.coalesce("n", F.lit(0)) / F.col("n_tot") - p_exp), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
     "q_roc_auc": _q_roc_auc,
     "q_survival_km": _q_survival_km,
+    "q_cuped": _q_cuped,
+    "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
@@ -943,8 +1092,79 @@ FROM s
 """
 
 
+def _benford_oracle() -> str:
+    """Expected-digit probabilities are the SAME Python-computed
+    literals the Spark plan embeds — neither engine's log10 runs."""
+    import math
+
+    probs = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in probs.items())
+    return f"""
+WITH counts AS (
+  SELECT CAST(regexp_extract(printf('%.6f', value), '[1-9]', 0) AS INTEGER) AS digit,
+         CAST(count(1) AS BIGINT) AS n
+  FROM events
+  WHERE value >= 1e-6 AND regexp_extract(printf('%.6f', value), '[1-9]', 0) <> ''
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM counts),
+spine AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10))
+SELECT s.digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       round(coalesce(c.n, 0) / CAST(t.n_tot AS DOUBLE), 6) AS p_obs,
+       CAST(CASE s.digit {case} END AS DOUBLE) AS p_benford,
+       round(abs(coalesce(c.n, 0) / CAST(t.n_tot AS DOUBLE)
+                 - CAST(CASE s.digit {case} END AS DOUBLE)), 6) AS abs_dev
+FROM spine s LEFT JOIN counts c ON s.digit = c.digit CROSS JOIN tot t
+ORDER BY s.digit
+"""
+
+
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
+    "q_cuped": f"""
+WITH t0 AS (SELECT min(epoch_ms(ts)) AS tmin FROM events),
+pu AS (
+  SELECT e.user_id,
+         round(sum(CASE WHEN epoch_ms(e.ts) < t.tmin + {CUPED_SPLIT_MS}
+                        THEN e.value ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN epoch_ms(e.ts) >= t.tmin + {CUPED_SPLIT_MS}
+                        THEN e.value ELSE 0.0 END), 6) AS y
+  FROM events e CROSS JOIN t0 t
+  GROUP BY e.user_id
+),
+armed AS (
+  SELECT x, y,
+         {hash60_sql(f"'{CUPED_SALT}|' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+  FROM pu
+),
+s AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN arm = 1 THEN x ELSE 0.0 END) AS sx_b,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0.0 END) AS sy_b
+  FROM armed
+),
+m AS (
+  SELECT n, n_b, n - n_b AS n_a,
+         sx / n AS mx, sy / n AS my,
+         sxy / n - (sx / n) * (sy / n) AS cov,
+         sxx / n - (sx / n) * (sx / n) AS varx,
+         syy / n - (sy / n) * (sy / n) AS vary,
+         (sx - sx_b) / (n - n_b) AS mxa, (sy - sy_b) / (n - n_b) AS mya,
+         sx_b / n_b AS mxb, sy_b / n_b AS myb
+  FROM s
+)
+SELECT n_a, n_b,
+       round(myb - mya, 4) AS diff_raw,
+       round(cov / varx, 6) AS theta,
+       round((myb - mya) - (cov / varx) * (mxb - mxa), 4) AS diff_cuped,
+       round(cov * cov / (varx * vary), 4) AS var_reduction
+FROM m
+""",
+    "q_benford": _benford_oracle(),
     # Kaplan-Meier: the cumulative survival product runs as a recursive
     # CTE over row_number-chained day cells — a different mechanism from
     # the Spark side's higher-order array fold, but the identical
