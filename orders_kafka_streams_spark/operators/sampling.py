@@ -318,8 +318,73 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRI_K = 100  # priority-sample size (without replacement)
+PRI_SALT = "okss-pri-v1"  # deterministic per-doc uniform
+_TWO60 = float(1 << 60)
+
+
+def _q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    weighted WITHOUT-replacement sample with an unbiased subset-sum
+    estimator: each document draws priority q_i = w_i / u_i (weight
+    w_i = n_chars, u_i a deterministic salt-hash uniform in (0, 1]),
+    the K largest priorities are the sample, and τ = the (K+1)-th
+    priority turns it into an estimator — ŵ_i = max(w_i, τ) sums to an
+    unbiased estimate of the TOTAL corpus weight from K rows. The
+    without-replacement, heavy-item-favoring complement to
+    q_sample_weighted's Bernoulli keep.
+
+    Unlike exponential-key A-ES (u^(1/w)), the priority key needs NO
+    transcendental: w·2^60 is exact in a double (14-bit weight shifted
+    60), (h+1) converts and divides under IEEE round-to-nearest, so
+    both engines compute bit-identical priorities — no ln/pow ulp
+    exposure, no rounding tolerance needed before the rank.
+
+    Scale shape: the priority is a scan-level expression; top-(K+1)
+    selection is TakeOrdered (per-partition heaps merged at the
+    coordinator, no global sort/window over the corpus); the τ row
+    attaches back by 1-row broadcast. The final K-row window never
+    sees corpus-sized input.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling family)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents")).filter(
+        F.col("n_chars") > 0
+    )
+    h = hash60(F.concat(F.lit(PRI_SALT + "|"), F.col("doc_id")))
+    pri = (F.col("n_chars").cast("double") * F.lit(_TWO60)) / (h + 1).cast("double")
+    top = (
+        docs.select("doc_id", "n_chars", pri.alias("pri"))
+        .orderBy(F.col("pri").desc(), "doc_id")
+        .limit(PRI_K + 1)
+    )
+    ranked = top.select(
+        "doc_id",
+        "n_chars",
+        "pri",
+        F.row_number()
+        .over(Window.orderBy(F.col("pri").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    tau = ranked.filter(F.col("rn") == PRI_K + 1).select(F.col("pri").alias("tau"))
+    return (
+        ranked.filter(F.col("rn") <= PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("pri", 4).alias("priority"),
+            F.round(F.greatest(F.col("n_chars").cast("double"), F.col("tau")), 4).alias(
+                "w_est"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q_split_leakage": _q_split_leakage,
+    "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
@@ -331,6 +396,29 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_sample_priority": f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         {hash60_sql(f"'{PRI_SALT}|' || CAST(doc_id AS VARCHAR)")} + 1 AS h1
+  FROM documents WHERE n_chars > 0
+),
+p AS (
+  SELECT doc_id, n_chars,
+         (CAST(n_chars AS DOUBLE) * {_TWO60!r}) / CAST(h1 AS DOUBLE) AS pri
+  FROM d
+),
+ranked AS (
+  SELECT doc_id, n_chars, pri,
+         row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+  FROM p
+),
+tau AS (SELECT pri AS tau FROM ranked WHERE rn = {PRI_K + 1})
+SELECT doc_id, n_chars, round(pri, 4) AS priority,
+       round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS w_est
+FROM ranked CROSS JOIN tau
+WHERE rn <= {PRI_K}
+ORDER BY doc_id
+""",
     "q_shard_layout": f"""
 WITH d AS (SELECT doc_id, n_chars FROM documents),
 hashed AS (

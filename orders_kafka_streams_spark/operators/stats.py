@@ -752,6 +752,64 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAL_BINS = 10  # fixed-width probability bins [0, 1) — data-independent
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    linear quality head as an English-document classifier — the
+    companion readout to q_roc_auc: AUC says the head RANKS well, this
+    says whether its sigmoid scores can be read as probabilities
+    (Guo et al. 2017's ECE over equal-width bins). Per bin: count,
+    mean predicted probability (confidence), empirical positive rate
+    (accuracy), |gap|, and the corpus ECE = Σ n_b/N·gap_b repeated on
+    every row for a single-relation readout.
+
+    Scale shape: the scored relation collapses to ≤``CAL_BINS`` cells
+    in one exchange (bins are FIXED-WIDTH on [0,1), so no min/max
+    pre-pass and no data-dependent boundaries); the 1-row ECE attaches
+    back by broadcast. Cross-engine floats: the margin is the proven
+    6-dp-rounded head, per-doc sigmoids round to 6 dp before
+    aggregation, and per-bin sums re-round to 6 dp before dividing, so
+    both engines feed identical terms into every division.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / model-eval family)."""
+    from .curation import classifier_scores
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
+    scored = classifier_scores(base, extra=("lang",))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6)
+    bins = (
+        scored.select(
+            p.alias("p"),
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("p") * CAL_BINS), F.lit(CAL_BINS - 1))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p"), 6).alias("sp"),
+            F.sum("pos").alias("np"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("sp") / F.col("n"), 6).alias("conf"),
+            F.round(F.col("np") / F.col("n"), 6).alias("acc"),
+        )
+        .withColumn("gap", F.round(F.abs(F.col("acc") - F.col("conf")), 6))
+    )
+    ece = bins.agg(
+        F.round(F.sum(F.col("n") * F.col("gap")) / F.sum("n"), 6).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+
+
 def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve (Kaplan & Meier 1958) of
     time-to-conversion: for every signed-up user, days from FIRST
@@ -1015,6 +1073,7 @@ def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_signal_correlation": _q_signal_correlation,
     "q_roc_auc": _q_roc_auc,
+    "q_calibration": _q_calibration,
     "q_survival_km": _q_survival_km,
     "q_cuped": _q_cuped,
     "q_benford": _q_benford,
@@ -1120,8 +1179,42 @@ ORDER BY s.digit
 """
 
 
+def _calibration_oracle() -> str:
+    """Same fixed-width-bin arithmetic; the margin/sigmoid/round
+    staging mirrors the Spark side term-for-term so no engine's
+    accumulation order is observable."""
+    from .curation import _CLS_MARGIN
+
+    return f"""
+WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents),
+f AS (SELECT lang, round({_CLS_MARGIN}, 6) AS margin FROM toks WHERE len(t) > 0),
+pp AS (
+  SELECT round(1.0 / (1.0 + exp(-margin)), 6) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM f
+),
+bins AS (
+  SELECT CAST(least(floor(p * {CAL_BINS}), {CAL_BINS - 1}) AS INTEGER) AS bin,
+         CAST(count(1) AS BIGINT) AS n,
+         round(sum(p), 6) AS sp,
+         CAST(sum(pos) AS BIGINT) AS np
+  FROM pp GROUP BY 1
+),
+b AS (
+  SELECT bin, n,
+         round(sp / n, 6) AS conf,
+         round(np / CAST(n AS DOUBLE), 6) AS acc
+  FROM bins
+),
+g AS (SELECT bin, n, conf, acc, round(abs(acc - conf), 6) AS gap FROM b),
+e AS (SELECT round(sum(n * gap) / sum(n), 6) AS ece FROM g)
+SELECT bin, n, conf, acc, gap, ece FROM g CROSS JOIN e ORDER BY bin
+"""
+
+
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
+    "q_calibration": _calibration_oracle(),
     "q_cuped": f"""
 WITH t0 AS (SELECT min(epoch_ms(ts)) AS tmin FROM events),
 pu AS (

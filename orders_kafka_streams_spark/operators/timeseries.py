@@ -1021,8 +1021,79 @@ def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_LOOKBACK_MS = 3 * 86_400_000  # attribution window before each conversion
+ATTR_CHANNELS = ("click", "view")  # touchpoint event types (ad-channel proxy)
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    credit-assignment query: every ``purchase`` is a conversion, the
+    same user's click/view events in the 3 days before it are its
+    touchpoints, and each channel is credited under three standard
+    models at once: first-touch (1.0 to the earliest touch),
+    last-touch (1.0 to the latest), and linear (1/k to each of the k
+    touches), plus linearly-attributed revenue. The journey-credit
+    complement to q_funnel (which counts stage reach) and
+    q_transition_matrix (which models step topology).
+
+    Scale shape: one user_id equi-join bounded by the lookback
+    predicate (per-user fan-out is capped by activity within 3 days,
+    never the whole history), ONE window partitioned by conversion id
+    (per-conversion touch lists are lookback-bounded, so no task sees
+    unbounded rows), then the corpus collapses to |channels| cells.
+    Per-touch linear credits round to 9 dp before summing so both
+    engines feed identical terms into the float accumulation.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sessionization / behavioral
+    family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        epoch_ms(F.col("ts")).alias("cms"),
+        F.col("value").alias("revenue"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*ATTR_CHANNELS)).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("touch_id"),
+        epoch_ms(F.col("ts")).alias("tms"),
+    )
+    j = touch.join(
+        conv,
+        (touch["user_id"] == conv["user_id"])
+        & (F.col("tms") < F.col("cms"))
+        & (F.col("tms") >= F.col("cms") - ATTR_LOOKBACK_MS),
+    )
+    wp = Window.partitionBy("conv_id")
+    asc = wp.orderBy("tms", "touch_id")
+    desc = wp.orderBy(F.col("tms").desc(), F.col("touch_id").desc())
+    credited = j.select(
+        "channel",
+        "revenue",
+        (F.row_number().over(asc) == 1).cast("long").alias("is_first"),
+        (F.row_number().over(desc) == 1).cast("long").alias("is_last"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(wp), 9).alias("lin"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("is_first").alias("credit_first"),
+            F.sum("is_last").alias("credit_last"),
+            F.round(F.sum("lin"), 4).alias("credit_linear"),
+            F.round(F.sum(F.col("revenue") * F.col("lin")), 4).alias("revenue_linear"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "q_event_pattern": _q_event_pattern,
+    "q_attribution": _q_attribution,
     "q_seasonal_outliers": _q_seasonal_outliers,
     "q_holt_forecast": _q_holt_forecast,
     "q_item_cooccurrence": _q_item_cooccurrence,
@@ -1175,6 +1246,37 @@ ORDER BY f.event_type
 
 ORACLE = {
     "q_event_pattern": _event_pattern_oracle(),
+    "q_attribution": f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS cms, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, event_id AS touch_id, epoch_ms(ts) AS tms
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT t.channel, c.conv_id, c.revenue, t.tms, t.touch_id
+  FROM touch t JOIN conv c ON t.user_id = c.user_id
+   AND t.tms < c.cms AND t.tms >= c.cms - {ATTR_LOOKBACK_MS}
+),
+credited AS (
+  SELECT channel, revenue,
+         CASE WHEN row_number() OVER (PARTITION BY conv_id
+              ORDER BY tms, touch_id) = 1 THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN row_number() OVER (PARTITION BY conv_id
+              ORDER BY tms DESC, touch_id DESC) = 1 THEN 1 ELSE 0 END AS is_last,
+         round(1.0 / count(1) OVER (PARTITION BY conv_id), 9) AS lin
+  FROM j
+)
+SELECT channel,
+       CAST(count(1) AS BIGINT) AS n_touches,
+       CAST(sum(is_first) AS BIGINT) AS credit_first,
+       CAST(sum(is_last) AS BIGINT) AS credit_last,
+       round(sum(lin), 4) AS credit_linear,
+       round(sum(revenue * lin), 4) AS revenue_linear
+FROM credited GROUP BY channel ORDER BY channel
+""",
     "q_seasonal_outliers": _seasonal_outliers_oracle(),
     "q_holt_forecast": _holt_oracle(),
     "q_item_cooccurrence": _item_cooccurrence_oracle(),
