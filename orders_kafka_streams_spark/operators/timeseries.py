@@ -1021,6 +1021,122 @@ def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_MS = 5_000  # min gap from the previous same-key event
+
+
+def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-fire suppression audit — the instrumentation-cleaning
+    pass that precedes any behavioral metric: an event is DROPPED when
+    it arrives within 5 s of the previous event of the same
+    (user, event_type), the double-click / retry-storm signature.
+    Throttle semantics (gap measured from the previous RAW event), not
+    chained debounce — the chained form's keep decision depends on the
+    previous KEPT event, a sequential recursion (the EWMA-fold path);
+    the one-lag rule is the standard declarative form and drops a
+    superset of it. Output: per event_type raw/kept/dropped counts and
+    the drop fraction — how much of each signal is instrumentation
+    noise.
+
+    Scale shape: ONE (user, type) exchange feeds the lag window
+    (per-key timelines, never a global order), gaps are exact integer
+    ms, and the corpus collapses to |event types| cells.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sessionization / data-cleaning
+    family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = epoch_ms(F.col("ts")) - F.lag(epoch_ms(F.col("ts"))).over(w)
+    # first event per key has no gap (lag NULL) — explicitly KEPT
+    flagged = ev.select(
+        "event_type",
+        F.coalesce((gap < DEBOUNCE_MS).cast("long"), F.lit(0)).alias("dropped"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.lit(1) - F.col("dropped")).alias("n_kept"),
+            F.sum("dropped").alias("n_dropped"),
+            F.round(F.sum("dropped") / F.count(F.lit(1)), 4).alias("drop_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BURST_CV_HI = 1.5  # coefficient-of-variation band edges (Poisson CV = 1)
+BURST_CV_LO = 0.5
+BURST_MIN_EVENTS = 5  # below this, CV is noise
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness profile — the bot/automation detector:
+    a Poisson (human-ish, memoryless) event stream has gap
+    CV = stddev/mean ≈ 1; schedulers and scripts fire near-periodically
+    (CV « 1); scrapers burst (CV » 1). Each user with ≥ 5 inter-arrival
+    gaps gets a CV from exact integer sufficient statistics (n, Σg, Σg²
+    in int64 — no float until the final divisions), then users bucket
+    into regular / poisson-like / bursty bands. Output: one row per
+    band with user count and the band's mean CV.
+
+    Scale shape: one user_id exchange for the lag window, per-user
+    sufficient statistics partial-combine map-side, and the corpus
+    collapses to 3 band cells. Gaps are floored to SECONDS before
+    squaring so Σg² stays far from int64 overflow (ms² of a month-long
+    gap is ~7e18, one addition from wrapping in Spark while DuckDB
+    widens to HUGEINT — second-resolution keeps both engines in exact
+    int64 up to ~10⁶ events/user) and both sides stay integer-exact
+    until the final divisions.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / behavioral family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.floor(
+        (epoch_ms(F.col("ts")) - F.lag(epoch_ms(F.col("ts"))).over(w)) / F.lit(1000.0)
+    ).alias("g")
+    per_user = (
+        ev.select("user_id", gap_s)
+        .filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        # sg > 0 drops the degenerate all-sub-second-gap user (mean 0
+        # would divide by zero, and engines disagree on double/0)
+        .filter((F.col("n") >= BURST_MIN_EVENTS) & (F.col("sg") > 0))
+    )
+    mean = F.col("sg") / F.col("n")
+    # greatest(…, 0): equal-gap users can push the computed variance
+    # epsilon-negative in float; sqrt(-eps) is NaN on both engines
+    var = F.greatest(
+        (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n")) / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    cv = F.round(F.sqrt(var) / mean, 6)
+    banded = per_user.select(
+        F.when(cv > BURST_CV_HI, "bursty")
+        .when(cv < BURST_CV_LO, "regular")
+        .otherwise("poisson_like")
+        .alias("band"),
+        cv.alias("cv"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("cv"), 4).alias("mean_cv"),
+        )
+        .orderBy("band")
+    )
+
+
 ATTR_LOOKBACK_MS = 3 * 86_400_000  # attribution window before each conversion
 ATTR_CHANNELS = ("click", "view")  # touchpoint event types (ad-channel proxy)
 
@@ -1094,6 +1210,8 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_event_pattern": _q_event_pattern,
     "q_attribution": _q_attribution,
+    "q_debounce": _q_debounce,
+    "q_burstiness": _q_burstiness,
     "q_seasonal_outliers": _q_seasonal_outliers,
     "q_holt_forecast": _q_holt_forecast,
     "q_item_cooccurrence": _q_item_cooccurrence,
@@ -1246,6 +1364,55 @@ ORDER BY f.event_type
 
 ORACLE = {
     "q_event_pattern": _event_pattern_oracle(),
+    "q_debounce": f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+f AS (
+  SELECT event_type,
+         CASE WHEN gap < {DEBOUNCE_MS} THEN 1 ELSE 0 END AS dropped
+  FROM g
+)
+SELECT event_type,
+       CAST(count(1) AS BIGINT) AS n_raw,
+       CAST(sum(1 - dropped) AS BIGINT) AS n_kept,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       round(sum(dropped) / CAST(count(1) AS DOUBLE), 4) AS drop_frac
+FROM f GROUP BY event_type ORDER BY event_type
+""",
+    "q_burstiness": f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor((epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) / 1000.0) AS BIGINT) AS g
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(g * g) AS BIGINT) AS sgg
+  FROM g WHERE g IS NOT NULL
+  GROUP BY user_id
+  HAVING count(1) >= {BURST_MIN_EVENTS} AND sum(g) > 0
+),
+cvt AS (
+  SELECT round(sqrt(greatest((sgg - sg * sg / CAST(n AS DOUBLE)) / (n - 1), 0.0))
+               / (sg / CAST(n AS DOUBLE)), 6) AS cv
+  FROM pu
+),
+banded AS (
+  SELECT CASE WHEN cv > {BURST_CV_HI} THEN 'bursty'
+              WHEN cv < {BURST_CV_LO} THEN 'regular'
+              ELSE 'poisson_like' END AS band, cv
+  FROM cvt
+)
+SELECT band, CAST(count(1) AS BIGINT) AS n_users, round(avg(cv), 4) AS mean_cv
+FROM banded GROUP BY band ORDER BY band
+""",
     "q_attribution": f"""
 WITH conv AS (
   SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS cms, value AS revenue
