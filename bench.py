@@ -141,6 +141,9 @@ HEADLINE = [
     "q_pysource_batch",
     "q_drop_ledger",
     "q_holt_forecast",
+    "q_attribution",
+    "q_calibration",
+    "q_sample_priority",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -274,14 +277,21 @@ def main() -> None:
     # plan building, codegen, first-touch persists, and any
     # construction-time probe jobs); steady = min of two subsequent
     # execution-only runs (machine noise measured +/-10%, BASELINE.md).
+    # The two steady executions run in two SEPARATED full passes over
+    # the suite, not back-to-back: ambient load on this host arrives in
+    # multi-second waves (r5 observed the same suite flag disjoint
+    # "regressions" on consecutive runs), and back-to-back runs let one
+    # wave sit on both of a query's samples. Minutes apart, the min
+    # survives any wave shorter than a full pass — same total
+    # executions, strictly better noise rejection.
     cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
+    steady1: dict[str, float] = {}
     for name in HEADLINE:
-        first = run_once(name, include_build=True)
-        second = run_once(name)
-        third = run_once(name)
-        cold[name] = round(first, 3)
-        steady[name] = round(min(second, third), 3)
+        cold[name] = round(run_once(name, include_build=True), 3)
+        steady1[name] = run_once(name)
+    steady = {
+        name: round(min(steady1[name], run_once(name)), 3) for name in HEADLINE
+    }
 
     total_cold = round(sum(cold.values()), 3)
     total_steady = round(sum(steady.values()), 3)
@@ -326,13 +336,18 @@ def main() -> None:
         _PERSIST_MEMO.clear()
         spark.catalog.clearCache()
 
+        # same two-separated-passes shape as the sf0.1 tier (wave noise)
+        sf1_first: dict[str, float] = {}
         sf1 = {}
         for name in SF1_HEAVY:
             try:
-                first = run_once(name, sf1_dir)
-                second = run_once(name, sf1_dir)
-                sf1[name] = round(min(first, second), 3)
+                sf1_first[name] = run_once(name, sf1_dir)
             except Exception as e:  # keep the timings already collected
+                print(f"sf1 {name} failed: {e}", file=sys.stderr)
+        for name, first in sf1_first.items():
+            try:
+                sf1[name] = round(min(first, run_once(name, sf1_dir)), 3)
+            except Exception as e:
                 print(f"sf1 {name} failed: {e}", file=sys.stderr)
         if not sf1:
             sf1 = None

@@ -494,6 +494,98 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)  # audited prefix truncations of the 64-dim corpus
+
+
+def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): can the
+    64-dim embeddings be served at 8/16/32 prefix dims? Per truncation:
+    mean recall@10 of the truncated-cosine top-k against the FULL-dim
+    exact top-k (the retrieval cost of truncation) and the mean energy
+    fraction ‖v[:d]‖²/‖v‖² (the geometry explanation) — the
+    storage-vs-quality table a vector-store owner reads before cutting
+    index size 2-8×.
+
+    Scale shape: like q_ann_quality, the recall side is PROBE-bounded —
+    the broadcast query set crosses the corpus once per truncation with
+    the top-k window partitioned by query; the energy side is one
+    map-only fold pass collapsing to |dims| cells. Both engines fold
+    dot products left-to-right over identical doubles, so rankings
+    agree bit-exactly (the q_knn_brute contract).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (similarity family)."""
+    v = _prepared(spark, sf_dir)
+    truth = knn_brute(v, v.filter(F.col("vec_id") < N_QUERIES)).select(
+        "query_id", "neighbor_id"
+    )
+    per = None
+    for d in MATRYOSHKA_DIMS:
+        tv = v.select("vec_id", F.slice(F.col("e"), 1, d).alias("te")).withColumn(
+            "tn", _norm(F.col("te"))
+        )
+        q = tv.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("te").alias("qe"),
+            F.col("tn").alias("qn"),
+        )
+        n = tv.select(F.col("vec_id").alias("neighbor_id"), "te", "tn")
+        w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+        kn = (
+            F.broadcast(q)
+            .crossJoin(n)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("c", _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(F.lit(d).alias("trunc_dim"), "query_id", "neighbor_id")
+        )
+        per = kn if per is None else per.unionByName(kn)
+    hits = (
+        per.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("trunc_dim", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    probes = truth.select("query_id").distinct()
+    dims_df = spark.createDataFrame([(d,) for d in MATRYOSHKA_DIMS], "trunc_dim int")
+    recall = (
+        probes.crossJoin(F.broadcast(dims_df))
+        .join(hits, ["trunc_dim", "query_id"], "left")
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.avg(F.coalesce(F.col("n_rel"), F.lit(0)) / float(TOP_K)), 4
+            ).alias("mean_recall"),
+        )
+    )
+
+    def sq(c):  # sum of squares, left-to-right fold (mirrors list_reduce)
+        return F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+
+    energy = (
+        v.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("trunc_dim"),
+                            F.round(
+                                sq(F.slice(F.col("e"), 1, d)) / sq(F.col("e")), 6
+                            ).alias("energy"),
+                        )
+                        for d in MATRYOSHKA_DIMS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("trunc_dim")
+        .agg(F.round(F.avg("energy"), 4).alias("mean_energy"))
+    )
+    return recall.join(energy, "trunc_dim").orderBy("trunc_dim")
+
+
 def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality AUDIT as a first-class query: every ANN variant's
     recall and MRR against the exact brute-force top-10, one row per
@@ -1509,6 +1601,7 @@ QUERIES = {
     "q_mmr_rerank": _q_mmr_rerank,
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
+    "q_matryoshka": _q_matryoshka,
     "q_knn_lsh": _q_knn_lsh,
     "q_knn_ivf": _q_knn_ivf,
     "q_knn_pq": _q_knn_pq,
@@ -1521,6 +1614,79 @@ QUERIES = {
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
 }
+
+def _matryoshka_oracle() -> str:
+    """Per-truncation CTE blocks mirroring the Spark loop; truth is the
+    full-dim exact ranking (the q_knn_brute contract: identical
+    left-to-right fold → identical doubles → identical order)."""
+    blocks, unions_r, unions_e = [], [], []
+    for d in MATRYOSHKA_DIMS:
+        blocks.append(
+            f"""t{d} AS (
+  SELECT vec_id, e[1:{d}] AS te,
+         sqrt(list_reduce(list_transform(e[1:{d}], x -> x * x), (a, x) -> a + x)) AS tn
+  FROM v
+),
+s{d} AS (
+  SELECT {d} AS trunc_dim, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 1 + len(q.te)), i -> q.te[i] * n.te[i]),
+                     (a, x) -> a + x) / (q.tn * n.tn) AS c
+  FROM t{d} q JOIN t{d} n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+r{d} AS (
+  SELECT trunc_dim, query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS rk FROM s{d})
+  WHERE rk <= {TOP_K}
+)"""
+        )
+        unions_r.append(f"SELECT * FROM r{d}")
+        unions_e.append(
+            f"SELECT {d} AS trunc_dim,"
+            f" round(list_reduce(list_transform(e[1:{d}], x -> x * x), (a, x) -> a + x)"
+            f" / list_reduce(list_transform(e, x -> x * x), (a, x) -> a + x), 6) AS energy"
+            f" FROM v"
+        )
+    dims_list = ", ".join(str(d) for d in MATRYOSHKA_DIMS)
+    return (
+        _V_CTE
+        + ",\n"
+        + ",\n".join(blocks)
+        + f""",
+tscore AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_DOT} / (q.nrm * n.nrm) AS c
+  FROM v q JOIN v n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS rk FROM tscore)
+  WHERE rk <= {TOP_K}
+),
+allr AS ({" UNION ALL ".join(unions_r)}),
+hits AS (
+  SELECT a.trunc_dim, a.query_id, count(1) AS n_rel
+  FROM allr a JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT query_id FROM truth),
+dims AS (SELECT unnest([{dims_list}]) AS trunc_dim),
+grid AS (SELECT d.trunc_dim, p.query_id FROM probes p CROSS JOIN dims d),
+rec AS (
+  SELECT g.trunc_dim, CAST(count(1) AS BIGINT) AS n_queries,
+         round(avg(coalesce(h.n_rel, 0) / {float(TOP_K)}), 4) AS mean_recall
+  FROM grid g LEFT JOIN hits h ON g.trunc_dim = h.trunc_dim AND g.query_id = h.query_id
+  GROUP BY g.trunc_dim
+),
+en AS (
+  SELECT trunc_dim, round(avg(energy), 4) AS mean_energy
+  FROM ({" UNION ALL ".join(unions_e)}) GROUP BY trunc_dim
+)
+SELECT CAST(r.trunc_dim AS INTEGER) AS trunc_dim, r.n_queries, r.mean_recall, e.mean_energy
+FROM rec r JOIN en e USING (trunc_dim) ORDER BY trunc_dim
+"""
+    )
+
 
 _V_CTE = """
 WITH v AS (
@@ -1743,6 +1909,7 @@ SELECT vec_id,
        list_min(codes) AS min_code
 FROM q
 """,
+    "q_matryoshka": _matryoshka_oracle(),
     "q_knn_brute": _V_CTE
     + f"""
 , scored AS (

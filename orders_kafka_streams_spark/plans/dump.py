@@ -121,6 +121,9 @@ COMMENTARY = {
     "q_pysource_batch": "custom Python DataSource: N_PARTS partitioned parallel generator reads (no driver materialization), then the flagship pair shape — order_id agg + facility cells",
     "q_drop_ledger": "drop attribution: three doc_id-keyed flag joins over the capstone's MEMOIZED gate relations (no gate recomputes), rollup shuffles (source, verdict) cells",
     "q_holt_forecast": "Holt forecast: corpus to (type, hour) cells in one partial agg, ONE type exchange, recursion folds per key over the collected cell array (bounded by hours, not events)",
+    "q_attribution": "multi-touch attribution: lookback-bounded user_id equi-join caps per-conversion fan-out, one conversion-id window serves all three credit models, |channels| output cells",
+    "q_calibration": "calibration/ECE: scored docs collapse to 10 FIXED-width probability bins in one exchange (no min/max pre-pass), ECE attaches back as a 1-row broadcast",
+    "q_sample_priority": "priority sampling: scan-level IEEE priority expression, top-(K+1) via TakeOrdered per-partition heaps (no global sort), the only window runs over the K+1-row relation",
 }
 
 
