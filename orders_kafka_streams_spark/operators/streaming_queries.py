@@ -339,6 +339,32 @@ def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce audit fed by the streaming engine: the stateful
+    per-(user, type) last-timestamp cursor (streaming/debounce.py)
+    flags each arriving event against the carried previous raw event;
+    the per-type rollup runs over the drained verdict relation. The
+    flag SET is batch-split invariant (state seeds the first gap of
+    every micro-batch — tests/test_stream_debounce.py), so the audit
+    equals the batch lag-window form and shares q_debounce's oracle."""
+    from ..streaming.debounce import stream_debounce
+    from .timeseries import DEBOUNCE_MS
+
+    ev = events_file_stream(spark, sf_dir)
+    tab = run_to_memory(stream_debounce(ev, DEBOUNCE_MS), "debounce_stream")
+    return (
+        spark.table(tab)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.lit(1) - F.col("dropped")).alias("n_kept"),
+            F.sum("dropped").alias("n_dropped"),
+            F.round(F.sum("dropped") / F.count(F.lit(1)), 4).alias("drop_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental near-dup dedup (VERDICT r2 item 8): delta
     documents ARRIVE as a stream; each micro-batch is shingled /
@@ -926,6 +952,7 @@ QUERIES = {
     "q_stream_pair_match": _q_stream_pair_match,
     "q_stream_ewma": _q_stream_ewma,
     "q_stream_transition_matrix": _q_stream_transition_matrix,
+    "q_stream_debounce": _q_stream_debounce,
 }
 
 from .pipeline import ORACLE as _PL_ORACLE
@@ -1224,6 +1251,7 @@ ORACLE["q_stream_semantic_contamination"] = _SIM_ORACLE["q_semantic_contaminatio
 from .timeseries import ORACLE as _TS_ORACLE
 
 ORACLE["q_stream_transition_matrix"] = _TS_ORACLE["q_transition_matrix"]
+ORACLE["q_stream_debounce"] = _TS_ORACLE["q_debounce"]
 
 # the streamed DP release equals the batch release on CLOSED windows
 from .privacy import DP_EPSILON as _DP_EPS
