@@ -1432,8 +1432,119 @@ def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FS_SMOOTH = 0.5  # Laplace smoothing for m/u estimates (keeps logs finite)
+#: deterministic field-noise injectors: a known fraction of records
+#: carries a wrong brand / type / size so the match-class agreement
+#: probabilities m are measurably < 1 (clerical-error simulation,
+#: same fixture-stream idea as _fuzzy_dirty_expr)
+_FS_BRAND = "CASE WHEN p_partkey % 7 = 0 THEN 'Brand#00' ELSE p_brand END"
+_FS_TYPE = "CASE WHEN p_partkey % 11 = 0 THEN 'mangled type' ELSE p_type END"
+_FS_SIZE = "CASE WHEN p_partkey % 5 = 0 THEN p_size + 1 ELSE p_size END"
+
+
+def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage model (Fellegi &
+    Sunter 1969; the scoring model behind splink/dedupe): over the
+    blocked candidate pairs of a deterministically corrupted copy of
+    ``part`` vs the clean table, estimate per comparison field the
+    match-class and non-match-class agreement rates m = P(agree|match)
+    and u = P(agree|non-match) (ground truth = same part key, which
+    the fixture knows), and emit each field's log2 agreement /
+    disagreement weights — the additive evidence scores a linkage
+    engine sums per pair. Laplace-smoothed so a saturated field
+    (name agrees on every true match by construction) still yields a
+    finite disagreement weight.
+
+    Scale shape: candidate pairs come from the same bounded
+    prefix/suffix block join as q_fuzzy_join (never all-pairs; the
+    clean side is dimension-sized and broadcast), one (rec, cand)
+    dedup exchange, then the pair relation collapses to ONE
+    sufficient-statistic row (count cells per field × label) and
+    explodes to |fields| output rows — estimation cost is one pass
+    over blocked pairs regardless of corpus size. u is estimated on
+    BLOCKED pairs (the operational population a linkage run actually
+    scores), the standard practice.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup / record-linkage family)."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.expr(_fuzzy_dirty_expr("p_name", "p_partkey")).alias("dname"),
+        F.expr(_FS_BRAND).alias("dbrand"),
+        F.expr(_FS_TYPE).alias("dtype"),
+        F.expr(_FS_SIZE).alias("dsize"),
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("cand_id"),
+        F.col("p_name").alias("cname"),
+        F.col("p_brand").alias("cbrand"),
+        F.col("p_type").alias("ctype"),
+        F.col("p_size").alias("csize"),
+    )
+
+    def _blocked(df: DataFrame, col: str) -> DataFrame:
+        pre = df.withColumn(
+            "bk", F.concat(F.lit("p:"), F.substring(F.col(col), 1, FUZZY_BLOCK))
+        )
+        suf = df.withColumn(
+            "bk",
+            F.concat(F.lit("s:"), F.substring(F.col(col), -FUZZY_BLOCK, FUZZY_BLOCK)),
+        )
+        return pre.unionByName(suf)
+
+    pairs = (
+        _blocked(dirty, "dname")
+        .join(F.broadcast(_blocked(clean, "cname")), "bk")
+        .drop("bk")
+        .distinct()  # a pair can survive under both block keys
+    )
+    flags = pairs.select(
+        (F.col("rec_id") == F.col("cand_id")).cast("long").alias("match"),
+        (F.levenshtein("dname", "cname") <= 1).cast("long").alias("f_name"),
+        (F.col("dbrand") == F.col("cbrand")).cast("long").alias("f_brand"),
+        (F.col("dtype") == F.col("ctype")).cast("long").alias("f_type"),
+        (F.col("dsize") == F.col("csize")).cast("long").alias("f_size"),
+    )
+    fields = ("name", "brand", "type", "size")
+    s = flags.agg(
+        F.sum("match").alias("nm"),
+        F.sum(F.lit(1) - F.col("match")).alias("nn"),
+        *[
+            F.sum(F.col(f"f_{f}") * F.col("match")).alias(f"am_{f}")
+            for f in fields
+        ],
+        *[
+            F.sum(F.col(f"f_{f}") * (F.lit(1) - F.col("match"))).alias(f"au_{f}")
+            for f in fields
+        ],
+    )
+
+    def _row(f: str):
+        m = (F.col(f"am_{f}") + FS_SMOOTH) / (F.col("nm") + 2 * FS_SMOOTH)
+        u = (F.col(f"au_{f}") + FS_SMOOTH) / (F.col("nn") + 2 * FS_SMOOTH)
+        return F.struct(
+            F.lit(f).alias("field"),
+            F.col("nm").alias("n_match"),
+            F.col("nn").alias("n_nonmatch"),
+            F.round(m, 6).alias("m"),
+            F.round(u, 6).alias("u"),
+            F.round(F.log2(m / u), 6).alias("w_agree"),
+            F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6).alias(
+                "w_disagree"
+            ),
+        )
+
+    return (
+        s.select(F.explode(F.array(*[_row(f) for f in fields])).alias("r"))
+        .select("r.*")
+        .orderBy("field")
+    )
+
+
 QUERIES = {
     "q_fuzzy_join": _q_fuzzy_join,
+    "q_linkage_weights": _q_linkage_weights,
     "q_cdc_chunks": _q_cdc_chunks,
     "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
@@ -1519,7 +1630,79 @@ SELECT a AS doc_id, deg, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}
     )
 
 
+def _linkage_oracle() -> str:
+    """Per-field m/u/weight rows composed as UNION ALL selects over
+    the one sufficient-statistic row; every float expression mirrors
+    the Spark operand order (two divisions, then the quotient into
+    log2 — never algebraically simplified)."""
+    fields = ("name", "brand", "type", "size")
+    stat_cols = ", ".join(
+        [
+            "CAST(sum(match) AS BIGINT) AS nm",
+            "CAST(sum(1 - match) AS BIGINT) AS nn",
+            *[f"CAST(sum(f_{f} * match) AS BIGINT) AS am_{f}" for f in fields],
+            *[f"CAST(sum(f_{f} * (1 - match)) AS BIGINT) AS au_{f}" for f in fields],
+        ]
+    )
+    selects = []
+    for f in fields:
+        m = f"((am_{f} + {FS_SMOOTH}) / (nm + {2 * FS_SMOOTH}))"
+        u = f"((au_{f} + {FS_SMOOTH}) / (nn + {2 * FS_SMOOTH}))"
+        selects.append(
+            f"SELECT '{f}' AS field, nm AS n_match, nn AS n_nonmatch,"
+            f" round({m}, 6) AS m, round({u}, 6) AS u,"
+            f" round(log2({m} / {u}), 6) AS w_agree,"
+            f" round(log2((1.0 - {m}) / (1.0 - {u})), 6) AS w_disagree"
+            f" FROM s"
+        )
+    return f"""
+WITH dirty AS (
+  SELECT p_partkey AS rec_id,
+         {_fuzzy_dirty_expr("p_name", "p_partkey")} AS dname,
+         {_FS_BRAND} AS dbrand, {_FS_TYPE} AS dtype, {_FS_SIZE} AS dsize
+  FROM part
+),
+clean AS (
+  SELECT p_partkey AS cand_id, p_name AS cname, p_brand AS cbrand,
+         p_type AS ctype, p_size AS csize
+  FROM part
+),
+db AS (
+  SELECT rec_id, dname, dbrand, dtype, dsize,
+         'p:' || substr(dname, 1, {FUZZY_BLOCK}) AS bk FROM dirty
+  UNION ALL
+  SELECT rec_id, dname, dbrand, dtype, dsize,
+         's:' || substr(dname, length(dname) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
+  FROM dirty
+),
+cb AS (
+  SELECT cand_id, cname, cbrand, ctype, csize,
+         'p:' || substr(cname, 1, {FUZZY_BLOCK}) AS bk FROM clean
+  UNION ALL
+  SELECT cand_id, cname, cbrand, ctype, csize,
+         's:' || substr(cname, length(cname) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
+  FROM clean
+),
+pairs AS (
+  SELECT DISTINCT rec_id, dname, dbrand, dtype, dsize,
+                  cand_id, cname, cbrand, ctype, csize
+  FROM db JOIN cb USING (bk)
+),
+flags AS (
+  SELECT CASE WHEN rec_id = cand_id THEN 1 ELSE 0 END AS match,
+         CASE WHEN levenshtein(dname, cname) <= 1 THEN 1 ELSE 0 END AS f_name,
+         CASE WHEN dbrand = cbrand THEN 1 ELSE 0 END AS f_brand,
+         CASE WHEN dtype = ctype THEN 1 ELSE 0 END AS f_type,
+         CASE WHEN dsize = csize THEN 1 ELSE 0 END AS f_size
+  FROM pairs
+),
+s AS (SELECT {stat_cols} FROM flags)
+SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY field
+"""
+
+
 ORACLE = {
+    "q_linkage_weights": _linkage_oracle(),
     "q_fuzzy_join": f"""
 WITH dirty AS (
   SELECT p_partkey AS rec_id, p_name AS true_name,

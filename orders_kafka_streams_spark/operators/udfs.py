@@ -111,7 +111,11 @@ def _q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import CHUNK_STRIDE, CHUNK_TOKENS
     from .text import _tokenized
 
-    @udtf(returnType="chunk_idx int, tok_start int, tok_end int")
+    # useArrow: without it the UDTF evaluates as BatchEvalPythonUDTF
+    # (pickle row-at-a-time — the one node class the plan gate bans);
+    # Arrow moves it to ArrowEvalPythonUDTF, the vectorized transfer
+    # every other Python kernel in this repo uses (r5 full-suite catch)
+    @udtf(returnType="chunk_idx int, tok_start int, tok_end int", useArrow=True)
     class ChunkSpans:
         def eval(self, n: int):
             if n is None or n <= 0:
