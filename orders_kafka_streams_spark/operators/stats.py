@@ -752,6 +752,113 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSPRT_SALT = "okss-msprt-v1"  # deterministic arm assignment (≠ CUPED's)
+MSPRT_TAU2 = 1.0  # mixture variance of the alternative (Johari et al.)
+MSPRT_ALPHA = 0.05
+DAY_MS = 86_400_000
+
+
+def _q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B test — the mixture sequential
+    probability ratio test (Johari, Koomen, Pekelis & Walsh, KDD 2017;
+    the 'peeking-safe' monitor behind Optimizely's stats engine): users
+    hash-split into two arms, per-DAY sufficient statistics accumulate
+    via one ordered running-sum window, and each day emits the mixture
+    likelihood ratio Λ_n and the always-valid p-value min(1, 1/Λ_n) —
+    valid at EVERY interim look, so the experimenter may stop the
+    moment it crosses α instead of waiting for a fixed horizon. The
+    sequential complement to q_cuped's variance reduction.
+
+    ln Λ_n = ½·ln(V/(V+τ²)) + Δ²τ²/(2V(V+τ²)), with Δ the arm mean
+    difference and V = σ²_pooled·(1/n_A + 1/n_B), τ² the mixture
+    variance over effect sizes.
+
+    Scale shape: the corpus collapses to one (day, arm) cell pass
+    (per-cell sums rounded 6 dp so both engines cumulate identical
+    terms); the ONLY window runs over O(days) cells ordered by day —
+    identical sequential fold order on both engines, so the cumulative
+    doubles match bit-for-bit before the final rounded outputs.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / experimentation
+    family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import epoch_ms, hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        hash60(F.concat(F.lit(MSPRT_SALT + "|"), F.col("user_id"))) % 2
+    ).alias("arm")
+    cells = (
+        ev.select(
+            F.floor(epoch_ms(F.col("ts")) / F.lit(DAY_MS)).alias("day"),
+            arm,
+            "value",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+            F.round(
+                F.sum(F.when(F.col("arm") == 0, F.col("value")).otherwise(0.0)), 6
+            ).alias("sa"),
+            F.round(
+                F.sum(
+                    F.when(F.col("arm") == 0, F.col("value") * F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("qa"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+            F.round(
+                F.sum(F.when(F.col("arm") == 1, F.col("value")).otherwise(0.0)), 6
+            ).alias("sb"),
+            F.round(
+                F.sum(
+                    F.when(F.col("arm") == 1, F.col("value") * F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("qb"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "day",
+        F.sum("na").over(w).alias("cna"),
+        F.sum("sa").over(w).alias("csa"),
+        F.sum("qa").over(w).alias("cqa"),
+        F.sum("nb").over(w).alias("cnb"),
+        F.sum("sb").over(w).alias("csb"),
+        F.sum("qb").over(w).alias("cqb"),
+    ).filter((F.col("cna") > 1) & (F.col("cnb") > 1))
+    ma = F.col("csa") / F.col("cna")
+    mb = F.col("csb") / F.col("cnb")
+    n = F.col("cna") + F.col("cnb")
+    # pooled variance from cumulative sufficient statistics
+    var = (
+        (F.col("cqa") - F.col("csa") * F.col("csa") / F.col("cna"))
+        + (F.col("cqb") - F.col("csb") * F.col("csb") / F.col("cnb"))
+    ) / (n - 2)
+    v = var * (F.lit(1.0) / F.col("cna") + F.lit(1.0) / F.col("cnb"))
+    delta = mb - ma
+    ln_lambda = F.lit(0.5) * F.log(v / (v + MSPRT_TAU2)) + (
+        delta * delta * MSPRT_TAU2
+    ) / (F.lit(2.0) * v * (v + MSPRT_TAU2))
+    p = F.least(F.lit(1.0), F.exp(-ln_lambda))
+    return cum.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("cna").alias("n_a"),
+        F.col("cnb").alias("n_b"),
+        F.round(delta, 6).alias("diff"),
+        F.round(ln_lambda, 6).alias("ln_lambda"),
+        F.round(p, 6).alias("p_always_valid"),
+        (p < MSPRT_ALPHA).alias("significant"),
+    ).orderBy("day")
+
+
 CAL_BINS = 10  # fixed-width probability bins [0, 1) — data-independent
 
 
@@ -1076,6 +1183,7 @@ QUERIES = {
     "q_calibration": _q_calibration,
     "q_survival_km": _q_survival_km,
     "q_cuped": _q_cuped,
+    "q_msprt": _q_msprt,
     "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
@@ -1214,6 +1322,55 @@ SELECT bin, n, conf, acc, gap, ece FROM g CROSS JOIN e ORDER BY bin
 
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
+    "q_msprt": f"""
+WITH cells AS (
+  SELECT CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         round(sum(CASE WHEN arm = 0 THEN value ELSE 0.0 END), 6) AS sa,
+         round(sum(CASE WHEN arm = 0 THEN value * value ELSE 0.0 END), 6) AS qa,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         round(sum(CASE WHEN arm = 1 THEN value ELSE 0.0 END), 6) AS sb,
+         round(sum(CASE WHEN arm = 1 THEN value * value ELSE 0.0 END), 6) AS qb
+  FROM (
+    SELECT ts, value,
+           {hash60_sql(f"'{MSPRT_SALT}|' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+    FROM events
+  )
+  GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         CAST(sum(na) OVER w AS BIGINT) AS cna,
+         sum(sa) OVER w AS csa,
+         sum(qa) OVER w AS cqa,
+         CAST(sum(nb) OVER w AS BIGINT) AS cnb,
+         sum(sb) OVER w AS csb,
+         sum(qb) OVER w AS cqb
+  FROM cells
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT day, cna, cnb,
+         csb / cnb - csa / cna AS delta,
+         (((cqa - csa * csa / cna) + (cqb - csb * csb / cnb))
+           / (cna + cnb - 2))
+           * (1.0 / cna + 1.0 / cnb) AS v
+  FROM cum WHERE cna > 1 AND cnb > 1
+),
+l AS (
+  SELECT day, cna, cnb, delta,
+         0.5 * ln(v / (v + {MSPRT_TAU2}))
+           + (delta * delta * {MSPRT_TAU2}) / (2.0 * v * (v + {MSPRT_TAU2}))
+           AS ln_lambda
+  FROM m
+)
+SELECT day, cna AS n_a, cnb AS n_b,
+       round(delta, 6) AS diff,
+       round(ln_lambda, 6) AS ln_lambda,
+       round(least(1.0, exp(-ln_lambda)), 6) AS p_always_valid,
+       (least(1.0, exp(-ln_lambda)) < {MSPRT_ALPHA}) AS significant
+FROM l ORDER BY day
+""",
     "q_calibration": _calibration_oracle(),
     "q_cuped": f"""
 WITH t0 AS (SELECT min(epoch_ms(ts)) AS tmin FROM events),
