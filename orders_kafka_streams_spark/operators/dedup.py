@@ -1455,15 +1455,20 @@ def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (name agrees on every true match by construction) still yields a
     finite disagreement weight.
 
-    Scale shape: candidate pairs come from the same bounded
-    prefix/suffix block join as q_fuzzy_join (never all-pairs; the
-    clean side is dimension-sized and broadcast), one (rec, cand)
-    dedup exchange, then the pair relation collapses to ONE
-    sufficient-statistic row (count cells per field × label) and
-    explodes to |fields| output rows — estimation cost is one pass
-    over blocked pairs regardless of corpus size. u is estimated on
-    BLOCKED pairs (the operational population a linkage run actually
-    scores), the standard practice.
+    Scale shape: O(N) by construction — the textbook estimation
+    design (splink estimates u from random pairings, never from the
+    blocked cross product): the match class is the N true pairs
+    (dirty record key-joined to its own clean row), the non-match
+    class is N DETERMINISTIC derangement pairs (partner key =
+    (rec + 1) mod max_key — reproducible 'random' pairings with no
+    shared entity), so estimation is two keyed joins however large the
+    corpus. The r5 first cut blocked dirty×clean like q_fuzzy_join —
+    the low-cardinality 2-char name blocks over TPC-H's color-word
+    vocabulary made that N²/|blocks| (153 s at sf1, caught by the
+    scale smoke); blocking belongs to candidate GENERATION
+    (q_fuzzy_join), not to m/u estimation. Both classes collapse to
+    ONE sufficient-statistic row, then explode to |fields| output
+    rows.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (dedup / record-linkage family)."""
@@ -1482,25 +1487,22 @@ def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("ctype"),
         F.col("p_size").alias("csize"),
     )
-
-    def _blocked(df: DataFrame, col: str) -> DataFrame:
-        pre = df.withColumn(
-            "bk", F.concat(F.lit("p:"), F.substring(F.col(col), 1, FUZZY_BLOCK))
-        )
-        suf = df.withColumn(
-            "bk",
-            F.concat(F.lit("s:"), F.substring(F.col(col), -FUZZY_BLOCK, FUZZY_BLOCK)),
-        )
-        return pre.unionByName(suf)
-
-    pairs = (
-        _blocked(dirty, "dname")
-        .join(F.broadcast(_blocked(clean, "cname")), "bk")
-        .drop("bk")
-        .distinct()  # a pair can survive under both block keys
+    nk = part.agg((F.max("p_partkey") + 1).alias("nkeys"))
+    paired = dirty.crossJoin(F.broadcast(nk)).select(
+        "*",
+        F.col("rec_id").alias("true_cand"),
+        ((F.col("rec_id") + 1) % F.col("nkeys")).alias("derange_cand"),
     )
-    flags = pairs.select(
-        (F.col("rec_id") == F.col("cand_id")).cast("long").alias("match"),
+    matches = paired.join(
+        clean, F.col("true_cand") == F.col("cand_id")
+    ).select(F.lit(1).alias("match"), "dname", "cname", "dbrand", "cbrand",
+             "dtype", "ctype", "dsize", "csize")
+    nonmatches = paired.join(
+        clean, F.col("derange_cand") == F.col("cand_id")
+    ).select(F.lit(0).alias("match"), "dname", "cname", "dbrand", "cbrand",
+             "dtype", "ctype", "dsize", "csize")
+    flags = matches.unionByName(nonmatches).select(
+        "match",
         (F.levenshtein("dname", "cname") <= 1).cast("long").alias("f_name"),
         (F.col("dbrand") == F.col("cbrand")).cast("long").alias("f_brand"),
         (F.col("dtype") == F.col("ctype")).cast("long").alias("f_type"),
@@ -1667,29 +1669,22 @@ clean AS (
          p_type AS ctype, p_size AS csize
   FROM part
 ),
-db AS (
-  SELECT rec_id, dname, dbrand, dtype, dsize,
-         'p:' || substr(dname, 1, {FUZZY_BLOCK}) AS bk FROM dirty
-  UNION ALL
-  SELECT rec_id, dname, dbrand, dtype, dsize,
-         's:' || substr(dname, length(dname) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
-  FROM dirty
-),
-cb AS (
-  SELECT cand_id, cname, cbrand, ctype, csize,
-         'p:' || substr(cname, 1, {FUZZY_BLOCK}) AS bk FROM clean
-  UNION ALL
-  SELECT cand_id, cname, cbrand, ctype, csize,
-         's:' || substr(cname, length(cname) - {FUZZY_BLOCK} + 1, {FUZZY_BLOCK})
-  FROM clean
+nk AS (SELECT max(p_partkey) + 1 AS nkeys FROM part),
+paired AS (
+  SELECT d.*, d.rec_id AS true_cand, (d.rec_id + 1) % k.nkeys AS derange_cand
+  FROM dirty d CROSS JOIN nk k
 ),
 pairs AS (
-  SELECT DISTINCT rec_id, dname, dbrand, dtype, dsize,
-                  cand_id, cname, cbrand, ctype, csize
-  FROM db JOIN cb USING (bk)
+  SELECT 1 AS match, p.dname, c.cname, p.dbrand, c.cbrand,
+         p.dtype, c.ctype, p.dsize, c.csize
+  FROM paired p JOIN clean c ON p.true_cand = c.cand_id
+  UNION ALL
+  SELECT 0 AS match, p.dname, c.cname, p.dbrand, c.cbrand,
+         p.dtype, c.ctype, p.dsize, c.csize
+  FROM paired p JOIN clean c ON p.derange_cand = c.cand_id
 ),
 flags AS (
-  SELECT CASE WHEN rec_id = cand_id THEN 1 ELSE 0 END AS match,
+  SELECT match,
          CASE WHEN levenshtein(dname, cname) <= 1 THEN 1 ELSE 0 END AS f_name,
          CASE WHEN dbrand = cbrand THEN 1 ELSE 0 END AS f_brand,
          CASE WHEN dtype = ctype THEN 1 ELSE 0 END AS f_type,

@@ -824,6 +824,16 @@ def _q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qb"),
         )
     )
+    return msprt_curve(cells)
+
+
+def msprt_curve(cells: DataFrame) -> DataFrame:
+    """(day, na, sa, qa, nb, sb, qb) daily sufficient-statistic cells →
+    the monitor rows. Shared by the batch query and the streaming twin
+    (whose cells the STREAMING engine aggregates from watermarked daily
+    windows), so batch and stream run the identical cumulative fold."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = cells.select(
         "day",
@@ -1320,10 +1330,19 @@ SELECT bin, n, conf, acc, gap, ece FROM g CROSS JOIN e ORDER BY bin
 """
 
 
-ORACLE = {
-    "q_roc_auc": _roc_auc_oracle(),
-    "q_msprt": f"""
-WITH cells AS (
+def msprt_oracle(closed_windows_only: bool = False) -> str:
+    """Batch mSPRT oracle; with ``closed_windows_only`` the daily cells
+    are restricted to windows the final watermark CLOSED (the streaming
+    twin's append-mode emission never sees the tail day) — the same
+    wm-filter pattern as q_stream_drift's oracle. The curve is a prefix
+    computation, so the filter only trims trailing rows."""
+    wm = (
+        f"WHERE (day + 1) * {DAY_MS} <= (SELECT max(epoch_ms(ts)) - 60000 FROM events)"
+        if closed_windows_only
+        else ""
+    )
+    return f"""
+WITH cells0 AS (
   SELECT CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) AS day,
          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
          round(sum(CASE WHEN arm = 0 THEN value ELSE 0.0 END), 6) AS sa,
@@ -1338,6 +1357,7 @@ WITH cells AS (
   )
   GROUP BY 1
 ),
+cells AS (SELECT * FROM cells0 {wm}),
 cum AS (
   SELECT day,
          CAST(sum(na) OVER w AS BIGINT) AS cna,
@@ -1370,7 +1390,12 @@ SELECT day, cna AS n_a, cnb AS n_b,
        round(least(1.0, exp(-ln_lambda)), 6) AS p_always_valid,
        (least(1.0, exp(-ln_lambda)) < {MSPRT_ALPHA}) AS significant
 FROM l ORDER BY day
-""",
+"""
+
+
+ORACLE = {
+    "q_roc_auc": _roc_auc_oracle(),
+    "q_msprt": msprt_oracle(),
     "q_calibration": _calibration_oracle(),
     "q_cuped": f"""
 WITH t0 AS (SELECT min(epoch_ms(ts)) AS tmin FROM events),

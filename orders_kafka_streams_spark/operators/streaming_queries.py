@@ -339,6 +339,47 @@ def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitor fed by the streaming engine —
+    the deployment shape mSPRT was designed for: the ENGINE aggregates
+    watermarked 1-day windows into per-arm sufficient-statistic cells
+    as they close; the cumulative likelihood-ratio fold (shared
+    verbatim with the batch query via stats.msprt_curve) runs over the
+    drained O(days) cell relation, so the experimenter reads a live
+    always-valid p-value after every closed day. Shares q_msprt's
+    oracle — the streamed curve equals the offline one exactly."""
+    from ..functions.portable import hash60
+    from .stats import DAY_MS, MSPRT_SALT, msprt_curve
+
+    ev = events_file_stream(spark, sf_dir)
+    arm = hash60(F.concat(F.lit(MSPRT_SALT + "|"), F.col("user_id"))) % 2
+    a0 = lambda c: F.when(arm == 0, c).otherwise(F.lit(0.0))  # noqa: E731
+    a1 = lambda c: F.when(arm == 1, c).otherwise(F.lit(0.0))  # noqa: E731
+    cells = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).alias("na"),
+            F.round(F.sum(a0(F.col("value"))), 6).alias("sa"),
+            F.round(F.sum(a0(F.col("value") * F.col("value"))), 6).alias("qa"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).alias("nb"),
+            F.round(F.sum(a1(F.col("value"))), 6).alias("sb"),
+            F.round(F.sum(a1(F.col("value") * F.col("value"))), 6).alias("qb"),
+        )
+        .select(
+            F.floor(epoch_ms(F.col("window.start")) / F.lit(DAY_MS)).alias("day"),
+            "na",
+            "sa",
+            "qa",
+            "nb",
+            "sb",
+            "qb",
+        )
+    )
+    tab = run_to_memory(cells, "msprt_cells_stream")
+    return msprt_curve(spark.table(tab))
+
+
 def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounce audit fed by the streaming engine: the stateful
     per-(user, type) last-timestamp cursor (streaming/debounce.py)
@@ -953,6 +994,7 @@ QUERIES = {
     "q_stream_ewma": _q_stream_ewma,
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_debounce": _q_stream_debounce,
+    "q_stream_msprt": _q_stream_msprt,
 }
 
 from .pipeline import ORACLE as _PL_ORACLE
@@ -1252,6 +1294,11 @@ from .timeseries import ORACLE as _TS_ORACLE
 
 ORACLE["q_stream_transition_matrix"] = _TS_ORACLE["q_transition_matrix"]
 ORACLE["q_stream_debounce"] = _TS_ORACLE["q_debounce"]
+from .stats import msprt_oracle as _msprt_oracle  # noqa: E402
+
+# append-mode emission: only watermark-closed daily windows drain, so
+# the oracle restricts the cells to closed windows (tail day trimmed)
+ORACLE["q_stream_msprt"] = _msprt_oracle(closed_windows_only=True)
 
 # the streamed DP release equals the batch release on CLOSED windows
 from .privacy import DP_EPSILON as _DP_EPS
