@@ -752,6 +752,119 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOGRANK_SALT = "okss-logrank-v1"  # deterministic group assignment
+LOGRANK_CRIT = 3.841459  # chi-square(1) 95% critical value, shared literal
+
+
+def _q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) —
+    'do these two groups convert at the same rate?': the hypothesis
+    test that pairs with q_survival_km's curve the way q_rank_test
+    pairs with a histogram. Users hash-split into two groups over the
+    same signup→purchase time-to-event data (right-censored at the
+    horizon); at each event day, group A's observed events compare to
+    its hypergeometric expectation given the pooled hazard, and
+    χ² = (Σ(O−E))²/ΣV is read against the shared-literal χ²₁ critical
+    value (the q_chi2_independence discipline — no engine's CDF
+    participates). The A/A fixture must accept the null; the pytest
+    power check injects a faster-converting arm and must reject.
+
+    Scale shape: identical to the KM curve — two user_id
+    min-aggregations, then (day, group) cells; per-group at-risk
+    counts are running sums over the O(days) cell relation and every
+    O/E/V term is integer arithmetic until the final divisions.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import epoch_ms, hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_ms(F.col("ts"))).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_ms(F.col("ts")).alias("tp"))
+        .join(s, "user_id")
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    horizon = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("tmax"))
+    grp = (
+        hash60(F.concat(F.lit(LOGRANK_SALT + "|"), F.col("user_id"))) % 2
+    ).alias("g")
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor(
+                (F.coalesce("tp", "tmax") - F.col("t0")) / F.lit(86_400_000)
+            ).alias("day"),
+            F.col("tp").isNotNull().alias("event"),
+            grp,
+        )
+    )
+    cells = obs.groupBy("day").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("event").cast("long")).otherwise(0)).alias("da"),
+        F.sum(F.when((F.col("g") == 0) & ~F.col("event"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == 1, F.col("event").cast("long")).otherwise(0)).alias("db"),
+        F.sum(F.when((F.col("g") == 1) & ~F.col("event"), 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    tot = cells.agg(
+        F.sum(F.col("da") + F.col("ca")).alias("na_tot"),
+        F.sum(F.col("db") + F.col("cb")).alias("nb_tot"),
+    )
+    risk = cells.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "da",
+        "db",
+        (
+            F.col("na_tot")
+            - F.coalesce(F.sum(F.col("da") + F.col("ca")).over(w), F.lit(0))
+        ).alias("ra"),
+        (
+            F.col("nb_tot")
+            - F.coalesce(F.sum(F.col("db") + F.col("cb")).over(w), F.lit(0))
+        ).alias("rb"),
+        "na_tot",
+        "nb_tot",
+    )
+    d = F.col("da") + F.col("db")
+    n = F.col("ra") + F.col("rb")
+    terms = risk.filter((d > 0) & (n > 1)).select(
+        "na_tot",
+        "nb_tot",
+        F.col("da").alias("oa"),
+        (F.col("ra") * d / n).alias("ea"),
+        (
+            (F.col("ra") * F.col("rb") * d * (n - d)).cast("double")
+            / (n * n * (n - 1)).cast("double")
+        ).alias("v"),
+    )
+    agg = terms.groupBy("na_tot", "nb_tot").agg(
+        F.sum("oa").alias("o_a"),
+        F.round(F.sum("ea"), 6).alias("e_a"),
+        F.round(F.sum("v"), 6).alias("v_sum"),
+        F.round(
+            (F.sum("oa") - F.sum("ea")) * (F.sum("oa") - F.sum("ea")) / F.sum("v"), 6
+        ).alias("chi2"),
+    )
+    return agg.select(
+        F.col("na_tot").alias("n_a"),
+        F.col("nb_tot").alias("n_b"),
+        "o_a",
+        "e_a",
+        "chi2",
+        (F.col("chi2") > LOGRANK_CRIT).alias("significant"),
+    )
+
+
 MSPRT_SALT = "okss-msprt-v1"  # deterministic arm assignment (≠ CUPED's)
 MSPRT_TAU2 = 1.0  # mixture variance of the alternative (Johari et al.)
 MSPRT_ALPHA = 0.05
@@ -1194,6 +1307,7 @@ QUERIES = {
     "q_survival_km": _q_survival_km,
     "q_cuped": _q_cuped,
     "q_msprt": _q_msprt,
+    "q_logrank": _q_logrank,
     "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
@@ -1396,6 +1510,64 @@ FROM l ORDER BY day
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
     "q_msprt": msprt_oracle(),
+    "q_logrank": f"""
+WITH s AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS tp
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.t0
+  GROUP BY 1
+),
+h AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+obs AS (
+  SELECT CAST(floor((coalesce(p.tp, h.tmax) - s.t0) / 86400000) AS BIGINT) AS day,
+         p.tp IS NOT NULL AS event,
+         {hash60_sql(f"'{LOGRANK_SALT}|' || CAST(s.user_id AS VARCHAR)")} % 2 AS g
+  FROM s LEFT JOIN p USING (user_id) CROSS JOIN h
+),
+cells AS (
+  SELECT day,
+         CAST(sum(CASE WHEN g = 0 AND event THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(sum(CASE WHEN g = 0 AND NOT event THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 1 AND event THEN 1 ELSE 0 END) AS BIGINT) AS db,
+         CAST(sum(CASE WHEN g = 1 AND NOT event THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM obs GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(da + ca) AS BIGINT) AS na_tot,
+         CAST(sum(db + cb) AS BIGINT) AS nb_tot
+  FROM cells
+),
+risk AS (
+  SELECT day, da, db,
+         na_tot - coalesce(CAST(sum(da + ca) OVER w AS BIGINT), 0) AS ra,
+         nb_tot - coalesce(CAST(sum(db + cb) OVER w AS BIGINT), 0) AS rb,
+         na_tot, nb_tot
+  FROM cells CROSS JOIN tot
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+  SELECT na_tot, nb_tot, da AS oa,
+         ra * (da + db) / (ra + rb) AS ea,
+         CAST(ra * rb * (da + db) * ((ra + rb) - (da + db)) AS DOUBLE)
+           / CAST((ra + rb) * (ra + rb) * ((ra + rb) - 1) AS DOUBLE) AS v
+  FROM risk WHERE da + db > 0 AND ra + rb > 1
+),
+a AS (
+  SELECT na_tot, nb_tot,
+         CAST(sum(oa) AS BIGINT) AS o_a,
+         round(sum(ea), 6) AS e_a,
+         round(sum(v), 6) AS v_sum,
+         round((sum(oa) - sum(ea)) * (sum(oa) - sum(ea)) / sum(v), 6) AS chi2
+  FROM terms GROUP BY 1, 2
+)
+SELECT na_tot AS n_a, nb_tot AS n_b, o_a, e_a, chi2,
+       (chi2 > {LOGRANK_CRIT}) AS significant
+FROM a
+""",
     "q_calibration": _calibration_oracle(),
     "q_cuped": f"""
 WITH t0 AS (SELECT min(epoch_ms(ts)) AS tmin FROM events),

@@ -48,6 +48,40 @@ def test_msprt_detects_injected_lift(spark, tmp_path):
     assert rows[-1].p_always_valid < 0.001
 
 
+def test_logrank_null_accepts(spark):
+    from orders_kafka_streams_spark.operators.stats import _q_logrank
+
+    r = _q_logrank(spark, SF).first()
+    assert not r.significant, f"A/A split rejected the null (chi2={r.chi2})"
+    assert r.n_a > 50 and r.n_b > 50
+
+
+def test_logrank_detects_faster_arm(spark, tmp_path):
+    """Give every group-1 signup an extra purchase one hour later and
+    re-run the SAME query on the doctored corpus: group 1 now converts
+    almost immediately, so the test must reject."""
+    from orders_kafka_streams_spark.functions.portable import epoch_ms, hash60
+    from orders_kafka_streams_spark.operators.stats import LOGRANK_SALT, _q_logrank
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    grp = hash60(F.concat(F.lit(LOGRANK_SALT + "|"), F.col("user_id"))) % 2
+    fast = (
+        ev.filter((F.col("event_type") == "signup") & (grp == 1))
+        .withColumn("event_type", F.lit("purchase"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    doctored_dir = str(tmp_path / "fastarm")
+    os.makedirs(doctored_dir, exist_ok=True)
+    ev.unionByName(fast).coalesce(4).write.parquet(
+        os.path.join(doctored_dir, "events.parquet")
+    )
+    r = _q_logrank(spark, doctored_dir).first()
+    assert r.significant, f"injected fast arm not detected (chi2={r.chi2})"
+    assert r.chi2 > 20.0
+
+
 def test_linkage_m_recovers_injected_error_rates(spark):
     """The fixture corrupts brand on rec_id%7==0, size on %5==0 and
     type on %11==0 — so the UNsmoothed match-class agreement rates are
