@@ -339,6 +339,57 @@ def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution fed by the streaming engine: the
+    touch × conversion lookback join runs as a stream-stream INNER
+    interval join (touches wait in join state bounded by the 3-day
+    lookback + watermark; Spark's join state replaces any hand-rolled
+    touch buffer), and the credit windows + rollup (shared verbatim
+    with the batch query via timeseries.attribution_rollup) run over
+    the drained pair relation. Inner-join emission is eager — a pair
+    emits when both sides have arrived, no window-close dependence —
+    so the drained pair SET equals the batch join exactly and the
+    query shares q_attribution's oracle verbatim."""
+    from .timeseries import ATTR_CHANNELS, attribution_rollup
+
+    ev = events_file_stream(spark, sf_dir)
+    touches = (
+        ev.filter(F.col("event_type").isin(*ATTR_CHANNELS))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_type").alias("channel"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", "1 hour")
+    )
+    convs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("conv_id"),
+            F.col("value").alias("revenue"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = touches.join(
+        convs,
+        F.expr(
+            "t_user = c_user AND t_ts < c_ts AND t_ts >= c_ts - INTERVAL 3 DAYS"
+        ),
+        "inner",
+    ).select(
+        "channel",
+        "revenue",
+        "conv_id",
+        epoch_ms(F.col("t_ts")).alias("tms"),
+        "touch_id",
+    )
+    tab = run_to_memory(pairs, "attr_pairs_stream")
+    return attribution_rollup(spark.table(tab))
+
+
 def _q_stream_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential A/B monitor fed by the streaming engine —
     the deployment shape mSPRT was designed for: the ENGINE aggregates
@@ -995,6 +1046,7 @@ QUERIES = {
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_debounce": _q_stream_debounce,
     "q_stream_msprt": _q_stream_msprt,
+    "q_stream_attribution": _q_stream_attribution,
 }
 
 from .pipeline import ORACLE as _PL_ORACLE
@@ -1294,6 +1346,8 @@ from .timeseries import ORACLE as _TS_ORACLE
 
 ORACLE["q_stream_transition_matrix"] = _TS_ORACLE["q_transition_matrix"]
 ORACLE["q_stream_debounce"] = _TS_ORACLE["q_debounce"]
+# eager inner-join emission: the drained pair set equals the batch join
+ORACLE["q_stream_attribution"] = _TS_ORACLE["q_attribution"]
 from .stats import msprt_oracle as _msprt_oracle  # noqa: E402
 
 # append-mode emission: only watermark-closed daily windows drain, so

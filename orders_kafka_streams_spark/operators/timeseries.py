@@ -1184,10 +1184,21 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tms") < F.col("cms"))
         & (F.col("tms") >= F.col("cms") - ATTR_LOOKBACK_MS),
     )
+    return attribution_rollup(j)
+
+
+def attribution_rollup(pairs: DataFrame) -> DataFrame:
+    """(channel, revenue, conv_id, tms, touch_id) touch-conversion
+    pairs → per-channel credit table. Shared by the batch query and
+    the streaming twin (whose pair relation the STREAMING engine
+    produces via a stream-stream interval join), so both run the
+    identical credit windows and rollup."""
+    from pyspark.sql import Window
+
     wp = Window.partitionBy("conv_id")
     asc = wp.orderBy("tms", "touch_id")
     desc = wp.orderBy(F.col("tms").desc(), F.col("touch_id").desc())
-    credited = j.select(
+    credited = pairs.select(
         "channel",
         "revenue",
         (F.row_number().over(asc) == 1).cast("long").alias("is_first"),
