@@ -124,6 +124,10 @@ COMMENTARY = {
     "q_attribution": "multi-touch attribution: lookback-bounded user_id equi-join caps per-conversion fan-out, one conversion-id window serves all three credit models, |channels| output cells",
     "q_calibration": "calibration/ECE: scored docs collapse to 10 FIXED-width probability bins in one exchange (no min/max pre-pass), ECE attaches back as a 1-row broadcast",
     "q_sample_priority": "priority sampling: scan-level IEEE priority expression, top-(K+1) via TakeOrdered per-partition heaps (no global sort), the only window runs over the K+1-row relation",
+    "q_matryoshka": "Matryoshka audit: probe-bounded broadcast crosses per truncation (the q_ann_quality shape), top-k windows partitioned by query, energy as one map-only fold to |dims| cells",
+    "q_linkage_weights": "FS linkage estimation: O(N) by design — m from N true key-joined pairs, u from N derangement pairings (never the blocked cross product; the sf1 smoke caught that at N^2/blocks), one sufficient-statistic row",
+    "q_msprt": "sequential monitor: corpus collapses to (day, arm) sufficient-statistic cells; the only window is the cumulative running sum over O(days) cells ordered by day",
+    "q_logrank": "log-rank test: KM's cell shapes — two user_id min-aggs, (day,group) cells, per-group at-risk running sums over O(days) cells, integer O/E/V terms until the final divisions",
 }
 
 
