@@ -1432,6 +1432,57 @@ def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph — the structure
+    diagnostic PageRank's per-node view misses: a high global
+    clustering coefficient (3·triangles / wedges) says near-dups come
+    in dense template FAMILIES (one canonical per clique is safe to
+    keep), while triangle-free pairs suggest chains of borderline
+    matches where transitive clustering (q_dedup_clusters) may be
+    over-merging distinct documents through middlemen. Output: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    Scale shape: the graph is the MEMOIZED near-dup pair relation
+    (near-dups only — tiny vs the corpus). Triangles enumerate as the
+    oriented a<b<c two-join (each edge stored once in canonical order,
+    so every triangle is counted exactly once and join fan-out is
+    bounded by forward-degree — the standard orientation trick);
+    wedges are Σ deg·(deg−1)/2 over the symmetric degree relation.
+    Integer arithmetic throughout, one final rounded division.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup / fingerprinting family)."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("a", "b")  # a < b
+    wedge = pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).join(
+        pairs.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    )
+    tri = wedge.join(
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    edges_sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges_sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0, F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            )).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+        )
+    )
+
+
 FS_SMOOTH = 0.5  # Laplace smoothing for m/u estimates (keeps logs finite)
 #: deterministic field-noise injectors: a known fraction of records
 #: carries a wrong brand / type / size so the match-class agreement
@@ -1547,6 +1598,7 @@ def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_fuzzy_join": _q_fuzzy_join,
     "q_linkage_weights": _q_linkage_weights,
+    "q_triangle_count": _q_triangle_count,
     "q_cdc_chunks": _q_cdc_chunks,
     "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
@@ -1698,6 +1750,34 @@ SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY field
 
 ORACLE = {
     "q_linkage_weights": _linkage_oracle(),
+    "q_triangle_count": _SHINGLED_CTE
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+),
+tri AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+deg AS (SELECT a, CAST(count(1) AS BIGINT) AS deg FROM edges GROUP BY a),
+st AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_nodes,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(count(1) AS BIGINT) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END
+         AS clustering_coeff
+FROM st CROSS JOIN ne CROSS JOIN tri
+""",
     "q_fuzzy_join": f"""
 WITH dirty AS (
   SELECT p_partkey AS rec_id, p_name AS true_name,

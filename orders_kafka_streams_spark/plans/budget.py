@@ -114,9 +114,29 @@ def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> s
         line = lines[i]
         if "InMemoryRelation" in line:
             depth = _marker_pos(line)
+            # A MATERIALIZED nested cache reprints its AQE plan
+            # (`== Final Plan ==` …) at a RESET base indent that can be
+            # shallower than this relation's depth, so the depth rule
+            # alone ends the capture mid-body and leaks the nested
+            # build's shuffles into the main count once per reference
+            # (observed r5: q_triangle_count read 325 when the executed
+            # plan runs ~13). A GENUINE outer-tree resume line must
+            # redraw the still-open ancestor branches — the ':' columns
+            # of this relation's own prefix — while reprint lines have
+            # plain spaces there; require that drawing before ending.
+            anc_cols = [c for c in range(depth) if line[c] == ":"]
             j = i + 1
-            while j < len(lines) and _marker_pos(lines[j]) > depth:
-                j += 1
+            while j < len(lines):
+                nxt = lines[j]
+                if _marker_pos(nxt) > depth:
+                    j += 1
+                    continue
+                if anc_cols and not any(
+                    c < len(nxt) and nxt[c] in ":+" for c in anc_cols
+                ):
+                    j += 1  # indentation-reset reprint line, still body
+                    continue
+                break
             body = lines[i + 1 : j]
             # a MATERIALIZED cache prints its AQE build plan twice —
             # `== Final Plan ==` then `== Initial Plan ==` — so keep
