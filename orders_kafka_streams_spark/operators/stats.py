@@ -752,6 +752,67 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRM_CRIT = 3.841459  # chi-square(1) 95% critical value, shared literal
+
+
+def _q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch monitor — the first trust gate every A/B
+    platform runs before reading any metric (Fabijan et al. 2019: a
+    50/50 split that arrives 51/49 invalidates the experiment far more
+    often than any treatment effect is real): per day, the cumulative
+    per-arm USER counts (not event counts — a chatty user must not
+    tilt the ratio) against the designed 50/50 split, χ² goodness of
+    fit (na−nb)²/(na+nb) read against the shared-literal χ²₁ critical
+    value. Pairs with q_msprt: SRM says whether the arms are
+    comparable at all; mSPRT says whether the metric moved.
+
+    Scale shape: the corpus collapses to each user's FIRST-seen day in
+    one user_id exchange, then (day, arm) first-exposure cells; the
+    only window is the cumulative running sum over O(days) cells.
+    Integer arithmetic until the final division.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / experimentation
+    family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import epoch_ms, hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = (
+        ev.select(
+            "user_id", F.floor(epoch_ms(F.col("ts")) / F.lit(DAY_MS)).alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .select(
+            "day",
+            (hash60(F.concat(F.lit(MSPRT_SALT + "|"), F.col("user_id"))) % 2).alias(
+                "arm"
+            ),
+        )
+    )
+    cells = first_day.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        F.col("day").cast("long").alias("day"),
+        F.sum("na").over(w).alias("cna"),
+        F.sum("nb").over(w).alias("cnb"),
+    )
+    d = F.col("cna") - F.col("cnb")
+    chi2 = F.round((d * d) / (F.col("cna") + F.col("cnb")), 6)
+    return cum.select(
+        "day",
+        F.col("cna").alias("n_a"),
+        F.col("cnb").alias("n_b"),
+        chi2.alias("chi2"),
+        (chi2 > SRM_CRIT).alias("srm_detected"),
+    ).orderBy("day")
+
+
 LOGRANK_SALT = "okss-logrank-v1"  # deterministic group assignment
 LOGRANK_CRIT = 3.841459  # chi-square(1) 95% critical value, shared literal
 
@@ -1307,6 +1368,7 @@ QUERIES = {
     "q_survival_km": _q_survival_km,
     "q_cuped": _q_cuped,
     "q_msprt": _q_msprt,
+    "q_srm": _q_srm,
     "q_logrank": _q_logrank,
     "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
@@ -1510,6 +1572,35 @@ FROM l ORDER BY day
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
     "q_msprt": msprt_oracle(),
+    "q_srm": f"""
+WITH fd AS (
+  SELECT user_id, min(CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT)) AS day
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT day,
+         {hash60_sql(f"'{MSPRT_SALT}|' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+  FROM fd
+),
+cells AS (
+  SELECT day,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM armed GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(sum(na) OVER w AS BIGINT) AS cna,
+         CAST(sum(nb) OVER w AS BIGINT) AS cnb
+  FROM cells
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, cna AS n_a, cnb AS n_b,
+       round((cna - cnb) * (cna - cnb) / CAST(cna + cnb AS DOUBLE), 6) AS chi2,
+       (round((cna - cnb) * (cna - cnb) / CAST(cna + cnb AS DOUBLE), 6) > {SRM_CRIT})
+         AS srm_detected
+FROM cum ORDER BY day
+""",
     "q_logrank": f"""
 WITH s AS (
   SELECT user_id, min(epoch_ms(ts)) AS t0
