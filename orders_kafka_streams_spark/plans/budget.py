@@ -96,12 +96,9 @@ def _count_exchanges(plan: str) -> int:
     executes ~18 build shuffles once per session). Inner builds are
     lifted into the same global once-per-distinct-body dict before the
     outer body is keyed and counted."""
-    subtrees: dict[tuple[str, ...], str] = {}
+    subtrees: dict[str, int] = {}
     main_text = _extract_cached(plan.splitlines(), subtrees)
-    n = len(_SHUFFLE_RE.findall(main_text))
-    for body in subtrees.values():
-        n += len(_SHUFFLE_RE.findall(body))
-    return n
+    return len(_SHUFFLE_RE.findall(main_text)) + sum(subtrees.values())
 
 
 def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> str:
@@ -148,15 +145,22 @@ def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> s
                     body = body[:k]
                     break
             body_text = _extract_cached(body, subtrees)
-            # self-join deduplication re-aliases every reference to the
-            # same cache with fresh expression ids, so the dedupe key
-            # normalizes `#<id>` and `plan_id=<id>` away — structural
-            # identity modulo ids IS the same materialized relation
-            key = tuple(
-                re.sub(r"#\d+|plan_id=\d+", "#", ln.lstrip(" :+-"))
-                for ln in body_text.splitlines()
-            )
-            subtrees.setdefault(key, body_text)
+            # dedupe key: the RELATION HEADER (output schema + storage
+            # level, ids normalized), NOT the build text. The same
+            # cached relation can print materialized (AQE Final-Plan
+            # reprint with QueryStage nodes) under one reference and
+            # unmaterialized under another — body-text keys treated
+            # those as distinct and double-counted the build, making
+            # the count depend on WHICH sibling queries had
+            # materialized which memos when the plan was analyzed
+            # (observed r5: the full suite read q_dedup_eval /
+            # q_triangle_count over budget while the standalone gate
+            # passed). Header identity is stable across materialization
+            # states; the per-key count keeps the MAX across forms so
+            # the committed budget is the upper bound of either.
+            key = re.sub(r"#\d+|plan_id=\d+", "#", line.lstrip(" :+-"))
+            n_body = len(_SHUFFLE_RE.findall(body_text))
+            subtrees[key] = max(subtrees.get(key, 0), n_body)
             i = j
             continue
         main.append(line)
@@ -164,12 +168,73 @@ def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> s
     return "\n".join(main)
 
 
+def _count_exchanges_tree(df: DataFrame) -> int:
+    """Shuffle-exchange count by WALKING the physical-plan tree
+    (py4j), replacing the string parser for the number the gate
+    asserts on. The string form of a plan is NOT a stable function of
+    the query: once a shared memo has materialized (a sibling query's
+    localCheckpoint is enough), AQE reprints cached builds with reset
+    indentation, QueryStage wrappers, and ``maxToStringFields``
+    truncation — r5 measured the SAME query string-count 8, 15, 21,
+    27 and 325 depending on which memos happened to be hot. The tree
+    has none of that:
+
+    - ``ShuffleExchangeExec`` counts 1; ``ReusedExchangeExec`` counts 0
+      and is not entered (it is literally the reuse of another counted
+      exchange).
+    - ``AdaptiveSparkPlanExec`` is entered through its INITIAL input
+      plan, so the count never depends on whether AQE has finalized —
+      a deliberate stable upper bound (AQE can only remove exchanges
+      at runtime, e.g. SMJ→BHJ conversion).
+    - ``InMemoryTableScanExec`` is a leaf for the referencing plan; its
+      relation's BUILD plan is walked once per distinct cache builder
+      (JVM identity), however many times the query re-references the
+      same memoized relation (the self-join pattern).
+    - QueryStage wrappers (shuffle / broadcast / table-cache) unwrap
+      into their contained plan.
+    """
+    sc = df.sparkSession.sparkContext
+    identity = sc._jvm.java.lang.System.identityHashCode
+    seen_builders: set[int] = set()
+
+    def walk(node) -> int:
+        cls = node.getClass().getSimpleName()
+        if cls == "ReusedExchangeExec":
+            return 0
+        n = 0
+        if cls == "ShuffleExchangeExec":
+            n += 1
+        if cls == "AdaptiveSparkPlanExec":
+            # initialPlan = after EnsureRequirements (exchanges placed),
+            # before any runtime re-optimization — the stable form
+            return n + walk(node.initialPlan())
+        if cls.endswith("QueryStageExec"):
+            return n + walk(node.plan())
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = int(identity(rel.cacheBuilder()))
+            if key in seen_builders:
+                return n
+            seen_builders.add(key)
+            return n + walk(rel.cachedPlan())
+        kids = node.children()
+        for i in range(kids.length()):
+            n += walk(kids.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
 def analyze_plan(df: DataFrame) -> dict[str, Any]:
     """The four budget facts for one DataFrame's physical plan."""
     plan = explain_str(df)
     python = sorted({node for node in PYTHON_NODES if node in plan})
+    try:
+        exchanges = _count_exchanges_tree(df)
+    except Exception:  # pragma: no cover - py4j API drift safety net
+        exchanges = _count_exchanges(plan)
     return {
-        "exchanges": _count_exchanges(plan),
+        "exchanges": exchanges,
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "python": python,
