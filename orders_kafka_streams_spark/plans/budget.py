@@ -217,6 +217,11 @@ def _count_exchanges_tree(df: DataFrame) -> int:
                 return n
             seen_builders.add(key)
             return n + walk(rel.cachedPlan())
+        # scalar/IN subquery side plans execute too but are not
+        # children() — without this, q_scalar_subquery reads 0
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            n += walk(sq.apply(i))
         kids = node.children()
         for i in range(kids.length()):
             n += walk(kids.apply(i))
