@@ -752,6 +752,65 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POWER_MDES = (0.02, 0.05, 0.1, 0.2)  # relative minimum detectable effects
+POWER_Z = 1.959964 + 0.841621  # z_{alpha/2}=1.96 (5%) + z_beta (80% power)
+
+
+def _q_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner — the step BEFORE q_srm/q_msprt
+    run: for a grid of relative minimum detectable effects, the
+    per-arm sample size n = 2σ²(z_{α/2}+z_β)²/Δ² of the classic
+    two-sample power calculation (α = 5 % two-sided, 80 % power; the
+    z-sum is a shared literal so no engine's inverse-CDF participates)
+    and the days of first-exposure traffic needed to reach it at the
+    corpus's observed enrollment rate. σ² and the mean come from
+    per-user metric sums (the experiment unit is the user — q_srm's
+    lesson), so the planner answers 'how long must this test run to
+    see a 5 % lift' from the data it will actually randomize.
+
+    Scale shape: one user_id exchange to per-user sums (rounded 6 dp),
+    then the corpus collapses to ONE sufficient-statistic row plus a
+    1-row enrollment-rate agg; the MDE grid is a literal explode —
+    output |grid| rows, no window anywhere.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / experimentation
+    family)."""
+    from ..functions.portable import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("y"),
+        F.min(F.floor(epoch_ms(F.col("ts")) / F.lit(DAY_MS))).alias("d0"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        (F.max("d0") - F.min("d0") + 1).alias("n_days"),
+    )
+    mean = F.col("sy") / F.col("n")
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    rate = F.col("n") / F.col("n_days")  # first-exposure users per day
+    rows = []
+    for mde in POWER_MDES:
+        delta = mean * mde
+        n_arm = F.ceil(F.lit(2.0) * var * F.lit(POWER_Z**2) / (delta * delta))
+        rows.append(
+            F.struct(
+                F.lit(mde).alias("mde"),
+                F.round(delta, 6).alias("delta"),
+                n_arm.alias("n_per_arm"),
+                F.ceil(F.lit(2.0) * n_arm / rate).cast("long").alias("days_needed"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("mde")
+    )
+
+
 SRM_CRIT = 3.841459  # chi-square(1) 95% critical value, shared literal
 
 
@@ -1369,6 +1428,7 @@ QUERIES = {
     "q_cuped": _q_cuped,
     "q_msprt": _q_msprt,
     "q_srm": _q_srm,
+    "q_power_curve": _q_power_curve,
     "q_logrank": _q_logrank,
     "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
@@ -1572,6 +1632,37 @@ FROM l ORDER BY day
 ORACLE = {
     "q_roc_auc": _roc_auc_oracle(),
     "q_msprt": msprt_oracle(),
+    "q_power_curve": f"""
+WITH pu AS (
+  SELECT user_id, round(sum(value), 6) AS y,
+         min(CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT)) AS d0
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(1) AS BIGINT) AS n,
+         sum(y) AS sy, sum(y * y) AS syy,
+         CAST(max(d0) - min(d0) + 1 AS BIGINT) AS n_days
+  FROM pu
+),
+m AS (
+  SELECT n, n_days,
+         sy / n AS mean,
+         (syy - sy * sy / n) / (n - 1) AS var,
+         n / CAST(n_days AS DOUBLE) AS rate
+  FROM s
+),
+grid AS (
+  SELECT CAST(unnest([{", ".join(str(m) for m in POWER_MDES)}]) AS DOUBLE) AS mde
+)
+SELECT g.mde,
+       round(m.mean * g.mde, 6) AS delta,
+       CAST(ceil(2.0 * m.var * {POWER_Z**2!r}
+                 / ((m.mean * g.mde) * (m.mean * g.mde))) AS BIGINT) AS n_per_arm,
+       CAST(ceil(2.0 * ceil(2.0 * m.var * {POWER_Z**2!r}
+                 / ((m.mean * g.mde) * (m.mean * g.mde))) / m.rate) AS BIGINT)
+         AS days_needed
+FROM grid g CROSS JOIN m ORDER BY g.mde
+""",
     "q_srm": f"""
 WITH fd AS (
   SELECT user_id, min(CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT)) AS day
