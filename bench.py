@@ -134,6 +134,7 @@ HEADLINE = [
     "q_roc_auc",
     "q_seasonal_outliers",
     "q_item_cooccurrence",
+    "q_item_cooccurrence_capped",
     "q_stream_phrase_search",
     "q_ivm_refresh",
     "q_table_diff",
@@ -170,6 +171,9 @@ SF1_HEAVY = [
     # r5: catalog-bounded but fan-out-heavy — the one new operator
     # whose regression would hide in sf0.1 noise
     "q_item_cooccurrence",
+    # r6: the explicit power-user truncation variant — pinned at sf1
+    # alongside the uncapped query so the cap's bound stays measured
+    "q_item_cooccurrence_capped",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —
@@ -189,6 +193,13 @@ BUDGET_FLOOR = 0.3
 #: broken environment still fails loudly instead of normalizing
 #: itself green.
 DRIFT_CAP = 2.0
+#: absolute suite guard (ADVICE r5): drift normalization excuses any
+#: UNIFORM regression up to DRIFT_CAP — a framework/session-config
+#: change that slows every query 2x would exit rc=0. This pairs the
+#: relative per-query gate with an un-normalized ceiling on summed
+#: tier wall time: fail when a tier's total exceeds SUITE_FACTOR x the
+#: committed per-query-budget sum, regardless of the drift estimate.
+SUITE_FACTOR = 2.0
 
 
 def _drift(timings: dict[str, float], budgets: dict[str, float]) -> float:
@@ -235,6 +246,30 @@ def _check_budgets(
             elif t > BUDGET_FACTOR * drift * max(b, BUDGET_FLOOR):
                 breaches.append(
                     {"q": name, "tier": tier, "sec": t, "budget": b, "drift": drifts[tier]}
+                )
+        # absolute (NOT drift-normalized) suite ceiling — only over
+        # queries with committed budgets that the per-query gate did
+        # NOT already flag: this guard exists for the uniform
+        # regression the relative gate normalizes away, not to
+        # double-report a single blown query
+        flagged = {b["q"] for b in breaches if b["tier"] == tier}
+        budgeted = {
+            n: t
+            for n, t in timings.items()
+            if n in tier_budgets and n not in flagged
+        }
+        if budgeted:
+            suite_budget = sum(tier_budgets[n] for n in budgeted)
+            suite_wall = sum(budgeted.values())
+            if suite_wall > SUITE_FACTOR * suite_budget:
+                breaches.append(
+                    {
+                        "q": "__suite__",
+                        "tier": tier,
+                        "sec": round(suite_wall, 3),
+                        "budget": round(suite_budget, 3),
+                        "drift": drifts[tier],
+                    }
                 )
     return breaches, drifts
 
@@ -372,7 +407,14 @@ def main() -> None:
     else:
         breaches, drifts = _check_budgets(steady, sf1)
     for b in breaches:
-        if b["budget"] is None:
+        if b["q"] == "__suite__":
+            print(
+                f"BUDGET BREACH suite total ({b['tier']}): {b['sec']}s > "
+                f"{SUITE_FACTOR}x committed budget sum {b['budget']}s "
+                "(absolute guard — not drift-normalized)",
+                file=sys.stderr,
+            )
+        elif b["budget"] is None:
             print(
                 f"BUDGET BREACH {b['q']} ({b['tier']}): no committed budget — "
                 "regenerate with `python bench.py --write-budgets`",

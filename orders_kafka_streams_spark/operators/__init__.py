@@ -60,22 +60,11 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # the 6 queries never yet in any round's 50-entry driver sample
-    # (VERDICT r4 item 4) — pinning them closes the rotation's
-    # convergence promise: after r5 every registered query has carried
-    # the driver's hard hash signal at least once
-    "q_ccnet_buckets",
-    "q_char_entropy",
-    "q_heldout_bigram",
-    "q_hourly_profile",
-    "q_source_divergence",
-    "q_tokenizer_fertility",
-    # round-5 rewrites — previously verified, re-hash after the change
-    "q_semdedup",  # adaptive small-path plan + vectorized kernel
-    "q_cdc_chunks",  # staged cuts projection + cell-agg rewrite
-    "q_rank_test",  # cell-based Mann-Whitney rank derivation
-    "q_shard_layout",  # two-pass striped sharding
-    "q_tpch_q21",  # windowed per-order qualification (single fact pass)
+    # round-6 rewrites — previously verified, re-hash after the change
+    # (the 10 never-driver-sampled round-5 additions need no pin: the
+    # rotation's bucket 1 already puts them inside the 50-sample)
+    "q_item_cooccurrence",  # a-priori semi-join + memo-persisted baskets
+    "q_seasonal_outliers",  # round-before-compare threshold (row-set rule)
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

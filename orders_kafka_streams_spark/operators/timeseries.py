@@ -797,9 +797,16 @@ def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sd = e.agg(F.stddev_samp("resid").alias("sd"))
+    # Round BOTH sides of the threshold compare (round-before-compare
+    # discipline, as q_burstiness): stddev_samp accumulation order
+    # differs across engines, so an unrounded boundary residual could
+    # flip the emitted ROW SET cross-engine, not just a value.
     return (
         e.crossJoin(F.broadcast(sd))
-        .filter(F.abs(F.col("resid")) > SEAS_Z * F.col("sd"))
+        .filter(
+            F.round(F.abs(F.col("resid")), 6)
+            > SEAS_Z * F.round(F.col("sd"), 6)
+        )
         .select(
             epoch_ms(F.col("h")).alias("hour_ms"),
             "c",
@@ -814,6 +821,28 @@ COOC_MIN_SUPPORT = 5  # minimum co-occurring-user count for a pair
 COOC_TOP_K = 20  # association pairs reported
 
 
+def _baskets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (user_id, item) basket relation, memo-persisted:
+    both co-occurrence variants consume it four ways (user count,
+    item marginals, both self-join sides) — one events scan + one
+    distinct per session instead of four. The relation is two longs
+    per row, bounded by |users|·|catalog| — orders of magnitude
+    smaller than events, safe to MEMORY_AND_DISK at 100 TB."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("props").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        return ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        ).distinct()
+
+    return _memo_persist(spark, sf_dir, "cooc_baskets", build)
+
+
 def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket item co-occurrence with lift — the association
     signal behind "users who touched item a also touched b"
@@ -824,16 +853,26 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reported: the COOC_TOP_K pairs by lift above COOC_MIN_SUPPORT
     users, with support and confidence.
 
-    Scale shape: the basket relation (distinct user×item) is ONE
-    exchange; the pair generation self-joins it on user_id (reused
-    sort/partitioning), and the (a, b) pair counts partial-combine
-    map-side into ≤ |items|² cells — raw pair rows never hit one
-    reducer. Item marginals are an |items|-row broadcast; the user
-    count a 1-row broadcast. Per-user pair fan-out is quadratic in
-    basket size: at 100 TB the standard mitigations are capping
-    baskets at the (documented) head or frequency-pruning items
-    first (a-priori) — the fixture's baskets are catalog-bounded
-    (k < 100). Top-k is TakeOrdered, never a global sort. The
+    Scale shape: the basket relation (distinct user×item) is built
+    ONCE and memo-persisted (the _shingled_cached discipline) — it is
+    consumed four ways (user count, item marginals, both self-join
+    sides), and without the cache each consumer re-scans events and
+    re-runs the distinct (measured 8.5 → 16-23 s at sf1 when the
+    a-priori path was first added uncached). The pair generation
+    self-joins the cached relation on user_id, and the (a, b) pair
+    counts partial-combine map-side into ≤ |items|² cells — raw pair
+    rows never hit one reducer. Item marginals are an |items|-row
+    broadcast; the user count a 1-row broadcast. A-priori pruning IS
+    applied before the self-join: n_ab ≥ COOC_MIN_SUPPORT implies
+    n_a ≥ COOC_MIN_SUPPORT and n_b ≥ COOC_MIN_SUPPORT (every
+    co-occurring user holds both items), so semi-joining baskets
+    against the frequent-item set is LOSSLESS — same oracle hash —
+    while bounding long-tail fan-out (rare items never enter the
+    quadratic step). The remaining per-user fan-out is quadratic in
+    the FREQUENT-item basket size; the explicit truncation for
+    genuinely-universal-item skew (one bot touching 10⁴ frequent
+    items) is the separate, documented q_item_cooccurrence_capped
+    variant. Top-k is TakeOrdered, never a global sort. The
     collect_set + nested-transform array form was measured SLOWER
     (12.4 vs 9.5 s at sf1): slice(ks, i+2, …) inside the pair lambda
     re-evaluates per element (the interpreted-HOF hazard
@@ -843,16 +882,92 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (sessionization / behavioral
     analytics family)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("props").isNotNull()
-        & F.get_json_object("props", "$.k").isNotNull()
-    )
-    baskets = ev.select(
-        "user_id", F.get_json_object("props", "$.k").cast("long").alias("k")
-    ).distinct()
+    baskets = _baskets_cached(spark, sf_dir)
     users = baskets.agg(F.countDistinct("user_id").alias("n_users"))
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # A-priori semi-join: only items with n_i >= MIN_SUPPORT can
+    # appear in a qualifying pair (lossless — see docstring). The
+    # frequent-item set is catalog-bounded, so it broadcasts.
+    freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
+    fb = baskets.join(F.broadcast(freq), "k", "left_semi")
+    a, b = fb.alias("a"), fb.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .groupBy(F.col("a.k").alias("ia"), F.col("b.k").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= COOC_MIN_SUPPORT)
+    )
+    na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))
+    nb = items.select(F.col("k").alias("ib"), F.col("n_i").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .crossJoin(F.broadcast(users))
+    )
+    lift = F.col("n_ab") * F.col("n_users") / (F.col("n_a") * F.col("n_b"))
+    return (
+        j.select(
+            "ia",
+            "ib",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ia", "ib")
+        .limit(COOC_TOP_K)
+    )
+
+
+COOC_BASKET_CAP = 64  # max items per user entering the pair self-join
+
+
+def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_item_cooccurrence with an EXPLICIT per-user basket cap — the
+    truncation the a-priori semi-join cannot provide when a single
+    power user (bot, shared account) holds 10⁴ individually-frequent
+    items: that one key would emit |basket|²/2 ≈ 5·10⁷ pair rows into
+    the shuffle. Here each user's basket is truncated to its
+    COOC_BASKET_CAP smallest item ids (deterministic head — both
+    engines rank by k ascending, so the oracle sees the identical
+    truncation), bounding per-key fan-out at C(CAP,2) = 2016 rows.
+    This is a DIFFERENT query from q_item_cooccurrence by design:
+    support/confidence/lift are computed over the capped baskets, so
+    the truncation is visible in the contract rather than silently
+    changing the uncapped answer.
+
+    Scale shape: identical to q_item_cooccurrence (one basket
+    exchange, reused by marginals and the self-join; broadcast
+    frequent-item semi-join; map-side partial pair counts; TakeOrdered
+    top-k) plus one rank window PARTITIONED BY user_id — per-user
+    partitions, never global. The cap makes the pair stage's per-task
+    row count O(|users_in_task| · CAP²) regardless of skew: the
+    worst key costs the same as any other.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (behavioral analytics family)."""
+    from pyspark.sql import Window
+
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        rw = Window.partitionBy("user_id").orderBy("k")
+        return (
+            _baskets_cached(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") <= COOC_BASKET_CAP)
+            .drop("rn")
+        )
+
+    # memo-persisted like the uncapped relation: four consumers, and
+    # the rank window would otherwise re-run per consumer
+    baskets = _memo_persist(spark, sf_dir, "cooc_baskets_capped", build)
+    users = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
+    freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
+    fb = baskets.join(F.broadcast(freq), "k", "left_semi")
+    a, b = fb.alias("a"), fb.alias("b")
     pairs = (
         a.join(b, "user_id")
         .filter(F.col("a.k") < F.col("b.k"))
@@ -1226,6 +1341,7 @@ QUERIES = {
     "q_seasonal_outliers": _q_seasonal_outliers,
     "q_holt_forecast": _q_holt_forecast,
     "q_item_cooccurrence": _q_item_cooccurrence,
+    "q_item_cooccurrence_capped": _q_item_cooccurrence_capped,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -1269,7 +1385,7 @@ e AS (
 ),
 sd AS (SELECT stddev_samp(resid) AS sd FROM e)
 SELECT epoch_ms(h) AS hour_ms, c, round(expected, 4) AS expected, round(resid, 4) AS resid
-FROM e CROSS JOIN sd WHERE abs(resid) > {SEAS_Z} * sd
+FROM e CROSS JOIN sd WHERE round(abs(resid), 6) > {SEAS_Z} * round(sd, 6)
 ORDER BY hour_ms
 """
 
@@ -1280,6 +1396,41 @@ WITH baskets AS (
   SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
   WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets),
+items AS (SELECT k, CAST(count(1) AS BIGINT) AS n_i FROM baskets GROUP BY k),
+pairs AS (
+  SELECT a.k AS ia, b.k AS ib, CAST(count(1) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b ON a.user_id = b.user_id AND a.k < b.k
+  GROUP BY a.k, b.k
+  HAVING count(1) >= {COOC_MIN_SUPPORT}
+)
+SELECT ia, ib, n_ab,
+       round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+       round(CAST(n_ab AS DOUBLE) / na.n_i, 6) AS confidence,
+       round(CAST(n_ab AS DOUBLE) * n_users / (na.n_i * nb.n_i), 6) AS lift
+FROM pairs
+JOIN items na ON pairs.ia = na.k
+JOIN items nb ON pairs.ib = nb.k
+CROSS JOIN users
+ORDER BY lift DESC, ia, ib
+LIMIT {COOC_TOP_K}
+"""
+
+
+def _item_cooccurrence_capped_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+baskets AS (
+  SELECT user_id, k FROM (
+    SELECT user_id, k,
+           row_number() OVER (PARTITION BY user_id ORDER BY k) AS rn
+    FROM raw
+  ) WHERE rn <= {COOC_BASKET_CAP}
 ),
 users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets),
 items AS (SELECT k, CAST(count(1) AS BIGINT) AS n_i FROM baskets GROUP BY k),
@@ -1458,6 +1609,7 @@ FROM credited GROUP BY channel ORDER BY channel
     "q_seasonal_outliers": _seasonal_outliers_oracle(),
     "q_holt_forecast": _holt_oracle(),
     "q_item_cooccurrence": _item_cooccurrence_oracle(),
+    "q_item_cooccurrence_capped": _item_cooccurrence_capped_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),

@@ -101,7 +101,7 @@ def _count_exchanges(plan: str) -> int:
     return len(_SHUFFLE_RE.findall(main_text)) + sum(subtrees.values())
 
 
-def _extract_cached(lines: list[str], subtrees: dict[tuple[str, ...], str]) -> str:
+def _extract_cached(lines: list[str], subtrees: dict[str, int]) -> str:
     """Strip every InMemoryRelation build subtree out of ``lines``
     (recursively), registering each distinct normalized body in
     ``subtrees``; returns the remaining main-plan text."""

@@ -128,10 +128,16 @@ class _StreamReader(DataSourceStreamReader):
     advances at most CHUNK rows per call (it is invoked once per
     trigger), so draining the stream with processAllAvailable takes
     ceil(n / CHUNK) micro-batches — which is what makes the
-    assembled output a real batch-split-invariance check. The
-    monotone guard (hi >= lo) keeps a checkpoint restart sane: the
-    engine resumes from its COMMITTED offset even though a fresh
-    reader's pace counter restarts at zero."""
+    assembled output a real batch-split-invariance check. Restart
+    safety: a fresh reader's pace counter starts at zero, so after a
+    checkpoint restart latestOffset would otherwise report an offset
+    BELOW the committed one and CHUNK-paced batches would re-read
+    (duplicate) already-processed rows; partitions() therefore
+    fast-forwards the cursor from the engine-supplied offsets — the
+    engine always calls it with its committed/planned range before
+    the next latestOffset matters — so latestOffset never regresses
+    below a committed offset. The hi >= lo clamp additionally keeps
+    any single range non-negative."""
 
     def __init__(self, n: int):
         self.n = n
@@ -147,6 +153,9 @@ class _StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo = start["i"]
         hi = max(end["i"], lo)
+        # Fast-forward the pace cursor past anything the engine has
+        # already planned/committed (checkpoint-restart dedup guard).
+        self._pos = max(self._pos, lo, hi)
         return [_Range(lo, hi)]
 
     def read(self, part: _Range):

@@ -81,3 +81,33 @@ def test_missing_budget_is_a_breach(tmp_path, monkeypatch):
     breaches, _ = bench._check_budgets({"a": 1.0, "new_q": 0.1}, None)
     assert [b["q"] for b in breaches] == ["new_q"]
     assert breaches[0]["budget"] is None
+
+
+def test_uniform_regression_beyond_cap_hits_suite_guard(tmp_path, monkeypatch):
+    """ADVICE r5: a genuine UNIFORM 2.5x regression (framework/session
+    config change) sits under BUDGET_FACTOR x DRIFT_CAP = 3x per
+    query, so drift normalization alone would exit green. The
+    absolute suite guard (not drift-normalized) must flag it."""
+    import json
+
+    f = tmp_path / "budgets.json"
+    f.write_text(json.dumps({"sf0.1": BUDGETS, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    timings = {n: b * 2.5 for n, b in BUDGETS.items()}
+    breaches, drifts = bench._check_budgets(timings, None)
+    assert [b["q"] for b in breaches] == ["__suite__"]
+    assert drifts["sf0.1"] == bench.DRIFT_CAP  # per-query gate was capped
+    assert breaches[0]["sec"] > bench.SUITE_FACTOR * breaches[0]["budget"]
+
+
+def test_suite_guard_quiet_within_factor(tmp_path, monkeypatch):
+    """Uniform 1.9x (under SUITE_FACTOR): drift normalization handles
+    it and the absolute guard stays quiet."""
+    import json
+
+    f = tmp_path / "budgets.json"
+    f.write_text(json.dumps({"sf0.1": BUDGETS, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    timings = {n: b * 1.9 for n, b in BUDGETS.items()}
+    breaches, _ = bench._check_budgets(timings, None)
+    assert breaches == []

@@ -1,6 +1,7 @@
 """Duplicate-span excision (q_excise_spans): planted-passage fixtures
 pin the exact span geometry — merged boundaries, token counts, the
-gap ≤ N−1 merge rule, and the min-length cut — independently of the
+gap ≤ N merge rule (the r5 fix — the pre-fix gap ≤ N−1 form split
+contiguous runs), and the min-length cut — independently of the
 DuckDB oracle (which checks the corpus-level results)."""
 
 from __future__ import annotations

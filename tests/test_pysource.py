@@ -40,6 +40,23 @@ def test_stream_offsets_advance_by_chunk_until_bound():
     assert seen[-1] == seen[-2] == PYSRC_N
 
 
+def test_stream_restart_never_regresses_below_committed_offset():
+    """Checkpoint-restart replay guard: a FRESH reader (pace counter
+    back at 0) that is handed the engine's committed range via
+    partitions() must fast-forward, so its next latestOffset is at
+    or beyond the committed offset — otherwise CHUNK-paced batches
+    would re-read committed rows and append duplicates at the sink."""
+    committed = 3 * CHUNK + 17
+    r = _StreamReader(PYSRC_N)  # restart: _pos == 0
+    r.partitions({"i": committed}, {"i": committed})
+    nxt = r.latestOffset()["i"]
+    assert nxt >= committed
+    # and the very next planned range starts at the committed offset,
+    # not before it
+    parts = r.partitions({"i": committed}, {"i": nxt})
+    assert all(p.lo >= committed for p in parts)
+
+
 def test_stream_read_covers_every_row():
     r = _StreamReader(PYSRC_N)
     got = []
