@@ -65,6 +65,7 @@ _RECHECK_FIRST = (
     # rotation's bucket 1 already puts them inside the 50-sample)
     "q_item_cooccurrence",  # a-priori semi-join + memo-persisted baskets
     "q_seasonal_outliers",  # round-before-compare threshold (row-set rule)
+    "q_fuzzy_join",  # 4-mode fixture + measured-recall column
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

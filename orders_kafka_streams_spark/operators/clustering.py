@@ -468,6 +468,197 @@ SELECT sel_rank, vec_id, min_d2 FROM s{KCENTER_K}
 """
 
 
+KC_BATCH_P = 4  # tournament partitions (p = vec_id % P)
+KC_BATCH_K = 16  # coreset size AND per-partition winner count
+
+
+def fps_pandas_picks(V, ids, k):
+    """Exact farthest-point sampling over one in-memory partition —
+    the Arrow-kernel replica of the oracle's recursive CTE. Distances
+    are STRICT LEFT FOLDS over dimensions ((0+t1)+t2)+… via a
+    vectorized per-dimension accumulation loop, so every double is
+    bit-identical to DuckDB's list_reduce left fold and no rounding
+    gate is needed inside the algorithm (the semdedup discipline).
+    Seed = lowest vec_id; each pick = argmax of (raw mind DESC,
+    vec_id ASC); returns ([(rank, vec_id, min_d2_raw)], picked_vecs)
+    with min(k, n) entries."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    n = len(ids)
+
+    def d2_to(c):
+        d = (V[:, 0] - c[0]) ** 2
+        for j in range(1, V.shape[1]):
+            d = d + (V[:, j] - c[j]) ** 2  # left fold, matches list_reduce
+        return d
+
+    picks = [(1, int(ids[0]), 0.0)]
+    vecs = [V[0]]
+    selected = np.zeros(n, dtype=bool)
+    selected[0] = True
+    mind = d2_to(V[0])
+    while len(picks) < min(k, n):
+        m = np.where(selected, -np.inf, mind)
+        best = int(np.lexsort((ids, -m))[0])
+        picks.append((len(picks) + 1, int(ids[best]), float(mind[best])))
+        vecs.append(V[best])
+        selected[best] = True
+        mind = np.minimum(mind, d2_to(V[best]))
+    return picks, vecs
+
+
+def _q_kcenter_coreset_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tournament (batched) farthest-point sampling for K ≫ 8 — the
+    published fix for q_kcenter_coreset's K−1 driver-paced argmax
+    jobs (VERDICT r3 item 8 / r5 item 4): run EXACT FPS independently
+    inside each of KC_BATCH_P hash partitions (p = vec_id % P), keep
+    each partition's KC_BATCH_K winners, then run exact FPS once over
+    the P·K winner pool. Gonzalez's 2-approximation degrades
+    gracefully under the tournament (2(1+ε); every true center's
+    partition keeps a point within its local radius because local FPS
+    picks K ≥ final K winners). This is DELIBERATELY a separate query
+    from q_kcenter_coreset — the picked set differs from exact FPS,
+    so swapping it in under the old name would break that oracle's
+    contract; here the ORACLE replicates the tournament itself (two
+    recursive CTEs, same seed/tie rules, bit-identical left-fold
+    arithmetic), so the hash gate pins the approximation's exact
+    semantics.
+
+    Scale shape — ZERO driver-paced jobs (the loop lives inside two
+    Arrow kernels): stage 1 is one shuffle on p and one
+    applyInPandas task per partition doing O(n_p · K · dim) work
+    with K vectorized passes; stage 2 is ONE task over the P·K-row
+    winner pool (constant-size, like a broadcast build). At 100 TB,
+    P scales with the cluster (more, smaller exact-FPS tasks) while
+    the final stage stays P·K rows; job count is 1 + 1 regardless of
+    K — vs K driver round-trips for the exact loop. min_d2 is the
+    coverage radius at selection time WITHIN each stage's point set
+    (stage-2 ranks measure winner-pool coverage).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (embedding curation family)."""
+    emb = _emb_double(spark, sf_dir)
+    return kcenter_batched(emb, KC_BATCH_P, KC_BATCH_K)
+
+
+def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
+    """Tournament FPS over ``emb`` (vec_id, v=array<double>) with
+    ``p`` hash partitions and coreset size ``k`` — see
+    _q_kcenter_coreset_batched for semantics and scale shape."""
+    import pandas as pd
+
+    pts = emb.select("vec_id", "v", (F.col("vec_id") % p).alias("p"))
+
+    def local_fps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        picks, vecs = fps_pandas_picks(V, ids, k)
+        return pd.DataFrame(
+            {
+                "p": pdf["p"].iloc[0],
+                "vec_id": [i for _, i, _ in picks],
+                "v": [w.tolist() for w in vecs],
+            }
+        )
+
+    winners = pts.groupBy("p").applyInPandas(
+        local_fps, schema="p long, vec_id long, v array<double>"
+    )
+
+    def final_fps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        picks, _ = fps_pandas_picks(V, ids, k)
+        return pd.DataFrame(
+            {
+                "sel_rank": [r for r, _, _ in picks],
+                "vec_id": [i for _, i, _ in picks],
+                "min_d2": [d for _, _, d in picks],
+            }
+        )
+
+    return (
+        winners.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(final_fps, schema="sel_rank int, vec_id long, min_d2 double")
+        .select("sel_rank", "vec_id", F.round("min_d2", _R).alias("min_d2"))
+        .orderBy("sel_rank")
+    )
+
+
+def _kcenter_batched_oracle() -> str:
+    """Two recursive CTEs replicating the tournament exactly: windowed
+    per-iteration argmax picks, raw (unrounded) left-fold distances,
+    seed = lowest vec_id, ties to lower vec_id."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 1 + {EMB_DIM}), "
+            f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id % {KC_BATCH_P} AS p
+  FROM embeddings
+),
+seeds AS (
+  SELECT p, vec_id AS svid, v AS sv
+  FROM (SELECT p, vec_id, v,
+               row_number() OVER (PARTITION BY p ORDER BY vec_id) AS rn
+        FROM e)
+  WHERE rn = 1
+),
+st AS (
+  SELECT e.p, e.vec_id, e.v, {d2("e.v", "s.sv")} AS mind, 1 AS it
+  FROM e JOIN seeds s USING (p) WHERE e.vec_id <> s.svid
+  UNION ALL
+  SELECT p, vec_id, v, least(mind, {d2("v", "pick_v")}) AS mind, it + 1
+  FROM (SELECT p, vec_id, v, mind, it,
+               first_value(v) OVER (PARTITION BY p ORDER BY mind DESC, vec_id ASC) AS pick_v,
+               first_value(vec_id) OVER (PARTITION BY p ORDER BY mind DESC, vec_id ASC) AS pick_id
+        FROM st)
+  WHERE it + 1 < {KC_BATCH_K} AND vec_id <> pick_id
+),
+w AS (
+  SELECT svid AS vec_id, sv AS v FROM seeds
+  UNION ALL
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v,
+           row_number() OVER (PARTITION BY p, it ORDER BY mind DESC, vec_id ASC) AS pr
+    FROM st)
+  WHERE pr = 1
+),
+fseed AS (SELECT vec_id AS svid, v AS sv FROM w ORDER BY vec_id LIMIT 1),
+fst AS (
+  SELECT w.vec_id, w.v, {d2("w.v", "s.sv")} AS mind, 1 AS it
+  FROM w, fseed s WHERE w.vec_id <> s.svid
+  UNION ALL
+  SELECT vec_id, v, least(mind, {d2("v", "pick_v")}) AS mind, it + 1
+  FROM (SELECT vec_id, v, mind, it,
+               first_value(v) OVER (ORDER BY mind DESC, vec_id ASC) AS pick_v,
+               first_value(vec_id) OVER (ORDER BY mind DESC, vec_id ASC) AS pick_id
+        FROM fst)
+  WHERE it + 1 < {KC_BATCH_K} AND vec_id <> pick_id
+)
+SELECT CAST(1 AS INTEGER) AS sel_rank, svid AS vec_id, 0.0 AS min_d2 FROM fseed
+UNION ALL
+SELECT CAST(it + 1 AS INTEGER) AS sel_rank, vec_id, round(mind, {_R}) AS min_d2
+FROM (SELECT it, vec_id, mind,
+             row_number() OVER (PARTITION BY it ORDER BY mind DESC, vec_id ASC) AS pr
+      FROM fst)
+WHERE pr = 1
+ORDER BY sel_rank
+"""
+
+
 def _kmeans_cte_prefix() -> str:
     """The k-means unrolling as a reusable CTE prefix (ends after the
     final assignment CTE a{ITERS+1}; composes into q_kmeans and
@@ -717,6 +908,7 @@ QUERIES = {
     "q_kmeans": _q_kmeans,
     "q_semdedup": _q_semdedup,
     "q_kcenter_coreset": _q_kcenter_coreset,
+    "q_kcenter_coreset_batched": _q_kcenter_coreset_batched,
     "q_cluster_topics": _q_cluster_topics,
     "q_cluster_purity": _q_cluster_purity,
 }
@@ -725,6 +917,7 @@ ORACLE = {
     "q_kmeans": _kmeans_oracle(),
     "q_semdedup": _semdedup_oracle(),
     "q_kcenter_coreset": _kcenter_oracle(),
+    "q_kcenter_coreset_batched": _kcenter_batched_oracle(),
     "q_cluster_topics": _cluster_topics_oracle(),
     "q_cluster_purity": _cluster_purity_oracle(),
 }

@@ -18,12 +18,13 @@ from orders_kafka_streams_spark.sources.tables import load_table
 
 def test_single_edit_always_resolves(spark, sf_dir):
     """A one-edit corruption can break the prefix block key or the
-    suffix block key, but never both — so every record must resolve
-    (n_resolved == n_records in every mode)."""
+    suffix block key, but never both — so every ≤1-edit record must
+    resolve (n_resolved == n_records in modes 0-2)."""
     rows = _q_fuzzy_join(spark, sf_dir).collect()
-    assert len(rows) == 3
+    assert len(rows) == 4
     for r in rows:
-        assert r.n_resolved == r.n_records, f"mode {r.mode} dropped records"
+        if r.mode != 3:
+            assert r.n_resolved == r.n_records, f"mode {r.mode} dropped records"
 
 
 def test_clean_mode_is_perfect(spark, sf_dir):
@@ -47,6 +48,20 @@ def test_corrupted_modes_mostly_correct(spark, sf_dir):
         assert r.n_correct >= 0.9 * r.n_records, (
             f"mode {mode}: {r.n_correct}/{r.n_records} correct"
         )
+
+
+def test_two_edit_mode_measures_honest_recall(spark, sf_dir):
+    """The mode-3 adversarial class (VERDICT r5 item 7): two edits CAN
+    break both block keys, so the blocking scheme must MISS some
+    records (n_resolved < n_records — the fixture is genuinely
+    adversarial, not vacuously passing) while measured recall stays
+    above the gated floor. If recall ever reads 1.0 here the fixture
+    has gone benign and the honesty row is lying."""
+    rows = {r.mode: r for r in _q_fuzzy_join(spark, sf_dir).collect()}
+    adv = rows[3]
+    assert adv.n_resolved < adv.n_records, "two-edit fixture never broke a block"
+    assert adv.recall < 1.0
+    assert adv.recall >= 0.85, f"recall collapsed: {adv.recall}"
 
 
 def test_block_keys_survive_single_edit(spark, sf_dir):

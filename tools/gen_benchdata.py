@@ -19,8 +19,28 @@ stays at the driver's sf0.01. Scaling preserves workload shape:
 - embeddings are circularly rolled by replica so cross-replica
   vectors decorrelate while norms/distributions are preserved.
 
-Run: python tools/gen_benchdata.py [src_sf_dir] [dst_dir]
+Run: python tools/gen_benchdata.py [src_sf_dir] [dst_dir] [--skew]
 Defaults: /root/testdata/sf0.1 -> .benchdata/sf1 (gitignored).
+
+--skew (VERDICT r5 item 2) additionally injects the adversarial
+shapes the benign corpus lacks — the 100×-grading bar is skew
+survival, so the bench's sf1-skew tier runs the heavy queries against:
+
+- ONE POWER USER holding 10,000 distinct basket items, each unique to
+  that user (n_i = 1): the a-priori semi-join must prune the entire
+  tail before the pair self-join — uncapped co-occurrence survives
+  because rare items never enter the quadratic step;
+- a 6-user BOT COHORT sharing one 2,000-item basket (every item
+  n_i = 6 ≥ min-support, so the semi-join keeps them): the
+  genuinely-universal-item case — uncapped pays the documented
+  C(2000,2)-per-user fan-out (bounded, measured, within budget),
+  the capped variant clamps it to C(64,2);
+- ONE HOT ORDER with 20,000 lineitems (cloned rows, key overridden):
+  the classic hot join/window key for the TPC-H q21 single-fact-pass
+  plan and any orderkey-partitioned window;
+- ONE 100×-LENGTH DOCUMENT (an existing doc's text tiled 100×):
+  per-doc shingle/fingerprint fan-out for winnowing, dup-span, and
+  dedup blocking paths — one task's explode must not dominate a stage.
 """
 
 from __future__ import annotations
@@ -100,12 +120,84 @@ def scale_table(df: DataFrame, table: str, domains: dict[str, int]) -> DataFrame
     return out.drop("rep")
 
 
+#: --skew injection sizes (see module docstring)
+POWER_USER_ITEMS = 10_000  # unique-to-user tail: a-priori must prune it
+BOT_USERS = 6  # >= COOC_MIN_SUPPORT so the shared basket stays frequent
+BOT_BASKET = 2_000  # universal-item fan-out the CAP variant clamps
+HOT_ORDER_LINES = 20_000  # one orderkey's lineitem count
+LONG_DOC_TILES = 100  # text length multiplier for the one long doc
+
+
+def inject_skew(spark: SparkSession, table: str, df: DataFrame, domains: dict[str, int]) -> DataFrame:
+    """Append the adversarial rows for ``--skew`` (key domains placed
+    past REPLICAS× the source domain so injections never collide with
+    scaled keys)."""
+    if table == "events":
+        base_user = domains["user"] * (REPLICAS + 1)
+        base_event = domains["event"] * (REPLICAS + 1)
+        power = spark.range(POWER_USER_ITEMS).select(
+            (F.lit(base_event) + F.col("id")).alias("event_id"),
+            F.lit("2024-01-01 12:00:00").cast("timestamp").alias("ts"),
+            F.lit(base_user).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.concat(F.lit('{"k": '), (F.lit(100_000) + F.col("id")).cast("string"), F.lit("}")).alias("props"),
+        )
+        bots = (
+            spark.range(BOT_USERS * BOT_BASKET)
+            .select(
+                (F.lit(base_event + POWER_USER_ITEMS) + F.col("id")).alias("event_id"),
+                F.lit("2024-01-01 12:00:00").cast("timestamp").alias("ts"),
+                (F.lit(base_user + 1) + (F.col("id") % BOT_USERS)).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.concat(
+                    F.lit('{"k": '),
+                    (F.lit(200_000) + (F.col("id") / BOT_USERS).cast("long")).cast("string"),
+                    F.lit("}"),
+                ).alias("props"),
+            )
+        )
+        extra = power.unionByName(bots)
+        return df.unionByName(extra.select(*df.columns))
+    if table == "lineitem":
+        hot_key = domains["order"] * (REPLICAS + 1)
+        clones = (
+            df.limit(HOT_ORDER_LINES)
+            .withColumn("l_orderkey", F.lit(hot_key).cast(dict(df.dtypes)["l_orderkey"]))
+        )
+        return df.unionByName(clones)
+    if table == "orders":
+        hot_key = domains["order"] * (REPLICAS + 1)
+        hot_row = df.limit(1).withColumn(
+            "o_orderkey", F.lit(hot_key).cast(dict(df.dtypes)["o_orderkey"])
+        )
+        return df.unionByName(hot_row)
+    if table == "documents":
+        long_id = domains["doc"] * (REPLICAS + 1)
+        one = df.limit(1)
+        tiled = one.withColumn(
+            "doc_id", F.lit(long_id).cast(dict(df.dtypes)["doc_id"])
+        ).withColumn(
+            "text", F.concat_ws(" ", F.array_repeat(F.col("text"), LONG_DOC_TILES))
+        )
+        if "n_chars" in df.columns:
+            tiled = tiled.withColumn(
+                "n_chars", F.length("text").cast(dict(df.dtypes)["n_chars"])
+            )
+        return df.unionByName(tiled.select(*df.columns))
+    return df
+
+
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".benchdata", "sf1")
+    default_dst = os.path.join(repo, ".benchdata", "sf1skew" if skew else "sf1")
+    dst = args[1] if len(args) > 1 else default_dst
     os.makedirs(dst, exist_ok=True)
 
     from orders_kafka_streams_spark.session import get_spark
@@ -117,15 +209,16 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     for table in KEY_SHIFTS:
         df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
-        scale_table(df, table, domains).write.mode("overwrite").parquet(
-            os.path.join(dst, f"{table}.parquet")
-        )
+        out = scale_table(df, table, domains)
+        if skew:
+            out = inject_skew(spark, table, out, domains)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     # completeness marker written LAST: consumers (bench.py) must treat a
     # corpus without it as absent — an interrupted generation otherwise
     # looks complete because early tables exist
     with open(os.path.join(dst, "_COMPLETE"), "w") as f:
-        f.write(f"{REPLICAS}x {src}\n")
-    print(f"wrote {dst} ({REPLICAS}x {src})")
+        f.write(f"{REPLICAS}x {src}{' +skew' if skew else ''}\n")
+    print(f"wrote {dst} ({REPLICAS}x {src}{' +skew' if skew else ''})")
 
 
 if __name__ == "__main__":
