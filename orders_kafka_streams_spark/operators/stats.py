@@ -170,6 +170,281 @@ WHERE rank <= {CMS_TOPK}
 """
 
 
+#: Benjamini-Hochberg family: one two-sample test per event type (the
+#: metric family a real experiment readout sweeps), tested at
+#: FDR level BH_ALPHA over exactly BH_M metrics. m is FIXED by the
+#: metric list, not the data — the thresholds below are Φ⁻¹ constants
+#: precomputed at 9 dp (stdlib-erfc bisection, see tools comment) and
+#: SHARED LITERALS in both engines, because neither Spark SQL nor
+#: DuckDB ships erf/Φ⁻¹: comparing |z| against z(α·i/m) is exactly the
+#: p_(i) ≤ α·i/m step-up rule, monotone-transformed.
+BH_ALPHA = 0.05
+BH_TYPES = ("click", "error", "purchase", "signup", "view")
+BH_M = len(BH_TYPES)
+BH_SALT = "bhfdr"
+#: z_i = Φ⁻¹(1 − α·i/(2m)) for i = 1..m (two-sided), 9 dp
+BH_Z_CRIT = (2.575829304, 2.326347874, 2.170090378, 2.053748911, 1.959963985)
+
+
+def _q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR-controlled multiple testing over the
+    per-event-type A/B metric family (Benjamini & Hochberg 1995) —
+    the correction the experimentation stack (q_cuped → q_srm →
+    q_msprt → q_power_curve) needs the moment a readout sweeps more
+    than one metric: per-metric α=0.05 on m metrics false-positives
+    ~1−0.95^m of null experiments; BH's step-up rule (reject all
+    p_(i) with i ≤ max{i: p_(i) ≤ α·i/m}) bounds the EXPECTED false
+    discovery rate at α. Arms are the deterministic hash60 user
+    split; per metric a Welch two-sample z on `value`. p-values never
+    materialize: |z_(i)| ≥ Φ⁻¹(1−α·i/(2m)) is the same comparison
+    monotone-transformed, with the Φ⁻¹ constants precomputed as
+    shared 9-dp literals (neither engine ships erf). On the A/A
+    fixture nothing should reject — the honest null readout; the
+    lifted-fixture detection path is pinned in tests/test_bh_fdr.py.
+
+    Scale shape: one events pass partial-aggregates (type, arm)
+    moment cells (sums rounded 6 dp before the float pipeline, the
+    CUPED discipline); everything after runs on 2·m cells — the rank
+    window orders m rows, the step-up max attaches as a 1-row
+    broadcast. Output: m rows (event_type, n_a, n_b, z_abs, bh_rank,
+    z_crit, rejected) by bh_rank.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (experimentation family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*BH_TYPES)
+    )
+    arm = (hash60(F.concat(F.lit(BH_SALT + "|"), F.col("user_id"))) % 2).alias("arm")
+    cells = (
+        ev.select("event_type", "value", arm)
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.round(F.sum(F.col("value") * F.col("value")), 6).alias("ss"),
+        )
+    )
+    a = cells.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = cells.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a, mean_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    scored = j.select(
+        "event_type", "n_a", "n_b", F.round(F.abs(z), 6).alias("z_abs")
+    )
+    w = Window.orderBy(F.desc("z_abs"), F.asc("event_type"))
+    crit = "CASE bh_rank " + "".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DOUBLE) " for i, c in enumerate(BH_Z_CRIT)
+    ) + "END"
+    ranked = scored.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "z_abs",
+        F.row_number().over(w).alias("bh_rank"),
+    ).withColumn("z_crit", F.expr(crit))
+    kstar = ranked.agg(
+        F.max(F.when(F.col("z_abs") >= F.col("z_crit"), F.col("bh_rank"))).alias(
+            "kstar"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "z_abs",
+            "bh_rank",
+            "z_crit",
+            F.coalesce(F.col("bh_rank") <= F.col("kstar"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def bh_fdr_oracle() -> str:
+    from ..functions.portable import hash60_sql
+
+    types = ", ".join(f"'{t}'" for t in BH_TYPES)
+    crit = "CASE bh_rank " + "".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DOUBLE) " for i, c in enumerate(BH_Z_CRIT)
+    ) + "END"
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         {hash60_sql("'" + BH_SALT + "|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CAST(count(1) AS BIGINT) AS n,
+         round(sum(value), 6) AS s,
+         round(sum(value * value), 6) AS ss
+  FROM events WHERE event_type IN ({types})
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+         abs((a.s / a.n - b.s / b.n) /
+             sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n)) AS za
+  FROM cells a JOIN cells b USING (event_type)
+  WHERE a.arm = 0 AND b.arm = 1
+),
+ranked AS (
+  SELECT event_type, n_a, n_b, round(za, 6) AS z_abs,
+         CAST(row_number() OVER (ORDER BY round(za, 6) DESC, event_type ASC)
+              AS INTEGER) AS bh_rank
+  FROM j
+),
+crit AS (SELECT *, {crit} AS z_crit FROM ranked),
+ks AS (SELECT max(CASE WHEN z_abs >= z_crit THEN bh_rank END) AS kstar FROM crit)
+SELECT event_type, n_a, n_b, z_abs, bh_rank, z_crit,
+       coalesce(bh_rank <= kstar, FALSE) AS rejected
+FROM crit CROSS JOIN ks
+ORDER BY bh_rank
+"""
+
+
+KW_CRIT = {
+    1: 3.841459,
+    2: 5.991465,
+    3: 7.814728,
+    4: 9.487729,
+    5: 11.070498,
+    6: 12.591587,
+    7: 14.06714,
+    8: 15.507313,
+}
+
+
+def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event types' value
+    distributions (Kruskal & Wallis 1952) — the k-sample extension of
+    q_rank_test's Mann-Whitney: one omnibus answer to "do ANY of the
+    k metric distributions differ?" before pairwise drill-down (which
+    q_bh_fdr then corrects). H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
+    with the tie correction 1 − Σ(t³−t)/(N³−N); significance against
+    the χ²(k−1) 95% critical value (shared literal lookup — the
+    q_srm/q_logrank discipline, no libm CDF).
+
+    Scale shape: the q_rank_test cell form generalized — per-
+    (value, type) counts partial-combine map-side; global ranks come
+    from ONE running-sum window over the O(distinct values) pooled
+    cell relation (never event rows); per-group rank sums are exact
+    half-integer arithmetic until the final divisions, so the
+    H-vs-critical comparison needs no rounding gate. Output: one row
+    (k, n, h_stat, h_corrected, significant).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    gcells = ev.groupBy(
+        F.col("value").alias("value"), F.col("event_type").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vcells = gcells.groupBy("value").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vcells.select(
+        "value",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0)) + (F.col("t") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    per_g = (
+        gcells.join(ranked, "value")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r_g"),
+        )
+    )
+    # t³ and n³ computed in DOUBLE on BOTH engines, same op order —
+    # int64 wraps silently past 9.2e18 (one hot value / n ≥ ~2.1M
+    # would overflow t³/n³ at 100×; the Σgap² lesson)
+    td = F.col("t").cast("double")
+    ties = vcells.agg(F.sum(td * td * td - td).alias("tie3"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = F.lit(12.0) / (n * (n + 1)) * F.col("rr") - 3.0 * (n + 1)
+    corr = F.lit(1.0) - F.col("tie3") / (n * n * n - n)
+    hc = h / corr
+    crit = "CASE k " + "".join(
+        f"WHEN {df + 1} THEN CAST({c} AS DOUBLE) " for df, c in KW_CRIT.items()
+    ) + "END"
+    return agg.select(
+        "k",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+        (hc > F.expr(crit)).alias("significant"),
+    )
+
+
+def kruskal_oracle() -> str:
+    crit = "CASE k " + "".join(
+        f"WHEN {df + 1} THEN CAST({c} AS DOUBLE) " for df, c in KW_CRIT.items()
+    ) + "END"
+    return f"""
+WITH gcells AS (
+  SELECT value, event_type AS g, CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+vcells AS (SELECT value, CAST(sum(c) AS BIGINT) AS t FROM gcells GROUP BY 1),
+ranked AS (
+  SELECT value,
+         coalesce(CAST(sum(t) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         + (t + 1) / 2.0 AS avg_rank
+  FROM vcells
+),
+per_g AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g, sum(c * avg_rank) AS r_g
+  FROM gcells JOIN ranked USING (value) GROUP BY g
+),
+ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - CAST(t AS DOUBLE)) AS tie3 FROM vcells
+),
+agg AS (
+  SELECT CAST(count(1) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+         sum(r_g * r_g / n_g) AS rr
+  FROM per_g
+)
+SELECT k, n,
+       round(12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0), 6) AS h_stat,
+       round((12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0))
+             / (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected,
+       ((12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0))
+        / (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n))) > ({crit}) AS significant
+FROM agg CROSS JOIN ties
+"""
+
+
 def _q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chao1 species-richness estimation (Chao 1984) over the document
     shingle population — the scale-planning tool for dedup: from a
@@ -1435,6 +1710,8 @@ QUERIES = {
     "q_trimmed_mean": _q_trimmed_mean,
     "q_rank_test": _q_rank_test,
     "q_ks_test": _q_ks_test,
+    "q_bh_fdr": _q_bh_fdr,
+    "q_kruskal": _q_kruskal,
     "q_chi2_independence": _q_chi2_independence,
     "q_hourly_profile": _q_hourly_profile,
     "q_mad_outliers": _q_mad_outliers,
@@ -1922,6 +2199,8 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
        d_stat > 1.3581015157406195 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) AS significant
 FROM d
 """,
+    "q_bh_fdr": bh_fdr_oracle(),
+    "q_kruskal": kruskal_oracle(),
     "q_rank_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')

@@ -997,6 +997,111 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimation (Theil 1950 / Sen 1968) of
+    each event type's hourly count series — the median of all
+    pairwise slopes, the outlier-resistant answer to "is this metric
+    actually trending?" that ordinary least squares gets wrong the
+    moment one incident hour spikes (Sen's estimator tolerates ~29%
+    corrupted points; it pairs with q_holt_forecast's smoothing and
+    q_seasonal_outliers' anomaly flags as the trend leg of the ops
+    triad). Slopes are integer-count differences over integer-hour
+    gaps — one IEEE division, bit-identical cross-engine — and the
+    median is selected by explicit rank (avg of the middle one/two),
+    never an engine median() whose interpolation rules differ.
+
+    Scale shape: the corpus collapses to O(types × hours) count cells
+    in one partial aggregation; the pairwise-slope fan-out is
+    O(hours²) PER TYPE over that cell relation (720 hours → 259k
+    pairs — cells, not events), partitioned by event_type so each
+    type's rank window sorts only its own pairs. At years×minutes
+    granularity the published mitigation is Sen-on-a-sample (median
+    over a random pair subset is itself a consistent estimator) —
+    the fan-out knob, not a different algorithm. Output: one row per
+    type (event_type, n_hours, n_pairs, sen_slope).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / time-series family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(epoch_ms(F.col("ts")) / F.lit(3_600_000)).cast("long").alias("hh"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(
+        "event_type", F.col("hh").alias("ha"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        "event_type", F.col("hh").alias("hb"), F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("ha") < F.col("hb")).select(
+        "event_type",
+        "ha",
+        "hb",
+        (
+            (F.col("cb") - F.col("ca")).cast("double") / (F.col("hb") - F.col("ha"))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy("slope", "ha", "hb")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    hours = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours"))
+    med = mid.groupBy("event_type").agg(
+        F.max("np").alias("n_pairs"), F.round(F.avg("slope"), 6).alias("sen_slope")
+    )
+    return (
+        hours.join(med, "event_type")
+        .select("event_type", "n_hours", "n_pairs", "sen_slope")
+        .orderBy("event_type")
+    )
+
+
+def _theil_sen_oracle() -> str:
+    return """
+WITH cells AS (
+  SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hh,
+         CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.hh AS ha, b.hh AS hb,
+         CAST(b.c - a.c AS DOUBLE) / (b.hh - a.hh) AS slope
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.hh < b.hh
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, ha, hb) AS rn,
+         CAST(count(1) OVER (PARTITION BY event_type) AS BIGINT) AS np
+  FROM pairs
+),
+med AS (
+  SELECT event_type, max(np) AS n_pairs, round(avg(slope), 6) AS sen_slope
+  FROM ranked
+  WHERE rn = CAST(floor((np + 1) / 2) AS BIGINT)
+     OR rn = CAST(floor((np + 2) / 2) AS BIGINT)
+  GROUP BY event_type
+),
+hours AS (
+  SELECT event_type, CAST(count(1) AS BIGINT) AS n_hours FROM cells GROUP BY 1
+)
+SELECT event_type, n_hours, n_pairs, sen_slope
+FROM hours JOIN med USING (event_type)
+ORDER BY event_type
+"""
+
+
 #: Holt smoothing constants — exactly-representable binary fractions
 #: so neither engine's literal parse introduces a ULP of drift (each
 #: step's op sequence is identical anyway; this removes even the
@@ -1342,6 +1447,7 @@ QUERIES = {
     "q_holt_forecast": _q_holt_forecast,
     "q_item_cooccurrence": _q_item_cooccurrence,
     "q_item_cooccurrence_capped": _q_item_cooccurrence_capped,
+    "q_theil_sen": _q_theil_sen,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -1610,6 +1716,7 @@ FROM credited GROUP BY channel ORDER BY channel
     "q_holt_forecast": _holt_oracle(),
     "q_item_cooccurrence": _item_cooccurrence_oracle(),
     "q_item_cooccurrence_capped": _item_cooccurrence_capped_oracle(),
+    "q_theil_sen": _theil_sen_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
