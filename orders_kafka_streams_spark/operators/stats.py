@@ -325,6 +325,200 @@ ORDER BY bh_rank
 """
 
 
+def bh_daily(cells: DataFrame) -> DataFrame:
+    """The per-closed-day BH readout shared by q_stream_bh_fdr and its
+    oracle's semantics: ``cells`` is the (day, event_type, arm, n, s,
+    ss) relation (per-day moment cells, sums rounded 6 dp at the cell
+    level); for every day the family of cumulative Welch z's (running
+    sums over the ordered day axis — deterministic accumulation order,
+    unlike a bag sum) is ranked and stepped-up against the shared
+    Φ⁻¹ literals. A (day, type, arm) hole is zero-filled against the
+    dense day×type×arm grid so every day ranks the FULL m-metric
+    family. Output: one row per (day, metric)."""
+    from pyspark.sql import Window
+
+    spark = cells.sparkSession
+    days = cells.select("day").distinct()
+    types = spark.createDataFrame(
+        [(t,) for t in BH_TYPES], "event_type string"
+    )
+    arms = spark.createDataFrame([(0,), (1,)], "arm int")
+    # densify by UNION + re-aggregate, not a join back (grid derives
+    # from `cells`, and a self-join against a streaming memory-sink
+    # view trips analyzer reference dedup): zero rows for every grid
+    # cell collapse into the sums without changing them
+    zeros = (
+        days.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(arms))
+        .select(
+            "day",
+            "event_type",
+            "arm",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("ss"),
+        )
+    )
+    dense = (
+        cells.select("day", "event_type", "arm", "n", "s", "ss")
+        .unionByName(zeros)
+        .groupBy("day", "event_type", "arm")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"))
+    )
+    wc = (
+        Window.partitionBy("event_type", "arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "day",
+        "event_type",
+        "arm",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+        F.sum("ss").over(wc).alias("css"),
+    )
+    # arms fold side-by-side via conditional aggregation, NOT an
+    # a⋈b self-join — two filters of the same memory-sink lineage
+    # trip the analyzer's conflicting-reference dedup, and one pass
+    # over the cells beats a keyed self-join anyway
+    am = lambda c: F.max(F.when(F.col("arm") == 0, F.col(c)))  # noqa: E731
+    bm = lambda c: F.max(F.when(F.col("arm") == 1, F.col(c)))  # noqa: E731
+    j = cum.groupBy("day", "event_type").agg(
+        am("cn").alias("n_a"),
+        am("cs").alias("s_a"),
+        am("css").alias("ss_a"),
+        bm("cn").alias("n_b"),
+        bm("cs").alias("s_b"),
+        bm("css").alias("ss_b"),
+    )
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b"))
+        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+    )
+    scored = j.select(
+        "day", "event_type", F.round(F.abs(z), 6).alias("z_abs")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("z_abs"), F.asc("event_type"))
+    crit = "CASE bh_rank " + "".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DOUBLE) " for i, c in enumerate(BH_Z_CRIT)
+    ) + "END"
+    ranked = scored.select(
+        "day", "event_type", "z_abs", F.row_number().over(w).alias("bh_rank")
+    ).withColumn("z_crit", F.expr(crit))
+    # per-day step-up cutoff as a day-partitioned window max — a
+    # groupBy+join-back would be a second self-join on the same
+    # memory-sink lineage (same analyzer trap as above), and the
+    # window computes it in the pass the rank already shuffled for
+    kstar = F.max(
+        F.when(F.col("z_abs") >= F.col("z_crit"), F.col("bh_rank"))
+    ).over(Window.partitionBy("day"))
+    return (
+        ranked.withColumn("kstar", kstar)
+        .select(
+            "day",
+            "event_type",
+            "z_abs",
+            "bh_rank",
+            F.coalesce(F.col("bh_rank") <= F.col("kstar"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("day", "bh_rank")
+    )
+
+
+def bh_daily_oracle(closed_windows_only: bool = True) -> str:
+    """Batch SQL twin of bh_daily over raw events; with
+    ``closed_windows_only`` the day cells are restricted to windows
+    the final watermark closed (the msprt_oracle pattern — the
+    streaming twin's append emission never sees the tail day)."""
+    from ..functions.portable import hash60_sql
+
+    wm = (
+        f"WHERE (day + 1) * {DAY_MS} <= (SELECT max(epoch_ms(ts)) - 60000 FROM events)"
+        if closed_windows_only
+        else ""
+    )
+    types = ", ".join(f"('{t}')" for t in BH_TYPES)
+    crit = "CASE bh_rank " + "".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DOUBLE) " for i, c in enumerate(BH_Z_CRIT)
+    ) + "END"
+    return f"""
+WITH cells0 AS (
+  SELECT CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) AS day,
+         event_type,
+         {hash60_sql(f"'{BH_SALT}|' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CAST(count(1) AS BIGINT) AS n,
+         round(sum(value), 6) AS s,
+         round(sum(value * value), 6) AS ss
+  FROM events WHERE event_type IN ({", ".join(f"'{t}'" for t in BH_TYPES)})
+  GROUP BY 1, 2, 3
+),
+cells AS (SELECT * FROM cells0 {wm}),
+zeros AS (
+  SELECT d.day, t.event_type, a.arm,
+         CAST(0 AS BIGINT) AS n, 0.0 AS s, 0.0 AS ss
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (VALUES {types}) t(event_type)
+  CROSS JOIN (VALUES (0), (1)) a(arm)
+),
+dense AS (
+  SELECT day, event_type, arm,
+         CAST(sum(n) AS BIGINT) AS n, sum(s) AS s, sum(ss) AS ss
+  FROM (SELECT * FROM cells UNION ALL SELECT * FROM zeros)
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT day, event_type, arm,
+         CAST(sum(n) OVER w AS BIGINT) AS cn, sum(s) OVER w AS cs,
+         sum(ss) OVER w AS css
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type, arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+j AS (
+  SELECT a.day, a.event_type,
+         a.cn AS n_a, a.cs AS s_a, a.css AS ss_a,
+         b.cn AS n_b, b.cs AS s_b, b.css AS ss_b
+  FROM cum a JOIN cum b ON a.day = b.day AND a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1
+),
+scored AS (
+  SELECT day, event_type,
+         round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+           abs((s_a / n_a - s_b / n_b) /
+               sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                  + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b))
+         END, 6) AS z_abs
+  FROM j
+),
+ranked AS (
+  SELECT day, event_type, z_abs,
+         CAST(row_number() OVER (PARTITION BY day
+              ORDER BY z_abs DESC NULLS LAST, event_type ASC) AS INTEGER)
+           AS bh_rank
+  FROM scored
+),
+cr AS (SELECT *, {crit} AS z_crit FROM ranked),
+ks AS (
+  SELECT day, max(CASE WHEN z_abs >= z_crit THEN bh_rank END) AS kstar
+  FROM cr GROUP BY day
+)
+SELECT cr.day, cr.event_type, cr.z_abs, cr.bh_rank,
+       coalesce(cr.bh_rank <= ks.kstar, FALSE) AS rejected
+FROM cr JOIN ks USING (day)
+ORDER BY cr.day, cr.bh_rank
+"""
+
+
 KW_CRIT = {
     1: 3.841459,
     2: 5.991465,

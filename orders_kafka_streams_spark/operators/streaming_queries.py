@@ -431,6 +431,52 @@ def _q_stream_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_curve(spark.table(tab))
 
 
+def _q_stream_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDR-controlled multi-metric experiment readout fed by the
+    streaming engine — q_bh_fdr's deployment shape: the ENGINE
+    aggregates watermarked 1-day windows into (day, metric, arm)
+    moment cells as they close; after every closed day the cumulative
+    Welch z family is re-ranked and the BH step-up re-applied
+    (stats.bh_daily, the shared fold), so the experimenter reads a
+    live 'which metrics are currently rejected at FDR α' table —
+    the multi-metric complement to q_stream_msprt's single-metric
+    always-valid p. Oracle: the batch SQL restricted to
+    watermark-closed windows (the msprt/q_stream_drift wm-filter
+    pattern — append mode never emits the tail day).
+
+    Scale shape: streaming state is O(open windows × metrics × arms)
+    cells; the drained relation is O(days × m) and every post-drain
+    window (cumulative, per-day rank) orders those cells, never
+    events. Cumulative sums run over the ORDERED day axis — a
+    deterministic accumulation order, unlike the batch bag-sum."""
+    from ..functions.portable import hash60
+    from .stats import BH_SALT, BH_TYPES, DAY_MS, bh_daily
+
+    ev = events_file_stream(spark, sf_dir).filter(
+        F.col("event_type").isin(*BH_TYPES)
+    )
+    arm = hash60(F.concat(F.lit(BH_SALT + "|"), F.col("user_id"))) % 2
+    cells = (
+        ev.withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type", arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.round(F.sum(F.col("value") * F.col("value")), 6).alias("ss"),
+        )
+        .select(
+            F.floor(epoch_ms(F.col("window.start")) / F.lit(DAY_MS)).alias("day"),
+            "event_type",
+            "arm",
+            "n",
+            "s",
+            "ss",
+        )
+    )
+    tab = run_to_memory(cells, "bh_cells_stream")
+    return bh_daily(spark.table(tab))
+
+
 def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounce audit fed by the streaming engine: the stateful
     per-(user, type) last-timestamp cursor (streaming/debounce.py)
@@ -1046,6 +1092,7 @@ QUERIES = {
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_debounce": _q_stream_debounce,
     "q_stream_msprt": _q_stream_msprt,
+    "q_stream_bh_fdr": _q_stream_bh_fdr,
     "q_stream_attribution": _q_stream_attribution,
 }
 
@@ -1353,6 +1400,15 @@ from .stats import msprt_oracle as _msprt_oracle  # noqa: E402
 # append-mode emission: only watermark-closed daily windows drain, so
 # the oracle restricts the cells to closed windows (tail day trimmed)
 ORACLE["q_stream_msprt"] = _msprt_oracle(closed_windows_only=True)
+
+
+def _bh_daily_oracle_closed() -> str:
+    from .stats import bh_daily_oracle
+
+    return bh_daily_oracle(closed_windows_only=True)
+
+
+ORACLE["q_stream_bh_fdr"] = _bh_daily_oracle_closed()
 
 # the streamed DP release equals the batch release on CLOSED windows
 from .privacy import DP_EPSILON as _DP_EPS
