@@ -107,13 +107,93 @@ def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_audit(spark, sf_dir)
 
 
+#: (table, column) pairs the ANALYZE-style profile sweeps — the CBO
+#: statistics a warehouse collects before trusting join reordering.
+PROFILE_COLS = (
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_returnflag"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics profile — the inputs a
+    cost-based optimizer (and a data-quality reviewer) reads before
+    trusting join order, broadcast choices, or a dimension's
+    advertised cardinality: per profiled column, row count, null
+    count, EXACT distinct count, null fraction, and the
+    rows-per-distinct ratio (the join fan-out predictor — ndv ≈ rows
+    means a key; small ndv means a category that will broadcast).
+    Exact NDV, not approx_count_distinct: this is the audited
+    statistics table, and the HLL± variant already exists as
+    q_approx_distinct (declared rows-only).
+
+    Scale shape: one aggregation PER PROFILED COLUMN over its own
+    table scan — count_distinct partial-aggregates map-side, so each
+    check is scan + two-phase agg to ONE row; the union is |columns|
+    rows. At 100 TB you'd compute all of a table's columns in one
+    multi-agg pass (Spark plans the count_distincts as an expand —
+    one scan either way); per-column scans keep the per-check
+    pushdown (column pruning to ONE column each) visible in the plan.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (pipeline-operations family)."""
+    out = None
+    for table, col in PROFILE_COLS:
+        t = load_table(spark, sf_dir, table)
+        row = t.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.count_distinct(F.col(col)).alias("ndv"),
+            F.round(
+                (F.count(F.lit(1)) - F.count(col)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("null_frac"),
+            F.round(
+                F.count(col).cast("double") / F.count_distinct(F.col(col)), 6
+            ).alias("rows_per_value"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name", "column_name")
+
+
+def _table_stats_oracle() -> str:
+    parts = []
+    for table, col in PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{table}' AS table_name, '{col}' AS column_name,
+       CAST(count(1) AS BIGINT) AS n_rows,
+       CAST(count(1) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+       round(CAST(count(1) - count({col}) AS DOUBLE) / count(1), 6) AS null_frac,
+       round(CAST(count({col}) AS DOUBLE) / count(DISTINCT {col}), 6) AS rows_per_value
+FROM {table}"""
+        )
+    return "\n".join(
+        ["SELECT * FROM ("]
+        + ["\nUNION ALL\n".join(parts)]
+        + [") ORDER BY table_name, column_name"]
+    )
+
+
 QUERIES = {
     "q_dq_audit": _q_dq_audit,
+    "q_table_stats": _q_table_stats,
 }
 
 _ET_LIST = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
+    "q_table_stats": _table_stats_oracle(),
     "q_dq_audit": f"""
         SELECT 'completeness_events_value' AS check,
                round(CAST(count(value) AS DOUBLE) / count(1), 6) AS metric,

@@ -382,8 +382,88 @@ def _q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEYMAN_TOTAL = 10_000  # planned total sample size allocated across strata
+
+
+def _q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation (Neyman 1934) over the
+    event-type strata — the survey-sampling planner that beats
+    q_stratified_sample's equal-k and q_split_assign's proportional
+    split whenever stratum variances differ: allocating
+    n_h = n · (N_h σ_h) / Σ(N_k σ_k) minimizes the variance of the
+    stratified mean at fixed total n, so the heavy-tailed strata get
+    the samples that actually shrink the error bar. Output per
+    stratum: size, σ (sample stddev of value), Neyman fraction, the
+    floored per-stratum allocation, and the proportional fraction it
+    replaces (the delta is the efficiency story).
+
+    Scale shape: one events pass partial-aggregates (n, Σv, Σv²) per
+    stratum (sums rounded 6 dp before the float pipeline, the CUPED
+    discipline); the Σ(N_k σ_k) normalizer attaches as a 1-row
+    broadcast. |strata| rows end-to-end after the scan. Floors, not
+    round(): banker's-vs-half-up .5 behavior differs cross-engine.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling family)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 6).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 6).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_rows")) / (
+        F.col("n_rows") - 1
+    )
+    sig = cells.select(
+        "event_type", "n_rows", F.sqrt(var).alias("sigma")
+    ).withColumn("nh_sig", F.col("n_rows") * F.col("sigma"))
+    tot = sig.agg(
+        F.sum("nh_sig").alias("denom"), F.sum("n_rows").alias("n_total")
+    )
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("sigma", 6).alias("sigma"),
+            F.round(F.col("nh_sig") / F.col("denom"), 6).alias("neyman_frac"),
+            F.floor(
+                F.lit(NEYMAN_TOTAL) * F.col("nh_sig") / F.col("denom")
+            ).alias("n_alloc"),
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias(
+                "proportional_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _neyman_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT event_type, CAST(count(1) AS BIGINT) AS n_rows,
+         round(sum(value), 6) AS s, round(sum(value * value), 6) AS ss
+  FROM events GROUP BY 1
+),
+sig AS (
+  SELECT event_type, n_rows,
+         sqrt((ss - s * s / n_rows) / (n_rows - 1)) AS sigma,
+         n_rows * sqrt((ss - s * s / n_rows) / (n_rows - 1)) AS nh_sig
+  FROM cells
+),
+tot AS (SELECT sum(nh_sig) AS denom, CAST(sum(n_rows) AS BIGINT) AS n_total FROM sig)
+SELECT event_type, n_rows, round(sigma, 6) AS sigma,
+       round(nh_sig / denom, 6) AS neyman_frac,
+       CAST(floor({NEYMAN_TOTAL} * nh_sig / denom) AS BIGINT) AS n_alloc,
+       round(CAST(n_rows AS DOUBLE) / n_total, 6) AS proportional_frac
+FROM sig CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_split_leakage": _q_split_leakage,
+    "q_neyman_alloc": _q_neyman_alloc,
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
     "q_sample_weighted": _q_sample_weighted,
@@ -396,6 +476,7 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_neyman_alloc": _neyman_oracle(),
     "q_sample_priority": f"""
 WITH d AS (
   SELECT doc_id, n_chars,

@@ -997,6 +997,194 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XC_PAIRS = (("click", "purchase"), ("view", "click"), ("signup", "purchase"))
+XC_MAX_LAG = 24  # hours scanned in each direction
+
+
+def _q_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type hourly count
+    series — the causal-ordering question q_autocorr's self-lags
+    can't answer: does click activity LEAD purchases (and by how many
+    hours)? For each (x, y) pair in XC_PAIRS, Pearson r between
+    x(t) and y(t+lag) over the zero-filled hourly grid for every lag
+    in ±XC_MAX_LAG; reported: the lag maximizing |r| (tie → smaller
+    lag, then earlier sign) with its r, plus r at lag 0 as the
+    contemporaneous baseline. Standard ops/attribution tooling (the
+    cross-correlogram argmax); all sums are integer-exact, so the
+    only float ops are the final divisions — identical IEEE bits
+    cross-engine, rounded 6 dp at output.
+
+    Scale shape: the corpus collapses to O(types × hours) count
+    cells once; lag alignment is a cell equi-join on h+lag after a
+    ≤(2L+1)-row lag explode (cells × 49, still cells); per-(pair,
+    lag) sufficient statistics partial-combine map-side to
+    |pairs|·(2L+1) rows, and the argmax is a window over those. The
+    zero-filled grid matters: skipping empty hours would misalign
+    lags exactly like q_seasonal_outliers' seasonal index.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / time-series family)."""
+    from pyspark.sql import Window
+
+    from .dedup import _memo_persist
+
+    def build_series() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+        bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        grid = bounds.select(
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        ).select(F.floor(epoch_ms(F.col("h")) / F.lit(3_600_000)).alias("hh"))
+        types = spark.createDataFrame(
+            [(t,) for t in sorted({t for p in XC_PAIRS for t in p})],
+            "event_type string",
+        )
+        return (
+            grid.crossJoin(F.broadcast(types))
+            .join(
+                cnt.select(
+                    "event_type",
+                    F.floor(epoch_ms(F.col("h")) / F.lit(3_600_000)).alias("hh"),
+                    "c",
+                ),
+                ["event_type", "hh"],
+                "left",
+            )
+            .select(
+                "event_type",
+                "hh",
+                F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            )
+        )
+
+    # memo-persisted: both join sides (x and y) consume the zero-filled
+    # series — one events scan + one cell build per session, not two
+    series = _memo_persist(spark, sf_dir, "xcorr_series", build_series)
+    pairs = spark.createDataFrame(
+        [(x, y) for x, y in XC_PAIRS], "xt string, pair_yt string"
+    )
+    lags = spark.range(-XC_MAX_LAG, XC_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    x = series.select(
+        F.col("event_type").alias("xt"), "hh", F.col("c").alias("xc")
+    )
+    y = series.select(
+        F.col("event_type").alias("yt"),
+        F.col("hh").alias("yh"),
+        F.col("c").alias("yc"),
+    )
+    aligned = (
+        x.join(F.broadcast(pairs), "xt")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            y,
+            (F.col("yt") == F.col("pair_yt"))
+            & (F.col("yh") == F.col("hh") + F.col("lag")),
+        )
+        .select("xt", "yt", "lag", "xc", "yc")
+    )
+    s = aligned.groupBy("xt", "yt", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    scored = s.select(
+        "xt",
+        "yt",
+        "lag",
+        F.round(num / den, 6).alias("r"),
+    )
+    w = Window.partitionBy("xt", "yt").orderBy(
+        F.desc(F.abs(F.col("r"))), F.asc("lag")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    lag0 = scored.filter(F.col("lag") == 0).select(
+        "xt", "yt", F.col("r").alias("r_lag0")
+    )
+    return (
+        best.join(lag0, ["xt", "yt"])
+        .select(
+            F.col("xt").alias("lead_type"),
+            F.col("yt").alias("lag_type"),
+            F.col("lag").alias("best_lag"),
+            F.col("r").alias("r_best"),
+            "r_lag0",
+        )
+        .orderBy("lead_type", "lag_type")
+    )
+
+
+def _xcorr_oracle() -> str:
+    pairs = ", ".join(f"('{x}', '{y}')" for x, y in XC_PAIRS)
+    types = ", ".join(f"'{t}'" for t in sorted({t for p in XC_PAIRS for t in p}))
+    return f"""
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
+grid AS (
+  SELECT CAST(floor(epoch_ms(g.h) / 3600000) AS BIGINT) AS hh
+  FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b) g
+),
+cnt AS (
+  SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hh,
+         CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT t.event_type, g.hh, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM grid g
+  CROSS JOIN (SELECT unnest([{types}]) AS event_type) t
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hh = g.hh
+),
+lags AS (SELECT CAST(unnest(range(-{XC_MAX_LAG}, {XC_MAX_LAG} + 1)) AS BIGINT) AS lag),
+pairs AS (SELECT * FROM (VALUES {pairs}) p(xt, yt)),
+aligned AS (
+  SELECT p.xt, p.yt, l.lag, x.c AS xc, y.c AS yc
+  FROM series x
+  JOIN pairs p ON x.event_type = p.xt
+  CROSS JOIN lags l
+  JOIN series y ON y.event_type = p.yt AND y.hh = x.hh + l.lag
+),
+s AS (
+  SELECT xt, yt, lag,
+         CAST(count(1) AS BIGINT) AS n,
+         CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(xc * yc) AS BIGINT) AS sxy,
+         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+         CAST(sum(yc * yc) AS BIGINT) AS syy
+  FROM aligned GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT xt, yt, lag,
+         round((n * sxy - sx * sy) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+  FROM s
+),
+best AS (
+  SELECT xt, yt, lag, r FROM (
+    SELECT xt, yt, lag, r,
+           row_number() OVER (PARTITION BY xt, yt
+                              ORDER BY abs(r) DESC, lag ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT b.xt AS lead_type, b.yt AS lag_type, b.lag AS best_lag,
+       b.r AS r_best, z.r AS r_lag0
+FROM best b JOIN scored z ON z.xt = b.xt AND z.yt = b.yt AND z.lag = 0
+ORDER BY lead_type, lag_type
+"""
+
+
 def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend estimation (Theil 1950 / Sen 1968) of
     each event type's hourly count series — the median of all
@@ -1448,6 +1636,7 @@ QUERIES = {
     "q_item_cooccurrence": _q_item_cooccurrence,
     "q_item_cooccurrence_capped": _q_item_cooccurrence_capped,
     "q_theil_sen": _q_theil_sen,
+    "q_xcorr_leadlag": _q_xcorr_leadlag,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -1717,6 +1906,7 @@ FROM credited GROUP BY channel ORDER BY channel
     "q_item_cooccurrence": _item_cooccurrence_oracle(),
     "q_item_cooccurrence_capped": _item_cooccurrence_capped_oracle(),
     "q_theil_sen": _theil_sen_oracle(),
+    "q_xcorr_leadlag": _xcorr_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
