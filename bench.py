@@ -150,6 +150,15 @@ HEADLINE = [
     "q_linkage_weights",
     "q_msprt",
     "q_logrank",
+    # r6 additions: the experimentation/trend/profile family growth
+    "q_bh_fdr",
+    "q_kruskal",
+    "q_theil_sen",
+    "q_xcorr_leadlag",
+    "q_neyman_alloc",
+    "q_table_stats",
+    "q_kcenter_coreset_batched",
+    "q_stream_bh_fdr",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

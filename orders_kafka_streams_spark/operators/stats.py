@@ -325,6 +325,313 @@ ORDER BY bh_rank
 """
 
 
+def _q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, per event
+    type and pooled — the Lorenz-curve inequality readout behind
+    "5% of users generate 60% of events" (bot cohorts, power-user
+    dependence, the load-skew complement to q_skew_audit's join-key
+    view; NOT q_roc_auc's AUC-derived Gini, which measures ranking).
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-user counts x sorted
+    ascending; within a tied block of f users at count c the rank sum
+    telescopes to c·(f·cum + f(f+1)/2), so the whole statistic
+    computes from count-of-count CELLS in exact integer arithmetic —
+    the only float ops are the two final divisions.
+
+    Scale shape: events → per-(type, user) counts (one partial-agg
+    exchange) → count-of-count cells (second, tiny) → ONE ordered
+    running-sum window per type over O(distinct counts) cells. The
+    pooled row reuses the per-user relation. Output: one row per
+    event type + 'all' (group_key, n_users, total_events, gini).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pooled = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("all").alias("g"), "c")
+    )
+    both = per_user.select(F.col("event_type").alias("g"), "c").unionByName(
+        pooled
+    )
+    cells = both.groupBy("g", "c").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("g").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = cells.select(
+        "g",
+        "c",
+        "f",
+        F.coalesce(F.sum("f").over(w), F.lit(0)).alias("cum"),
+    )
+    # rank sum of a tied block: c * (f*cum + f(f+1)/2), exact ints
+    block = F.col("c") * (
+        F.col("f") * F.col("cum") + F.col("f") * (F.col("f") + 1) / 2
+    )
+    agg = staged.groupBy("g").agg(
+        F.sum("f").alias("n_users"),
+        F.sum(F.col("c") * F.col("f")).alias("total_events"),
+        F.sum(block).alias("s"),
+    )
+    n = F.col("n_users")
+    gini = F.lit(2.0) * F.col("s") / (n * F.col("total_events")) - (n + 1) / n
+    return agg.select(
+        F.col("g").alias("group_key"),
+        "n_users",
+        "total_events",
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("group_key")
+
+
+def _gini_oracle() -> str:
+    return """
+WITH per_user AS (
+  SELECT event_type AS g, user_id, CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT 'all' AS g, user_id, CAST(count(1) AS BIGINT) AS c
+  FROM events GROUP BY 2
+),
+cells AS (SELECT g, c, CAST(count(1) AS BIGINT) AS f FROM per_user GROUP BY 1, 2),
+staged AS (
+  SELECT g, c, f,
+         coalesce(CAST(sum(f) OVER (PARTITION BY g ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+  FROM cells
+),
+agg AS (
+  SELECT g, CAST(sum(f) AS BIGINT) AS n_users,
+         CAST(sum(c * f) AS BIGINT) AS total_events,
+         sum(c * (f * cum + f * (f + 1) / 2)) AS s
+  FROM staged GROUP BY g
+)
+SELECT g AS group_key, n_users, total_events,
+       round(2.0 * s / (n_users * total_events)
+             - (n_users + 1) / CAST(n_users AS DOUBLE), 6) AS gini
+FROM agg ORDER BY group_key
+"""
+
+
+def _q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) operator over per-user behavior —
+    the users not dominated on (total events, total purchase value):
+    the classic multi-objective SELECT the Börzsönyi et al. 2001
+    SKYLINE OF clause computes, used here as "who are the
+    jointly-most-active AND highest-spending users" (any weighted
+    ranking picks a frontier point, so the frontier IS the candidate
+    set for every possible weighting). The naive formulation is the
+    O(n²) NOT EXISTS anti-join; in 2D the frontier is a WINDOW: with
+    cells sorted by x descending, a (x, y) cell is on the frontier
+    iff its y exceeds every y at strictly larger x — one per-x max
+    pre-reduction, one ordered running-max window, zero self-joins.
+
+    Scale shape: per-user totals partial-combine in one exchange;
+    per-x maxima reduce the relation to O(distinct x) cells; the
+    running-max window orders those cells (the q_roc_auc
+    distinct-margin pattern). Dominance uses integer/rounded-exact
+    values so the frontier SET is engine-stable. Output: frontier
+    users (user_id, n_events, purchase_value) by descending events.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (relational / planner family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("y"),
+    )
+    xcells = per_user.groupBy("x").agg(F.max("y").alias("my"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    frontier_cells = (
+        xcells.select(
+            "x", "my", F.max("my").over(w).alias("best_above")
+        )
+        .filter(F.col("best_above").isNull() | (F.col("my") > F.col("best_above")))
+        .select("x", F.col("my").alias("y"))
+    )
+    return (
+        per_user.join(F.broadcast(frontier_cells), ["x", "y"])
+        .select(
+            "user_id",
+            F.col("x").alias("n_events"),
+            F.col("y").alias("purchase_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+def _skyline_oracle() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, CAST(count(1) AS BIGINT) AS x,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS y
+  FROM events GROUP BY 1
+),
+xcells AS (SELECT x, max(y) AS my FROM per_user GROUP BY 1),
+fc AS (
+  SELECT x, my AS y FROM (
+    SELECT x, my,
+           max(my) OVER (ORDER BY x DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+    FROM xcells
+  ) WHERE best_above IS NULL OR my > best_above
+)
+SELECT p.user_id, p.x AS n_events, p.y AS purchase_value
+FROM per_user p JOIN fc ON p.x = fc.x AND p.y = fc.y
+ORDER BY n_events DESC, user_id
+"""
+
+
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) recalibration of the quality head's
+    reliability curve — what you DO about the miscalibration
+    q_calibration measures (Zadrozny & Elkan 2002's standard
+    post-hoc fix): fit the nondecreasing step function minimizing
+    weighted squared error to the per-bin empirical positive rates.
+    Computed DECLARATIVELY via the minimax identity — the PAV
+    algorithm's output satisfies fit_i = min_{k≥i} max_{j≤i}
+    A(j, k), A(j, k) = weighted mean rate over bins j..k — so the
+    whole fit is prefix sums + two ordered windows over bin-pair
+    cells, no iterative pooling loop anywhere. A(j, k) derives from
+    integer (Σnp, Σn) prefix sums, so every division is
+    bit-identical cross-engine.
+
+    Scale shape: the corpus collapses to ≤CAL_BINS reliability cells
+    (q_calibration's exchange); the minimax expands to ≤CAL_BINS²
+    (j, k) pairs — CELLS squared, a constant — with a running max
+    over j (window per k) then a running min over k (window per i).
+    Output per bin: n, raw empirical rate, isotonic-fitted rate
+    (nondecreasing by construction — property-tested).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (model-eval family)."""
+    from pyspark.sql import Window
+
+    from .curation import classifier_scores
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
+    scored = classifier_scores(base, extra=("lang",))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6)
+    bins = (
+        scored.select(
+            p.alias("p"), (F.col("lang") == "en").cast("long").alias("pos")
+        )
+        .groupBy(
+            F.least(F.floor(F.col("p") * CAL_BINS), F.lit(CAL_BINS - 1))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np"))
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "np",
+        F.sum("n").over(wp).alias("wn"),
+        F.sum("np").over(wp).alias("wp"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("wn") - F.col("n")).alias("wn_before"),
+        (F.col("wp") - F.col("np")).alias("wp_before"),
+    )
+    k = pre.select(F.col("bin").alias("k"), "wn", "wp")
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("wp") - F.col("wp_before")).cast("double")
+            / (F.col("wn") - F.col("wn_before"))
+        ).alias("a"),
+    )
+    # m1(i=j', k) needs max over j <= i: running max over j per k
+    wmax = Window.partitionBy("k").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m1 = pairs.select(
+        F.col("j").alias("i"), "k", F.max("a").over(wmax).alias("m")
+    ).filter(F.col("k") >= F.col("i"))
+    wmin = Window.partitionBy("i").orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fit = (
+        m1.select("i", "k", F.min("m").over(wmin).alias("fit"))
+        .filter(F.col("k") == F.col("i"))
+        .select(F.col("i").alias("bin"), "fit")
+    )
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("np") / F.col("n"), 6).alias("raw_rate"),
+            F.round("fit", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _isotonic_oracle() -> str:
+    from .curation import _CLS_MARGIN
+
+    return f"""
+WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents),
+f AS (SELECT lang, round({_CLS_MARGIN}, 6) AS margin FROM toks WHERE len(t) > 0),
+pp AS (
+  SELECT round(1.0 / (1.0 + exp(-margin)), 6) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM f
+),
+bins AS (
+  SELECT CAST(least(floor(p * {CAL_BINS}), {CAL_BINS - 1}) AS INTEGER) AS bin,
+         CAST(count(1) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM pp GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, np,
+         CAST(sum(n) OVER w AS BIGINT) AS wn, CAST(sum(np) OVER w AS BIGINT) AS wp
+  FROM bins
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pairs AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(k.wp - (j.wp - j.np) AS DOUBLE) / (k.wn - (j.wn - j.n)) AS a
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+m1 AS (
+  SELECT j AS i, k, max(a) OVER (PARTITION BY k ORDER BY j
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (
+  SELECT i AS bin, fit FROM (
+    SELECT i, k, min(m) OVER (PARTITION BY i ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fit
+    FROM m1 WHERE k >= i
+  ) WHERE k = i
+)
+SELECT b.bin, b.n, round(CAST(b.np AS DOUBLE) / b.n, 6) AS raw_rate,
+       round(f2.fit, 6) AS iso_rate
+FROM bins b JOIN fit f2 USING (bin)
+ORDER BY b.bin
+"""
+
+
 def bh_daily(cells: DataFrame) -> DataFrame:
     """The per-closed-day BH readout shared by q_stream_bh_fdr and its
     oracle's semantics: ``cells`` is the (day, event_type, arm, n, s,
@@ -1906,6 +2213,9 @@ QUERIES = {
     "q_ks_test": _q_ks_test,
     "q_bh_fdr": _q_bh_fdr,
     "q_kruskal": _q_kruskal,
+    "q_gini_activity": _q_gini_activity,
+    "q_skyline_users": _q_skyline_users,
+    "q_isotonic_calibration": _q_isotonic_calibration,
     "q_chi2_independence": _q_chi2_independence,
     "q_hourly_profile": _q_hourly_profile,
     "q_mad_outliers": _q_mad_outliers,
@@ -2395,6 +2705,9 @@ FROM d
 """,
     "q_bh_fdr": bh_fdr_oracle(),
     "q_kruskal": kruskal_oracle(),
+    "q_gini_activity": _gini_oracle(),
+    "q_skyline_users": _skyline_oracle(),
+    "q_isotonic_calibration": _isotonic_oracle(),
     "q_rank_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')

@@ -129,6 +129,14 @@ COMMENTARY = {
     "q_linkage_weights": "FS linkage estimation: O(N) by design — m from N true key-joined pairs, u from N derangement pairings (never the blocked cross product; the sf1 smoke caught that at N^2/blocks), one sufficient-statistic row",
     "q_msprt": "sequential monitor: corpus collapses to (day, arm) sufficient-statistic cells; the only window is the cumulative running sum over O(days) cells ordered by day",
     "q_logrank": "log-rank test: KM's cell shapes — two user_id min-aggs, (day,group) cells, per-group at-risk running sums over O(days) cells, integer O/E/V terms until the final divisions",
+    "q_bh_fdr": "BH-FDR step-up: one events pass partial-aggregates (type,arm) moment cells; rank window orders m rows; step-up cutoff a 1-row broadcast; Phi-inverse thresholds are shared literals — no erf anywhere",
+    "q_kruskal": "Kruskal-Wallis: per-(value,type) counts partial-combine map-side, ONE running-sum window over distinct-value cells gives global ranks, per-group half-integer rank sums exact; tie/n-cubed in double so int64 can't wrap",
+    "q_theil_sen": "Theil-Sen trend: corpus collapses to O(types x hours) cells; pairwise slopes fan out over CELLS per type (not events); median by explicit rank in a type-partitioned window — never a global sort or engine median()",
+    "q_xcorr_leadlag": "lead-lag cross-correlation: memo-persisted zero-filled series feeds both join sides (one events scan/session); lag explode is cells x 49; per-(pair,lag) sufficient stats partial-combine to |pairs|*49 rows",
+    "q_neyman_alloc": "Neyman allocation: one events pass to |strata| moment cells, normalizer attaches as a 1-row broadcast; floor not round() at the .5 boundary",
+    "q_table_stats": "column-stats profile: per profiled column one scan + two-phase count_distinct agg to ONE row, column pruning per check; union is |columns| rows",
+    "q_kcenter_coreset_batched": "tournament FPS: one shuffle on p + one Arrow-kernel exact FPS per partition, then ONE task over the PxK winner pool — 2 jobs regardless of K vs the exact loop's K driver round-trips",
+    "q_stream_bh_fdr": "streaming BH-FDR: engine-closed daily windows drain (day,metric,arm) cells; cumulative windows + per-day rank run over O(days x m) cells; densify by union+re-agg and cutoff by window max (memory-sink self-joins trip analyzer dedup)",
 }
 
 
