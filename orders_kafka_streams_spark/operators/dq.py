@@ -185,15 +185,186 @@ FROM {table}"""
     )
 
 
+#: (fact, fact key, dim, dim key) joins the CBO-estimate audit checks
+CARD_JOINS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate audit — the feedback loop on
+    q_table_stats: for each audited equi-join, the TEXTBOOK CBO
+    estimate |R⋈S| ≈ |R|·|S| / max(ndv_R(k), ndv_S(k)) (uniformity +
+    containment assumptions, System R onward) next to the TRUE join
+    count, with the under/over ratio. The ratio IS the decision
+    signal: a CBO trusting these stats reorders joins and picks
+    broadcast sides by the estimate, and a ratio far from 1 (skewed
+    keys, correlated filters) is exactly when runtime re-planning
+    (AQE) earns its keep. All counts exact integers; the only float
+    op is the final division.
+
+    Scale shape: per join, two single-column scans for (count, ndv)
+    cells — partial-combined map-side — plus ONE keyed join counted
+    by a two-phase count agg; the estimate row is |joins| rows total.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (pipeline-operations family)."""
+    out = None
+    for ft, fk, dt, dk in CARD_JOINS:
+        fact = load_table(spark, sf_dir, ft)
+        dim = load_table(spark, sf_dir, dt)
+        fstats = fact.agg(
+            F.count(F.lit(1)).alias("n_fact"),
+            F.count_distinct(F.col(fk)).alias("ndv_f"),
+        )
+        dstats = dim.agg(
+            F.count(F.lit(1)).alias("n_dim"),
+            F.count_distinct(F.col(dk)).alias("ndv_d"),
+        )
+        actual = (
+            fact.select(F.col(fk).alias("k"))
+            .join(dim.select(F.col(dk).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+        est = (
+            F.col("n_fact")
+            * F.col("n_dim")
+            / F.greatest(F.col("ndv_f"), F.col("ndv_d"))
+        )
+        row = (
+            fstats.crossJoin(F.broadcast(dstats))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(f"{ft}.{fk}={dt}.{dk}").alias("join_key"),
+                "n_fact",
+                "n_dim",
+                F.greatest(F.col("ndv_f"), F.col("ndv_d")).alias("ndv_max"),
+                F.floor(est).alias("estimated"),
+                "actual",
+                F.round(F.col("actual") / est, 6).alias("actual_over_est"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")
+
+
+def _join_card_oracle() -> str:
+    parts = []
+    for ft, fk, dt, dk in CARD_JOINS:
+        parts.append(
+            f"""SELECT '{ft}.{fk}={dt}.{dk}' AS join_key,
+       f.n_fact, d.n_dim, greatest(f.ndv_f, d.ndv_d) AS ndv_max,
+       CAST(floor(CAST(f.n_fact AS DOUBLE) * d.n_dim
+                  / greatest(f.ndv_f, d.ndv_d)) AS BIGINT) AS estimated,
+       a.actual,
+       round(a.actual / (CAST(f.n_fact AS DOUBLE) * d.n_dim
+                         / greatest(f.ndv_f, d.ndv_d)), 6) AS actual_over_est
+FROM (SELECT CAST(count(1) AS BIGINT) AS n_fact,
+             CAST(count(DISTINCT {fk}) AS BIGINT) AS ndv_f FROM {ft}) f
+CROSS JOIN (SELECT CAST(count(1) AS BIGINT) AS n_dim,
+             CAST(count(DISTINCT {dk}) AS BIGINT) AS ndv_d FROM {dt}) d
+CROSS JOIN (SELECT CAST(count(1) AS BIGINT) AS actual
+            FROM {ft} JOIN {dt} ON {ft}.{fk} = {dt}.{dk}) a"""
+        )
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY join_key"
+    )
+
+
+EQD_BUCKETS = 10  # equi-depth histogram bucket count
+
+
+def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of ``events.value`` — the
+    OTHER ANALYZE artifact next to q_table_stats' NDV row: fixed-width
+    bins (q_histogram) waste resolution on heavy-tailed data, so
+    planners store boundaries holding equal ROW counts (selectivity of
+    a range predicate ≈ buckets covered / B, Piatetsky-Shapiro &
+    Connell 1984). Boundary b = the smallest distinct value whose
+    cumulative count reaches ⌈total·b/B⌉ — exact rank selection over
+    value cells, ties spilling into a bucket kept (not split), so
+    bucket populations are only approximately equal in the presence
+    of heavy ties and the output reports the ACTUAL per-bucket count.
+
+    Scale shape: one partial-agg exchange to O(distinct values)
+    cells; ONE running-sum window over those cells (the q_ks_test
+    pattern); boundary selection and per-bucket recount both run on
+    the cell relation — event rows are touched once.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (pipeline-operations family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy("value").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "value", "f", F.sum("f").over(w).alias("cum")
+    )
+    tot = cells.agg(F.sum("f").alias("total"))
+    # bucket of a value = number of boundaries at or below its cum:
+    # floor((cum-1) * B / total) places exactly ceil(total/B)-ish rows
+    # per bucket with ties kept together at the boundary they cross
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "f",
+        F.floor(
+            (F.col("cum") - F.col("f")) * EQD_BUCKETS / F.col("total")
+        ).cast("int").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum("f").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _histogram_equidepth_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT value, CAST(count(1) AS BIGINT) AS f
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT value, f,
+         CAST(sum(f) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM cells),
+bucketed AS (
+  SELECT value, f,
+         CAST(floor((cum - f) * {EQD_BUCKETS} / CAST(total AS DOUBLE)) AS INTEGER)
+           AS bucket
+  FROM cum CROSS JOIN tot
+)
+SELECT bucket, min(value) AS lo, max(value) AS hi,
+       CAST(sum(f) AS BIGINT) AS n_rows
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q_dq_audit": _q_dq_audit,
     "q_table_stats": _q_table_stats,
+    "q_join_card_audit": _q_join_card_audit,
+    "q_histogram_equidepth": _q_histogram_equidepth,
 }
 
 _ET_LIST = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 ORACLE = {
     "q_table_stats": _table_stats_oracle(),
+    "q_join_card_audit": _join_card_oracle(),
+    "q_histogram_equidepth": _histogram_equidepth_oracle(),
     "q_dq_audit": f"""
         SELECT 'completeness_events_value' AS check,
                round(CAST(count(value) AS DOUBLE) / count(1), 6) AS metric,

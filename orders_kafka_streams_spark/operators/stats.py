@@ -632,6 +632,107 @@ ORDER BY b.bin
 """
 
 
+CONF_ALPHA = 0.1  # target miscoverage for the split-conformal set
+
+
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality head (Vovk et al.;
+    Papadopoulos et al. 2002) — the DISTRIBUTION-FREE uncertainty
+    wrapper the calibration family builds toward: hash-split docs
+    into calibration/test halves, take the ⌈(n+1)(1−α)⌉-th smallest
+    calibration nonconformity s = |label − p̂| as the threshold q̂,
+    and the set {y : |y − p̂| ≤ q̂} covers the true label on fresh
+    points with probability ≥ 1−α — NO assumption on the head being
+    calibrated (exactly what q_calibration shows it isn't). Reported:
+    split sizes, q̂, and the measured test coverage (≥ 1−α up to
+    finite-sample noise — the guarantee the hash gate pins).
+
+    Scale shape: one scored pass (the memoized token projection),
+    hash-split predicate map-side; the rank selection runs on the
+    O(distinct nonconformity) cell relation via one running-sum
+    window (the q_rank_test discipline — never a row-level global
+    sort); test coverage is one aggregate against the 1-row broadcast
+    q̂. Ranks are integers, nonconformities 6-dp-rounded before
+    ranking, so threshold selection is engine-stable.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (model-eval family)."""
+    from pyspark.sql import Window
+
+    from ..functions.portable import hash60
+    from .curation import classifier_scores
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
+    scored = classifier_scores(base, extra=("lang",))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6)
+    lab = (F.col("lang") == "en").cast("double")
+    pts = scored.select(
+        (hash60(F.col("doc_id")) % 2).alias("half"),
+        F.round(F.abs(lab - p), 6).alias("s"),
+    )
+    calib = pts.filter(F.col("half") == 0)
+    cells = calib.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("s", F.sum("f").over(w).alias("cum"))
+    n_cal = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    # q̂ = smallest s whose cumulative count reaches ⌈(n+1)(1−α)⌉
+    rank_needed = F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - CONF_ALPHA))
+    qhat = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .filter(F.col("cum") >= rank_needed)
+        .agg(F.min("s").alias("qhat"), F.max("n_calib").alias("n_calib"))
+    )
+    test = pts.filter(F.col("half") == 1)
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.max("n_calib").alias("n_calib"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("qhat").alias("qhat"),
+        F.round(
+            F.sum((F.col("s") <= F.col("qhat")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+    return cov.select("n_calib", "n_test", "qhat", "coverage")
+
+
+def _conformal_oracle() -> str:
+    from ..functions.portable import hash60_sql
+    from .curation import _CLS_MARGIN
+
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+f AS (
+  SELECT doc_id, lang, round({_CLS_MARGIN}, 6) AS margin FROM toks WHERE len(t) > 0
+),
+pts AS (
+  SELECT {hash60_sql("doc_id")} % 2 AS half,
+         round(abs(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                   - round(1.0 / (1.0 + exp(-margin)), 6)), 6) AS s
+  FROM f
+),
+calib AS (SELECT s FROM pts WHERE half = 0),
+cells AS (SELECT s, CAST(count(1) AS BIGINT) AS fc FROM calib GROUP BY 1),
+cum AS (
+  SELECT s, CAST(sum(fc) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+nc AS (SELECT CAST(count(1) AS BIGINT) AS n_calib FROM calib),
+q AS (
+  SELECT min(s) AS qhat, max(n_calib) AS n_calib
+  FROM cum CROSS JOIN nc
+  WHERE cum >= ceil((n_calib + 1) * {1.0 - CONF_ALPHA})
+)
+SELECT q.n_calib, CAST(count(1) AS BIGINT) AS n_test, q.qhat,
+       round(sum(CASE WHEN t.s <= q.qhat THEN 1 ELSE 0 END)
+             / CAST(count(1) AS DOUBLE), 6) AS coverage
+FROM (SELECT s FROM pts WHERE half = 1) t CROSS JOIN q
+GROUP BY q.n_calib, q.qhat
+"""
+
+
 def bh_daily(cells: DataFrame) -> DataFrame:
     """The per-closed-day BH readout shared by q_stream_bh_fdr and its
     oracle's semantics: ``cells`` is the (day, event_type, arm, n, s,
@@ -2216,6 +2317,7 @@ QUERIES = {
     "q_gini_activity": _q_gini_activity,
     "q_skyline_users": _q_skyline_users,
     "q_isotonic_calibration": _q_isotonic_calibration,
+    "q_conformal": _q_conformal,
     "q_chi2_independence": _q_chi2_independence,
     "q_hourly_profile": _q_hourly_profile,
     "q_mad_outliers": _q_mad_outliers,
@@ -2708,6 +2810,7 @@ FROM d
     "q_gini_activity": _gini_oracle(),
     "q_skyline_users": _skyline_oracle(),
     "q_isotonic_calibration": _isotonic_oracle(),
+    "q_conformal": _conformal_oracle(),
     "q_rank_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
