@@ -159,6 +159,12 @@ HEADLINE = [
     "q_table_stats",
     "q_kcenter_coreset_batched",
     "q_stream_bh_fdr",
+    "q_gini_activity",
+    "q_skyline_users",
+    "q_isotonic_calibration",
+    "q_conformal",
+    "q_join_card_audit",
+    "q_histogram_equidepth",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

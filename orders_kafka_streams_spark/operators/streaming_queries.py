@@ -390,6 +390,132 @@ def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_rollup(spark.table(tab))
 
 
+def _q_stream_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the engine capability
+    q_stream_attribution's inner join doesn't exercise: touches that
+    NEVER convert within the 3-day lookback emit as null-padded rows
+    only once the watermark proves no future conversion can match
+    (Spark holds the touch in join state until wm passes t_ts +
+    lookback, then emits the null row — the 'abandoned journey'
+    feed for retargeting/funnel-leak analytics). Matched pairs emit
+    eagerly like the inner join. Rollup per channel: matched
+    touch→conversion pairs, distinct converted touches, distinct
+    expired-unmatched touches, and the contact rate.
+
+    Oracle: the batch LEFT interval join with unmatched rows
+    restricted to touches whose full lookback window the final
+    watermark CLOSED (t_ts + 3 days < max(ts) − 1 h — the wm-filter
+    pattern; matched pairs carry no window-close dependence). Touches
+    in the un-closed tail are EXCLUDED from the unmatched count on
+    both sides, so the drained relation equals the batch one.
+
+    Scale shape: join state is O(touches inside the lookback
+    horizon) per key range — bounded by the watermark, the point of
+    using the engine's state instead of a hand-rolled buffer; the
+    rollup runs over the drained pair relation (|channels| cells)."""
+    from .timeseries import ATTR_CHANNELS
+
+    ev = events_file_stream(spark, sf_dir)
+    touches = (
+        ev.filter(F.col("event_type").isin(*ATTR_CHANNELS))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_type").alias("channel"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", "1 hour")
+    )
+    convs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("conv_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = touches.join(
+        convs,
+        F.expr(
+            "t_user = c_user AND t_ts < c_ts AND t_ts >= c_ts - INTERVAL 3 DAYS"
+        ),
+        "leftOuter",
+    ).select("channel", "touch_id", "conv_id")
+    tab = run_to_memory(pairs, "unconverted_stream")
+    drained = spark.table(tab)
+    return (
+        drained.groupBy("channel")
+        .agg(
+            F.sum(F.col("conv_id").isNotNull().cast("long")).alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("conv_id").isNotNull(), F.col("touch_id"))
+            ).alias("n_converted_touches"),
+            F.count_distinct(
+                F.when(F.col("conv_id").isNull(), F.col("touch_id"))
+            ).alias("n_unmatched_touches"),
+        )
+        .select(
+            "channel",
+            "n_pairs",
+            "n_converted_touches",
+            "n_unmatched_touches",
+            F.round(
+                F.col("n_converted_touches")
+                / (F.col("n_converted_touches") + F.col("n_unmatched_touches")),
+                6,
+            ).alias("contact_rate"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _stream_unconverted_oracle() -> str:
+    from .timeseries import ATTR_CHANNELS
+
+    chans = ", ".join(f"'{c}'" for c in ATTR_CHANNELS)
+    d3 = 3 * 24 * 3_600_000
+    return f"""
+WITH touches AS (
+  SELECT user_id AS t_user, event_type AS channel, event_id AS touch_id,
+         epoch_ms(ts) AS tms
+  FROM events WHERE event_type IN ({chans})
+),
+convs AS (
+  SELECT user_id AS c_user, event_id AS conv_id, epoch_ms(ts) AS cms
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events),
+matched AS (
+  SELECT t.channel, t.touch_id, c.conv_id
+  FROM touches t JOIN convs c
+    ON t.t_user = c.c_user AND t.tms < c.cms AND t.tms >= c.cms - {d3}
+),
+unmatched AS (
+  SELECT t.channel, t.touch_id, CAST(NULL AS BIGINT) AS conv_id
+  FROM touches t CROSS JOIN wm
+  WHERE t.tms + {d3} < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM convs c
+      WHERE c.c_user = t.t_user AND t.tms < c.cms AND t.tms >= c.cms - {d3}
+    )
+),
+pairs AS (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+SELECT channel,
+       CAST(sum(CASE WHEN conv_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN conv_id IS NOT NULL THEN touch_id END)
+         AS BIGINT) AS n_converted_touches,
+       CAST(count(DISTINCT CASE WHEN conv_id IS NULL THEN touch_id END)
+         AS BIGINT) AS n_unmatched_touches,
+       round(count(DISTINCT CASE WHEN conv_id IS NOT NULL THEN touch_id END)
+             / CAST(count(DISTINCT CASE WHEN conv_id IS NOT NULL THEN touch_id END)
+                    + count(DISTINCT CASE WHEN conv_id IS NULL THEN touch_id END)
+                    AS DOUBLE), 6) AS contact_rate
+FROM pairs GROUP BY channel ORDER BY channel
+"""
+
+
 def _q_stream_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential A/B monitor fed by the streaming engine —
     the deployment shape mSPRT was designed for: the ENGINE aggregates
@@ -1094,6 +1220,7 @@ QUERIES = {
     "q_stream_msprt": _q_stream_msprt,
     "q_stream_bh_fdr": _q_stream_bh_fdr,
     "q_stream_attribution": _q_stream_attribution,
+    "q_stream_unconverted": _q_stream_unconverted,
 }
 
 from .pipeline import ORACLE as _PL_ORACLE
@@ -1409,6 +1536,7 @@ def _bh_daily_oracle_closed() -> str:
 
 
 ORACLE["q_stream_bh_fdr"] = _bh_daily_oracle_closed()
+ORACLE["q_stream_unconverted"] = _stream_unconverted_oracle()
 
 # the streamed DP release equals the batch release on CLOSED windows
 from .privacy import DP_EPSILON as _DP_EPS

@@ -137,6 +137,12 @@ COMMENTARY = {
     "q_table_stats": "column-stats profile: per profiled column one scan + two-phase count_distinct agg to ONE row, column pruning per check; union is |columns| rows",
     "q_kcenter_coreset_batched": "tournament FPS: one shuffle on p + one Arrow-kernel exact FPS per partition, then ONE task over the PxK winner pool — 2 jobs regardless of K vs the exact loop's K driver round-trips",
     "q_stream_bh_fdr": "streaming BH-FDR: engine-closed daily windows drain (day,metric,arm) cells; cumulative windows + per-day rank run over O(days x m) cells; densify by union+re-agg and cutoff by window max (memory-sink self-joins trip analyzer dedup)",
+    "q_gini_activity": "Gini concentration: per-user counts partial-combine, count-of-count cells, ONE ordered running-sum window per group; tied-block rank sums telescope — exact ints until two final divisions",
+    "q_skyline_users": "2D Pareto skyline: per-user totals in one exchange, per-x maxima reduce to O(distinct x) cells, running-max window finds the frontier — zero self-joins vs the naive O(n^2) NOT EXISTS",
+    "q_isotonic_calibration": "isotonic fit via PAV minimax: corpus to <=bins cells, prefix sums, bin-pair expansion is cells-squared (constant), running max over j per k then running min over k — no iterative pooling",
+    "q_conformal": "split-conformal: scored pass + hash-split map-side; rank selection of qhat over O(distinct nonconformity) cells via one running-sum window; coverage one agg vs a 1-row broadcast",
+    "q_join_card_audit": "CBO estimate audit: per join two single-column (count, ndv) cell aggs + one keyed join counted two-phase; output |joins| rows",
+    "q_histogram_equidepth": "equi-depth histogram: one cell exchange, one running-sum window over distinct values, bucket assignment and recount on cells — event rows touched once",
 }
 
 
