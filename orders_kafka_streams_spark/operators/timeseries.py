@@ -1231,24 +1231,35 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cb") - F.col("ca")).cast("double") / (F.col("hb") - F.col("ha"))
         ).alias("slope"),
     )
-    wp = Window.partitionBy("event_type")
-    wr = wp.orderBy("slope", "ha", "hb")
-    ranked = pairs.select(
+    # n_pairs is CLOSED-FORM (n_hours choose 2) — joining it in from
+    # the hours relation saves an unordered count-window pass over the
+    # million-row pair relation (measured: the count window was the
+    # single largest cost in the first cut)
+    hours = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours"))
+    np_ = hours.select(
         "event_type",
+        "n_hours",
+        (F.col("n_hours") * (F.col("n_hours") - 1) / 2).cast("long").alias("np"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "ha", "hb")
+    ranked = pairs.join(F.broadcast(np_), "event_type").select(
+        "event_type",
+        "n_hours",
         "slope",
+        "np",
         F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("np"),
     )
     mid = ranked.filter(
         (F.col("rn") == F.floor((F.col("np") + 1) / 2))
         | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
     )
-    hours = cells.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hours"))
-    med = mid.groupBy("event_type").agg(
-        F.max("np").alias("n_pairs"), F.round(F.avg("slope"), 6).alias("sen_slope")
-    )
     return (
-        hours.join(med, "event_type")
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n_hours").alias("n_hours"),
+            F.max("np").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("sen_slope"),
+        )
         .select("event_type", "n_hours", "n_pairs", "sen_slope")
         .orderBy("event_type")
     )
