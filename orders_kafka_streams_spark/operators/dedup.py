@@ -1471,6 +1471,60 @@ def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution + discrete power-law exponent of the
+    verified near-dup graph — the scale-free diagnostic that closes
+    the graph-analytics set (components → PageRank → triangles →
+    THIS): a heavy-tailed degree law (α ≈ 2-3) means template hubs
+    (boilerplate families where one canonical serves thousands) and
+    predicts hot keys in every pair-relation join; a thin tail means
+    the near-dup mass is in small cliques that transitive clustering
+    handles cheaply. α is the Clauset-Shalizi-Newman continuous-MLE
+    α̂ = 1 + n / Σ ln(dᵢ / (d_min − ½)) over the degree relation
+    (the ½-shift is the standard discrete correction). Output: one
+    row (n_nodes, n_edges, d_min, d_max, mean_deg, alpha).
+
+    Cross-engine floats: degrees are exact integers; each ln term is
+    libm over a deterministic integer ratio, rounded 6 dp per term
+    before the sum (the libm-in-VALUES discipline), and α rounds 6 dp
+    after one division.
+
+    Scale shape: degrees come from the MEMOIZED near-dup pair
+    relation (near-dups only — tiny vs corpus) in one symmetric
+    union + groupBy; everything after runs on the O(nodes) degree
+    relation, min/max/sums partial-combining map-side to one row.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup / fingerprinting family)."""
+    pairs = _ngram_pairs_cached(spark, sf_dir).select("a", "b")
+    edges_sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges_sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dmin = deg.agg(F.min("deg").alias("d_min"))
+    terms = deg.crossJoin(F.broadcast(dmin)).select(
+        "deg",
+        "d_min",
+        F.round(
+            F.log(F.col("deg") / (F.col("d_min") - F.lit(0.5))), 6
+        ).alias("lt"),
+    )
+    ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        terms.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("d_min").alias("d_min"),
+            F.max("deg").alias("d_max"),
+            F.round(F.avg("deg"), 6).alias("mean_deg"),
+            F.round(
+                F.lit(1.0) + F.count(F.lit(1)) / F.sum("lt"), 6
+            ).alias("alpha"),
+        )
+        .crossJoin(F.broadcast(ne))
+        .select("n_nodes", "n_edges", "d_min", "d_max", "mean_deg", "alpha")
+    )
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the verified near-dup graph — the structure
     diagnostic PageRank's per-node view misses: a high global
@@ -1638,6 +1692,7 @@ QUERIES = {
     "q_fuzzy_join": _q_fuzzy_join,
     "q_linkage_weights": _q_linkage_weights,
     "q_triangle_count": _q_triangle_count,
+    "q_degree_powerlaw": _q_degree_powerlaw,
     "q_cdc_chunks": _q_cdc_chunks,
     "q_dedup_pagerank": _q_dedup_pagerank,
     "q_source_overlap": _q_source_overlap,
@@ -1789,6 +1844,33 @@ SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY field
 
 ORACLE = {
     "q_linkage_weights": _linkage_oracle(),
+    "q_degree_powerlaw": _SHINGLED_CTE
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.s, y.s)) /
+        CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+deg AS (SELECT a, CAST(count(1) AS BIGINT) AS deg FROM edges GROUP BY a),
+dm AS (SELECT CAST(min(deg) AS BIGINT) AS d_min FROM deg),
+terms AS (
+  SELECT deg, d_min, round(ln(deg / (d_min - 0.5)), 6) AS lt
+  FROM deg CROSS JOIN dm
+),
+ne AS (SELECT CAST(count(1) AS BIGINT) AS n_edges FROM pairs),
+agg AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_nodes,
+         CAST(max(d_min) AS BIGINT) AS d_min,
+         CAST(max(deg) AS BIGINT) AS d_max,
+         round(avg(deg), 6) AS mean_deg,
+         round(1.0 + count(1) / sum(lt), 6) AS alpha
+  FROM terms
+)
+SELECT n_nodes, n_edges, d_min, d_max, mean_deg, alpha
+FROM agg CROSS JOIN ne
+""",
     "q_triangle_count": _SHINGLED_CTE
     + f""",
 pairs AS (
