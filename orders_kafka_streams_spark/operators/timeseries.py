@@ -1375,6 +1375,161 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+#: Holt-Winters constants — exactly-representable binary fractions
+#: (the HOLT_ALPHA discipline: parse-time ULP question removed).
+HW_ALPHA = 0.5
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+HW_M = 24  # seasonal period (hours)
+HW_H = 24  # forecast horizon
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecasting (Winters 1960) of
+    the per-type hourly count series — the seasonal completion of the
+    forecasting triad (q_ewma level → q_holt_forecast level+trend →
+    THIS level+trend+24h-seasonal): l_t = α(y_t − s_{t−m}) +
+    (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1};
+    s_t = γ(y_t−l_t) + (1−γ)s_{t−m}; initialized with the standard
+    two-cycle warm-up (l_m = cycle-1 mean, b_m = mean cycle-to-cycle
+    step, s_i = y_i − l_m) and forecast ŷ_{n+24} = l_n + 24·b_n +
+    s_n (horizon = one full period, so the seasonal index is the
+    newest). Types with fewer than 2m+1 hours are dropped (the
+    warm-up is undefined) — documented, not silently zero-padded.
+
+    Scale shape: q_holt_forecast's collect→sort→fold shape with the
+    state widened to (l, b, 24-slot seasonal RING) — the fold shifts
+    the ring with slice+concat per step, O(m) per element over the
+    O(hours) array, still bounded by hours retained, not events. The
+    ORACLE runs a recursive CTE carrying the ring as a LIST — the
+    hash proves fold == recursion bit-for-bit, including the ring
+    rotation (all constants are exact binary fractions; init means
+    are LEFT FOLDS on both sides, never bag sums).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (time-series family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(ev.select("event_type").distinct())
+    series = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    )
+    g = series.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "c"))), lambda s: s["c"]
+        ).alias("v")
+    ).filter(F.size("v") >= 2 * HW_M + 1)
+    v = F.col("v")
+    m = HW_M
+    a, b_, gm = F.lit(HW_ALPHA), F.lit(HW_BETA), F.lit(HW_GAMMA)
+    # left-fold means over the two warm-up cycles (order-pinned)
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    l0 = fold_sum(F.slice(v, 1, m)) / F.lit(float(m))
+    l2 = fold_sum(F.slice(v, m + 1, m)) / F.lit(float(m))
+    b0 = (l2 - l0) / F.lit(float(m))
+    q0 = F.transform(F.slice(v, 1, m), lambda x: x - l0)
+    init = F.struct(l0.alias("l"), b0.alias("b"), q0.alias("q"))
+
+    def step(acc, x):
+        sm = F.element_at(acc["q"], 1)
+        new_l = a * (x - sm) + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        new_b = b_ * (new_l - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]
+        new_s = gm * (x - new_l) + (F.lit(1.0) - gm) * sm
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(F.slice(acc["q"], 2, m - 1), F.array(new_s)).alias("q"),
+        )
+
+    folded = F.aggregate(F.slice(v, m + 1, F.size(v) - m), init, step)
+    return g.select(
+        "event_type",
+        F.size(v).alias("n_hours"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(F.element_at(folded["q"], m), 6).alias("season_last"),
+        F.round(
+            folded["l"]
+            + F.lit(float(HW_H)) * folded["b"]
+            + F.element_at(folded["q"], m),
+            6,
+        ).alias("forecast_24h"),
+    ).orderBy("event_type")
+
+
+def _holt_winters_oracle() -> str:
+    a, b, gm, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+    return f"""
+WITH RECURSIVE bnds AS (
+  SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bnds) g
+),
+cnt AS (SELECT event_type, date_trunc('hour', ts) AS h, count(1) AS c FROM events GROUP BY 1, 2),
+series AS (
+  SELECT g.event_type, g.h,
+         CAST(coalesce(c.c, 0) AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.h) AS t
+  FROM grid g LEFT JOIN cnt c ON g.event_type = c.event_type AND g.h = c.h
+),
+n AS (
+  SELECT event_type, CAST(max(t) AS INTEGER) AS n_hours FROM series GROUP BY 1
+  HAVING max(t) >= {2 * m + 1}
+),
+arr AS (
+  SELECT s.event_type, list(s.y ORDER BY s.t) AS v
+  FROM series s JOIN n ON s.event_type = n.event_type
+  GROUP BY s.event_type
+),
+init AS (
+  SELECT event_type,
+         list_reduce(list_prepend(0.0, v[1:{m}]), (x, y) -> x + y) / {float(m)} AS l,
+         (list_reduce(list_prepend(0.0, v[{m + 1}:{2 * m}]), (x, y) -> x + y) / {float(m)}
+          - list_reduce(list_prepend(0.0, v[1:{m}]), (x, y) -> x + y) / {float(m)})
+           / {float(m)} AS b
+  FROM arr
+),
+q0 AS (
+  SELECT a.event_type, i.l, i.b,
+         list_transform(a.v[1:{m}], x -> x - i.l) AS q
+  FROM arr a JOIN init i ON a.event_type = i.event_type
+),
+it AS (
+  SELECT event_type, {m} AS t, l, b, q FROM q0
+  UNION ALL
+  SELECT it.event_type, it.t + 1,
+         {a} * (s.y - it.q[1]) + (1.0 - {a}) * (it.l + it.b) AS l,
+         {b} * (({a} * (s.y - it.q[1]) + (1.0 - {a}) * (it.l + it.b)) - it.l)
+           + (1.0 - {b}) * it.b AS b,
+         list_append(it.q[2:{m}],
+           {gm} * (s.y - ({a} * (s.y - it.q[1]) + (1.0 - {a}) * (it.l + it.b)))
+             + (1.0 - {gm}) * it.q[1]) AS q
+  FROM it JOIN series s ON s.event_type = it.event_type AND s.t = it.t + 1
+),
+fin AS (
+  SELECT i.event_type, i.l, i.b, i.q
+  FROM it i JOIN n ON i.event_type = n.event_type AND i.t = n.n_hours
+)
+SELECT f.event_type, n.n_hours,
+       round(f.l, 6) AS level,
+       round(f.b, 6) AS trend,
+       round(f.q[{m}], 6) AS season_last,
+       round(f.l + {float(HW_H)} * f.b + f.q[{m}], 6) AS forecast_24h
+FROM fin f JOIN n ON f.event_type = n.event_type
+ORDER BY f.event_type
+"""
+
+
 #: regex patterns over the per-user event-code string (S=signup,
 #: C=click, P=purchase, V=view, E=error). Both engines' regex scans
 #: are leftmost non-overlapping, so counts agree by construction.
@@ -1648,6 +1803,7 @@ QUERIES = {
     "q_item_cooccurrence_capped": _q_item_cooccurrence_capped,
     "q_theil_sen": _q_theil_sen,
     "q_xcorr_leadlag": _q_xcorr_leadlag,
+    "q_holt_winters": _q_holt_winters,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -1918,6 +2074,7 @@ FROM credited GROUP BY channel ORDER BY channel
     "q_item_cooccurrence_capped": _item_cooccurrence_capped_oracle(),
     "q_theil_sen": _theil_sen_oracle(),
     "q_xcorr_leadlag": _xcorr_oracle(),
+    "q_holt_winters": _holt_winters_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
