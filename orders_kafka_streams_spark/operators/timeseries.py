@@ -1375,6 +1375,118 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+RFM_Q = 5  # quantile buckets per RFM dimension
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994's recency/frequency/monetary
+    scoring, the classic behavioral customer segmentation): per user,
+    R = hours since last purchase (at the corpus horizon), F =
+    purchase count, M = summed purchase value; each dimension scored
+    1..RFM_Q by EXPLICIT quantile rank (floor(Q·(rank−1)/n)+1 over
+    per-user rows — never ntile(), whose tie placement differs
+    cross-engine; ties broken by user_id so both engines rank the
+    identical order), R inverted (recent = high). Output: one row per
+    (r_score, f_score, m_score) cell with user count and mean
+    monetary — the segment table a lifecycle-marketing pipeline
+    reads (champions 555 … at-risk 1xx).
+
+    Scale shape: one purchases pass partial-aggregates per-user
+    (R, F, M) sufficient statistics; the three rank windows order the
+    per-user relation (single global windows over O(users) rows —
+    dim-table-sized here; at 100× the standard fix is ranking via the
+    distinct-value cell relation like q_rank_test, unchanged
+    semantics); the segment rollup is ≤Q³ cells.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (behavioral analytics family)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    horizon = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("hz"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(epoch_ms(F.col("ts"))).alias("last_ms"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 6).alias("money"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor((F.col("hz") - F.col("last_ms")) / F.lit(3_600_000)).alias(
+                "rec_h"
+            ),
+            "freq",
+            "money",
+        )
+    )
+    n = Window.partitionBy()
+    q = F.lit(RFM_Q)
+
+    def score(col: str, asc: bool) -> F.Column:
+        o = F.asc(col) if asc else F.desc(col)
+        w = Window.orderBy(o, F.asc("user_id"))
+        rk = F.row_number().over(w)
+        return (
+            F.floor(q * (rk - 1) / F.count(F.lit(1)).over(n)) + 1
+        ).cast("int")
+
+    scored = per_user.select(
+        "user_id",
+        "money",
+        score("rec_h", asc=True).alias("r_score"),  # recent first -> 5..1? see below
+        score("freq", asc=False).alias("f_score_raw"),
+        score("money", asc=False).alias("m_score_raw"),
+    ).select(
+        "user_id",
+        "money",
+        # invert so HIGH score = good on every axis
+        (F.lit(RFM_Q + 1) - F.col("r_score")).alias("r_score"),
+        (F.lit(RFM_Q + 1) - F.col("f_score_raw")).alias("f_score"),
+        (F.lit(RFM_Q + 1) - F.col("m_score_raw")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("money"), 6).alias("avg_money"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_oracle() -> str:
+    return f"""
+WITH p AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events WHERE event_type = 'purchase'),
+hz AS (SELECT max(ms) AS hz FROM p),
+per_user AS (
+  SELECT user_id,
+         CAST(floor((hz.hz - max(ms)) / 3600000) AS BIGINT) AS rec_h,
+         CAST(count(1) AS BIGINT) AS freq,
+         round(sum(value), 6) AS money
+  FROM p CROSS JOIN hz GROUP BY user_id, hz.hz
+),
+scored AS (
+  SELECT user_id, money,
+         {RFM_Q + 1} - (CAST(floor({RFM_Q} * (row_number() OVER (ORDER BY rec_h ASC, user_id ASC) - 1)
+             / CAST(count(1) OVER () AS DOUBLE)) AS INTEGER) + 1) AS r_score,
+         {RFM_Q + 1} - (CAST(floor({RFM_Q} * (row_number() OVER (ORDER BY freq DESC, user_id ASC) - 1)
+             / CAST(count(1) OVER () AS DOUBLE)) AS INTEGER) + 1) AS f_score,
+         {RFM_Q + 1} - (CAST(floor({RFM_Q} * (row_number() OVER (ORDER BY money DESC, user_id ASC) - 1)
+             / CAST(count(1) OVER () AS DOUBLE)) AS INTEGER) + 1) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(1) AS BIGINT) AS n_users,
+       round(avg(money), 6) AS avg_money
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
 #: Holt-Winters constants — exactly-representable binary fractions
 #: (the HOLT_ALPHA discipline: parse-time ULP question removed).
 HW_ALPHA = 0.5
@@ -1804,6 +1916,7 @@ QUERIES = {
     "q_theil_sen": _q_theil_sen,
     "q_xcorr_leadlag": _q_xcorr_leadlag,
     "q_holt_winters": _q_holt_winters,
+    "q_rfm_segments": _q_rfm_segments,
     "q_gapfill_locf": _q_gapfill_locf,
     "q_transition_matrix": _q_transition_matrix,
     "q_autocorr": _q_autocorr,
@@ -2075,6 +2188,7 @@ FROM credited GROUP BY channel ORDER BY channel
     "q_theil_sen": _theil_sen_oracle(),
     "q_xcorr_leadlag": _xcorr_oracle(),
     "q_holt_winters": _holt_winters_oracle(),
+    "q_rfm_segments": _rfm_oracle(),
     "q_autocorr": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
