@@ -165,6 +165,10 @@ HEADLINE = [
     "q_conformal",
     "q_join_card_audit",
     "q_histogram_equidepth",
+    "q_holt_winters",
+    "q_rfm_segments",
+    "q_degree_powerlaw",
+    "q_stream_unconverted",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

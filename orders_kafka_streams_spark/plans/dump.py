@@ -143,6 +143,10 @@ COMMENTARY = {
     "q_conformal": "split-conformal: scored pass + hash-split map-side; rank selection of qhat over O(distinct nonconformity) cells via one running-sum window; coverage one agg vs a 1-row broadcast",
     "q_join_card_audit": "CBO estimate audit: per join two single-column (count, ndv) cell aggs + one keyed join counted two-phase; output |joins| rows",
     "q_histogram_equidepth": "equi-depth histogram: one cell exchange, one running-sum window over distinct values, bucket assignment and recount on cells — event rows touched once",
+    "q_holt_winters": "Holt-Winters: one partial agg to hour cells, ONE event_type exchange, fold per key over the collected array with a 24-slot seasonal ring — bounded by hours retained, not events",
+    "q_rfm_segments": "RFM segmentation: one purchases pass to per-user (R,F,M) sufficient stats; three rank windows over the O(users) relation; rollup is <=Q^3 cells",
+    "q_degree_powerlaw": "degree power-law: degrees from the MEMOIZED near-dup pair relation (one symmetric union + groupBy); min/max/ln-term sums partial-combine over O(nodes) cells to one row",
+    "q_stream_unconverted": "left-outer stream-stream interval join: touches wait in watermark-bounded join state, unmatched rows emit on window close; rollup over the drained relation is |channels| cells",
 }
 
 
