@@ -208,6 +208,13 @@ FULL_FILE = os.path.join(REPO, "BENCH_FULL.json")
 #: anyone; real regressions on the heavy queries sit far above it.
 BUDGET_FACTOR = 1.5
 BUDGET_FLOOR = 0.3
+#: additive noise pad: stage scheduling / GC hiccups cost a fixed
+#: 100-300 ms regardless of query size, which a purely multiplicative
+#: gate mis-models at sub-second budgets (r6: two 0.3s-budget queries
+#: breached by 2 ms under an ambient wave while every heavy query
+#: passed). Negligible against multi-second budgets, absorbs the
+#: additive component for small ones.
+BUDGET_NOISE_PAD = 0.25
 #: ambient-drift clamp: the suite-wide slowdown factor the gate will
 #: normalize away before flagging a query. Capped at 2 so a genuinely
 #: broken environment still fails loudly instead of normalizing
@@ -269,7 +276,7 @@ def _check_budgets(
                 # joined HEADLINE silently outside the gate) — add it
                 # via `python bench.py --write-budgets`.
                 breaches.append({"q": name, "tier": tier, "sec": t, "budget": None})
-            elif t > BUDGET_FACTOR * drift * max(b, BUDGET_FLOOR):
+            elif t > BUDGET_FACTOR * drift * max(b, BUDGET_FLOOR) + BUDGET_NOISE_PAD:
                 breaches.append(
                     {"q": name, "tier": tier, "sec": t, "budget": b, "drift": drifts[tier]}
                 )
@@ -316,9 +323,22 @@ def _write_budgets(
     print(f"budgets written to {BUDGET_FILE}", file=sys.stderr)
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages — recorded at run start and end so
+    a breach under one of this host's external load storms (observed
+    1-min > 5 with nothing of ours running; q_semdedup's kernel
+    responds ~6x) is self-documenting in the committed artifact."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [round(float(x), 2) for x in fh.read().split()[:3]]
+    except OSError:  # pragma: no cover - non-Linux
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg()
 
     from orders_kafka_streams_spark.operators import all_queries
     from orders_kafka_streams_spark.session import get_spark
@@ -420,6 +440,19 @@ def main() -> None:
                     pass
             _PERSIST_MEMO.clear()
             spark.catalog.clearCache()
+            # localCheckpointed RDDs (dedup/similarity in-query lineage
+            # cuts) survive both clears above and accumulate with the
+            # headline count — at 111 queries they squeezed semdedup's
+            # kernel tasks 2.4 -> 14 s (r6). No memoized DF references
+            # them after the memo clear, so a full persistent-RDD
+            # sweep is safe here.
+            try:
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception as e:
+                print(f"persistent-RDD sweep skipped: {e}", file=sys.stderr)
 
             # back-to-back min-of-2, NOT the sf0.1 two-separated-passes
             # shape: a scale-tier query's first run pays its memo
@@ -495,6 +528,8 @@ def main() -> None:
         "sf1skew_wall": round(sum(sf1skew.values()), 3) if sf1skew else None,
         "budget_breaches": breaches,
         "ambient_drift": drifts,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "sf": sf_val,
     }
     with open(FULL_FILE, "w") as fh:

@@ -83,6 +83,31 @@ def test_missing_budget_is_a_breach(tmp_path, monkeypatch):
     assert breaches[0]["budget"] is None
 
 
+def test_additive_noise_pad_absorbs_small_query_blips(tmp_path, monkeypatch):
+    """r6: a 0.34s-budget query breached by 2 ms under an ambient wave
+    while every heavy query passed — GC/scheduler noise is ADDITIVE
+    (~100-300 ms) and a multiplicative gate mis-models it at small
+    budgets. A sub-second query one hiccup over its relative bound
+    must pass; the same 0.25s on a heavy query changes nothing."""
+    import json
+
+    f = tmp_path / "budgets.json"
+    budgets = {"small": 0.34, "big": 4.0, "s1": 1.0, "s2": 2.0, "s3": 0.5}
+    f.write_text(json.dumps({"sf0.1": budgets, "sf1": {}}))
+    monkeypatch.setattr(bench, "BUDGET_FILE", str(f))
+    steady = {"s1": 1.0, "s2": 2.0, "s3": 0.5}  # suite on budget -> drift 1
+    # small: at its relative bound plus a 0.2s hiccup -> inside the pad
+    breaches, _ = bench._check_budgets(
+        dict(steady, small=0.34 * 1.5 + 0.2, big=4.0), None
+    )
+    assert breaches == []
+    # big: the pad must NOT excuse a real relative regression
+    breaches, _ = bench._check_budgets(
+        dict(steady, small=0.34, big=4.0 * 1.6 + 0.3), None
+    )
+    assert [b["q"] for b in breaches] == ["big"]
+
+
 def test_uniform_regression_beyond_cap_hits_suite_guard(tmp_path, monkeypatch):
     """ADVICE r5: a genuine UNIFORM 2.5x regression (framework/session
     config change) sits under BUDGET_FACTOR x DRIFT_CAP = 3x per
