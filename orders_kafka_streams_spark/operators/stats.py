@@ -927,6 +927,142 @@ ORDER BY cr.day, cr.bh_rank
 """
 
 
+MI_BINS = 10  # fixed-width value bins for the MI contingency
+
+
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the (binned) value
+    distribution — the feature-relevance measure the χ² independence
+    test (q_chi2_independence) only thresholds: MI says HOW MANY nats
+    the metric carries about the type (the feature-selection ranking
+    criterion; 0 ⇔ independent), alongside the marginal entropies and
+    the normalized MI / √(H_x·H_y) that makes values comparable
+    across feature pairs. Bins are fixed-width over the observed
+    [min, max] (deterministic bounds, no data-dependent quantiles),
+    and every per-cell term n_xy·ln(N·n_xy/(n_x·n_y)) is computed
+    from exact integer counts — libm ln in VALUES, rounded per term
+    before the ≤|X|·|B|-cell sum.
+
+    Scale shape: one events pass to the (type, bin) contingency cells
+    (partial-combined); marginals and the 1-row N attach as
+    broadcasts of cell aggregates; everything after the scan runs on
+    ≤50 cells. Output: one row (n, mi_nats, h_type, h_bin, nmi).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from .dedup import _memo_persist
+
+    def build_cells() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull()
+        )
+        bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        binned = ev.crossJoin(F.broadcast(bounds)).select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * MI_BINS
+                ),
+                F.lit(MI_BINS - 1),
+            )
+            .cast("int")
+            .alias("b"),
+        )
+        return binned.groupBy("event_type", "b").agg(
+            F.count(F.lit(1)).alias("nxy")
+        )
+
+    # memo-persisted: marginals, total, and the joint-term join all
+    # consume the contingency cells — one events scan per session
+    cells = _memo_persist(spark, sf_dir, "mi_cells", build_cells)
+    mx = cells.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    mb = cells.groupBy("b").agg(F.sum("nxy").alias("nb"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.round(
+        F.col("nxy")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("nxy")
+            / (F.col("nx").cast("double") * F.col("nb"))
+        ),
+        9,
+    )
+    hterm = lambda cnt: F.round(  # noqa: E731
+        cnt * F.log(cnt / F.col("n").cast("double")), 9
+    )
+    mi = j.agg(
+        F.max("n").alias("n"), F.sum(term).alias("s")
+    ).select("n", (F.col("s") / F.col("n")).alias("mi"))
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hterm(F.col("nx"))).alias("sx"), F.max("n").alias("n"))
+        .select((-F.col("sx") / F.col("n")).alias("h_type"))
+    )
+    hb = (
+        mb.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hterm(F.col("nb"))).alias("sb"), F.max("n").alias("n"))
+        .select((-F.col("sb") / F.col("n")).alias("h_bin"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_bin", 6).alias("h_bin"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_bin")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+def _mutual_info_oracle() -> str:
+    return f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT event_type,
+         CAST(least(floor((value - lo) / (hi - lo) * {MI_BINS}),
+                    {MI_BINS - 1}) AS INTEGER) AS b
+  FROM ev CROSS JOIN bounds
+),
+cells AS (
+  SELECT event_type, b, CAST(count(1) AS BIGINT) AS nxy
+  FROM binned GROUP BY 1, 2
+),
+mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+mb AS (SELECT b, CAST(sum(nxy) AS BIGINT) AS nb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT max(n) AS n,
+         sum(round(nxy * ln(CAST(n AS DOUBLE) * nxy
+                            / (CAST(nx AS DOUBLE) * nb)), 9)) AS s
+  FROM cells JOIN mx USING (event_type) JOIN mb USING (b) CROSS JOIN tot
+),
+hx AS (
+  SELECT -sum(round(nx * ln(nx / CAST(n AS DOUBLE)), 9)) / max(n) AS h_type
+  FROM mx CROSS JOIN tot
+),
+hb AS (
+  SELECT -sum(round(nb * ln(nb / CAST(n AS DOUBLE)), 9)) / max(n) AS h_bin
+  FROM mb CROSS JOIN tot
+)
+SELECT mi.n, round(mi.s / mi.n, 6) AS mi_nats,
+       round(hx.h_type, 6) AS h_type, round(hb.h_bin, 6) AS h_bin,
+       round((mi.s / mi.n) / sqrt(hx.h_type * hb.h_bin), 6) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hb
+"""
+
+
 KW_CRIT = {
     1: 3.841459,
     2: 5.991465,
@@ -2318,6 +2454,7 @@ QUERIES = {
     "q_skyline_users": _q_skyline_users,
     "q_isotonic_calibration": _q_isotonic_calibration,
     "q_conformal": _q_conformal,
+    "q_mutual_info": _q_mutual_info,
     "q_chi2_independence": _q_chi2_independence,
     "q_hourly_profile": _q_hourly_profile,
     "q_mad_outliers": _q_mad_outliers,
@@ -2811,6 +2948,7 @@ FROM d
     "q_skyline_users": _skyline_oracle(),
     "q_isotonic_calibration": _isotonic_oracle(),
     "q_conformal": _conformal_oracle(),
+    "q_mutual_info": _mutual_info_oracle(),
     "q_rank_test": f"""
 WITH s AS (
   SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
