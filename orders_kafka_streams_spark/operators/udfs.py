@@ -39,8 +39,12 @@ def zscore_per_group(events: DataFrame) -> DataFrame:
         v = pdf["value"]
         std = v.std(ddof=1)
         if len(pdf) < 2 or not np.isfinite(std) or std == 0.0:
-            z = v * float("nan")  # all-null column, typed double
-            z = z.where(False, None)
+            # proper NULLs (not NaN): object-dtype None column, which
+            # Arrow converts to null doubles. The previous
+            # Series.where(False, None) form raised "Array conditional
+            # must be same shape as self" on single-row groups — found
+            # by the sf1skew smoke (500 one-event rare-tail users).
+            z = pd.Series([None] * len(v), index=v.index, dtype=object)
         else:
             z = ((v - v.mean()) / std).round(6)
         return pdf.assign(z=z)[["event_id", "user_id", "z"]]
