@@ -196,6 +196,23 @@ SF1_HEAVY = [
     "q_item_cooccurrence_capped",
 ]
 
+#: r7 (VERDICT r6 item 5): run ONLY in the sf1skew tier — the skew
+#: corpus now carries a continuous HIGH-NDV value column (NDV ≈ rows)
+#: and one event type holding ~80% of rows, exactly the shapes that
+#: made the old single-partition rank/prefix windows O(N) single-task
+#: sorts. These four queries were rewritten onto the distributed
+#: two-pass prefix sum (global_prefix_sums / global_row_numbers) and
+#: are budget-gated here against the corpus built to punish the old
+#: form (q_trimmed_mean additionally pays the 0.8·N dominant-type
+#: partition in its grouped pass).
+SKEW_STATS = [
+    "q_kruskal",
+    "q_roc_auc",
+    "q_histogram_equidepth",
+    "q_rfm_segments",
+    "q_trimmed_mean",
+]
+
 #: the round-1 comparable subset (BENCH_r01's exact query list) —
 #: summed separately every round so the like-for-like baseline
 #: comparison survives headline-suite growth.
@@ -406,7 +423,9 @@ def main() -> None:
     # the 100× grading bar is skew survival, so the heavy queries are
     # budget-gated on the corpus built to hurt them, not just the
     # benign one.
-    def run_scale_tier(tier_dir: str, gen_flags: list[str]) -> dict[str, float] | None:
+    def run_scale_tier(
+        tier_dir: str, gen_flags: list[str], names: list[str] = SF1_HEAVY
+    ) -> dict[str, float] | None:
         try:
             # _COMPLETE is written LAST by the generator — a corpus
             # without it (interrupted generation) is regenerated, not
@@ -463,7 +482,7 @@ def main() -> None:
             # Multi-second queries average over ambient waves anyway,
             # so temporal diversity buys nothing at this tier.
             tier: dict[str, float] = {}
-            for name in SF1_HEAVY:
+            for name in names:
                 try:
                     first = run_once(name, tier_dir)
                     second = run_once(name, tier_dir)
@@ -480,7 +499,7 @@ def main() -> None:
     sf1skew_dir = os.environ.get(
         "SPARK_GRAFT_SF1SKEW_DIR", os.path.join(REPO, ".benchdata", "sf1skew")
     )
-    sf1skew = run_scale_tier(sf1skew_dir, ["--skew"])
+    sf1skew = run_scale_tier(sf1skew_dir, ["--skew"], SF1_HEAVY + SKEW_STATS)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     r1_subset_sec = round(sum(steady[q] for q in R1_SUBSET if q in steady), 3)

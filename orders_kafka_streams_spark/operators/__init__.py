@@ -60,12 +60,20 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-6 rewrites — previously verified, re-hash after the change
-    # (the 10 never-driver-sampled round-5 additions need no pin: the
-    # rotation's bucket 1 already puts them inside the 50-sample)
-    "q_item_cooccurrence",  # a-priori semi-join + memo-persisted baskets
-    "q_seasonal_outliers",  # round-before-compare threshold (row-set rule)
-    "q_fuzzy_join",  # 4-mode fixture + measured-recall column
+    # round-7 rewrites (VERDICT r6 items 1-3): the 8 single-partition
+    # rank/prefix-sum windows over continuous-column cell relations,
+    # all moved to the distributed two-pass form
+    # (sampling.global_prefix_sums / global_row_numbers) — previously
+    # verified, re-hash after the change
+    "q_kruskal",
+    "q_rank_test",
+    "q_ks_test",
+    "q_roc_auc",
+    "q_conformal",
+    "q_histogram_equidepth",
+    "q_rfm_segments",
+    "q_trimmed_mean",
+    "q_skyline_users",  # running-max frontier via global_prefix_sums agg='max'
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

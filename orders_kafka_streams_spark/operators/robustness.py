@@ -84,6 +84,84 @@ def _q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_percentile_distributed rank targets (shared literals — both
+#: engines parse the same doubles and compute the same q·n product)
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def _q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles WITHOUT a per-group sort buffer —
+    the 100 TB exact path that completes the quantile triad
+    (q_percentile: Spark's ``percentile`` aggregate holds every group
+    value in ONE agg buffer, O(group) driver-side-of-the-reducer
+    memory; q_approx_percentile: the KLL-style sketch, bounded memory
+    but approximate; THIS: exact percentile_disc by rank selection
+    over (type, value) CELLS with the grouped distributed two-pass
+    prefix sum — bounded memory AND exact). Per event type: the
+    ⌈q·n⌉-th smallest value for q ∈ PCTL_QS, i.e. the smallest value
+    whose within-type inclusive cumulative count reaches the target
+    rank — discrete (no interpolation), so the selected values are
+    actual data points and both engines agree bit-for-bit (q·n is the
+    same IEEE product from the same literals; ceil of equal doubles is
+    equal).
+
+    Scale shape: one partial-agg exchange to (type, value) cells; the
+    grouped two-pass prefix sum (sampling.global_prefix_sums
+    part=event_type — n_parts range tasks, no per-group sort buffer,
+    no single-partition window); rank selection is a conditional MIN
+    per type. The dominant-type skew corpus (one type = 0.8·N) is
+    exactly the shape where the q_percentile aggregate's per-group
+    buffer and a per-type sort both concentrate on one task while
+    this plan stays flat.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / ANALYZE family)."""
+    from .sampling import global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = global_prefix_sums(
+        cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
+    )
+    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n_type), "event_type")
+    aggs = [F.max("n").alias("n")]
+    for q in PCTL_QS:
+        tag = f"p{int(round(q * 100))}"
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+            ).alias(tag)
+        )
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def _percentile_distributed_oracle() -> str:
+    sel = ",\n       ".join(
+        f"min(CASE WHEN cum >= ceil({q} * n) THEN value END) AS p{int(round(q * 100))}"
+        for q in PCTL_QS
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type, value, CAST(count(1) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+SELECT event_type, max(n) AS n,
+       {sel}
+FROM cum JOIN n USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.filter(F.col("l_orderkey") <= 200).select(
@@ -223,6 +301,7 @@ QUERIES = {
     "q_approx_distinct": _q_approx_distinct,
     "q_approx_percentile": _q_approx_percentile,
     "q_percentile": _q_percentile,
+    "q_percentile_distributed": _q_percentile_distributed,
     "q_unpivot": _q_unpivot,
     "q_scalar_subquery": _q_scalar_subquery,
 }
@@ -260,6 +339,7 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders GROUP BY o_orderstatus
 """,
+    "q_percentile_distributed": _percentile_distributed_oracle(),
     "q_unpivot": """
 WITH wide AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

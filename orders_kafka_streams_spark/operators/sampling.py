@@ -164,14 +164,129 @@ def global_row_numbers(
 
     ranged = memo(build) if memo is not None else build().persist()
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("_off")
-    )
+    offsets = _triangular_offsets(counts, (), {"_off": "c"})
     local_ix = F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33)
     return (
         ranged.join(F.broadcast(offsets), "_pid")
         .select(*cols, (F.col("_off") + local_ix + 1).alias("rn"))
+    )
+
+
+def _triangular_offsets(
+    totals: DataFrame, part: tuple, sums: dict, agg: str = "sum"
+) -> DataFrame:
+    """Exclusive prefix sums over the TINY per-range-partition totals
+    relation (≤ n_parts rows per ``part`` group) via a triangular
+    self-join instead of an unpartitioned running-sum window: pid p's
+    offset = Σ totals of pids < p (same ``part``). O(n_parts²) cell
+    pairs — trivial — and it keeps the whole two-pass plan free of
+    single-partition WindowExec nodes, so the no-global-window plan
+    gate (VERDICT r6 item 4) holds with an EMPTY whitelist for every
+    query built on these helpers.
+
+    ``totals`` columns: ``_pid``, *part, one total column per entry of
+    ``sums`` (out_name -> total column name). Output: ``_pid``, *part,
+    one exclusive-prefix column per ``sums`` key. ``agg`` picks the
+    combine: ``sum`` (identity 0) or ``max`` (identity NULL — an empty
+    prefix stays NULL, matching a running-max window's first row)."""
+    a = totals.select(
+        F.col("_pid").alias("_apid"),
+        *[F.col(p).alias(f"_a_{p}") for p in part],
+    )
+    cond = F.col("_bpid") < F.col("_apid")
+    for p in part:
+        cond = cond & (F.col(f"_a_{p}") == F.col(f"_b_{p}"))
+    b = totals.select(
+        F.col("_pid").alias("_bpid"),
+        *[F.col(p).alias(f"_b_{p}") for p in part],
+        *[F.col(c).alias(f"_b_{n}") for n, c in sums.items()],
+    )
+    if agg == "sum":
+        combine = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
+    else:
+        combine = F.max
+    return (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy("_apid", *[f"_a_{p}" for p in part])
+        .agg(*[combine(f"_b_{n}").alias(n) for n in sums])
+        .select(
+            F.col("_apid").alias("_pid"),
+            *[F.col(f"_a_{p}").alias(p) for p in part],
+            *sums,
+        )
+    )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    key: list,
+    sums: dict,
+    part: tuple = (),
+    n_parts: int = STRIPE_PARTS,
+    inclusive: bool = False,
+    agg: str = "sum",
+    memo=None,
+) -> DataFrame:
+    """``df`` + one RUNNING-SUM column per ``sums`` entry (out_name ->
+    source column), ordered globally by ``key`` (within each ``part``
+    group if given), WITHOUT a single-partition window — the prefix-sum
+    generalization of :func:`global_row_numbers` (VERDICT r6 items 1-3:
+    the rank/ECDF/quantile family's ``Window.orderBy(value)`` running
+    sums become O(N) single-task sorts once the ordered relation is a
+    continuous-column cell set).
+
+    ``key`` must uniquely order rows within a ``part`` group (true for
+    every cell relation: the keys were just group-by'd). Two passes:
+
+    1. ``repartitionByRange`` on (*part, *key): partition i's rows all
+       order before partition i+1's (equal keys co-locate). The local
+       running sum is a WindowExec PARTITIONED by the physical range
+       partition id (and ``part``) — n_parts concurrent tasks, never a
+       global sort.
+    2. Per-(partition, part) totals — an O(n_parts·|part groups|) cell
+       relation — turn into exclusive global offsets via the
+       triangular self-join (:func:`_triangular_offsets`; no window at
+       all), broadcast back, and added to the local sums.
+
+    ``inclusive`` picks running-sum frame ROWS UNBOUNDED PRECEDING..
+    CURRENT ROW (ECDF style) vs ..1 PRECEDING (rank style, default).
+    ``agg`` = ``sum`` (default) or ``max`` (running maximum — the
+    2D-skyline frontier form; an empty prefix is NULL, exactly the
+    window's first-row value). ``memo`` as in
+    :func:`global_row_numbers`."""
+    cols = df.columns
+
+    def build() -> DataFrame:
+        return (
+            df.repartitionByRange(n_parts, *list(part), *key)
+            .select(*cols, F.spark_partition_id().alias("_pid"))
+        )
+
+    ranged = memo(build) if memo is not None else build().persist()
+    fn = F.sum if agg == "sum" else F.max
+    totals = ranged.groupBy("_pid", *part).agg(
+        *[fn(c).alias(f"_t_{n}") for n, c in sums.items()]
+    )
+    offsets = _triangular_offsets(
+        totals, part, {f"_off_{n}": f"_t_{n}" for n in sums}, agg=agg
+    )
+    hi = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("_pid", *part)
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+
+    def _combined(n: str, c: str):
+        local = fn(c).over(w_local)
+        if agg == "sum":
+            return F.col(f"_off_{n}") + F.coalesce(local, F.lit(0))
+        # max: greatest skips NULLs, NULL only when BOTH sides are —
+        # the exact combine of two optional partial maxima
+        return F.greatest(F.col(f"_off_{n}"), local)
+
+    return ranged.join(F.broadcast(offsets), ["_pid", *part]).select(
+        *cols, *[_combined(n, c).alias(n) for n, c in sums.items()]
     )
 
 

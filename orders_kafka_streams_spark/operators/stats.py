@@ -432,14 +432,17 @@ def _q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-user totals partial-combine in one exchange;
     per-x maxima reduce the relation to O(distinct x) cells; the
-    running-max window orders those cells (the q_roc_auc
-    distinct-margin pattern). Dominance uses integer/rounded-exact
+    running max over those cells uses the distributed two-pass form
+    (sampling.global_prefix_sums agg='max' — r7: x is a per-user
+    count, so its NDV grows with the activity ceiling and an
+    unpartitioned running-max window is a single-task sort at scale).
+    Dominance uses integer/rounded-exact
     values so the frontier SET is engine-stable. Output: frontier
     users (user_id, n_events, purchase_value) by descending events.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (relational / planner family)."""
-    from pyspark.sql import Window
+    from .sampling import global_prefix_sums
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -454,10 +457,9 @@ def _q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     xcells = per_user.groupBy("x").agg(F.max("y").alias("my"))
-    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
     frontier_cells = (
-        xcells.select(
-            "x", "my", F.max("my").over(w).alias("best_above")
+        global_prefix_sums(
+            xcells, [F.desc("x")], {"best_above": "my"}, agg="max"
         )
         .filter(F.col("best_above").isNull() | (F.col("my") > F.col("best_above")))
         .select("x", F.col("my").alias("y"))
@@ -649,18 +651,19 @@ def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scored pass (the memoized token projection),
     hash-split predicate map-side; the rank selection runs on the
-    O(distinct nonconformity) cell relation via one running-sum
-    window (the q_rank_test discipline — never a row-level global
-    sort); test coverage is one aggregate against the 1-row broadcast
-    q̂. Ranks are integers, nonconformities 6-dp-rounded before
-    ranking, so threshold selection is engine-stable.
+    O(distinct nonconformity) cell relation via the distributed
+    two-pass prefix sum (sampling.global_prefix_sums — nonconformity
+    scores are continuous, so the cell relation is O(N) and the old
+    single running-sum window was a single-task sort, VERDICT r6
+    item 1); test coverage is one aggregate against the 1-row
+    broadcast q̂. Ranks are integers, nonconformities 6-dp-rounded
+    before ranking, so threshold selection is engine-stable.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (model-eval family)."""
-    from pyspark.sql import Window
-
     from ..functions.portable import hash60
     from .curation import classifier_scores
+    from .sampling import global_prefix_sums
     from .text import _tokenized
 
     base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
@@ -673,8 +676,9 @@ def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     calib = pts.filter(F.col("half") == 0)
     cells = calib.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select("s", F.sum("f").over(w).alias("cum"))
+    cum = global_prefix_sums(
+        cells, ["s"], {"cum": "f"}, inclusive=True
+    ).select("s", "cum")
     n_cal = calib.agg(F.count(F.lit(1)).alias("n_calib"))
     # q̂ = smallest s whose cumulative count reaches ⌈(n+1)(1−α)⌉
     rank_needed = F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - CONF_ALPHA))
@@ -1087,28 +1091,27 @@ def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the q_rank_test cell form generalized — per-
     (value, type) counts partial-combine map-side; global ranks come
-    from ONE running-sum window over the O(distinct values) pooled
-    cell relation (never event rows); per-group rank sums are exact
-    half-integer arithmetic until the final divisions, so the
-    H-vs-critical comparison needs no rounding gate. Output: one row
-    (k, n, h_stat, h_corrected, significant).
+    from the DISTRIBUTED two-pass prefix sum over the pooled cell
+    relation (sampling.global_prefix_sums — r7: events.value is
+    continuous, NDV ≈ 66% of rows, so the old single running-sum
+    window was an O(N) single-task sort at 100×); per-group rank sums
+    are exact half-integer arithmetic until the final divisions, so
+    the H-vs-critical comparison needs no rounding gate. Output: one
+    row (k, n, h_stat, h_corrected, significant).
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (profiling / stats family)."""
-    from pyspark.sql import Window
+    from .sampling import global_prefix_sums
 
     ev = load_table(spark, sf_dir, "events")
     gcells = ev.groupBy(
         F.col("value").alias("value"), F.col("event_type").alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
     vcells = gcells.groupBy("value").agg(F.sum("c").alias("t"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vcells.select(
+    ranked = global_prefix_sums(vcells, ["value"], {"cum_before": "t"}).select(
         "value",
         "t",
-        (
-            F.coalesce(F.sum("t").over(w), F.lit(0)) + (F.col("t") + 1) / 2.0
-        ).alias("avg_rank"),
+        (F.col("cum_before") + (F.col("t") + 1) / 2.0).alias("avg_rank"),
     )
     per_g = (
         gcells.join(ranked, "value")
@@ -1327,31 +1330,44 @@ def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine parity: percent_rank depends only on the VALUE's rank, so
     ties get identical ranks on both engines and the trim boundary
-    cuts identically. Scale shape: one window over the per-type
-    partitions + one partial+final agg — both on the same event_type
-    exchange. Output: (event_type, n_total, n_kept, mean_all,
-    trimmed_mean)."""
+    cuts identically. Scale shape (r7 rewrite, VERDICT r6 item 3):
+    events aggregate to (event_type, value) CELLS first — the old
+    per-type percent_rank window ordered O(N/|types|) RAW rows in one
+    task per type; the cell form reproduces percent_rank exactly
+    (rank of every row in a tied cell = cum_before + 1, so
+    pr = cum_before/(n_type − 1)) with the grouped distributed
+    two-pass prefix sum (sampling.global_prefix_sums part=event_type)
+    and weighted cell aggregates. Output: (event_type, n_total,
+    n_kept, mean_all, trimmed_mean)."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    from .sampling import global_prefix_sums
 
-    w = Window.partitionBy("event_type").orderBy("value")
-    pr = F.percent_rank().over(w)
-    ranked = ev.select("event_type", "value", pr.alias("pr"))
+    cells = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = global_prefix_sums(
+        cells, ["value"], {"cum_before": "c"}, part=("event_type",)
+    )
+    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n_type"))
+    # percent_rank = (rank−1)/(N−1), rank(all rows of a tied cell) =
+    # cum_before + 1; N=1 → percent_rank defines 0 (guard: Spark's
+    # divide-by-zero yields NULL and would silently drop the row)
+    pr = F.when(
+        F.col("n_type") > 1, F.col("cum_before") / (F.col("n_type") - 1)
+    ).otherwise(F.lit(0.0))
+    keep = (pr >= TRIM_FRAC) & (pr <= 1.0 - TRIM_FRAC)
     return (
-        ranked.groupBy("event_type")
+        cum.join(F.broadcast(n_type), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(
-                ((F.col("pr") >= TRIM_FRAC) & (F.col("pr") <= 1.0 - TRIM_FRAC)).cast("long")
-            ).alias("n_kept"),
-            F.round(F.avg("value"), 4).alias("mean_all"),
+            F.sum("c").alias("n_total"),
+            F.sum(F.when(keep, F.col("c")).otherwise(F.lit(0))).alias("n_kept"),
             F.round(
-                F.avg(
-                    F.when(
-                        (F.col("pr") >= TRIM_FRAC) & (F.col("pr") <= 1.0 - TRIM_FRAC),
-                        F.col("value"),
-                    )
-                ),
+                F.sum(F.col("c") * F.col("value")) / F.sum("c"), 4
+            ).alias("mean_all"),
+            F.round(
+                F.sum(F.when(keep, F.col("c") * F.col("value")))
+                / F.sum(F.when(keep, F.col("c"))),
                 4,
             ).alias("trimmed_mean"),
         )
@@ -1393,21 +1409,25 @@ def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mann_whitney(ev: DataFrame, group_col: str, value_col: str, a_label) -> DataFrame:
     """Core of q_rank_test over any (group, value) relation where
     ``group == a_label`` marks sample A and everything else sample B —
-    seam for the property suite (tests/test_mannwhitney_property.py)."""
-    from pyspark.sql import Window
+    seam for the property suite (tests/test_mannwhitney_property.py).
+
+    Global rank prefix sums come from the distributed two-pass form
+    (sampling.global_prefix_sums), not a single running-sum window:
+    the value column is continuous (NDV ≈ 66% of rows on the events
+    fixture), so the cell relation is O(N) and the old unpartitioned
+    window was a single-task sort at scale (VERDICT r6 item 1)."""
+    from .sampling import global_prefix_sums
 
     cells = ev.groupBy(F.col(value_col).alias("value")).agg(
         F.sum((F.col(group_col) == a_label).cast("long")).alias("ca"),
         F.sum((F.col(group_col) != a_label).cast("long")).alias("cb"),
     )
     t = F.col("ca") + F.col("cb")
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    with_rank = cells.select(
-        "ca",
-        "cb",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum_before"),
-    )
+    with_rank = global_prefix_sums(
+        cells.select("value", "ca", "cb", t.alias("t")),
+        ["value"],
+        {"cum_before": "t"},
+    ).select("ca", "cb", "t", "cum_before")
     avg_rank = F.col("cum_before") + (F.col("t") + 1) / 2.0
     j = with_rank.groupBy().agg(
         F.sum(F.col("ca") * avg_rank).alias("r_a"),
@@ -1451,24 +1471,25 @@ def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(α)·√((n_a+n_b)/(n_a·n_b)) critical value.
 
     Scale shape: per distinct pooled value, cumulative per-sample
-    counts via ONE running-sum window over the distinct-value
-    relation (cells, not rows: the distinct agg partial-aggregates
-    first), then a 1-row max. All arithmetic is integer counts until
-    the final divisions. Output: (n_a, n_b, d_stat, d_crit,
-    significant)."""
+    counts via the DISTRIBUTED two-pass prefix sum over the
+    distinct-value relation (cells, not rows: the distinct agg
+    partial-aggregates first; sampling.global_prefix_sums — the value
+    column is continuous, so the old single running-sum window was an
+    O(N) single-task sort, VERDICT r6 item 1), then a 1-row max. All
+    arithmetic is integer counts until the final divisions. Output:
+    (n_a, n_b, d_stat, d_crit, significant)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(MW_A, MW_B)
     )
-    from pyspark.sql import Window
+    from .sampling import global_prefix_sums
 
     cells = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == MW_A).cast("long")).alias("ca"),
         F.sum((F.col("event_type") == MW_B).cast("long")).alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cells.select(
-        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
-    )
+    cum = global_prefix_sums(
+        cells, ["value"], {"fa": "ca", "fb": "cb"}, inclusive=True
+    ).select("fa", "fb")
     tot = cells.agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
@@ -1719,9 +1740,11 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same cell trick as q_rank_test — scores
     aggregate to (margin, n_pos, n_neg) CELLS first (map-side
-    partial combine), the single running-sum window then orders
-    O(distinct margins) cells instead of every document, and rank
-    arithmetic stays on integers/half-integers until the final
+    partial combine), the distributed two-pass prefix sum
+    (sampling.global_prefix_sums) then ranks the O(distinct margins)
+    cells without a global window (margins are continuous, so the
+    cell relation is O(N) — VERDICT r6 item 1), and rank arithmetic
+    stays on integers/half-integers until the final
     division, so both engines agree bit-exactly. The margin is the
     already-proven cross-engine-deterministic linear head (grouping
     on its round-6 value is exactly the hash the q_quality_classifier
@@ -1730,9 +1753,8 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (profiling / model-eval family)."""
-    from pyspark.sql import Window
-
     from .curation import classifier_scores
+    from .sampling import global_prefix_sums
     from .text import _tokenized
 
     base = _tokenized(spark, sf_dir, "source", "lang").filter(F.size("t") > 0)
@@ -1742,13 +1764,11 @@ def _q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lang") != "en").cast("long")).alias("cn"),
     )
     t = F.col("cp") + F.col("cn")
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = cells.select(
-        "cp",
-        "cn",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum_before"),
-    )
+    ranked = global_prefix_sums(
+        cells.select("value", "cp", "cn", t.alias("t")),
+        ["value"],
+        {"cum_before": "t"},
+    ).select("cp", "cn", "t", "cum_before")
     avg_rank = F.col("cum_before") + (F.col("t") + 1) / 2.0
     j = ranked.groupBy().agg(
         F.sum(F.col("cp") * avg_rank).alias("r_pos"),

@@ -1391,62 +1391,70 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary — the segment table a lifecycle-marketing pipeline
     reads (champions 555 … at-risk 1xx).
 
-    Scale shape: one purchases pass partial-aggregates per-user
-    (R, F, M) sufficient statistics; the three rank windows order the
-    per-user relation (single global windows over O(users) rows —
-    dim-table-sized here; at 100× the standard fix is ranking via the
-    distinct-value cell relation like q_rank_test, unchanged
-    semantics); the segment rollup is ≤Q³ cells.
+    Scale shape (r7 rewrite, VERDICT r6 item 2): one purchases pass
+    partial-aggregates per-user (R, F, M) sufficient statistics into
+    a memoized relation; each dimension's quantile rank comes from
+    the distributed two-pass row_number (sampling.global_row_numbers
+    — money/freq/recency are continuous, so the old three GLOBAL
+    row_number windows were single-task sorts over O(users) rows at
+    100×), joined back on user_id (three O(users) hash joins, all
+    distributed); the segment rollup is ≤Q³ cells.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (behavioral analytics family)."""
-    from pyspark.sql import Window
+    from .dedup import _memo_persist
+    from .sampling import global_row_numbers
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     horizon = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("hz"))
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.max(epoch_ms(F.col("ts"))).alias("last_ms"),
-            F.count(F.lit(1)).alias("freq"),
-            F.round(F.sum("value"), 6).alias("money"),
+
+    def _build_per_user() -> DataFrame:
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                F.max(epoch_ms(F.col("ts"))).alias("last_ms"),
+                F.count(F.lit(1)).alias("freq"),
+                F.round(F.sum("value"), 6).alias("money"),
+            )
+            .crossJoin(F.broadcast(horizon))
+            .select(
+                "user_id",
+                F.floor((F.col("hz") - F.col("last_ms")) / F.lit(3_600_000)).alias(
+                    "rec_h"
+                ),
+                "freq",
+                "money",
+            )
         )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            "user_id",
-            F.floor((F.col("hz") - F.col("last_ms")) / F.lit(3_600_000)).alias(
-                "rec_h"
-            ),
-            "freq",
-            "money",
-        )
-    )
-    n = Window.partitionBy()
+
+    per_user = _memo_persist(spark, sf_dir, "rfm_per_user", _build_per_user)
+    tot = per_user.agg(F.count(F.lit(1)).alias("n"))
     q = F.lit(RFM_Q)
 
-    def score(col: str, asc: bool) -> F.Column:
+    def score(col: str, asc: bool, out: str) -> DataFrame:
         o = F.asc(col) if asc else F.desc(col)
-        w = Window.orderBy(o, F.asc("user_id"))
-        rk = F.row_number().over(w)
-        return (
-            F.floor(q * (rk - 1) / F.count(F.lit(1)).over(n)) + 1
-        ).cast("int")
+        ranked = global_row_numbers(
+            per_user.select("user_id", col),
+            [o, F.asc("user_id")],
+            memo=lambda build: _memo_persist(
+                spark, sf_dir, f"rfm_rank:{out}", build
+            ),
+        )
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "user_id",
+            (
+                F.lit(RFM_Q + 1)
+                - (F.floor(q * (F.col("rn") - 1) / F.col("n")) + 1)
+            ).cast("int").alias(out),  # invert: HIGH score = good
+        )
 
-    scored = per_user.select(
-        "user_id",
-        "money",
-        score("rec_h", asc=True).alias("r_score"),  # recent first -> 5..1? see below
-        score("freq", asc=False).alias("f_score_raw"),
-        score("money", asc=False).alias("m_score_raw"),
-    ).select(
-        "user_id",
-        "money",
-        # invert so HIGH score = good on every axis
-        (F.lit(RFM_Q + 1) - F.col("r_score")).alias("r_score"),
-        (F.lit(RFM_Q + 1) - F.col("f_score_raw")).alias("f_score"),
-        (F.lit(RFM_Q + 1) - F.col("m_score_raw")).alias("m_score"),
+    scored = (
+        per_user.select("user_id", "money")
+        .join(score("rec_h", True, "r_score"), "user_id")
+        .join(score("freq", False, "f_score"), "user_id")
+        .join(score("money", False, "m_score"), "user_id")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -168,10 +168,64 @@ def _extract_cached(lines: list[str], subtrees: dict[str, int]) -> str:
     return "\n".join(main)
 
 
+#: physical window operators — each carries a partitionSpec(); an
+#: EMPTY spec means the whole input relation sorts in ONE task
+_WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+
+#: queries allowed a non-zero ``global_windows`` count, each with the
+#: bound that makes the single-task sort safe at 100× (VERDICT r6
+#: item 4: "explicit documented whitelist for the K-row/dim-table
+#: cases"). Everything else must plan ZERO unpartitioned window nodes
+#: — the two-pass helpers (sampling.global_row_numbers /
+#: global_prefix_sums) are the replacement, and their offset pass is
+#: a triangular join, not a window, so they add nothing here.
+GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
+    # K-row post-LIMIT windows (TakeOrderedAndProject feeds them; the
+    # window input is a constant-size relation, never the corpus)
+    "q_cms_topk": (1, "row_number over CMS_TOPK rows post-limit (stats.py)"),
+    "q_hubness": (1, "hub_rank over HUB_TOP_K rows post-limit (similarity.py)"),
+    "q_sample_priority": (
+        2,
+        "row_number over PRI_K+1 rows post-limit; subtree appears "
+        "twice (tau branch + sample branch both scan it) (sampling.py)",
+    ),
+    # K_CLUSTERS-row seed window inside the memoized k-means
+    # assignment build (clustering.py:131) — every consumer of
+    # kmeans_assignments counts it once per analysis
+    "q_kmeans": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
+    "q_semdedup": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
+    "q_cluster_purity": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
+    "q_cluster_topics": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
+    # PQ_K-row post-limit codebook seed (similarity.py:400) and the
+    # IVF centroid sample — constant-size index-build relations
+    "q_knn_pq": (1, "PQ_K-row post-limit codebook seed"),
+    "q_knn_ivfpq": (1, "PQ_K-row post-limit codebook seed"),
+    "q_ann_ndcg": (2, "PQ/IVF constant-size index seeds (method sweep)"),
+    "q_ann_quality": (2, "PQ/IVF constant-size index seeds (method sweep)"),
+    # bounded-cell relations: O(days) horizon, O(hours) seasonal,
+    # ≤CAL_BINS calibration bins, m-metric BH family — each grows
+    # with the time/bin/metric axis, never with row count
+    "q_msprt": (1, "running stats over O(days) cells"),
+    "q_srm": (1, "running stats over O(days) cells"),
+    "q_logrank": (1, "at-risk prefix over O(days) cells"),
+    "q_survival_km": (1, "at-risk prefix over O(days) cells"),
+    "q_seasonal_outliers": (2, "trend/rank over O(hours) cells"),
+    "q_isotonic_calibration": (2, "PAV passes over <=CAL_BINS bins"),
+    "q_bh_fdr": (2, "rank + step-up over the m-metric family (|types|x|arms|)"),
+    # documented dim-table demo (window_funcs.py:48): ntile over the
+    # customer dimension — the query EXISTS to exercise ntile
+    "q_window_ntile": (1, "ntile over the customer dim table"),
+}
+
+
 def _count_exchanges_tree(df: DataFrame) -> int:
-    """Shuffle-exchange count by WALKING the physical-plan tree
-    (py4j), replacing the string parser for the number the gate
-    asserts on. The string form of a plan is NOT a stable function of
+    return _walk_plan_facts(df)["exchanges"]
+
+
+def _walk_plan_facts(df: DataFrame) -> dict[str, int]:
+    """Shuffle-exchange + unpartitioned-window counts by WALKING the
+    physical-plan tree (py4j), replacing the string parser for the
+    numbers the gate asserts on. The string form of a plan is NOT a stable function of
     the query: once a shared memo has materialized (a sibling query's
     localCheckpoint is enough), AQE reprints cached builds with reset
     indentation, QueryStage wrappers, and ``maxToStringFields``
@@ -192,42 +246,53 @@ def _count_exchanges_tree(df: DataFrame) -> int:
       same memoized relation (the self-join pattern).
     - QueryStage wrappers (shuffle / broadcast / table-cache) unwrap
       into their contained plan.
+    - ``global_windows``: WindowExec-family nodes whose
+      ``partitionSpec()`` is EMPTY — the whole input relation sorted
+      in ONE task, the 100×-scale hazard VERDICT r6 item 1 measured
+      on continuous-column cell relations (counted over the same
+      deduped traversal; the gate allows a non-zero count only for
+      the documented bounded-relation whitelist entries).
     """
     sc = df.sparkSession.sparkContext
     identity = sc._jvm.java.lang.System.identityHashCode
     seen_builders: set[int] = set()
+    facts = {"exchanges": 0, "global_windows": 0}
 
-    def walk(node) -> int:
+    def walk(node) -> None:
         cls = node.getClass().getSimpleName()
         if cls == "ReusedExchangeExec":
-            return 0
-        n = 0
+            return
         if cls == "ShuffleExchangeExec":
-            n += 1
+            facts["exchanges"] += 1
+        if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
+            facts["global_windows"] += 1
         if cls == "AdaptiveSparkPlanExec":
             # initialPlan = after EnsureRequirements (exchanges placed),
             # before any runtime re-optimization — the stable form
-            return n + walk(node.initialPlan())
+            walk(node.initialPlan())
+            return
         if cls.endswith("QueryStageExec"):
-            return n + walk(node.plan())
+            walk(node.plan())
+            return
         if cls == "InMemoryTableScanExec":
             rel = node.relation()
             key = int(identity(rel.cacheBuilder()))
             if key in seen_builders:
-                return n
+                return
             seen_builders.add(key)
-            return n + walk(rel.cachedPlan())
+            walk(rel.cachedPlan())
+            return
         # scalar/IN subquery side plans execute too but are not
         # children() — without this, q_scalar_subquery reads 0
         sq = node.subqueries()
         for i in range(sq.length()):
-            n += walk(sq.apply(i))
+            walk(sq.apply(i))
         kids = node.children()
         for i in range(kids.length()):
-            n += walk(kids.apply(i))
-        return n
+            walk(kids.apply(i))
 
-    return walk(df._jdf.queryExecution().executedPlan())
+    walk(df._jdf.queryExecution().executedPlan())
+    return facts
 
 
 def analyze_plan(df: DataFrame) -> dict[str, Any]:
@@ -235,14 +300,18 @@ def analyze_plan(df: DataFrame) -> dict[str, Any]:
     plan = explain_str(df)
     python = sorted({node for node in PYTHON_NODES if node in plan})
     try:
-        exchanges = _count_exchanges_tree(df)
+        facts = _walk_plan_facts(df)
+        exchanges = facts["exchanges"]
+        global_windows = facts["global_windows"]
     except Exception:  # pragma: no cover - py4j API drift safety net
         exchanges = _count_exchanges(plan)
+        global_windows = None  # unknown under the string fallback
     return {
         "exchanges": exchanges,
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "python": python,
+        "global_windows": global_windows,
     }
 
 

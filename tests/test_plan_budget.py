@@ -36,7 +36,11 @@ import os
 import pytest
 
 from orders_kafka_streams_spark.operators import all_queries
-from orders_kafka_streams_spark.plans.budget import analyze_plan, streaming_query_names
+from orders_kafka_streams_spark.plans.budget import (
+    GLOBAL_WINDOW_WHITELIST,
+    analyze_plan,
+    streaming_query_names,
+)
 
 BUDGET_PATH = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
 PLAN_SF_DIR = os.environ.get("OKSS_PLAN_SF_DIR", "/root/testdata/sf0.01")
@@ -108,3 +112,30 @@ def test_plan_budget(name, observed):
         f"{committed['exchanges']} — if intentional, regenerate via "
         f"tools/gen_plan_budgets.py and review the diff"
     )
+    # no-global-window gate (VERDICT r6 item 4): an unpartitioned
+    # WindowExec is a single-task sort of its whole input — banned
+    # unless the documented whitelist names this query with the bound
+    # that makes it safe (K-row post-limit / O(days)/O(bins) cells)
+    allowed, _reason = GLOBAL_WINDOW_WHITELIST.get(name, (0, ""))
+    gw = got.get("global_windows")
+    if gw is not None:
+        assert gw <= allowed, (
+            f"{name}: {gw} unpartitioned window node(s) > whitelisted "
+            f"{allowed} — a single-task global sort at 100x; use "
+            f"sampling.global_prefix_sums / global_row_numbers, or add a "
+            f"documented GLOBAL_WINDOW_WHITELIST entry with the bound"
+        )
+
+
+def test_global_window_whitelist_not_stale(observed):
+    """Every whitelist entry must still (a) name a registered query and
+    (b) be NEEDED — an entry whose query now plans zero global windows
+    is stale documentation and must be dropped."""
+    stale = sorted(set(GLOBAL_WINDOW_WHITELIST) - set(_NAMES))
+    assert not stale, f"whitelist entries for unregistered queries: {stale}"
+    unneeded = sorted(
+        n
+        for n, (allowed, _r) in GLOBAL_WINDOW_WHITELIST.items()
+        if not observed[n].get("global_windows")
+    )
+    assert not unneeded, f"whitelist entries no longer needed: {unneeded}"

@@ -41,6 +41,21 @@ survival, so the bench's sf1-skew tier runs the heavy queries against:
 - ONE 100×-LENGTH DOCUMENT (an existing doc's text tiled 100×):
   per-doc shingle/fingerprint fan-out for winnowing, dup-span, and
   dedup blocking paths — one task's explode must not dominate a stage.
+
+r7 additions (VERDICT r6 item 5 — make the rank/prefix-sum rewrites
+MEASURABLE):
+
+- CONTINUOUS HIGH-NDV VALUE: every event's value gets a per-event
+  deterministic epsilon (portable-hash keyed), so value NDV ≈ rows at
+  sf1 (the 10× replication otherwise reuses each sf0.1 value 10×, and
+  the benign column already sat at only 66% NDV). Any rank/ECDF/
+  quantile path that secretly sorts the value cell relation in one
+  task now pays N, not N/10th — the two-pass rewrites
+  (global_prefix_sums) are flat by construction.
+- DOMINANT EVENT TYPE: ~80% of events remapped to 'view' (hash-keyed,
+  deterministic), so per-type partitioned work (q_trimmed_mean's
+  grouped prefix sums, per-type windows) sees one partition holding
+  0.8·N — the skew a uniform type distribution never exercises.
 """
 
 from __future__ import annotations
@@ -133,6 +148,20 @@ def inject_skew(spark: SparkSession, table: str, df: DataFrame, domains: dict[st
     past REPLICAS× the source domain so injections never collide with
     scaled keys)."""
     if table == "events":
+        # r7: high-NDV continuous value + dominant event type (see
+        # module docstring) — applied to the whole scaled relation
+        # BEFORE the basket injections (perf corpus only; the oracle
+        # gate stays at the untouched driver sf0.01)
+        from orders_kafka_streams_spark.functions.portable import hash60
+
+        h = hash60(F.col("event_id"))
+        df = df.withColumn(
+            "value",
+            F.col("value") + (h % 1_000_003).cast("double") * F.lit(1e-9),
+        ).withColumn(
+            "event_type",
+            F.when(h % 100 < 75, F.lit("view")).otherwise(F.col("event_type")),
+        )
         base_user = domains["user"] * (REPLICAS + 1)
         base_event = domains["event"] * (REPLICAS + 1)
         power = spark.range(POWER_USER_ITEMS).select(

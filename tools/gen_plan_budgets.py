@@ -47,6 +47,21 @@ def main() -> None:
         tags = [t for t in ("cartesian", "bnlj") if m.get(t)] + m.get("python", [])
         print(f"  {n}: {','.join(tags)} exchanges={m['exchanges']}")
 
+    from orders_kafka_streams_spark.plans.budget import GLOBAL_WINDOW_WHITELIST
+
+    gw = {n: m["global_windows"] for n, m in table.items() if m.get("global_windows")}
+    over = {
+        n: c
+        for n, c in gw.items()
+        if c > GLOBAL_WINDOW_WHITELIST.get(n, (0,))[0]
+    }
+    print(f"{len(gw)} with unpartitioned windows (whitelist gate):")
+    for n, c in sorted(gw.items()):
+        mark = " OVER-WHITELIST" if n in over else ""
+        print(f"  {n}: global_windows={c}{mark}")
+    if over:
+        raise SystemExit(f"unwhitelisted global windows: {sorted(over)}")
+
 
 if __name__ == "__main__":
     main()
