@@ -74,6 +74,15 @@ _RECHECK_FIRST = (
     "q_rfm_segments",
     "q_trimmed_mean",
     "q_skyline_users",  # running-max frontier via global_prefix_sums agg='max'
+    # second r7 sweep: the latent members of the same class found by a
+    # proactive low-cardinality-partition audit (raw rows ranked in
+    # per-type/source/lang single tasks), all moved to the grouped
+    # two-pass forms
+    "q_cusum",
+    "q_outliers",
+    "q_seq_pack",
+    "q_pack_efficiency",  # consumes seq_pack's rewritten cumsum
+    "q_ccnet_buckets",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

@@ -117,11 +117,30 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_SHARDS = 16
-STRIPE_PARTS = 32  # range partitions for the two-pass stripe (≈ cluster parallelism)
+STRIPE_PARTS = 32  # two-pass range-partition fallback (local default)
+
+
+def _stripe_parts(df: DataFrame, n_parts: int | None) -> int:
+    """Resolve the two-pass helpers' range-partition count: an explicit
+    ``n_parts`` wins; otherwise follow the session's
+    ``spark.sql.shuffle.partitions`` (floored at STRIPE_PARTS) — on a
+    1000-executor cluster the stripe must scale with the configured
+    parallelism, not a local constant. Output VALUES are independent
+    of the count (property-tested at 16/32/64), so this is purely a
+    parallelism knob."""
+    if n_parts is not None:
+        return n_parts
+    try:
+        return max(
+            STRIPE_PARTS,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    except Exception:  # "auto" under AQE-managed settings, or no session
+        return STRIPE_PARTS
 
 
 def global_row_numbers(
-    df: DataFrame, key: list, n_parts: int = STRIPE_PARTS, memo=None
+    df: DataFrame, key: list, n_parts: int | None = None, memo=None
 ) -> DataFrame:
     """``df`` + ``rn`` (1-based global row_number by ``key``, which must
     totally order the rows) WITHOUT a single-partition window — the
@@ -149,6 +168,7 @@ def global_row_numbers(
     taking the build thunk (r5 review finding; for one-shot callers the
     plain persist is deduped by Spark's CacheManager on the identical
     plan, so growth is bounded by distinct inputs either way)."""
+    n_parts = _stripe_parts(df, n_parts)
     cols = df.columns
 
     def build() -> DataFrame:
@@ -187,8 +207,8 @@ def _triangular_offsets(
     ``totals`` columns: ``_pid``, *part, one total column per entry of
     ``sums`` (out_name -> total column name). Output: ``_pid``, *part,
     one exclusive-prefix column per ``sums`` key. ``agg`` picks the
-    combine: ``sum`` (identity 0) or ``max`` (identity NULL — an empty
-    prefix stays NULL, matching a running-max window's first row)."""
+    combine: ``sum`` (identity 0) or ``max``/``min`` (identity NULL —
+    an empty prefix stays NULL, matching the window's first row)."""
     a = totals.select(
         F.col("_pid").alias("_apid"),
         *[F.col(p).alias(f"_a_{p}") for p in part],
@@ -204,7 +224,7 @@ def _triangular_offsets(
     if agg == "sum":
         combine = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
     else:
-        combine = F.max
+        combine = F.max if agg == "max" else F.min
     return (
         a.join(F.broadcast(b), cond, "left")
         .groupBy("_apid", *[f"_a_{p}" for p in part])
@@ -222,7 +242,7 @@ def global_prefix_sums(
     key: list,
     sums: dict,
     part: tuple = (),
-    n_parts: int = STRIPE_PARTS,
+    n_parts: int | None = None,
     inclusive: bool = False,
     agg: str = "sum",
     memo=None,
@@ -250,10 +270,12 @@ def global_prefix_sums(
 
     ``inclusive`` picks running-sum frame ROWS UNBOUNDED PRECEDING..
     CURRENT ROW (ECDF style) vs ..1 PRECEDING (rank style, default).
-    ``agg`` = ``sum`` (default) or ``max`` (running maximum — the
-    2D-skyline frontier form; an empty prefix is NULL, exactly the
-    window's first-row value). ``memo`` as in
+    ``agg`` = ``sum`` (default), ``max`` (running maximum — the
+    2D-skyline frontier form) or ``min`` (running minimum — the CUSUM
+    prefix-identity form); for the extrema an empty prefix is NULL,
+    exactly the window's first-row value. ``memo`` as in
     :func:`global_row_numbers`."""
+    n_parts = _stripe_parts(df, n_parts)
     cols = df.columns
 
     def build() -> DataFrame:
@@ -263,7 +285,7 @@ def global_prefix_sums(
         )
 
     ranged = memo(build) if memo is not None else build().persist()
-    fn = F.sum if agg == "sum" else F.max
+    fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     totals = ranged.groupBy("_pid", *part).agg(
         *[fn(c).alias(f"_t_{n}") for n, c in sums.items()]
     )
@@ -281,9 +303,10 @@ def global_prefix_sums(
         local = fn(c).over(w_local)
         if agg == "sum":
             return F.col(f"_off_{n}") + F.coalesce(local, F.lit(0))
-        # max: greatest skips NULLs, NULL only when BOTH sides are —
-        # the exact combine of two optional partial maxima
-        return F.greatest(F.col(f"_off_{n}"), local)
+        # max/min: greatest/least skip NULLs, NULL only when BOTH
+        # sides are — the exact combine of two optional partial extrema
+        pick = F.greatest if agg == "max" else F.least
+        return pick(F.col(f"_off_{n}"), local)
 
     return ranged.join(F.broadcast(offsets), ["_pid", *part]).select(
         *cols, *[_combined(n, c).alias(n) for n, c in sums.items()]
@@ -291,7 +314,7 @@ def global_prefix_sums(
 
 
 def striped_shards(
-    docs: DataFrame, n_shards: int, n_parts: int = STRIPE_PARTS, memo=None
+    docs: DataFrame, n_shards: int, n_parts: int | None = None, memo=None
 ) -> DataFrame:
     """(doc_id, n_chars, shard): size-striped round-robin assignment —
     docs ranked by (n_chars desc, doc_id asc), dealt shard = rank % n —
@@ -576,8 +599,94 @@ ORDER BY event_type
 """
 
 
+#: q_char_budget_quantiles char-mass fractions (shared literals)
+CHAR_QS = (0.5, 0.9, 0.99)
+
+
+def _q_char_budget_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-MASS-weighted document-length quantiles per source — the
+    packing/shard-planning readout q_shard_layout (assignment audit)
+    and q_pack (the assignment itself) both presuppose: "docs of
+    length ≤ L_q hold q of this source's character budget". Unlike a
+    doc-count percentile, the WEIGHTED quantile answers capacity
+    questions (what max-length cap keeps 99% of the training mass;
+    how skewed is the char budget toward long docs) — for heavy-tailed
+    corpora the two differ wildly (half the rows can be far below half
+    the mass). L_q = smallest length whose inclusive cumulative char
+    mass reaches q·total — a weighted-ECDF rank selection, exact
+    integer char sums until the q·total comparison (the same IEEE
+    product from the same literals on both engines).
+
+    Scale shape: one partial-agg exchange to (source, n_chars) cells;
+    the grouped distributed two-pass prefix sum
+    (sampling.global_prefix_sums part=source — lengths are high-NDV,
+    so a per-source ordered window would be a single-task sort per
+    source at 100×); rank selection is a conditional MIN per source.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling / layout family)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    cells = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    ).select(
+        "source",
+        "n_chars",
+        "c",
+        (F.col("n_chars").cast("long") * F.col("c")).alias("w"),
+    )
+    cum = global_prefix_sums(
+        cells, ["n_chars"], {"cum_w": "w"}, part=("source",), inclusive=True
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.sum("w").alias("total_chars")
+    )
+    j = cum.join(F.broadcast(tot), "source")
+    aggs = [F.max("n_docs").alias("n_docs"), F.max("total_chars").alias("total_chars")]
+    for q in CHAR_QS:
+        tag = f"l{int(round(q * 100))}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum_w") >= F.lit(q) * F.col("total_chars"),
+                    F.col("n_chars"),
+                )
+            ).alias(tag)
+        )
+    return j.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _char_budget_oracle() -> str:
+    sel = ",\n       ".join(
+        f"min(CASE WHEN cum_w >= {q} * total_chars THEN n_chars END) AS l{int(round(q * 100))}"
+        for q in CHAR_QS
+    )
+    return f"""
+WITH cells AS (
+  SELECT source, n_chars, CAST(count(1) AS BIGINT) AS c,
+         CAST(n_chars AS BIGINT) * count(1) AS w
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_chars,
+         CAST(sum(w) OVER (PARTITION BY source ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+  FROM cells
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS total_chars
+  FROM cells GROUP BY 1
+)
+SELECT source, max(n_docs) AS n_docs, max(total_chars) AS total_chars,
+       {sel}
+FROM cum JOIN tot USING (source)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q_split_leakage": _q_split_leakage,
+    "q_char_budget_quantiles": _q_char_budget_quantiles,
     "q_neyman_alloc": _q_neyman_alloc,
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
@@ -592,6 +701,7 @@ _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
     "q_neyman_alloc": _neyman_oracle(),
+    "q_char_budget_quantiles": _char_budget_oracle(),
     "q_sample_priority": f"""
 WITH d AS (
   SELECT doc_id, n_chars,

@@ -1188,17 +1188,39 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc scores are one broadcast join + doc-keyed
     agg (shared with q_unigram_logprob via the memoized histogram and
-    token projections); ntile is one per-language window over DOC
-    SCORE ROWS (not the corpus — O(docs) rows in the exchange), and
-    the band summary re-aggregates 3 rows per language. The window
-    orders by the ROUNDED score with doc_id tiebreak so band edges
-    are engine-stable.
+    token projections). r7: the per-language ntile is computed as
+    EXPLICIT ntile arithmetic over two-pass distributed row numbers
+    (sampling.global_prefix_sums part=lang — the old per-lang ntile
+    window ranked O(docs/|langs|) raw score rows in one task per
+    language, the single-task-sort class the r6 verdict retired): with
+    n docs in a language, q = n DIV B and r = n MOD B, ntile gives the
+    first r buckets q+1 rows — bucket(rn) = ⌈rn/(q+1)⌉ in the large
+    region, r + ⌈(rn − r(q+1))/q⌉ after — pure integer DIV, and the
+    oracle keeps the engine's own ntile() so the hash PROVES the
+    arithmetic reproduces it. Ranks order by the ROUNDED score with
+    doc_id tiebreak so band edges are engine-stable.
 
     Output: (lang, bucket, n_docs, n_tokens, avg_logp)."""
+    from .sampling import global_prefix_sums
+
     scored = _doc_lm_scores(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    ranked = global_prefix_sums(
+        scored.withColumn("one", F.lit(1)),
+        [F.desc("avg_logp"), F.asc("doc_id")],
+        {"rn0": "one"},
+        part=("lang",),
+    ).select("lang", "n_tokens", "avg_logp", (F.col("rn0") + 1).alias("rn"))
+    n_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(n_lang), "lang")
+    B = CCNET_BUCKETS
+    bucket = F.expr(
+        f"CAST(CASE WHEN rn <= (n % {B}) * (n DIV {B} + 1) "
+        f"THEN (rn - 1) DIV (n DIV {B} + 1) + 1 "
+        f"ELSE (n % {B}) + (rn - 1 - (n % {B}) * (n DIV {B} + 1)) DIV (n DIV {B}) + 1 "
+        f"END AS INT)"
+    )
     return (
-        scored.withColumn("bucket", F.ntile(CCNET_BUCKETS).over(w))
+        j.withColumn("bucket", bucket)
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

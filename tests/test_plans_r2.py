@@ -40,13 +40,20 @@ def test_zorder_layout_single_small_agg_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan and "SinglePartition" not in plan, plan
 
 
-def test_cusum_single_type_exchange(spark, sf_dir):
-    """μ/σ window, prefix sum, running min, and the final per-type agg
-    all share the event_type partitioning — one hash exchange total."""
+def test_cusum_two_pass_no_per_type_task(spark, sf_dir):
+    """r7 contract (replaces the r2 one-exchange pin): the prefix sum
+    and running min run as grouped two-pass forms — range-partitioned
+    across tasks, with every window partitioned by the physical range
+    partition id, never a per-type partition that would put one type's
+    whole event relation (0.8·N under dominant-type skew) in one
+    task."""
     from orders_kafka_streams_spark.operators import timeseries
 
     plan = plan_of(timeseries._q_cusum(spark, sf_dir))
-    assert _n_exchanges(plan) == 1, plan
+    assert "rangepartitioning" in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
 
 
 def test_psi_shuffles_carry_bins_not_rows(spark, sf_dir):
