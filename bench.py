@@ -169,6 +169,9 @@ HEADLINE = [
     "q_rfm_segments",
     "q_degree_powerlaw",
     "q_stream_unconverted",
+    # r7 additions: the distributed-quantile showcases
+    "q_percentile_distributed",
+    "q_char_budget_quantiles",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -211,6 +214,9 @@ SKEW_STATS = [
     "q_histogram_equidepth",
     "q_rfm_segments",
     "q_trimmed_mean",
+    # exact per-group quantiles under the 0.8N dominant type + ~1M-NDV
+    # value — the corpus the old per-group-sort forms could not survive
+    "q_percentile_distributed",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —

@@ -155,8 +155,9 @@ def global_row_numbers(
        number in the lower 33 — so the local rank is map-side
        arithmetic, no window at all over the data relation.
     2. A count-per-partition pass (n_parts cells) turns into global
-       rank offsets via a running sum over the TINY per-partition
-       relation (the only window, n_parts rows), broadcast-joined back.
+       rank offsets via the triangular self-join over the TINY
+       per-partition relation (:func:`_triangular_offsets` — r7: no
+       window anywhere in the plan), broadcast-joined back.
 
     rn = offset[pid] + local_index + 1, exactly the row_number the
     one-window form produces. The relation is persisted before the two
@@ -599,6 +600,118 @@ ORDER BY event_type
 """
 
 
+#: q_temporal_split_embargo: train fraction of the day span + embargo
+TEMPORAL_TRAIN_FRAC = 0.7
+EMBARGO_DAYS = 2
+_DAY_MS = 86_400_000
+
+
+def _q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap (the purged-split
+    discipline of financial/forecasting ML, López de Prado 2018
+    simplified): hash splits (q_split_assign) are leak-proof for
+    exchangeable documents but WRONG for time series — a model trained
+    on events after its test window has seen the future. Cut the day
+    axis at TRAIN_FRAC of the observed span, drop an EMBARGO_DAYS
+    buffer (serial correlation leaks across an adjacent boundary), and
+    report per split: volume, user count, day range, and the USER
+    overlap with train — the entity-level contamination a grouped
+    split would remove, measured so the pipeline can decide whether
+    time-only splitting suffices. Cut arithmetic is integer days from
+    the data's own bounds, so the boundary is engine-exact.
+
+    Scale shape: day bounds are a 1-row broadcast; split labeling is a
+    scan-level projection; per-split stats one exchange; the overlap
+    is a left-semi join of per-split distinct users against the
+    broadcastable train-user relation.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling / splits family)."""
+    from ..functions.portable import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(epoch_ms(F.col("ts")) / F.lit(_DAY_MS)).alias("day"),
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cut = F.col("d0") + F.floor(
+        F.lit(TEMPORAL_TRAIN_FRAC) * (F.col("d1") - F.col("d0"))
+    )
+    lab = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "day",
+        F.when(F.col("day") < cut, F.lit("train"))
+        .when(F.col("day") < cut + EMBARGO_DAYS, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    stats = lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+    train_users = lab.filter(F.col("split") == "train").select("user_id").distinct()
+    shared = (
+        lab.select("split", "user_id")
+        .distinct()
+        .join(train_users, "user_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("users_in_train"))
+    )
+    return (
+        stats.join(shared, "split")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "first_day",
+            "last_day",
+            "users_in_train",
+            F.round(F.col("users_in_train") / F.col("n_users"), 6).alias(
+                "train_user_overlap"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def _temporal_split_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / {_DAY_MS}) AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+lab AS (
+  SELECT user_id, day,
+         CASE WHEN day < d0 + floor({TEMPORAL_TRAIN_FRAC} * (d1 - d0))
+                THEN 'train'
+              WHEN day < d0 + floor({TEMPORAL_TRAIN_FRAC} * (d1 - d0))
+                       + {EMBARGO_DAYS} THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM ev CROSS JOIN bounds
+),
+stats AS (
+  SELECT split, CAST(count(1) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         min(day) AS first_day, max(day) AS last_day
+  FROM lab GROUP BY 1
+),
+tu AS (SELECT DISTINCT user_id FROM lab WHERE split = 'train'),
+shared AS (
+  SELECT split, CAST(count(1) AS BIGINT) AS users_in_train
+  FROM (SELECT DISTINCT split, user_id FROM lab) s
+  WHERE user_id IN (SELECT user_id FROM tu)
+  GROUP BY 1
+)
+SELECT split, n_events, n_users, first_day, last_day, users_in_train,
+       round(CAST(users_in_train AS DOUBLE) / n_users, 6) AS train_user_overlap
+FROM stats JOIN shared USING (split)
+ORDER BY split
+"""
+
+
 #: q_char_budget_quantiles char-mass fractions (shared literals)
 CHAR_QS = (0.5, 0.9, 0.99)
 
@@ -687,6 +800,7 @@ GROUP BY source ORDER BY source
 QUERIES = {
     "q_split_leakage": _q_split_leakage,
     "q_char_budget_quantiles": _q_char_budget_quantiles,
+    "q_temporal_split_embargo": _q_temporal_split_embargo,
     "q_neyman_alloc": _q_neyman_alloc,
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
@@ -702,6 +816,7 @@ _H_DOC = hash60_sql("doc_id")
 ORACLE = {
     "q_neyman_alloc": _neyman_oracle(),
     "q_char_budget_quantiles": _char_budget_oracle(),
+    "q_temporal_split_embargo": _temporal_split_oracle(),
     "q_sample_priority": f"""
 WITH d AS (
   SELECT doc_id, n_chars,

@@ -1375,6 +1375,97 @@ def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+WINSOR_FRAC = 0.05  # two-sided winsorization fraction
+
+
+def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided winsorized mean per event type — the fourth robust
+    location estimate (3-sigma q_outliers / median-MAD q_mad_outliers
+    / trim q_trimmed_mean / THIS): instead of DROPPING the tails like
+    the trimmed mean, CLAMP them to the [p05, p95] boundary values —
+    every observation still counts, so the estimator wastes less data
+    on near-clean distributions while staying bounded-influence (one
+    wild row moves the mean by at most (hi−lo)/n). The boundaries are
+    exact percentile_disc selections (the q_percentile_distributed
+    rank rule: smallest value whose inclusive cumulative count reaches
+    ⌈q·n⌉), so clamp points are actual data values and both engines
+    agree bit-for-bit before the final rounded division.
+
+    Scale shape: one partial-agg exchange to (type, value) cells; ONE
+    grouped two-pass prefix sum (sampling.global_prefix_sums
+    part=event_type) serves both boundary selections; the winsorized
+    sum is a weighted cell aggregate against the ≤|types|-row
+    broadcast bounds — no per-type sort buffer anywhere, flat under
+    the 0.8·N dominant-type skew corpus.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / stats family)."""
+    from .sampling import global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = global_prefix_sums(
+        cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
+    )
+    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n_type), "event_type")
+    lo_rank = F.ceil(F.lit(WINSOR_FRAC) * F.col("n"))
+    hi_rank = F.ceil(F.lit(1.0 - WINSOR_FRAC) * F.col("n"))
+    bounds = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("value"))).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        cells.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("lo"), 4).alias("lo_bound"),
+            F.round(F.max("hi"), 4).alias("hi_bound"),
+            F.round(F.sum(F.col("c") * F.col("value")) / F.max("n"), 4).alias(
+                "mean_all"
+            ),
+            F.round(F.sum(F.col("c") * clamped) / F.max("n"), 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _winsorized_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT event_type, value, CAST(count(1) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+bounds AS (
+  SELECT event_type, max(n) AS n,
+         min(CASE WHEN cum >= ceil({WINSOR_FRAC} * n) THEN value END) AS lo,
+         min(CASE WHEN cum >= ceil({1.0 - WINSOR_FRAC} * n) THEN value END) AS hi
+  FROM cum JOIN nt USING (event_type) GROUP BY event_type
+)
+SELECT event_type, max(n) AS n,
+       round(max(lo), 4) AS lo_bound, round(max(hi), 4) AS hi_bound,
+       round(sum(c * value) / max(n), 4) AS mean_all,
+       round(sum(c * greatest(lo, least(hi, value))) / max(n), 4)
+         AS winsorized_mean
+FROM cells JOIN bounds USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 MW_A, MW_B = "click", "purchase"  # the two samples under test
 
 
@@ -2466,6 +2557,7 @@ QUERIES = {
     "q_benford": _q_benford,
     "q_bootstrap_ci": _q_bootstrap_ci,
     "q_trimmed_mean": _q_trimmed_mean,
+    "q_winsorized_mean": _q_winsorized_mean,
     "q_rank_test": _q_rank_test,
     "q_ks_test": _q_ks_test,
     "q_bh_fdr": _q_bh_fdr,
@@ -2670,6 +2762,7 @@ FROM l ORDER BY day
 
 
 ORACLE = {
+    "q_winsorized_mean": _winsorized_oracle(),
     "q_roc_auc": _roc_auc_oracle(),
     "q_msprt": msprt_oracle(),
     "q_power_curve": f"""

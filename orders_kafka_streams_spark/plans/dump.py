@@ -147,6 +147,8 @@ COMMENTARY = {
     "q_rfm_segments": "RFM segmentation: one purchases pass to per-user (R,F,M) sufficient stats; three rank windows over the O(users) relation; rollup is <=Q^3 cells",
     "q_degree_powerlaw": "degree power-law: degrees from the MEMOIZED near-dup pair relation (one symmetric union + groupBy); min/max/ln-term sums partial-combine over O(nodes) cells to one row",
     "q_stream_unconverted": "left-outer stream-stream interval join: touches wait in watermark-bounded join state, unmatched rows emit on window close; rollup over the drained relation is |channels| cells",
+    "q_percentile_distributed": "exact per-group percentile_disc with NO per-group sort buffer: (type,value) cells -> grouped two-pass prefix sum (range tasks + triangular offsets, zero global windows) -> conditional-MIN rank selection",
+    "q_char_budget_quantiles": "char-mass-weighted length quantiles: (source,n_chars) cells -> grouped two-pass prefix sum; integer char sums exact until the q*total comparison",
 }
 
 
