@@ -125,7 +125,8 @@ def _q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sums(
         cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
     )
-    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    # totals from the helper-persisted relation, not a second source scan
+    n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n"))
     j = cum.join(F.broadcast(n_type), "event_type")
     aggs = [F.max("n").alias("n")]
     for q in PCTL_QS:

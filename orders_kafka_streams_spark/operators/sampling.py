@@ -216,7 +216,10 @@ def _triangular_offsets(
     )
     cond = F.col("_bpid") < F.col("_apid")
     for p in part:
-        cond = cond & (F.col(f"_a_{p}") == F.col(f"_b_{p}"))
+        # null-safe: a NULL part value is one group, exactly as
+        # Window.partitionBy treats it (plain == would never match and
+        # silently zero the NULL group's offsets)
+        cond = cond & F.col(f"_a_{p}").eqNullSafe(F.col(f"_b_{p}"))
     b = totals.select(
         F.col("_pid").alias("_bpid"),
         *[F.col(p).alias(f"_b_{p}") for p in part],
@@ -309,7 +312,17 @@ def global_prefix_sums(
         pick = F.greatest if agg == "max" else F.least
         return pick(F.col(f"_off_{n}"), local)
 
-    return ranged.join(F.broadcast(offsets), ["_pid", *part]).select(
+    # null-safe join back (see _triangular_offsets): a NULL part value
+    # is a real group and must find its offsets row
+    off2 = offsets.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(p).alias(f"_o_{p}") for p in part],
+        *[f"_off_{n}" for n in sums],
+    )
+    jcond = F.col("_pid") == F.col("_opid")
+    for p in part:
+        jcond = jcond & F.col(p).eqNullSafe(F.col(f"_o_{p}"))
+    return ranged.join(F.broadcast(off2), jcond).select(
         *cols, *[_combined(n, c).alias(n) for n, c in sums.items()]
     )
 
@@ -659,18 +672,20 @@ def _q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("users_in_train"))
     )
+    # LEFT join + 0-fill: a split whose users are fully disjoint from
+    # train (the grouped-split ideal) must still report its row
     return (
-        stats.join(shared, "split")
+        stats.join(shared, "split", "left")
         .select(
             "split",
             "n_events",
             "n_users",
             "first_day",
             "last_day",
-            "users_in_train",
-            F.round(F.col("users_in_train") / F.col("n_users"), 6).alias(
-                "train_user_overlap"
-            ),
+            F.coalesce("users_in_train", F.lit(0)).alias("users_in_train"),
+            F.round(
+                F.coalesce("users_in_train", F.lit(0)) / F.col("n_users"), 6
+            ).alias("train_user_overlap"),
         )
         .orderBy("split")
     )
@@ -705,9 +720,11 @@ shared AS (
   WHERE user_id IN (SELECT user_id FROM tu)
   GROUP BY 1
 )
-SELECT split, n_events, n_users, first_day, last_day, users_in_train,
-       round(CAST(users_in_train AS DOUBLE) / n_users, 6) AS train_user_overlap
-FROM stats JOIN shared USING (split)
+SELECT split, n_events, n_users, first_day, last_day,
+       CAST(coalesce(users_in_train, 0) AS BIGINT) AS users_in_train,
+       round(CAST(coalesce(users_in_train, 0) AS DOUBLE) / n_users, 6)
+         AS train_user_overlap
+FROM stats LEFT JOIN shared USING (split)
 ORDER BY split
 """
 
@@ -750,7 +767,8 @@ def _q_char_budget_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sums(
         cells, ["n_chars"], {"cum_w": "w"}, part=("source",), inclusive=True
     )
-    tot = cells.groupBy("source").agg(
+    # totals from the helper-persisted relation, not a second source scan
+    tot = cum.groupBy("source").agg(
         F.sum("c").alias("n_docs"), F.sum("w").alias("total_chars")
     )
     j = cum.join(F.broadcast(tot), "source")

@@ -676,14 +676,15 @@ def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     calib = pts.filter(F.col("half") == 0)
     cells = calib.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-    cum = global_prefix_sums(
-        cells, ["s"], {"cum": "f"}, inclusive=True
-    ).select("s", "cum")
-    n_cal = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    cum = global_prefix_sums(cells, ["s"], {"cum": "f"}, inclusive=True)
+    # calibration size from the helper-persisted relation, not a
+    # second pass over the scored corpus
+    n_cal = cum.agg(F.sum("f").alias("n_calib"))
     # q̂ = smallest s whose cumulative count reaches ⌈(n+1)(1−α)⌉
     rank_needed = F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - CONF_ALPHA))
     qhat = (
-        cum.crossJoin(F.broadcast(n_cal))
+        cum.select("s", "cum")
+        .crossJoin(F.broadcast(n_cal))
         .filter(F.col("cum") >= rank_needed)
         .agg(F.min("s").alias("qhat"), F.max("n_calib").alias("n_calib"))
     )
@@ -1103,7 +1104,7 @@ def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.9 extension surface (profiling / stats family)."""
     from .sampling import global_prefix_sums
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     gcells = ev.groupBy(
         F.col("value").alias("value"), F.col("event_type").alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -1123,9 +1124,10 @@ def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # t³ and n³ computed in DOUBLE on BOTH engines, same op order —
     # int64 wraps silently past 9.2e18 (one hot value / n ≥ ~2.1M
-    # would overflow t³/n³ at 100×; the Σgap² lesson)
+    # would overflow t³/n³ at 100×; the Σgap² lesson). Tie sums read
+    # the helper-persisted ranked relation, not a vcells re-derivation.
     td = F.col("t").cast("double")
-    ties = vcells.agg(F.sum(td * td * td - td).alias("tie3"))
+    ties = ranked.agg(F.sum(td * td * td - td).alias("tie3"))
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_g").alias("n"),
@@ -1154,7 +1156,7 @@ def kruskal_oracle() -> str:
     return f"""
 WITH gcells AS (
   SELECT value, event_type AS g, CAST(count(1) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 vcells AS (SELECT value, CAST(sum(c) AS BIGINT) AS t FROM gcells GROUP BY 1),
 ranked AS (
@@ -1339,16 +1341,22 @@ def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass prefix sum (sampling.global_prefix_sums part=event_type)
     and weighted cell aggregates. Output: (event_type, n_total,
     n_kept, mean_all, trimmed_mean)."""
-    ev = load_table(spark, sf_dir, "events")
     from .sampling import global_prefix_sums
 
+    # NULL values are dropped on BOTH engines (rank statistics are
+    # undefined on missing data, and the two engines place a NULL cell
+    # at opposite ends of the value order)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cells = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
     cum = global_prefix_sums(
         cells, ["value"], {"cum_before": "c"}, part=("event_type",)
     )
-    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n_type"))
+    # totals from the helper-persisted relation — not a second scan of
+    # the source (review finding: the cells re-aggregation replayed the
+    # full events scan once more per run)
+    n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n_type"))
     # percent_rank = (rank−1)/(N−1), rank(all rows of a tied cell) =
     # cum_before + 1; N=1 → percent_rank defines 0 (guard: Spark's
     # divide-by-zero yields NULL and would silently drop the row)
@@ -1409,7 +1417,9 @@ def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sums(
         cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
     )
-    n_type = cells.groupBy("event_type").agg(F.sum("c").alias("n"))
+    # totals and the final weighted aggregate both read the
+    # helper-persisted relation — the source is scanned once
+    n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n"))
     j = cum.join(F.broadcast(n_type), "event_type")
     lo_rank = F.ceil(F.lit(WINSOR_FRAC) * F.col("n"))
     hi_rank = F.ceil(F.lit(1.0 - WINSOR_FRAC) * F.col("n"))
@@ -1420,7 +1430,8 @@ def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
     return (
-        cells.join(F.broadcast(bounds), "event_type")
+        cum.select("event_type", "value", "c")
+        .join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
@@ -1506,9 +1517,12 @@ def mann_whitney(ev: DataFrame, group_col: str, value_col: str, a_label) -> Data
     (sampling.global_prefix_sums), not a single running-sum window:
     the value column is continuous (NDV ≈ 66% of rows on the events
     fixture), so the cell relation is O(N) and the old unpartitioned
-    window was a single-task sort at scale (VERDICT r6 item 1)."""
+    window was a single-task sort at scale (VERDICT r6 item 1).
+    NULL values are dropped (rank statistics are undefined on missing
+    data; the engines also place a NULL cell at opposite ends)."""
     from .sampling import global_prefix_sums
 
+    ev = ev.filter(F.col(value_col).isNotNull())
     cells = ev.groupBy(F.col(value_col).alias("value")).agg(
         F.sum((F.col(group_col) == a_label).cast("long")).alias("ca"),
         F.sum((F.col(group_col) != a_label).cast("long")).alias("cb"),
@@ -1570,7 +1584,7 @@ def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer counts until the final divisions. Output:
     (n_a, n_b, d_stat, d_crit, significant)."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(MW_A, MW_B)
+        F.col("event_type").isin(MW_A, MW_B) & F.col("value").isNotNull()
     )
     from .sampling import global_prefix_sums
 
@@ -1580,12 +1594,12 @@ def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = global_prefix_sums(
         cells, ["value"], {"fa": "ca", "fb": "cb"}, inclusive=True
-    ).select("fa", "fb")
-    tot = cells.agg(
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
+    # totals from the helper-persisted relation, not a second source scan
+    tot = cum.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     d = (
-        cum.crossJoin(F.broadcast(tot))
+        cum.select("fa", "fb")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.abs(F.col("fa") / F.col("n_a") - F.col("fb") / F.col("n_b")).alias("d"),
             "n_a",
@@ -3030,7 +3044,7 @@ FROM f
 """,
     "q_ks_test": f"""
 WITH s AS (
-  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}') AND value IS NOT NULL
 ),
 cells AS (
   SELECT value,
@@ -3064,7 +3078,7 @@ FROM d
     "q_mutual_info": _mutual_info_oracle(),
     "q_rank_test": f"""
 WITH s AS (
-  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+  SELECT event_type, value FROM events WHERE event_type IN ('{MW_A}', '{MW_B}') AND value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, value,
@@ -3099,7 +3113,7 @@ FROM f
 WITH ranked AS (
   SELECT event_type, value,
          percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
        CAST(count(1) AS BIGINT) AS n_total,

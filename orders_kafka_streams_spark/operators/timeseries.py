@@ -531,7 +531,11 @@ def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _memo_persist
     from .sampling import global_prefix_sums
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values dropped on both engines: a NULL z would otherwise
+    # flow into the prefix chain as NULL (old window) vs 0 (two-pass
+    # sum combine) — review finding, latent until the fixture gains
+    # NULL values
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("_mu"),
         F.round(F.stddev_samp("value"), 6).alias("_sd"),
@@ -2508,10 +2512,11 @@ WITH stats AS (
   SELECT event_type,
          round(avg(value), 6) AS mu,
          round(stddev_samp(value), 6) AS sd
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 ), z AS (
   SELECT e.event_type, e.ts, e.event_id, (e.value - s.mu) / s.sd AS z
   FROM events e JOIN stats s USING (event_type)
+  WHERE e.value IS NOT NULL
 ), pre AS (
   SELECT event_type, ts, event_id,
          round(sum(z - {CUSUM_K}) OVER w, 6) AS s

@@ -99,6 +99,20 @@ def test_tiny_partitions_and_empty_groups(spark):
     )
 
 
+def test_null_part_group_kept(spark):
+    """A NULL ``part`` value is ONE group (Window.partitionBy
+    semantics): rows must neither vanish (the plain-equality join
+    would drop them) nor miss their cross-partition offsets."""
+    df = _cells(spark, n=800, groups=["a", "b"])
+    df = df.withColumn(
+        "grp", F.when(F.col("grp") == "b", F.lit(None)).otherwise(F.col("grp"))
+    )
+    got = _got(df, False, part=("grp",))
+    want = _reference(df, False, part=("grp",))
+    assert got.count() == 800
+    _cmp(got, want)
+
+
 def test_running_max_desc_equals_window(spark):
     """agg='max' over a DESC key — the skyline frontier form — must
     match the running-max window including NULL on the first row."""
