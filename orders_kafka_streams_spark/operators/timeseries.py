@@ -853,6 +853,10 @@ def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COOC_MIN_SUPPORT = 5  # minimum co-occurring-user count for a pair
 COOC_TOP_K = 20  # association pairs reported
+COOC_HEAVY_BASKET = 256  # frequent-item basket size above which the
+#: pair self-join switches to triangle bucketing (see _cooc_pairs)
+COOC_PAIR_BUCKETS = 16  # hash buckets per heavy basket (S); a heavy
+#: user's pair work spreads over S(S+1)/2 = 136 join cells
 
 
 def _baskets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,6 +879,103 @@ def _baskets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
 
     return _memo_persist(spark, sf_dir, "cooc_baskets", build)
+
+
+def _cooc_pairs(
+    spark: SparkSession, sf_dir: str, fb: DataFrame, tag: str = "cooc_dist"
+) -> DataFrame:
+    """Weighted unordered item pairs ``(ia < ib, w)`` from the
+    frequent-item basket relation ``fb(user_id, k)`` — skew-proof.
+    ``sum(w)`` grouped by (ia, ib) equals the co-occurring-user count
+    the naive per-user self-join would produce.
+
+    Two compounding defenses against basket skew, both result-
+    preserving:
+
+    1. **Identical-basket compression** (the FP-Growth preprocessing
+       step — merge equal transactions and carry multiplicity,
+       Han et al. 2000): baskets are materialized per user as a
+       sorted item array, grouped BY THE ARRAY ITSELF (exact, no
+       fingerprint collisions), and each distinct basket generates
+       its pairs once with weight w = |users holding it|. A 6-account
+       bot cohort sharing one 2·10³-item basket emits its ~2·10⁶
+       pairs ONCE with w = 6 instead of 1.2·10⁷ rows — and on real
+       data the long head of small identical baskets (single-item
+       users, common 2-3 item combos) compresses the same way.
+
+    2. **Triangle bucketing** for the residual single-heavy-basket
+       fan-out: a distinct basket above COOC_HEAVY_BASKET frequent
+       items hashes its items into S = COOC_PAIR_BUCKETS buckets; the
+       (p ≤ q) bucket-pair grid is an S(S+1)/2-row broadcast and the
+       pair join key becomes (basket, p, q), so one heavy basket's
+       C(m, 2) products spread over 136 cells of (m/S)² each instead
+       of serializing in ONE task (the plain user_id self-join
+       measured 5-12 s at sf1skew with 26 of 32 cores idle). Each
+       unordered pair is generated exactly once: cross-bucket pairs
+       (p < q) live in their (min, max) cell with no intra-cell
+       filter; same-bucket pairs (p = q) under k_a < k_b; output is
+       canonicalized via least/greatest. Light baskets (≤ the
+       threshold; p99 basket is ~60 at sf1) keep the direct
+       self-join — bucketing them would replicate every row S+1
+       times for no benefit.
+
+    The per-user collect_list groups are bounded by the catalog (a
+    basket is a set of distinct items), the distinct-basket relation
+    is ≤ the user count, and the heavy-basket id set is bounded by
+    |fb| / COOC_HEAVY_BASKET (disjoint-basket pigeonhole) — every
+    broadcast here is small by construction."""
+    S = COOC_PAIR_BUCKETS
+
+    def build_dist() -> DataFrame:
+        ub = fb.groupBy("user_id").agg(
+            F.sort_array(F.collect_list("k")).alias("ks")
+        )
+        return ub.groupBy("ks").agg(
+            F.count(F.lit(1)).alias("w"), F.min("user_id").alias("bid")
+        )
+
+    # consumed by BOTH the light and heavy branches — without the memo
+    # the two collect_list exchanges above run once per branch (the
+    # _baskets_cached discipline). ≤ |users| rows of item arrays.
+    from .dedup import _memo_persist
+
+    dist = _memo_persist(spark, sf_dir, tag, build_dist)
+    flat = dist.select(
+        "bid", "w", F.size("ks").alias("m"), F.explode("ks").alias("k")
+    )
+    light = flat.filter(F.col("m") <= COOC_HEAVY_BASKET)
+    la, lb = light.alias("a"), light.alias("b")
+    light_pairs = (
+        la.join(lb, "bid")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("ia"),
+            F.col("b.k").alias("ib"),
+            F.col("a.w").alias("w"),
+        )
+    )
+    hv = flat.filter(F.col("m") > COOC_HEAVY_BASKET).withColumn(
+        "g", F.pmod(F.hash("k"), F.lit(S))
+    )
+    p = spark.range(S).select(F.col("id").cast("int").alias("p"))
+    q = spark.range(S).select(F.col("id").cast("int").alias("q"))
+    grid = p.crossJoin(q).filter(F.col("p") <= F.col("q"))
+    arep = hv.select(
+        "bid", "w", F.col("k").alias("ka"), F.col("g").alias("p")
+    ).join(F.broadcast(grid), "p")
+    brep = hv.select("bid", F.col("k").alias("kb"), F.col("g").alias("q")).join(
+        F.broadcast(grid), "q"
+    )
+    heavy_pairs = (
+        arep.join(brep, ["bid", "p", "q"])
+        .filter((F.col("p") < F.col("q")) | (F.col("ka") < F.col("kb")))
+        .select(
+            F.least("ka", "kb").alias("ia"),
+            F.greatest("ka", "kb").alias("ib"),
+            "w",
+        )
+    )
+    return light_pairs.unionByName(heavy_pairs)
 
 
 def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,10 +1004,15 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the frequent-item set is LOSSLESS — same oracle hash —
     while bounding long-tail fan-out (rare items never enter the
     quadratic step). The remaining per-user fan-out is quadratic in
-    the FREQUENT-item basket size; the explicit truncation for
-    genuinely-universal-item skew (one bot touching 10⁴ frequent
-    items) is the separate, documented q_item_cooccurrence_capped
-    variant. Top-k is TakeOrdered, never a global sort. The
+    the FREQUENT-item basket size and — since r8 — SKEW-PROOF: pair
+    generation goes through _cooc_pairs, which triangle-buckets any
+    basket above COOC_HEAVY_BASKET frequent items so one bot cohort's
+    C(2000, 2) fan-out spreads over 136 (user, bucket-pair) join
+    cells instead of serializing on 6 user_id keys (measured 6.7 →
+    ~3 s warm at sf1skew). The truncation that CHANGES the answer for
+    genuinely-universal-item skew remains the separate, documented
+    q_item_cooccurrence_capped variant — this query stays exact.
+    Top-k is TakeOrdered, never a global sort. The
     collect_set + nested-transform array form was measured SLOWER
     (12.4 vs 9.5 s at sf1): slice(ks, i+2, …) inside the pair lambda
     re-evaluates per element (the interpreted-HOF hazard
@@ -924,12 +1030,10 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequent-item set is catalog-bounded, so it broadcasts.
     freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
     fb = baskets.join(F.broadcast(freq), "k", "left_semi")
-    a, b = fb.alias("a"), fb.alias("b")
     pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .groupBy(F.col("a.k").alias("ia"), F.col("b.k").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _cooc_pairs(spark, sf_dir, fb)
+        .groupBy("ia", "ib")
+        .agg(F.sum("w").alias("n_ab"))
         .filter(F.col("n_ab") >= COOC_MIN_SUPPORT)
     )
     na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))

@@ -113,7 +113,7 @@ COMMENTARY = {
     "q_event_pattern": "sequence motifs: ONE user_id exchange builds canonical event strings (sort_array fixes collect order), regex counting map-side, stack() fans per-user summaries, 4-cell rollup",
     "q_roc_auc": "ROC-AUC: scores partial-combine to (margin, pos, neg) cells map-side; the single-partition running-sum window orders O(distinct margins) cells, not documents — rank arithmetic stays integer-exact",
     "q_seasonal_outliers": "STL-lite anomalies: corpus collapses to hourly cells in one partial agg; trend window + seasonal index + sigma all run on the O(hours) cell relation, stats attach as broadcasts",
-    "q_item_cooccurrence": "market-basket lift: memo-persisted basket relation (one events scan serves user count, marginals, both self-join sides), LOSSLESS a-priori broadcast semi-join prunes infrequent items before the pair self-join, (a,b) pair counts partial-combine map-side; marginals broadcast, top-k is TakeOrdered",
+    "q_item_cooccurrence": "market-basket lift: memo-persisted basket relation (one events scan serves user count, marginals, pair generation), LOSSLESS a-priori broadcast semi-join prunes infrequent items, then r8 skew-proof pair generation — identical baskets compressed to (distinct basket, weight) FP-Growth-style, heavy baskets (> COOC_HEAVY_BASKET) triangle-bucketed over an S(S+1)/2 broadcast grid so one hot basket fans over 136 join cells; n_ab = sum(w), marginals broadcast, top-k is TakeOrdered",
     "q_item_cooccurrence_capped": "market-basket lift with EXPLICIT per-user basket cap: rank window partitioned by user_id truncates each basket to its CAP smallest items before the a-priori semi-join + pair self-join — worst-key fan-out bounded at C(CAP,2) regardless of skew",
     "q_stream_phrase_search": "streaming phrase gate: map-only per-doc bigram scan per micro-batch — no index, no state, no shuffle; steady cost is reading the assembled per-doc relation",
     "q_ivm_refresh": "incremental view maintenance: refresh = delta scan + cell-sized additive merge into the memoized snapshot — the base corpus is never rescanned; avg derives at read time",
