@@ -203,11 +203,12 @@ SF1_HEAVY = [
 #: corpus now carries a continuous HIGH-NDV value column (NDV ≈ rows)
 #: and one event type holding ~80% of rows, exactly the shapes that
 #: made the old single-partition rank/prefix windows O(N) single-task
-#: sorts. These four queries were rewritten onto the distributed
+#: sorts. The queries below were rewritten onto the distributed
 #: two-pass prefix sum (global_prefix_sums / global_row_numbers) and
 #: are budget-gated here against the corpus built to punish the old
 #: form (q_trimmed_mean additionally pays the 0.8·N dominant-type
-#: partition in its grouped pass).
+#: partition in its grouped pass). The list grows as the rest of the
+#: two-pass family gains committed skew budgets.
 SKEW_STATS = [
     "q_kruskal",
     "q_roc_auc",

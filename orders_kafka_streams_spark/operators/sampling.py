@@ -131,9 +131,18 @@ def _stripe_parts(df: DataFrame, n_parts: int | None) -> int:
     if n_parts is not None:
         return n_parts
     try:
-        return max(
-            STRIPE_PARTS,
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        # capped: _triangular_offsets broadcasts an O(n_parts²)
+        # pid-pair relation (per group), so a session configured with
+        # e.g. 10k shuffle partitions must not drive 10⁸ pairs through
+        # a BroadcastNestedLoopJoin. 2048 stripes keep the pair
+        # relation ≤ ~2M rows while still saturating any realistic
+        # per-stage parallelism for a two-pass prefix sum.
+        return min(
+            2048,
+            max(
+                STRIPE_PARTS,
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            ),
         )
     except Exception:  # "auto" under AQE-managed settings, or no session
         return STRIPE_PARTS

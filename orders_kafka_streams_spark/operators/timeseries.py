@@ -526,8 +526,14 @@ def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order differs between engines — and between the one-window and
     two-pass forms — in the last ulp, and the prefix chain would
     amplify it; rounding pins the downstream comparison and peak
-    readout. Output: per type, event count, alarm count (cusum > h),
-    peak cusum."""
+    readout. Known probabilistic residue (ADVICE r7, accepted): the
+    6-dp round is applied to a value whose two-pass association order
+    differs from the oracle's sequential sum by ~1 ulp, so a prefix
+    sum landing within ~1e-12 of a 5·10⁻⁷ rounding boundary on a
+    future fixture/seed could flip one hashed digit — per-value odds
+    ~1e-6, detected (not hidden) by the oracle gate, and re-seeding
+    the fixture is the documented remedy. Output: per type, event
+    count, alarm count (cusum > h), peak cusum."""
     from .dedup import _memo_persist
     from .sampling import global_prefix_sums
 
@@ -1479,7 +1485,7 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     grid = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    ).crossJoin(ev.select("event_type").distinct())
+    ).crossJoin(F.broadcast(ev.select("event_type").distinct()))
     series = grid.join(cnt, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("c", F.lit(0)).cast("double").alias("c")
     )
@@ -1673,7 +1679,7 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     grid = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    ).crossJoin(ev.select("event_type").distinct())
+    ).crossJoin(F.broadcast(ev.select("event_type").distinct()))
     series = grid.join(cnt, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("c", F.lit(0)).cast("double").alias("c")
     )

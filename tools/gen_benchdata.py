@@ -52,10 +52,11 @@ MEASURABLE):
   quantile path that secretly sorts the value cell relation in one
   task now pays N, not N/10th — the two-pass rewrites
   (global_prefix_sums) are flat by construction.
-- DOMINANT EVENT TYPE: ~80% of events remapped to 'view' (hash-keyed,
-  deterministic), so per-type partitioned work (q_trimmed_mean's
+- DOMINANT EVENT TYPE: 75% of events remapped to 'view' (hash-keyed,
+  deterministic; natural 'view' rows in the remaining 25% push the
+  total share to ~80%), so per-type partitioned work (q_trimmed_mean's
   grouped prefix sums, per-type windows) sees one partition holding
-  0.8·N — the skew a uniform type distribution never exercises.
+  ~0.8·N — the skew a uniform type distribution never exercises.
 """
 
 from __future__ import annotations
