@@ -218,6 +218,16 @@ SKEW_STATS = [
     # exact per-group quantiles under the 0.8N dominant type + ~1M-NDV
     # value — the corpus the old per-group-sort forms could not survive
     "q_percentile_distributed",
+    # r8 (VERDICT r7 item 3): the REST of the two-pass prefix-sum
+    # family — each r7 rewrite claimed 100x-skew safety; these rows
+    # make every claim a committed budget on the adversarial corpus
+    "q_ks_test",
+    "q_rank_test",
+    "q_cusum",
+    "q_winsorized_mean",
+    "q_char_budget_quantiles",
+    "q_seq_pack",
+    "q_ccnet_buckets",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —
