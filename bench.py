@@ -122,6 +122,7 @@ HEADLINE = [
     "q_pipeline_salted",
     # round-5 additions
     "q_excise_spans",
+    "q_exact_substrings",
     "q_pii_scan",
     "q_maxsim",
     "q_transition_matrix",
@@ -186,6 +187,7 @@ SF1_HEAVY = [
     "q_winnow_match",
     "q_dedup_consensus",
     "q_dup_spans",
+    "q_exact_substrings",
     "q_tpch_q21",
     # r5 additions (VERDICT r4 item 5): the two queries with active
     # sf1 regression/fix stories, pinned above the sf0.1 noise floor

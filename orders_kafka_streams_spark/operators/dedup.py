@@ -1095,6 +1095,112 @@ def _q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_spans_of(_shingle_pos(spark, sf_dir), _excise_shared(spark, sf_dir))
 
 
+EXSUB_L = 16  # exact duplicated-substring window length (tokens)
+
+
+def exsub_pos_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): POSITIONAL hashed EXSUB_L-token windows of a
+    (doc_id, text) relation — the exact-substring analogue of
+    :func:`shingle_pos_of` (same staged-projection build, window width
+    L instead of 3). g is the 60-bit hash of the EXACT L consecutive
+    tokens starting at pos, so two equal hashes mean (modulo the 2⁻⁶⁰
+    collision odds every dedup family member already accepts) two
+    occurrences of the same L-token substring."""
+    from ..functions.textfns import shingle_seq, tokens
+
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingle_seq(tokens(F.col("text")), EXSUB_L), hash60).alias("hs"),
+    )
+    return hashed.select("doc_id", F.posexplode("hs").alias("pos", "g"))
+
+
+def _exsub_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide :func:`exsub_pos_of`, session-persisted (consumed
+    twice: occurrence histogram + position join-back)."""
+
+    def build() -> DataFrame:
+        docs = parallelize(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        return exsub_pos_of(docs)
+
+    return _memo_persist(spark, sf_dir, "exsub_pos", build)
+
+
+def exact_substring_spans(pos: DataFrame) -> DataFrame:
+    """One row per maximal exact-duplicate span: (doc_id, p0,
+    span_tokens) over a positional L-window relation. A position is
+    duplicated when its EXACT L-token window occurs ≥ 2 times in the
+    corpus — TOTAL occurrences, so within-document repeats count
+    (Lee et al. 2022 deduplicate any substring that appears more than
+    once, including self-repeats; the 3-shingle excision family keys
+    on distinct-doc counts instead). Runs merge while the position gap
+    ≤ L (window p covers tokens [p, p+L−1], the next duplicated window
+    at p+L abuts it), so every token of an output span lies inside
+    some duplicated L-substring and spans are token-disjoint AND
+    maximal at their true boundaries — no min-length filter is needed
+    because a single shared window is already L tokens."""
+    shared = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g")
+    )
+    dup = pos.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    flagged = dup.withColumn(
+        "new_span", F.when(gap.isNull() | (gap > EXSUB_L), 1).otherwise(0)
+    )
+    isl = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .select(
+            "doc_id",
+            F.col("mn").cast("long").alias("p0"),
+            (F.col("mx") - F.col("mn") + EXSUB_L).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def _q_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans, suffix-array-style semantics
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr): every maximal token span whose every
+    token lies inside some EXSUB_L-token substring occurring ≥ 2 times
+    in the corpus, reported at its true boundaries. This is the exact
+    counterpart of the 3-shingle q_dup_spans / q_excise_spans
+    approximations: those flag positions whose tiny shingle is shared
+    ANYWHERE (so a span is evidence of re-used 3-grams, not of a long
+    exact match); here a flagged position certifies a full L-token
+    exact duplicate, which is precisely the unit ExactSubstr removes.
+    The suffix array is single-node machinery; the distributed
+    re-expression is the positional L-window posting list — the union
+    of duplicated L-windows equals the union of all duplicated
+    substrings of length ≥ L (any such substring's windows all repeat;
+    any repeating window IS one), so merging flagged positions
+    reproduces the suffix array's removal set without pairwise doc
+    joins or any global sort.
+
+    Scale shape: one persisted positional relation (O(total tokens)
+    rows of two longs + an int); the shared set is a partial-aggregated
+    groupBy on the window hash (inverted-index cost — at 100 TB this
+    is the same shuffle class as q_dup_spans' histogram); the
+    span-merge windows partition BY doc_id (bounded by document
+    length, never global). Nothing is pairwise and the corpus never
+    self-joins.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup family — completes exact /
+    near / sub-document with the exact-substring tier)."""
+    return exact_substring_spans(_exsub_pos(spark, sf_dir))
+
+
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
 
 
@@ -1698,6 +1804,7 @@ QUERIES = {
     "q_source_overlap": _q_source_overlap,
     "q_dup_spans": _q_dup_spans,
     "q_excise_spans": _q_excise_spans,
+    "q_exact_substrings": _q_exact_substrings,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_minhash": _q_dedup_minhash,
@@ -2020,6 +2127,27 @@ SELECT h.doc_id,
             THEN round(COALESCE(d.n_dup, 0) / CAST(h.sz AS DOUBLE), 4)
             ELSE 0.0 END AS dup_frac
 FROM sh h LEFT JOIN dup d USING (doc_id)
+""",
+    "q_exact_substrings": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seqs AS (SELECT doc_id,
+                list_transform({shingle_seq_sql("w", EXSUB_L)}, s -> {hash60_sql('s')}) AS hs
+         FROM toks),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS g
+        FROM seqs),
+shared AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM pos JOIN shared USING (g)),
+flag AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= {EXSUB_L} THEN 0 ELSE 1 END AS new_span
+         FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flag)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS p0,
+       CAST(max(pos) - min(pos) + {EXSUB_L} AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, span_id
 """,
     "q_excise_spans": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

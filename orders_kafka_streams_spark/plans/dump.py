@@ -101,6 +101,7 @@ COMMENTARY = {
     "q_gapfill_locf": "hourly grid unioned with events, one window carry on the single user_id exchange — no range join, no per-grid-point probe",
     "q_pipeline_salted": "skew-safe flagship twin: parallel-prefix over (user, time-chunk) — local window carry per chunk, tiny per-chunk carry-in window, stitch join on the SAME partitioning; a mega-hot user spreads over one task per active chunk instead of serializing one Sort+Window task",
     "q_excise_spans": "span excision: persisted positional shingle relation, shared-set histogram (inverted-index cost), two same-sort doc_id window passes + rollups on ONE partitioning — corpus never self-joins",
+    "q_exact_substrings": "exact-substring dedup (Lee et al. ExactSubstr): persisted positional L=16-token window-hash relation, occurrence histogram (count >= 2, within-doc repeats included), doc_id-partitioned run merge — the suffix array re-expressed as a posting list, no pairwise joins, no global sort",
     "q_pii_scan": "PII audit: map-only regex automata inside whole-stage codegen (no Python), ONE aggregation shuffling 20 source cells + a tiny final sort — scan-bounded at any corpus size",
     "q_maxsim": "late-interaction MaxSim: bounded 16-subvector probe embedded in ONE Arrow matmul kernel (E·Qᵀ per batch, no join at all), map-side partial max into ONE (doc) cell exchange, stack() fans per-query scores, top-k window over 4 tiny partitions",
     "q_transition_matrix": "Markov transitions: one user_id exchange for the lag window, corpus collapses map-side to |alphabet|² count cells, row-normalizing window over the cell relation only",
