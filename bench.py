@@ -173,6 +173,8 @@ HEADLINE = [
     # r7 additions: the distributed-quantile showcases
     "q_percentile_distributed",
     "q_char_budget_quantiles",
+    # r8: the streaming twin of the exact distributed quantiles
+    "q_stream_percentile_distributed",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
