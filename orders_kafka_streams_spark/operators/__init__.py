@@ -60,29 +60,20 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-7 rewrites (VERDICT r6 items 1-3): the 8 single-partition
-    # rank/prefix-sum windows over continuous-column cell relations,
-    # all moved to the distributed two-pass form
-    # (sampling.global_prefix_sums / global_row_numbers) — previously
-    # verified, re-hash after the change
-    "q_kruskal",
-    "q_rank_test",
-    "q_ks_test",
-    "q_roc_auc",
-    "q_conformal",
-    "q_histogram_equidepth",
-    "q_rfm_segments",
-    "q_trimmed_mean",
-    "q_skyline_users",  # running-max frontier via global_prefix_sums agg='max'
-    # second r7 sweep: the latent members of the same class found by a
-    # proactive low-cardinality-partition audit (raw rows ranked in
-    # per-type/source/lang single tasks), all moved to the grouped
-    # two-pass forms
+    # round-8 rewrites (VERDICT r7 items 1-2): previously verified,
+    # re-hash after the change
+    "q_item_cooccurrence",  # distinct-basket compression + triangle bucketing
+    "q_item_cooccurrence_capped",  # shares the memoized basket relation
+    "q_kcenter_coreset",  # default path now tournament FPS (oracle dispatched)
+    # r8 additions verified only by the builder's driver-sim so far —
+    # the hard driver signal should land on them first
+    "q_exact_substrings",
+    "q_stream_percentile_distributed",
+    # r8 touched the shared two-pass helpers (_stripe_parts cap): one
+    # representative per helper form stays pinned
+    "q_percentile_distributed",
     "q_cusum",
-    "q_outliers",
     "q_seq_pack",
-    "q_pack_efficiency",  # consumes seq_pack's rewritten cumsum
-    "q_ccnet_buckets",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json
