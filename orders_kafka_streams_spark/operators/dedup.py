@@ -1128,25 +1128,47 @@ def _exsub_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_persist(spark, sf_dir, "exsub_pos", build)
 
 
-def exact_substring_spans(pos: DataFrame) -> DataFrame:
-    """One row per maximal exact-duplicate span: (doc_id, p0,
-    span_tokens) over a positional L-window relation. A position is
-    duplicated when its EXACT L-token window occurs ≥ 2 times in the
-    corpus — TOTAL occurrences, so within-document repeats count
-    (Lee et al. 2022 deduplicate any substring that appears more than
-    once, including self-repeats; the 3-shingle excision family keys
-    on distinct-doc counts instead). Runs merge while the position gap
-    ≤ L (window p covers tokens [p, p+L−1], the next duplicated window
-    at p+L abuts it), so every token of an output span lies inside
-    some duplicated L-substring and spans are token-disjoint AND
-    maximal at their true boundaries — no min-length filter is needed
-    because a single shared window is already L tokens."""
-    shared = (
+def exsub_shared_of(pos: DataFrame) -> DataFrame:
+    """L-windows occurring ≥ 2 times in a positional relation — TOTAL
+    occurrences, so within-document repeats count (Lee et al. 2022
+    deduplicate any substring appearing more than once, including
+    self-repeats; the 3-shingle excision family keys on distinct-doc
+    counts instead)."""
+    return (
         pos.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("g")
     )
+
+
+def _exsub_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-window set, session-persisted: the batch
+    query consumes it once, the streaming ingest gate probes it once
+    per micro-batch."""
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "exsub_shared",
+        lambda: exsub_shared_of(_exsub_pos(spark, sf_dir)),
+    )
+
+
+def exact_substring_spans(pos: DataFrame, shared: DataFrame | None = None) -> DataFrame:
+    """One row per maximal exact-duplicate span: (doc_id, p0,
+    span_tokens) over a positional L-window relation. A position is
+    duplicated when its EXACT L-token window is in ``shared``
+    (defaults to :func:`exsub_shared_of` of ``pos`` itself — the
+    batch corpus shape; the streaming twin passes the memoized
+    corpus-wide set so delta docs probe the full histogram). Runs
+    merge while the position gap ≤ L (window p covers tokens
+    [p, p+L−1], the next duplicated window at p+L abuts it), so every
+    token of an output span lies inside some duplicated L-substring
+    and spans are token-disjoint AND maximal at their true
+    boundaries — no min-length filter is needed because a single
+    shared window is already L tokens."""
+    if shared is None:
+        shared = exsub_shared_of(pos)
     dup = pos.join(shared, "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
@@ -1198,7 +1220,9 @@ def _q_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (dedup family — completes exact /
     near / sub-document with the exact-substring tier)."""
-    return exact_substring_spans(_exsub_pos(spark, sf_dir))
+    return exact_substring_spans(
+        _exsub_pos(spark, sf_dir), _exsub_shared(spark, sf_dir)
+    )
 
 
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)

@@ -1097,6 +1097,54 @@ def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring gate: delta documents ARRIVE as a
+    stream; each micro-batch derives positional L-window hashes with
+    the corpus build's exact expressions (dedup.exsub_pos_of) and
+    probes the memoized corpus-wide duplicated-window set, emitting
+    the same true-boundary spans batch q_exact_substrings produces for
+    those docs — the ingest-time "this passage already exists ≥ L
+    tokens verbatim" verdict (Lee et al. ExactSubstr as an ingest
+    gate). A doc's spans depend only on its own positions plus the
+    static shared set, so the verdict is invariant to how the delta is
+    batched (pinned in tests/test_exact_substrings.py) and the
+    assembled output hash-matches the batch oracle restricted to delta
+    docs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import (
+        DELTA_MOD,
+        _exsub_shared,
+        exact_substring_spans,
+        exsub_pos_of,
+    )
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-exsub", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    shared = _exsub_shared(spark, sf_dir)  # static, built pre-stream
+
+    def probe(batch, batch_id: int) -> None:
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        spans = exact_substring_spans(
+            exsub_pos_of(batch.select("doc_id", "text")), shared
+        )
+        spans.write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination: arriving document
     micro-batches shingle their own text and probe the held benchmark
@@ -1268,6 +1316,7 @@ QUERIES = {
     "q_stream_dp_release": _q_stream_dp_release,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
     "q_stream_excise_spans": _q_stream_excise_spans,
+    "q_stream_exact_substrings": _q_stream_exact_substrings,
     "q_stream_phrase_search": _q_stream_phrase_search,
     "q_stream_ivm": _q_stream_ivm,
     "q_state_inspect": _q_state_inspect,
@@ -1556,6 +1605,11 @@ from .dedup import DELTA_MOD as _EX_DELTA_MOD
 ORACLE["q_stream_excise_spans"] = (
     "SELECT * FROM (\n"
     + _DD_ORACLE["q_excise_spans"]
+    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
+)
+ORACLE["q_stream_exact_substrings"] = (
+    "SELECT * FROM (\n"
+    + _DD_ORACLE["q_exact_substrings"]
     + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
 )
 

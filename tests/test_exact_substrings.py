@@ -76,6 +76,28 @@ def test_no_spurious_spans(spans):
     assert len(spans) == 4  # exactly the plants above, nothing else
 
 
+def test_streaming_gate_batch_split_invariance(spark, planted, spans):
+    """The streaming twin's contract: a doc's spans depend only on its
+    own positions plus the STATIC shared set, so probing the corpus
+    shared set one doc at a time (the finest possible micro-batching)
+    reproduces the whole-corpus spans exactly."""
+    from orders_kafka_streams_spark.operators.dedup import (
+        exsub_shared_of,
+    )
+
+    shared = exsub_shared_of(exsub_pos_of(planted)).persist()
+    per_doc: set = set()
+    for d in (1, 2, 3, 4, 5):
+        batch = planted.filter(F.col("doc_id") == d)
+        per_doc |= {
+            (r.doc_id, r.p0, r.span_tokens)
+            for r in exact_substring_spans(
+                exsub_pos_of(batch), shared
+            ).collect()
+        }
+    assert per_doc == spans
+
+
 def test_exact_spans_subset_of_shingle_dup_coverage(spark, planted, spans):
     """Cross-validation against the 3-shingle machinery (VERDICT r7
     item 4): for CROSS-DOC spans, every token inside an exact span is
