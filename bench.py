@@ -175,6 +175,9 @@ HEADLINE = [
     "q_char_budget_quantiles",
     # r8: the streaming twin of the exact distributed quantiles
     "q_stream_percentile_distributed",
+    # r8: per-source mixing quota (batch rank + streaming admission)
+    "q_source_quota",
+    "q_stream_source_quota",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -560,8 +560,59 @@ def _q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_QUOTA = 15  # per-source cap: 20 sources × 25 docs at sf0.01 — binds everywhere
+
+
+def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the Dolma / RefinedWeb mixing cap:
+    every source contributes at most SOURCE_QUOTA documents, chosen by
+    model-quality margin (classifier linear head) descending, doc_id
+    tie-break. Uncapped web mixes let one dominant crawl drown the
+    curated sources; the per-source cap is how published pipelines
+    enforce the mixture BEFORE token-level weighting (DSIR) runs.
+    Output: one row per KEPT doc (doc_id, source, margin, src_rank).
+
+    Scale shape: the within-source quality rank is the GROUPED
+    distributed two-pass prefix sum of ones (global_prefix_sums
+    part=source, key=(margin DESC, doc_id)) — a plain
+    ``row_number() OVER (PARTITION BY source)`` funnels each source's
+    entire corpus slice through ONE task (sources number in the tens
+    at 100 TB, so that is a ~5 TB single-task sort), the exact class
+    the r6/r7 verdicts retired. The two-pass form ranks in n_parts
+    concurrent range partitions; the quota filter is map-side.
+    Integer prefix of ones ⇒ bit-identical to the window's rank.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (curation / sampling family).
+    """
+    from .dedup import _memo_persist
+    from .sampling import global_prefix_sums
+
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    scored = classifier_scores(base).select(
+        "doc_id", "source", "margin", F.lit(1).alias("_one")
+    )
+    ranked = global_prefix_sums(
+        scored,
+        [F.desc("margin"), F.asc("doc_id")],
+        {"rk0": "_one"},
+        part=("source",),
+        memo=lambda build: _memo_persist(spark, sf_dir, "source_quota:ranked", build),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "source",
+            "margin",
+            (F.col("rk0") + 1).cast("long").alias("src_rank"),
+        )
+        .filter(F.col("src_rank") <= SOURCE_QUOTA)
+    )
+
+
 QUERIES = {
     "q_drop_ledger": _q_drop_ledger,
+    "q_source_quota": _q_source_quota,
     "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
     "q_contamination": _q_contamination,
@@ -749,6 +800,24 @@ SELECT doc_id, source,
        round({_CLS_MARGIN}, 6) AS margin,
        (({_CLS_MARGIN}) > 0) AS keep
 FROM f
+""",
+    # ranks the ROUNDED margin (the classifier's published score) so
+    # the order compared across engines is the order both actually
+    # computed — rounding after ranking would hash-match while hiding
+    # an order disagreement inside a 1e-6 band
+    "q_source_quota": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id, source, round({_CLS_MARGIN}, 6) AS margin
+  FROM toks WHERE len(t) > 0
+),
+r AS (
+  SELECT doc_id, source, margin,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY margin DESC, doc_id) AS src_rank
+  FROM m
+)
+SELECT doc_id, source, margin, src_rank FROM r WHERE src_rank <= {SOURCE_QUOTA}
 """,
     "q_quality_repetition": f"""
 WITH d AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),

@@ -311,6 +311,36 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab).withColumn("ewma", F.round("ewma", 6))
 
 
+def _q_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission quota enforced AT INGEST: documents ARRIVE
+    as a stream, each is scored with the batch classifier's exact
+    expressions (stateless — curation.classifier_scores on the
+    streaming plan), and a stateful O(sources) counter admits at most
+    SOURCE_QUOTA quality-passing docs per source in arrival (doc_id)
+    order (streaming/quota.py). The batch q_source_quota ranks by
+    margin — a full-pass notion; the ingest twin is the
+    arrival-order cap a live corpus intake actually runs, and ITS
+    batch equivalent (first-N by doc_id among margin>0 docs) is the
+    oracle. Batch-split invariance: the counter carries across
+    micro-batches (tests/test_stream_quota.py)."""
+    from ..functions.textfns import tokens
+    from ..streaming.pipeline import documents_file_stream
+    from ..streaming.quota import stream_source_quota
+    from .curation import SOURCE_QUOTA, classifier_scores
+
+    docs = documents_file_stream(spark, sf_dir)
+    base = docs.select("doc_id", "source", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    scored = (
+        classifier_scores(base)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "margin")
+    )
+    tab = run_to_memory(stream_source_quota(scored, SOURCE_QUOTA), "source_quota_stream")
+    return spark.table(tab)
+
+
 def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix fed by the streaming engine: the
     stateful per-user last-event cursor (streaming/transitions.py)
@@ -1338,6 +1368,7 @@ QUERIES = {
     "q_stream_pair_match": _q_stream_pair_match,
     "q_stream_ewma": _q_stream_ewma,
     "q_stream_transition_matrix": _q_stream_transition_matrix,
+    "q_stream_source_quota": _q_stream_source_quota,
     "q_stream_debounce": _q_stream_debounce,
     "q_stream_msprt": _q_stream_msprt,
     "q_stream_bh_fdr": _q_stream_bh_fdr,
@@ -1637,6 +1668,30 @@ WHERE len(regexp_extract_all(lower(text), '\b{_PHRASE[0]} {_PHRASE[1]}\b')) > 0
 
 # the streamed decontamination sweep equals the offline batch sweep
 ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
+
+
+def _stream_quota_oracle() -> str:
+    """Arrival-order admission cap: first SOURCE_QUOTA margin-passing
+    docs per source in doc_id order (the stream's delivery order) —
+    the batch-SQL equivalent of the stateful counter gate."""
+    from .curation import SOURCE_QUOTA, _CLS_MARGIN, _TOKS
+
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id, source, round({_CLS_MARGIN}, 6) AS margin
+  FROM toks WHERE len(t) > 0 AND ({_CLS_MARGIN}) > 0
+),
+r AS (
+  SELECT doc_id, source, margin,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM m
+)
+SELECT doc_id, source, margin, src_rank FROM r WHERE src_rank <= {SOURCE_QUOTA}
+"""
+
+
+ORACLE["q_stream_source_quota"] = _stream_quota_oracle()
 
 # the streamed semantic probe equals the offline embedding sweep
 from .similarity import ORACLE as _SIM_ORACLE

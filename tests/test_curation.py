@@ -126,3 +126,36 @@ def test_dup_span_fraction_invariants(spark):
     assert got[3].dup_frac == 0.0 and got[3].n_dup == 0
     assert got[4].dup_frac == 0.5 and got[4].n_dup == 2
     assert got[5].dup_frac == 0.0 and got[5].n_shingles == 0
+
+
+def test_source_quota_is_topq_per_source(spark, sf_dir):
+    """q_source_quota == the top-SOURCE_QUOTA docs per source under
+    (margin DESC, doc_id) — checked against an independently computed
+    driver-side sort of the full classifier relation, plus the cap and
+    rank-density invariants."""
+    from orders_kafka_streams_spark.operators.curation import (
+        QUERIES,
+        SOURCE_QUOTA,
+        classifier_scores,
+    )
+
+    kept = QUERIES["q_source_quota"](spark, sf_dir).collect()
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    scored = classifier_scores(base).collect()
+
+    by_src = defaultdict(list)
+    for r in scored:
+        by_src[r.source].append((-r.margin, r.doc_id))
+    want = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        for rank, (neg_m, doc_id) in enumerate(rows[:SOURCE_QUOTA], start=1):
+            want[doc_id] = (src, -neg_m, rank)
+
+    got = {r.doc_id: (r.source, r.margin, r.src_rank) for r in kept}
+    assert got == want
+    counts = defaultdict(int)
+    for src, _, rank in got.values():
+        counts[src] += 1
+        assert 1 <= rank <= SOURCE_QUOTA
+    assert all(c <= SOURCE_QUOTA for c in counts.values())
