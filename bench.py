@@ -178,6 +178,8 @@ HEADLINE = [
     # r8: per-source mixing quota (batch rank + streaming admission)
     "q_source_quota",
     "q_stream_source_quota",
+    # r8: asymmetric containment dedup (the subset-duplicate sweep)
+    "q_dedup_containment",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -204,6 +206,10 @@ SF1_HEAVY = [
     # r6: the explicit power-user truncation variant — pinned at sf1
     # alongside the uncapped query so the cap's bound stays measured
     "q_item_cooccurrence_capped",
+    # r8: containment's probe-prefix x full-posting-list join is the
+    # one new shape whose fan-out grows with corpus size — pinned at
+    # sf1 (10x docs, including the 100x-length skew doc's twin corpus)
+    "q_dedup_containment",
 ]
 
 #: r7 (VERDICT r6 item 5): run ONLY in the sf1skew tier — the skew

@@ -293,6 +293,130 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs_cached(spark, sf_dir)
 
 
+#: asymmetric-containment dedup knobs: threshold, and the deterministic
+#: excerpt fixture (the corpus's near-dups are all symmetric twins, so
+#: without injection subset_only would be vacuously false — the
+#: "a threshold nothing crosses verifies nothing" rule; same mirrored-
+#: injection pattern as q_pii_scan's doc_id-residue fixtures).
+CONTAINMENT_T = 0.9
+EXCERPT_STRIDE = 25  # docs with doc_id % 25 == 0 get an excerpt twin
+EXCERPT_OFFSET = 1_000_000
+EXCERPT_FRAC = 0.6  # excerpt keeps the first 60% of tokens
+EXCERPT_MIN_TOKENS = 10
+
+
+def containment_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Ordered near-dup pairs (a, b) with shingle-set CONTAINMENT
+    |S(a)∩S(b)| / |S(a)| ≥ threshold — the asymmetric complement of
+    n-gram Jaccard: a short document wholly embedded in a long one has
+    Jaccard ≈ |a|/|b| (arbitrarily small) but containment 1.0, so
+    Jaccard-only dedup keeps both copies. ``subset_only`` marks
+    exactly those pairs (containment fires, Jaccard ≥ NGRAM_JACCARD_T
+    does not) — the quote/boilerplate/excerpt duplicates an LLM corpus
+    sweep wants attributed separately from symmetric twins.
+
+    Candidate generation is the AllPairs prefix filter adapted to the
+    asymmetric predicate: containment ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so a
+    qualifying A must collide with B inside A's (|A| − ⌈τ·|A|⌉ + 1)
+    RAREST shingles (global-df order). Only those probe-side prefix
+    postings join the full inverted index — the containee side cannot
+    be length-pruned (a tiny doc contained in a huge one is the
+    point), which is the inherent cost model of subset queries: probe
+    prefixes are rare by construction, so their posting lists stay
+    short. No false negatives; verification is the exact intersect.
+    """
+    inv = shingled.filter(F.col("sz") > 0).select(
+        "doc_id", "sz", F.explode("sh").alias("g")
+    )
+    rarity = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_n"))
+    w = Window.partitionBy("doc_id").orderBy("df_n", "g")
+    prefix = (
+        inv.join(F.broadcast(rarity), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select(F.col("doc_id").alias("a"), "g")
+    )
+    cand = (
+        prefix.join(inv.select(F.col("doc_id").alias("b"), "g"), "g")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("sz").alias("szb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("_i", inter)
+        .filter(F.col("_i") >= F.lit(threshold) * F.col("sza"))
+        .select(
+            "a",
+            "b",
+            F.round(F.col("_i") / F.col("sza"), 6).alias("containment"),
+            F.round(F.col("_i") / (F.col("sza") + F.col("szb") - F.col("_i")), 6).alias(
+                "jaccard"
+            ),
+            (
+                F.col("_i") / (F.col("sza") + F.col("szb") - F.col("_i"))
+                < F.lit(NGRAM_JACCARD_T)
+            ).alias("subset_only"),
+        )
+    )
+
+
+def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic excerpt twins: every EXCERPT_STRIDE-th
+    doc contributes a derived doc holding its first ⌈60%⌉ tokens
+    (space-rejoined — the tokenizer splits on single spaces, so
+    re-tokenizing recovers exactly the token prefix, and contiguous
+    k-shingles of a token prefix are a strict subset of the full
+    doc's). The oracle derives the same excerpts from the same parquet
+    (mirrored injection), so containment(excerpt→original) = 1.0 on
+    both engines by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    exc = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(
+            (F.col("doc_id") % EXCERPT_STRIDE == 0)
+            & (F.size("t") >= EXCERPT_MIN_TOKENS)
+        )
+        .select(
+            (F.col("doc_id") + EXCERPT_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    1,
+                    F.ceil(F.lit(EXCERPT_FRAC) * F.size("t")).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.union(exc)
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup over the excerpt-injected corpus —
+    see :func:`containment_pairs` (semantics + prefix-filter scale
+    story) and :func:`_containment_docs` (mirrored fixture).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup family)."""
+    sh = _memo_persist(
+        spark,
+        sf_dir,
+        "containment_shingles",
+        lambda: shingled_of(parallelize(_containment_docs(spark, sf_dir))),
+    )
+    return containment_pairs(sh, CONTAINMENT_T)
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized like the n-gram pairs: consensus + the standalone query
     # share one persisted pass over the signature/band/verify chain
@@ -1831,6 +1955,7 @@ QUERIES = {
     "q_exact_substrings": _q_exact_substrings,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
+    "q_dedup_containment": _q_dedup_containment,
     "q_dedup_minhash": _q_dedup_minhash,
     "q_dedup_simhash": _q_dedup_simhash,
     "q_dedup_embedding": _q_dedup_embedding,
@@ -2209,6 +2334,32 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 WHERE len(list_intersect(x.s, y.s)) /
       CAST(x.sz + y.sz - len(list_intersect(x.s, y.s)) AS DOUBLE) >= {NGRAM_JACCARD_T}
+""",
+    # excerpt-injected corpus (mirrors _containment_docs), ordered
+    # pairs by asymmetric containment; the raw (unrounded) ratios gate
+    # both thresholds so the compared order is the computed order
+    "q_dedup_containment": f"""
+WITH toks0 AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+exc AS (
+  SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+         w[1:CAST(ceil({EXCERPT_FRAC} * len(w)) AS INT)] AS w
+  FROM toks0 WHERE doc_id % {EXCERPT_STRIDE} = 0 AND len(w) >= {EXCERPT_MIN_TOKENS}
+),
+toks AS (SELECT * FROM toks0 UNION ALL SELECT * FROM exc),
+strsh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sh AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM strsh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s)) AS inter, x.sz AS sza, y.sz AS szb
+  FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+  WHERE x.sz > 0 AND y.sz > 0
+)
+SELECT a, b,
+       round(inter / CAST(sza AS DOUBLE), 6) AS containment,
+       round(inter / CAST(sza + szb - inter AS DOUBLE), 6) AS jaccard,
+       (inter / CAST(sza + szb - inter AS DOUBLE)) < {NGRAM_JACCARD_T} AS subset_only
+FROM pairs
+WHERE inter >= {CONTAINMENT_T} * sza
 """,
     "q_dedup_clusters": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",

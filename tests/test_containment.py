@@ -1,0 +1,124 @@
+"""Asymmetric containment dedup (operators/dedup.containment_pairs):
+planted-fixture semantics plus the prefix-filter exactness claim —
+the candidate-pruned form must equal brute-force all-pairs (no false
+negatives) on corpora with hot shingles and size asymmetry.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from orders_kafka_streams_spark.operators.dedup import (
+    CONTAINMENT_T,
+    NGRAM_JACCARD_T,
+    containment_pairs,
+    shingled_of,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(spark, rows, threshold=CONTAINMENT_T):
+    sh = shingled_of(_docs_df(spark, rows)).persist()
+    try:
+        return {
+            (r.a, r.b): (r.containment, r.jaccard, r.subset_only)
+            for r in containment_pairs(sh, threshold).collect()
+        }
+    finally:
+        sh.unpersist()
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def test_prefix_subset_and_twins(spark):
+    """An exact token-prefix excerpt is contained (1.0) but NOT a
+    Jaccard twin; exact twins fire in both directions un-flagged; an
+    unrelated doc fires nowhere."""
+    full = " ".join(WORDS)  # 10 tokens -> 8 distinct shingles
+    excerpt = " ".join(WORDS[:6])  # prefix -> 4 shingles, all shared
+    rows = [
+        (1, full),
+        (2, full),  # exact twin of 1
+        (3, excerpt),
+        (4, "one two three four five six seven"),  # unrelated
+    ]
+    got = _pairs(spark, rows)
+    # excerpt contained in BOTH copies of the full doc
+    assert got[(3, 1)][0] == 1.0 and got[(3, 1)][2] is True
+    assert got[(3, 2)][0] == 1.0 and got[(3, 2)][2] is True
+    assert got[(3, 1)][1] == 0.5  # 4 shared / 8 union
+    # twins: containment 1.0 each way, jaccard 1.0, not subset-only
+    assert got[(1, 2)] == (1.0, 1.0, False)
+    assert got[(2, 1)] == (1.0, 1.0, False)
+    # full docs are NOT contained in the excerpt (4/8 = 0.5 < 0.9)
+    assert (1, 3) not in got and (2, 3) not in got
+    # the unrelated doc appears in no pair
+    assert not any(4 in p for p in got)
+
+
+def test_mid_document_quote_is_contained(spark):
+    """Containment is positional-free: a doc quoting a MIDDLE slice of
+    another is contained even though it is not a prefix."""
+    full = " ".join(WORDS)
+    quote = " ".join(WORDS[3:9])  # middle 6 tokens -> 4 shingles
+    got = _pairs(spark, [(1, full), (2, quote)])
+    assert got[(2, 1)][0] == 1.0 and got[(2, 1)][2] is True
+    assert (1, 2) not in got
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """No false negatives: the prefix-filtered candidates reproduce
+    brute-force all-pairs containment exactly, on a corpus designed to
+    stress the filter — one hot shingle in every doc, a long doc
+    containing several short ones, and near-threshold overlaps."""
+    base = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(base)),                      # the long containee
+        (2, " ".join(base[0:7])),                 # contained prefix
+        (3, " ".join(base[11:19])),               # contained middle
+        (4, " ".join(base[24:30] + ["x1", "x2"])),  # partial tail + noise
+        (5, " ".join(["hot common gram"] + base[5:9])),
+        (6, " ".join(["hot common gram"] + ["y1", "y2", "y3", "y4"])),
+        (7, " ".join(base[0:4] + base[15:18])),   # split overlap
+    ]
+    for threshold in (0.5, 0.8, 0.9):
+        got = set(_pairs(spark, rows, threshold))
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in shingled_of(_docs_df(spark, rows)).collect()
+            if r.sz > 0
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.permutations(sh, 2)
+            if len(sh[a] & sh[b]) >= threshold * len(sh[a])
+        }
+        assert got == want, f"threshold={threshold}"
+
+
+def test_registry_query_flags_only_nonjaccard_pairs(spark, sf_dir):
+    """q_dedup_containment's subset_only rows are exactly the pairs
+    whose jaccard is below the q_dedup_ngram threshold — and every
+    injected excerpt (doc_id >= EXCERPT_OFFSET) is fully contained in
+    its source doc."""
+    from orders_kafka_streams_spark.operators.dedup import (
+        EXCERPT_OFFSET,
+        QUERIES,
+    )
+
+    rows = QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    assert rows, "fixture must produce pairs"
+    for r in rows:
+        assert r.containment >= CONTAINMENT_T
+        assert r.subset_only == (r.jaccard < NGRAM_JACCARD_T)
+    by_pair = {(r.a, r.b) for r in rows}
+    excerpts = {a for a, _ in by_pair if a >= EXCERPT_OFFSET}
+    assert excerpts, "excerpt fixture must inject probes"
+    for e in excerpts:
+        assert (e, e - EXCERPT_OFFSET) in by_pair
