@@ -180,6 +180,8 @@ HEADLINE = [
     "q_stream_source_quota",
     # r8: asymmetric containment dedup (the subset-duplicate sweep)
     "q_dedup_containment",
+    # r8: binary-quantization ANN (the cheapest index tier)
+    "q_knn_binary",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -261,6 +261,117 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: binary-quantization ANN knobs: Hamming shortlist size per query
+#: before the exact rerank (50 of 500 at sf0.01 = 10% candidate rate).
+BINARY_SHORTLIST = 50
+
+
+def _binary_sig_cols() -> tuple:
+    """The 64-bit sign mask of a 64-dim embedding as TWO 32-bit lanes
+    (lo = dims 1-32, hi = dims 33-64), each carried in a BIGINT.
+    Two lanes instead of one 64-bit word because bit 64 as a sign bit
+    would need an overflowing 2^63 addend; sums of distinct positive
+    powers of two are exact and portable. Statically unrolled CASE
+    terms (the LSH-signature pattern) — whole-stage codegen, no
+    Python, and the oracle mirrors the sum term-for-term. A dim count
+    under 64 degrades gracefully: out-of-range access is NULL on both
+    engines, and NULL > 0 contributes 0."""
+    e = F.col("e")
+    lo = sum(
+        [F.when(e.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)],
+        F.lit(0),
+    )
+    hi = sum(
+        [
+            F.when(e.getItem(i) > 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
+            for i in range(32, 64)
+        ],
+        F.lit(0),
+    )
+    return lo.cast("long").alias("lo"), hi.cast("long").alias("hi")
+
+
+def _binary_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted binary-signature index — (vec_id, lo, hi), 16
+    bytes per vector (a 32× compression of the 64-float embedding);
+    same memo lifecycle as the LSH signature index."""
+    from .dedup import _memo_persist
+
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "binary_sigs",
+        lambda: _prepared(spark, sf_dir).select("vec_id", *_binary_sig_cols()),
+    )
+
+
+def _q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: sign-bit masks + Hamming shortlist +
+    exact cosine rerank — the RaBitQ/BQ recipe every vector store
+    ships as its cheapest tier. Distance over the index is
+    bit_count(xor) on two ints (no floats touched until the rerank),
+    so the scan is 32× smaller and integer-exact — identical shortlist
+    on any engine, which is what makes the full chain hash-checkable
+    (vs error-bound-only sketches). Recall@10 vs q_knn_brute is gated
+    at sf0.01 (tests/test_binary_recall.py) together with the
+    candidate fraction — the honest ANN contract: measured recall at
+    measured cost.
+
+    Scale shape: probes (N_QUERIES×16 bytes) broadcast against the
+    signature index — a map-only scan, no shuffle until the per-query
+    shortlist window (partitioned by query_id over Hamming-pruned
+    rows); the rerank touches BINARY_SHORTLIST floats per query.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (similarity family)."""
+    v = _prepared(spark, sf_dir)
+    sigs = _binary_sigs(spark, sf_dir)
+    probes = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        F.broadcast(probes)
+        .crossJoin(sigs.select(F.col("vec_id").alias("neighbor_id"), "lo", "hi"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= BINARY_SHORTLIST)
+        .drop("hr")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    n = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        short.join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine_raw", cos)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            "hamming",
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
 def _q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space health audit: per-dimension moments folded into
     the three one-number diagnostics that predict retrieval quality —
@@ -1601,6 +1712,7 @@ QUERIES = {
     "q_mmr_rerank": _q_mmr_rerank,
     "q_emb_quantize": _q_emb_quantize,
     "q_knn_brute": _q_knn_brute,
+    "q_knn_binary": _q_knn_binary,
     "q_matryoshka": _q_matryoshka,
     "q_knn_lsh": _q_knn_lsh,
     "q_knn_ivf": _q_knn_ivf,
@@ -1700,6 +1812,15 @@ WITH v AS (
 _DOT = (
     "list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]), (a, x) -> a + x)"
 )
+
+
+def _binary_sig_sql(base: int) -> str:
+    """One 32-bit sign-mask lane as an unrolled CASE sum — the DuckDB
+    twin of ``_binary_sig_cols`` (1-based list access; e[i] for i past
+    the dim count is NULL on both engines and contributes 0)."""
+    return " + ".join(
+        f"CASE WHEN e[{base + i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
 
 
 def _hybrid_oracle() -> str:
@@ -1923,6 +2044,38 @@ FROM q
   FROM scored
 )
 SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
+FROM ranked WHERE rk <= {TOP_K}
+""",
+    # binary quantization: the sign-mask sum is mirrored term-for-term
+    # (integer CASE addends — exact on any engine); Hamming shortlist
+    # and rerank reproduce the Spark windows' total orders
+    "q_knn_binary": _V_CTE
+    + f"""
+, sigs AS (
+  SELECT vec_id,
+         {_binary_sig_sql(0)} AS lo,
+         {_binary_sig_sql(32)} AS hi
+  FROM v
+), ham AS (
+  SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id,
+         bit_count(xor(p.lo, s.lo)) + bit_count(xor(p.hi, s.hi)) AS hamming
+  FROM sigs p JOIN sigs s ON p.vec_id < {N_QUERIES} AND p.vec_id <> s.vec_id
+), short AS (
+  SELECT query_id, neighbor_id, CAST(hamming AS INTEGER) AS hamming
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, neighbor_id ASC) AS hr
+        FROM ham)
+  WHERE hr <= {BINARY_SHORTLIST}
+), scored AS (
+  SELECT query_id, neighbor_id, hamming, {_DOT} / (q.nrm * n.nrm) AS cosine_raw
+  FROM short JOIN v q ON q.vec_id = query_id JOIN v n ON n.vec_id = neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming, cosine_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_raw DESC, neighbor_id ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rk, hamming, round(cosine_raw, 6) AS cosine
 FROM ranked WHERE rk <= {TOP_K}
 """,
     "q_knn_lsh": _V_CTE
