@@ -182,6 +182,8 @@ HEADLINE = [
     "q_dedup_containment",
     # r8: binary-quantization ANN (the cheapest index tier)
     "q_knn_binary",
+    # r8: Spark 4 recursive CTE (engine-looped hierarchy walk)
+    "q_part_hierarchy",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -884,8 +884,50 @@ def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE hierarchy walk — Spark 4.0's WITH RECURSIVE
+    (SPARK-24497, UnionLoop execution) driven from the Spark side for
+    the first time (the DuckDB oracle has used recursion since the
+    dedup-cluster queries; until now Spark expressed those as
+    iterative DataFrame loops with driver-paced convergence checks,
+    e.g. dedup.connected_components).
+
+    The hierarchy is derived deterministically from the part table:
+    parent(k) = k DIV 10, roots are k < 10 — a ~5-level tree at any
+    SF whose per-level fan-out is 10. The walk accumulates TRUE
+    path state the closed form can't shortcut: cumulative retail
+    price along the ancestor chain (a root→leaf left fold, so the
+    double addition order is identical on both engines bit-for-bit).
+
+    Scale shape: each recursion step is ONE distributed hash join of
+    the frontier level against the (partkey-pruned) part scan —
+    depth is log10(max key), so the loop unrolls to ~6 bounded joins
+    at 100 TB, no driver round-trips, no single-task stage; the
+    engine's loop operator handles termination (empty frontier), not
+    a collect()-based convergence probe.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (SQL planner features)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("okss_hier_part")
+    return spark.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey, p_partkey AS root_key, 0 AS depth,
+                 p_retailprice AS path_retail
+          FROM okss_hier_part WHERE p_partkey < 10
+          UNION ALL
+          SELECT c.p_partkey, w.root_key, w.depth + 1,
+                 w.path_retail + c.p_retailprice
+          FROM okss_hier_part c JOIN walk w ON c.p_partkey DIV 10 = w.p_partkey
+          WHERE c.p_partkey >= 10
+        )
+        SELECT p_partkey, root_key, depth, round(path_retail, 4) AS path_retail
+        FROM walk
+    """)
+
+
 QUERIES = {
     "q_lateral_topk": _q_lateral_topk,
+    "q_part_hierarchy": _q_part_hierarchy,
     "q_tpch_q1": _q_tpch_q1,
     "q_tpch_q3": _q_tpch_q3,
     "q_tpch_q5": _q_tpch_q5,
@@ -942,6 +984,22 @@ LATERAL (
   LIMIT 2
 ) t
 WHERE o.o_orderkey < 100
+""",
+    # same recursion, DuckDB's // integer division; the path_retail
+    # left fold root->leaf shares Spark's operand order exactly
+    "q_part_hierarchy": """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey, p_partkey AS root_key, 0 AS depth,
+         p_retailprice AS path_retail
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT c.p_partkey, w.root_key, w.depth + 1,
+         w.path_retail + c.p_retailprice
+  FROM part c JOIN walk w ON c.p_partkey // 10 = w.p_partkey
+  WHERE c.p_partkey >= 10
+)
+SELECT p_partkey, root_key, depth, round(path_retail, 4) AS path_retail
+FROM walk
 """,
     "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
