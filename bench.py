@@ -184,6 +184,8 @@ HEADLINE = [
     "q_knn_binary",
     # r8: Spark 4 recursive CTE (engine-looped hierarchy walk)
     "q_part_hierarchy",
+    # r8: streaming containment ingest gate
+    "q_stream_dedup_containment",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

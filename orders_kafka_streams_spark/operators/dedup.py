@@ -379,8 +379,17 @@ def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mirrored injection), so containment(excerpt→original) = 1.0 on
     both engines by construction."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.union(excerpt_docs(docs))
+
+
+def excerpt_docs(docs: DataFrame) -> DataFrame:
+    """The deterministic excerpt derivation over any (doc_id, text)
+    relation — shared by the batch fixture and the streaming probe
+    twin (which derives the same excerpts from arriving micro-batches
+    with the same expressions, so batch and stream verdicts are
+    identical)."""
     t = tokens(F.col("text"))
-    exc = (
+    return (
         docs.select("doc_id", t.alias("t"))
         .filter(
             (F.col("doc_id") % EXCERPT_STRIDE == 0)
@@ -398,7 +407,47 @@ def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return docs.union(exc)
+
+
+def containment_probe(
+    spark: SparkSession, sf_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Containment verdicts of a (small) probe relation against the
+    BASE corpus — the ingest-time face of :func:`containment_pairs`:
+    an arriving submission substantially contained in an existing doc
+    (|S(d)∩S(b)|/|S(d)| ≥ CONTAINMENT_T) should be dropped BEFORE it
+    enters the corpus. Never BASE×BASE: the probe side is one
+    micro-batch, shingled with the corpus chain's exact expressions
+    and equality-joined on shingle hash against the memoized corpus
+    index (explode over the persisted array relation — map-only from
+    cache), so the cost is O(probe shingles × matching postings).
+    A verdict depends only on the probe doc and the static base, so
+    the assembled output is batch-split invariant by construction."""
+    base_inv = (
+        _shingled_cached(spark, sf_dir)
+        .filter(F.col("sz") > 0)
+        .select(
+            F.col("doc_id").alias("b"), F.col("sz").alias("szb"), F.explode("sh").alias("g")
+        )
+    )
+    probe = shingled_of(delta_docs).filter(F.col("sz") > 0)
+    pinv = probe.select(
+        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), F.explode("sh").alias("g")
+    )
+    counts = pinv.join(base_inv, "g").groupBy("a", "b", "sza", "szb").agg(
+        F.count(F.lit(1)).alias("_i")
+    )
+    jac = F.col("_i") / (F.col("sza") + F.col("szb") - F.col("_i"))
+    return (
+        counts.filter(F.col("_i") >= F.lit(CONTAINMENT_T) * F.col("sza"))
+        .select(
+            "a",
+            "b",
+            F.round(F.col("_i") / F.col("sza"), 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+            (jac < F.lit(NGRAM_JACCARD_T)).alias("subset_only"),
+        )
+    )
 
 
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -772,6 +772,44 @@ def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming containment ingest gate: submissions ARRIVE as a
+    stream (the deterministic excerpt probes, derived per micro-batch
+    from arriving docs with the batch fixture's exact expressions —
+    dedup.excerpt_docs) and each batch probes the memoized BASE corpus
+    shingle index for asymmetric containment via foreachBatch — an
+    arriving doc substantially contained in an existing one is dropped
+    BEFORE it enters the corpus, the admission complement of the batch
+    q_dedup_containment sweep. A verdict depends only on the probe doc
+    and the static base, so the assembled pair set is batch-split
+    invariant (tests/test_containment.py) and equals the batch
+    sweep restricted to excerpt→base pairs (oracle below)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import containment_probe, excerpt_docs
+
+    docs = documents_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-containment", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def probe(batch, batch_id: int) -> None:
+        # a file-source micro-batch inherits the FILE's partitioning
+        # (often 1) — spread it before the shingle/probe work
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        probes = excerpt_docs(batch.select("doc_id", "text"))
+        containment_probe(spark, sf_dir, probes).write.mode("append").parquet(out_path)
+
+    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index ingest: embeddings ARRIVE as a stream and
     each micro-batch is signed with the multi-table LSH Arrow kernel
@@ -1345,6 +1383,7 @@ QUERIES = {
     "q_stream_semantic_contamination": _q_stream_semantic_contamination,
     "q_stream_dp_release": _q_stream_dp_release,
     "q_stream_dedup_incremental": _q_stream_dedup_incremental,
+    "q_stream_dedup_containment": _q_stream_dedup_containment,
     "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_exact_substrings": _q_stream_exact_substrings,
     "q_stream_phrase_search": _q_stream_phrase_search,
@@ -1668,6 +1707,50 @@ WHERE len(regexp_extract_all(lower(text), '\b{_PHRASE[0]} {_PHRASE[1]}\b')) > 0
 
 # the streamed decontamination sweep equals the offline batch sweep
 ORACLE["q_stream_contamination"] = _CU_ORACLE["q_contamination"]
+
+
+def _stream_containment_oracle() -> str:
+    """The batch containment sweep restricted to excerpt→base pairs —
+    exactly what the ingest gate emits (probes are the derived
+    excerpts; candidates are the pre-existing corpus)."""
+    from ..functions.portable import hash60_sql
+    from .dedup import (
+        CONTAINMENT_T,
+        EXCERPT_FRAC,
+        EXCERPT_MIN_TOKENS,
+        EXCERPT_OFFSET,
+        EXCERPT_STRIDE,
+        NGRAM_JACCARD_T,
+        _SHINGLES,
+        _TOKS,
+    )
+
+    return f"""
+WITH toks0 AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+exc AS (
+  SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+         w[1:CAST(ceil({EXCERPT_FRAC} * len(w)) AS INT)] AS w
+  FROM toks0 WHERE doc_id % {EXCERPT_STRIDE} = 0 AND len(w) >= {EXCERPT_MIN_TOKENS}
+),
+sb0 AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks0),
+sp0 AS (SELECT doc_id, {_SHINGLES} AS ss FROM exc),
+sb AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM sb0),
+sp AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM sp0),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s)) AS inter, x.sz AS sza, y.sz AS szb
+  FROM sp x CROSS JOIN sb y
+  WHERE x.sz > 0 AND y.sz > 0
+)
+SELECT a, b,
+       round(inter / CAST(sza AS DOUBLE), 6) AS containment,
+       round(inter / CAST(sza + szb - inter AS DOUBLE), 6) AS jaccard,
+       (inter / CAST(sza + szb - inter AS DOUBLE)) < {NGRAM_JACCARD_T} AS subset_only
+FROM pairs WHERE inter >= {CONTAINMENT_T} * sza
+"""
+
+
+ORACLE["q_stream_dedup_containment"] = _stream_containment_oracle()
 
 
 def _stream_quota_oracle() -> str:

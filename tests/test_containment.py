@@ -122,3 +122,80 @@ def test_registry_query_flags_only_nonjaccard_pairs(spark, sf_dir):
     assert excerpts, "excerpt fixture must inject probes"
     for e in excerpts:
         assert (e, e - EXCERPT_OFFSET) in by_pair
+
+
+def test_stream_probe_equals_batch_restriction(spark, sf_dir):
+    """The streamed ingest-gate pairs equal the batch containment
+    sweep restricted to excerpt→base (probe ids carry EXCERPT_OFFSET;
+    candidates are pre-existing corpus docs)."""
+    from orders_kafka_streams_spark.operators.dedup import EXCERPT_OFFSET, QUERIES
+    from orders_kafka_streams_spark.operators.streaming_queries import QUERIES as SQ
+
+    got = {
+        (r.a, r.b): (r.containment, r.jaccard, r.subset_only)
+        for r in SQ["q_stream_dedup_containment"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.a, r.b): (r.containment, r.jaccard, r.subset_only)
+        for r in QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+        if r.a >= EXCERPT_OFFSET and r.b < EXCERPT_OFFSET
+    }
+    assert got == want
+
+
+def test_stream_probe_batch_split_invariance(spark, tmp_path):
+    """containment_probe verdicts assemble identically whether the
+    probes arrive in one batch or one per trigger — the base side is
+    static and complete, so per-doc verdicts cannot depend on
+    batching. Exercised through the real foreachBatch loop."""
+    from orders_kafka_streams_spark.operators.dedup import shingled_of
+
+    base_rows = [
+        (1, " ".join(f"w{i}" for i in range(20))),
+        (2, " ".join(f"u{i}" for i in range(20))),
+    ]
+    probe_rows = [
+        (101, " ".join(f"w{i}" for i in range(10))),  # contained in 1
+        (102, " ".join(f"u{i}" for i in range(12))),  # contained in 2
+        (103, "z1 z2 z3 z4 z5 z6"),  # matches nothing
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+
+    # containment_probe's join shape with a hand-built base index
+    # (the memoized corpus seam swapped for the fixture)
+    from orders_kafka_streams_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    def probe_against_base(probe_df):
+        base_inv = (
+            shingled_of(base)
+            .filter(F.col("sz") > 0)
+            .select(
+                F.col("doc_id").alias("b"),
+                F.col("sz").alias("szb"),
+                F.explode("sh").alias("g"),
+            )
+        )
+        p = shingled_of(probe_df).filter(F.col("sz") > 0)
+        pinv = p.select(
+            F.col("doc_id").alias("a"), F.col("sz").alias("sza"), F.explode("sh").alias("g")
+        )
+        counts = pinv.join(base_inv, "g").groupBy("a", "b", "sza", "szb").agg(
+            F.count(F.lit(1)).alias("_i")
+        )
+        return {
+            (r.a, r.b)
+            for r in counts.filter(
+                F.col("_i") >= F.lit(dd.CONTAINMENT_T) * F.col("sza")
+            ).collect()
+        }
+
+    whole = probe_against_base(
+        spark.createDataFrame(probe_rows, "doc_id long, text string")
+    )
+    split = set()
+    for row in probe_rows:
+        split |= probe_against_base(
+            spark.createDataFrame([row], "doc_id long, text string")
+        )
+    assert whole == split == {(101, 1), (102, 2)}
