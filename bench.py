@@ -186,6 +186,8 @@ HEADLINE = [
     "q_part_hierarchy",
     # r8: streaming containment ingest gate
     "q_stream_dedup_containment",
+    # r8: positional proximity query (phrase <-> bag-of-words middle tier)
+    "q_proximity_search",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -1525,8 +1525,53 @@ def phrase_doc_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+PROX_TERMS = ("window", "sort")  # the within-k proximity pair under query
+PROX_WINDOW = 5  # max |pos1 - pos2| — 169/500 docs qualify at sf0.01
+
+
+def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query over the positional posting lists — the IR
+    operator between exact phrase (adjacency) and bag-of-words (BM25):
+    docs where PROX_TERMS co-occur within PROX_WINDOW token positions,
+    in either order. Per qualifying doc: pair count and the minimum
+    distance (the standard proximity-boost feature a ranker consumes).
+
+    Scale shape: same skeleton as q_phrase_search — the posexplode
+    collapses AT the two-term filter, so only the terms' posting rows
+    survive to the one doc_id-keyed join; the distance predicate is a
+    filter over per-doc posting pairs, which are bounded by document
+    length² (a document-local bound, not a corpus bound — exactly why
+    search engines evaluate proximity on the intersected postings,
+    never by rescanning text). Position base differs across engines
+    (posexplode 0-based, generate_subscripts 1-based) and cancels in
+    the |p1−p2| difference.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (text-analysis / retrieval
+    family)."""
+    w1, w2 = PROX_TERMS
+    ex = (
+        _tokenized(spark, sf_dir, "source")
+        .select("doc_id", "source", F.posexplode("t").alias("pos", "w"))
+        .filter(F.col("w").isin(w1, w2))
+    )
+    p1 = ex.filter(F.col("w") == w1).select("doc_id", "source", F.col("pos").alias("pa"))
+    p2 = ex.filter(F.col("w") == w2).select("doc_id", F.col("pos").alias("pb"))
+    d = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        p1.join(p2, "doc_id")
+        .filter(d <= PROX_WINDOW)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(d).alias("min_dist"),
+        )
+    )
+
+
 QUERIES = {
     "q_phrase_search": _q_phrase_search,
+    "q_proximity_search": _q_proximity_search,
     "q_distinct_ngrams": _q_distinct_ngrams,
     "q_doremi_step": _q_doremi_step,
     "q_pmi_bigrams": _q_pmi_bigrams,
@@ -1618,6 +1663,21 @@ ORDER BY source
 
 ORACLE = {
     "q_phrase_search": _phrase_search_oracle(),
+    # position bases differ (0- vs 1-based) and cancel in |pa - pb|
+    "q_proximity_search": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+px AS (SELECT doc_id, source, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks),
+p1 AS (SELECT doc_id, source, pos AS pa FROM px WHERE w = '{PROX_TERMS[0]}'),
+p2 AS (SELECT doc_id, pos AS pb FROM px WHERE w = '{PROX_TERMS[1]}'),
+pairs AS (
+  SELECT p1.doc_id, p1.source, abs(pa - pb) AS d
+  FROM p1 JOIN p2 USING (doc_id)
+  WHERE abs(pa - pb) <= {PROX_WINDOW}
+)
+SELECT doc_id, source, CAST(count(1) AS BIGINT) AS n_pairs,
+       CAST(min(d) AS INTEGER) AS min_dist
+FROM pairs GROUP BY doc_id, source
+""",
     "q_distinct_ngrams": f"""
 WITH toks AS (SELECT source, {_TOKS} AS w FROM documents),
 ex AS (
