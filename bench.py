@@ -188,6 +188,8 @@ HEADLINE = [
     "q_stream_dedup_containment",
     # r8: positional proximity query (phrase <-> bag-of-words middle tier)
     "q_proximity_search",
+    # r8: streaming binary-signature index ingest
+    "q_stream_knn_binary_ingest",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -842,6 +842,39 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_knn_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BINARY-signature index ingest: embeddings ARRIVE as a
+    stream and each micro-batch is sign-masked with the batch index's
+    exact unrolled expressions (similarity._binary_sig_cols) and
+    appended — the continuously-ingesting face of the cheapest vector
+    tier (16 bytes/vector; q_knn_binary's probe join is unchanged,
+    new vectors become Hamming-searchable one micro-batch after
+    arrival). A signature depends only on its vector, so the
+    assembled index is identical however the stream batches the
+    corpus — hash-diffed against the batch build via the oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import embeddings_file_stream
+    from .similarity import _binary_sig_cols, _dvec
+
+    emb = embeddings_file_stream(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), "okss-bin-ingest", key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def ingest(batch, batch_id: int) -> None:
+        v = batch.select("vec_id", _dvec().alias("e"))
+        v.select("vec_id", *_binary_sig_cols()).write.mode("append").parquet(out_path)
+
+    q = emb.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path)
+
+
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quality gate: documents ARRIVE as a stream; each
     micro-batch is tokenized and scored with the batch classifier's
@@ -1392,6 +1425,7 @@ QUERIES = {
     "q_stream_pysource": _q_stream_pysource,
     "q_stream_pysource_sink": _q_stream_pysource_sink,
     "q_stream_ann_ingest": _q_stream_ann_ingest,
+    "q_stream_knn_binary_ingest": _q_stream_knn_binary_ingest,
     "q_stream_quality_gate": _q_stream_quality_gate,
     "q_stream_pii_gate": _q_stream_pii_gate,
     "q_stream_contamination": _q_stream_contamination,
@@ -1668,6 +1702,13 @@ from .similarity import _lsh_sigs_cte as _sim_sigs_cte
 
 ORACLE["q_stream_ann_ingest"] = (
     _SIM_V_CTE + f", sigs AS (\n{_sim_sigs_cte()}\n)\nSELECT vec_id, tbl, sig FROM sigs"
+)
+
+from .similarity import _binary_sig_sql as _sim_bin_sql
+
+ORACLE["q_stream_knn_binary_ingest"] = (
+    _SIM_V_CTE
+    + f"\nSELECT vec_id, {_sim_bin_sql(0)} AS lo, {_sim_bin_sql(32)} AS hi FROM v"
 )
 
 from .dedup import DELTA_MOD as _EX_DELTA_MOD

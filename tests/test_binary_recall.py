@@ -82,3 +82,19 @@ def test_hamming_orders_by_true_bit_distance(spark):
         return bin(s[a][0] ^ s[b][0]).count("1") + bin(s[a][1] ^ s[b][1]).count("1")
 
     assert ham(0, 1) == 1 and ham(0, 2) == 32 and ham(0, 3) == 64
+
+
+def test_stream_ingest_equals_batch_index(spark, sf_dir):
+    """The streamed binary-signature index equals the batch build
+    row-for-row — a signature depends only on its vector, so batching
+    is invisible."""
+    from orders_kafka_streams_spark.operators.streaming_queries import QUERIES as SQ
+
+    got = {
+        (r.vec_id, r.lo, r.hi)
+        for r in SQ["q_stream_knn_binary_ingest"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.lo, r.hi) for r in sim._binary_sigs(spark, sf_dir).collect()
+    }
+    assert got == want and got
