@@ -190,6 +190,8 @@ HEADLINE = [
     "q_proximity_search",
     # r8: streaming binary-signature index ingest
     "q_stream_knn_binary_ingest",
+    # r8: exact interpolated percentiles (the quantile family's 4th form)
+    "q_percentile_interp",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -251,6 +253,8 @@ SKEW_STATS = [
     "q_char_budget_quantiles",
     "q_seq_pack",
     "q_ccnet_buckets",
+    # r8: the interpolated-percentile fourth form joins its family here
+    "q_percentile_interp",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —

@@ -139,6 +139,74 @@ def _q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def _q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group INTERPOLATED percentiles (percentile_cont
+    semantics) over the same grouped two-pass prefix-sum machinery —
+    the quantile family's fourth form (exact-agg / KLL-sketch /
+    exact-disc / exact-cont). The SQL-standard definition: zero-based
+    position h = q·(n−1); result = v_⌊h⌋₊₁ + (h−⌊h⌋)·(v_⌊h⌋₊₂ − v_⌊h⌋₊₁)
+    over the 1-based order statistics, upper rank capped at n. Rank
+    selection is two conditional MINs over the inclusive cumulative
+    cell counts — the same plan as q_percentile_distributed plus one
+    map-side arithmetic step, still no per-group sort buffer.
+
+    The ORACLE is DuckDB's native ``quantile_cont`` — an INDEPENDENT
+    implementation, not a mirror of this construction — so the hash
+    match proves the rank-interpolation formula itself (verified
+    identical at 6 dp on the gate corpus; h and the lerp share
+    operand order with the standard definition both engines use).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (profiling / ANALYZE family)."""
+    from .sampling import global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sums(
+        cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
+    )
+    n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(n_type), "event_type")
+    aggs = [F.max("n").alias("n")]
+    for q in PCTL_QS:
+        tag = f"p{int(round(q * 100))}"
+        rlo = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        rhi = F.least(rlo + 1, F.col("n"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rlo, F.col("value"))).alias(f"_lo_{tag}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rhi, F.col("value"))).alias(f"_hi_{tag}")
+        )
+    g = j.groupBy("event_type").agg(*aggs)
+    out = [F.col("event_type"), F.col("n")]
+    for q in PCTL_QS:
+        tag = f"p{int(round(q * 100))}"
+        h = F.lit(q) * (F.col("n") - 1)
+        frac = h - F.floor(h)
+        out.append(
+            F.round(
+                F.col(f"_lo_{tag}")
+                + frac * (F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}")),
+                6,
+            ).alias(tag)
+        )
+    return g.select(*out).orderBy("event_type")
+
+
+def _percentile_interp_oracle() -> str:
+    sel = ",\n       ".join(
+        f"round(quantile_cont(value, {q}), 6) AS p{int(round(q * 100))}"
+        for q in PCTL_QS
+    )
+    return f"""
+SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+       {sel}
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _percentile_distributed_oracle() -> str:
     sel = ",\n       ".join(
         f"min(CASE WHEN cum >= ceil({q} * n) THEN value END) AS p{int(round(q * 100))}"
@@ -303,6 +371,7 @@ QUERIES = {
     "q_approx_percentile": _q_approx_percentile,
     "q_percentile": _q_percentile,
     "q_percentile_distributed": _q_percentile_distributed,
+    "q_percentile_interp": _q_percentile_interp,
     "q_unpivot": _q_unpivot,
     "q_scalar_subquery": _q_scalar_subquery,
 }
@@ -341,6 +410,7 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """,
     "q_percentile_distributed": _percentile_distributed_oracle(),
+    "q_percentile_interp": _percentile_interp_oracle(),
     "q_unpivot": """
 WITH wide AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

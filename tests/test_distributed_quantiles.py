@@ -98,3 +98,52 @@ def test_char_budget_matches_bruteforce(spark):
         assert got[src]["total_chars"] == sum(lens)
         for q in CHAR_QS:
             assert got[src][f"l{int(round(q * 100))}"] == _weighted_q(lens, q), (src, q)
+
+
+def _pctl_cont(values: list[float], q: float) -> float:
+    """SQL-standard percentile_cont: h = q·(n−1); lerp between the
+    order statistics at ⌊h⌋ and ⌊h⌋+1 (zero-based)."""
+    s = sorted(values)
+    h = q * (len(s) - 1)
+    lo = s[int(math.floor(h))]
+    hi = s[min(int(math.floor(h)) + 1, len(s) - 1)]
+    return round(lo + (h - math.floor(h)) * (hi - lo), 6)
+
+
+def test_percentile_cont_matches_bruteforce(spark, tmp_path):
+    """q_percentile_interp through the registry (writes a synthetic
+    events parquet) vs the row-at-a-time percentile_cont definition —
+    including heavy ties, a two-row group, and a single-row group
+    (frac collapses, upper rank caps at n)."""
+    import datetime
+    import os
+
+    from orders_kafka_streams_spark.operators import all_queries
+
+    rng = random.Random(7)
+    rows = []
+    data: dict[str, list[float]] = {"a": [], "b": [], "c": []}
+    for g, n in (("a", 977), ("b", 2), ("c", 1)):
+        for i in range(n):
+            v = round(rng.uniform(0, 100), 1)
+            data[g].append(v)
+            rows.append(
+                (
+                    len(rows),
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=len(rows)),
+                    1,
+                    g,
+                    v,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in all_queries()["q_percentile_interp"](spark, d).collect()}
+    for g, vals in data.items():
+        assert got[g]["n"] == len(vals)
+        for q in PCTL_QS:
+            assert got[g][f"p{int(round(q * 100))}"] == _pctl_cont(vals, q), (g, q)
