@@ -192,6 +192,8 @@ HEADLINE = [
     "q_stream_knn_binary_ingest",
     # r8: exact interpolated percentiles (the quantile family's 4th form)
     "q_percentile_interp",
+    # r8: containment keep/drop artifact (rides the memoized pair relation)
+    "q_containment_keep",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -450,6 +450,28 @@ def containment_probe(
     )
 
 
+def _containment_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "containment_shingles",
+        lambda: shingled_of(parallelize(_containment_docs(spark, sf_dir))),
+    )
+
+
+def _containment_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized containment pair relation — shared by the pair sweep
+    and the keep/drop artifact (same lifecycle as the n-gram pair
+    memo: the verify join is the expensive stage; the pair set is
+    tiny)."""
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "containment_pairs",
+        lambda: containment_pairs(_containment_shingled(spark, sf_dir), CONTAINMENT_T),
+    )
+
+
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup over the excerpt-injected corpus —
     see :func:`containment_pairs` (semantics + prefix-filter scale
@@ -457,13 +479,47 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (dedup family)."""
-    sh = _memo_persist(
-        spark,
-        sf_dir,
-        "containment_shingles",
-        lambda: shingled_of(parallelize(_containment_docs(spark, sf_dir))),
+    return _containment_pairs_cached(spark, sf_dir)
+
+
+def _q_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop curation artifact of the containment sweep — the
+    RefinedWeb-style rule 'a document substantially contained in a
+    LARGER document is redundant': doc a is dropped iff some pair
+    (a, b) has containment ≥ τ and |S(b)| > |S(a)| (ties broken to
+    the smaller doc_id — exact twins collapse to the min-id
+    canonical, matching q_dedup_keep's convention). ``dropped_for``
+    records the smallest qualifying dominator for audit; chains are
+    dropped wholesale (an excerpt of a dropped twin is still
+    redundant — its content survives via the twin's canonical).
+
+    Scale shape: rides the MEMOIZED pair relation (tiny — near-dups
+    only) joined to the shingle-size projection; the verdict join is
+    doc_id-keyed; one left join attaches flags to the corpus.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup / curation family)."""
+    sh = _containment_shingled(spark, sf_dir).filter(F.col("sz") > 0)
+    pairs = _containment_pairs_cached(spark, sf_dir).select("a", "b")
+    sizes = sh.select("doc_id", "sz")
+    p = (
+        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            (F.col("szb") > F.col("sza"))
+            | ((F.col("szb") == F.col("sza")) & (F.col("b") < F.col("a")))
+        )
     )
-    return containment_pairs(sh, CONTAINMENT_T)
+    doms = p.groupBy("a").agg(F.min("b").alias("dropped_for"))
+    return (
+        sh.select("doc_id")
+        .join(doms.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dropped_for").isNull().alias("keep"),
+            "dropped_for",
+        )
+    )
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,6 +2061,7 @@ QUERIES = {
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_containment": _q_dedup_containment,
+    "q_containment_keep": _q_containment_keep,
     "q_dedup_minhash": _q_dedup_minhash,
     "q_dedup_simhash": _q_dedup_simhash,
     "q_dedup_embedding": _q_dedup_embedding,
@@ -2387,29 +2444,8 @@ WHERE len(list_intersect(x.s, y.s)) /
     # excerpt-injected corpus (mirrors _containment_docs), ordered
     # pairs by asymmetric containment; the raw (unrounded) ratios gate
     # both thresholds so the compared order is the computed order
-    "q_dedup_containment": f"""
-WITH toks0 AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-exc AS (
-  SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
-         w[1:CAST(ceil({EXCERPT_FRAC} * len(w)) AS INT)] AS w
-  FROM toks0 WHERE doc_id % {EXCERPT_STRIDE} = 0 AND len(w) >= {EXCERPT_MIN_TOKENS}
-),
-toks AS (SELECT * FROM toks0 UNION ALL SELECT * FROM exc),
-strsh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
-sh AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM strsh),
-pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         len(list_intersect(x.s, y.s)) AS inter, x.sz AS sza, y.sz AS szb
-  FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
-  WHERE x.sz > 0 AND y.sz > 0
-)
-SELECT a, b,
-       round(inter / CAST(sza AS DOUBLE), 6) AS containment,
-       round(inter / CAST(sza + szb - inter AS DOUBLE), 6) AS jaccard,
-       (inter / CAST(sza + szb - inter AS DOUBLE)) < {NGRAM_JACCARD_T} AS subset_only
-FROM pairs
-WHERE inter >= {CONTAINMENT_T} * sza
-""",
+    "q_dedup_containment": None,  # filled below from _CONTAINMENT_CTE
+    "q_containment_keep": None,  # filled below from _CONTAINMENT_CTE
     "q_dedup_clusters": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
 pairs AS (
@@ -2672,3 +2708,50 @@ SELECT a, b, CAST(count(1) AS BIGINT) AS n_methods,
        string_agg(m, ',' ORDER BY m) AS methods
 FROM u GROUP BY a, b HAVING count(1) >= 2
 """
+
+#: shared CTE for the containment family: excerpt-injected corpus
+#: (mirrors _containment_docs) down to the all-ordered-pairs relation
+_CONTAINMENT_CTE = f"""
+WITH toks0 AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+exc AS (
+  SELECT doc_id + {EXCERPT_OFFSET} AS doc_id,
+         w[1:CAST(ceil({EXCERPT_FRAC} * len(w)) AS INT)] AS w
+  FROM toks0 WHERE doc_id % {EXCERPT_STRIDE} = 0 AND len(w) >= {EXCERPT_MIN_TOKENS}
+),
+toks AS (SELECT * FROM toks0 UNION ALL SELECT * FROM exc),
+strsh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sh AS (SELECT doc_id, list_transform(ss, s -> {hash60_sql('s')}) AS s, len(ss) AS sz FROM strsh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s)) AS inter, x.sz AS sza, y.sz AS szb
+  FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+  WHERE x.sz > 0 AND y.sz > 0
+)"""
+
+ORACLE["q_dedup_containment"] = (
+    _CONTAINMENT_CTE
+    + f"""
+SELECT a, b,
+       round(inter / CAST(sza AS DOUBLE), 6) AS containment,
+       round(inter / CAST(sza + szb - inter AS DOUBLE), 6) AS jaccard,
+       (inter / CAST(sza + szb - inter AS DOUBLE)) < {NGRAM_JACCARD_T} AS subset_only
+FROM pairs
+WHERE inter >= {CONTAINMENT_T} * sza
+"""
+)
+
+ORACLE["q_containment_keep"] = (
+    _CONTAINMENT_CTE
+    + f""",
+doms AS (
+  SELECT a AS doc_id, min(b) AS dropped_for
+  FROM pairs
+  WHERE inter >= {CONTAINMENT_T} * sza
+    AND (szb > sza OR (szb = sza AND b < a))
+  GROUP BY a
+)
+SELECT s.doc_id, d.dropped_for IS NULL AS keep, d.dropped_for
+FROM sh s LEFT JOIN doms d ON s.doc_id = d.doc_id
+WHERE s.sz > 0
+"""
+)

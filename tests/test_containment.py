@@ -199,3 +199,37 @@ def test_stream_probe_batch_split_invariance(spark, tmp_path):
             spark.createDataFrame([row], "doc_id long, text string")
         )
     assert whole == split == {(101, 1), (102, 2)}
+
+
+def test_containment_keep_rule(spark, sf_dir):
+    """Keep/drop artifact: every injected excerpt is dropped (its
+    source is strictly larger); exact-twin groups collapse to the
+    min-id canonical; a dropped doc's dominator is a real containment
+    pair with the size/tie rule; kept docs have no dominator pair."""
+    from orders_kafka_streams_spark.operators.dedup import (
+        EXCERPT_OFFSET,
+        QUERIES,
+        _containment_shingled,
+    )
+
+    flags = {r.doc_id: r for r in QUERIES["q_containment_keep"](spark, sf_dir).collect()}
+    pairs = QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    sizes = {
+        r.doc_id: r.sz
+        for r in _containment_shingled(spark, sf_dir).filter("sz > 0").collect()
+    }
+
+    dominators: dict[int, set[int]] = {}
+    for p in pairs:
+        if sizes[p.b] > sizes[p.a] or (sizes[p.b] == sizes[p.a] and p.b < p.a):
+            dominators.setdefault(p.a, set()).add(p.b)
+
+    for doc_id, r in flags.items():
+        if r.keep:
+            assert doc_id not in dominators, doc_id
+            assert r.dropped_for is None
+        else:
+            assert r.dropped_for == min(dominators[doc_id]), doc_id
+
+    excerpts = [d for d in flags if d >= EXCERPT_OFFSET]
+    assert excerpts and all(not flags[d].keep for d in excerpts)
