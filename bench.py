@@ -370,6 +370,39 @@ def _check_budgets(
     return breaches, drifts
 
 
+def _absolve_transients(breaches: list[dict], remeasure) -> list[dict]:
+    """Re-measure each per-query breach ONCE against the same gate and
+    reclassify passing ones as transients — see the call-site comment
+    for the storm-vs-regression rationale. MUTATES ``breaches``
+    (removing absolved entries) and returns the absolved list; the
+    suite-ceiling and missing-budget breaches are never candidates,
+    at most 5 re-measures run, and a re-measure that itself fails (or
+    raises) leaves the breach standing — conservative by default."""
+    absolved: list[dict] = []
+    recheckable = [
+        b for b in breaches if b["q"] != "__suite__" and b["budget"] is not None
+    ][:5]
+    for b in recheckable:
+        try:
+            re_t = round(remeasure(b), 3)
+        except Exception:
+            continue
+        gate = (
+            BUDGET_FACTOR * b["drift"] * max(b["budget"], BUDGET_FLOOR)
+            + BUDGET_NOISE_PAD
+        )
+        if re_t <= gate:
+            breaches.remove(b)
+            absolved.append({**b, "remeasured_sec": re_t})
+            print(
+                f"BREACH ABSOLVED {b['q']} ({b['tier']}): {b['sec']}s "
+                f"mid-run but {re_t}s on re-measure (gate {round(gate, 3)}s) "
+                "— transient load wave, not a regression",
+                file=sys.stderr,
+            )
+    return absolved
+
+
 def _write_budgets(
     steady: dict[str, float],
     sf1: dict[str, float] | None,
@@ -554,8 +587,27 @@ def main() -> None:
         _write_budgets(steady, sf1, sf1skew)
         breaches: list[dict] = []
         drifts: dict[str, float] = {}
+        absolved: list[dict] = []
     else:
         breaches, drifts = _check_budgets(steady, sf1, sf1skew)
+        # Storm-vs-regression guard (VERDICT r7 item 1): tier timings
+        # are min-of-two BACK-TO-BACK runs, so one of this host's
+        # multi-minute external load waves sits on both samples while
+        # the tier MEDIAN (the drift estimate) stays ~1.0 — the
+        # Arrow-kernel queries respond ~6x to a storm the rest of the
+        # tier barely feels (r8: q_knn_pq 4.15s / q_semdedup 8.29s
+        # mid-wave vs 1.46s / 2.2s quiet minutes later, drift 1.0). A
+        # PERSISTENT regression still reproduces when re-measured
+        # after the tiers finish; a transient does not. Each per-query
+        # breach gets ONE re-measure against the SAME gate — passing
+        # re-measures are reclassified to `storm_absolved` in the
+        # committed artifact (visible, never silently swallowed);
+        # missing-budget and suite-ceiling breaches are never
+        # absolved. Bounded at 5 re-measures per run.
+        tier_dirs = {"sf0.1": None, "sf1": sf1_dir, "sf1skew": sf1skew_dir}
+        absolved = _absolve_transients(
+            breaches, lambda b: run_once(b["q"], tier_dirs[b["tier"]])
+        )
     for b in breaches:
         if b["q"] == "__suite__":
             print(
@@ -592,6 +644,7 @@ def main() -> None:
         "sf1skew_queries": sf1skew,
         "sf1skew_wall": round(sum(sf1skew.values()), 3) if sf1skew else None,
         "budget_breaches": breaches,
+        "storm_absolved": absolved,
         "ambient_drift": drifts,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
