@@ -194,6 +194,8 @@ HEADLINE = [
     "q_percentile_interp",
     # r8: containment keep/drop artifact (rides the memoized pair relation)
     "q_containment_keep",
+    # r8: the mixture datasheet (second capstone composition)
+    "q_mixture_manifest",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -610,8 +610,101 @@ def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MANIFEST_QUOTA = 5  # post-gate per-source cap: survivors run 1-11/source at sf0.01
+
+
+def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mixture DATASHEET — the per-source accounting table
+    every training run publishes: raw candidate docs/tokens, survivors
+    of the three content gates (quality ∩ near-dup keep ∩
+    decontamination), the post-gate per-source quota cut, and each
+    source's FINAL token share of the mixture. q_drop_ledger answers
+    'why did docs drop'; this answers 'what does the mixture actually
+    look like' — the number that goes in the model card.
+
+    Scale shape: rides the SAME memoized relations as the capstone
+    (token cache, near-dup keep, contamination flags); the gates
+    compose as doc_id-keyed semi/anti joins; the post-gate quota rank
+    is the GROUPED two-pass prefix sum of ones over survivors (never
+    a PARTITION BY source window); the three per-source rollups are
+    |sources|-cell aggregations and the share denominator attaches as
+    a 1-row broadcast.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (curation family).
+    """
+    from .dedup import QUERIES as _DQ
+    from .dedup import _memo_persist
+    from .sampling import global_prefix_sums
+
+    base = _tokenized(spark, sf_dir, "source").filter(
+        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
+    )
+    raw = base.select("doc_id", "source", F.size("t").alias("n_tok"))
+    cls = _q_quality_classifier(spark, sf_dir).select("doc_id", "margin", "keep")
+    dk = _DQ["q_dedup_keep"](spark, sf_dir).select("doc_id", F.col("keep").alias("_dk"))
+    contaminated = (
+        _contam_per_doc(spark, sf_dir)
+        .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
+        .select("doc_id", F.lit(True).alias("_ct"))
+    )
+    # ONE flags relation (drop_ledger's shape) feeds the raw rollup
+    # AND the survivor subset — one persisted pass instead of three
+    # parallel gate pipelines
+    gated_flag = (
+        F.coalesce("keep", F.lit(False))
+        & F.coalesce("_dk", F.lit(False))
+        & ~F.coalesce("_ct", F.lit(False))
+    )
+    flags = _memo_persist(
+        spark,
+        sf_dir,
+        "manifest:flags",
+        lambda: (
+            raw.join(cls, "doc_id", "left")
+            .join(dk, "doc_id", "left")
+            .join(contaminated, "doc_id", "left")
+            .select("doc_id", "source", "n_tok", "margin", gated_flag.alias("_gated"))
+        ),
+    )
+    ranked = global_prefix_sums(
+        flags.filter(F.col("_gated")).withColumn("_one", F.lit(1)),
+        [F.desc("margin"), F.asc("doc_id")],
+        {"rk0": "_one"},
+        part=("source",),
+        memo=lambda build: _memo_persist(spark, sf_dir, "manifest:ranked", build),
+    )
+    final = ranked.filter(F.col("rk0") + 1 <= MANIFEST_QUOTA)
+    per_src = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("n_tok").alias("tok_raw"),
+        F.count(F.when(F.col("_gated"), 1)).alias("n_gated"),
+    )
+    per_final = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"), F.sum("n_tok").alias("tok_final")
+    )
+    tot = per_final.agg(F.sum("tok_final").alias("_tot"))
+    return (
+        per_src.join(per_final, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_raw",
+            "tok_raw",
+            "n_gated",
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tok_final", F.lit(0)).alias("tok_final"),
+            F.round(
+                F.coalesce("tok_final", F.lit(0)) / F.col("_tot"), 6
+            ).alias("share_final"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q_drop_ledger": _q_drop_ledger,
+    "q_mixture_manifest": _q_mixture_manifest,
     "q_source_quota": _q_source_quota,
     "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
@@ -765,6 +858,56 @@ SELECT source,
                                 CASE WHEN fc THEN 'contam' END) END AS verdict,
        CAST(count(1) AS BIGINT) AS n_docs
 FROM base GROUP BY 1, 2 ORDER BY source, verdict
+""",
+    # the datasheet rollup: same gate CTEs, plus the post-gate quota
+    # rank on ROUNDED margins (the published score — the order both
+    # engines actually computed) and the 1-row share denominator
+    "q_mixture_manifest": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _GATES_CTE
+    + f""",
+raw AS (
+  SELECT t.doc_id, d.source, len(t.w) AS n_tok
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE len(t.w) > 0 AND t.doc_id >= {BENCH_DOCS}
+),
+m AS (
+  SELECT doc_id, round({_cls_margin_sql('w')}, 6) AS margin
+  FROM toks WHERE len(w) > 0
+),
+gated AS (
+  SELECT r.doc_id, r.source, r.n_tok, m.margin
+  FROM raw r JOIN m ON r.doc_id = m.doc_id
+  WHERE r.doc_id IN (SELECT doc_id FROM clskeep)
+    AND r.doc_id IN (SELECT doc_id FROM keepers)
+    AND r.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+fin AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY margin DESC, doc_id) AS rk
+    FROM gated
+  ) WHERE rk <= {MANIFEST_QUOTA}
+),
+praw AS (
+  SELECT source, CAST(count(1) AS BIGINT) AS n_raw,
+         CAST(sum(n_tok) AS BIGINT) AS tok_raw
+  FROM raw GROUP BY 1
+),
+pg AS (SELECT source, CAST(count(1) AS BIGINT) AS n_gated FROM gated GROUP BY 1),
+pf AS (
+  SELECT source, CAST(count(1) AS BIGINT) AS n_final,
+         CAST(sum(n_tok) AS BIGINT) AS tok_final
+  FROM fin GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM fin)
+SELECT source, n_raw, tok_raw,
+       coalesce(n_gated, 0) AS n_gated,
+       coalesce(n_final, 0) AS n_final,
+       coalesce(tok_final, 0) AS tok_final,
+       round(coalesce(tok_final, 0) / CAST(t AS DOUBLE), 6) AS share_final
+FROM praw LEFT JOIN pg USING (source) LEFT JOIN pf USING (source)
+CROSS JOIN tot
+ORDER BY source
 """,
     "q_prepare_training": _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _GATES_CTE

@@ -159,3 +159,47 @@ def test_source_quota_is_topq_per_source(spark, sf_dir):
         counts[src] += 1
         assert 1 <= rank <= SOURCE_QUOTA
     assert all(c <= SOURCE_QUOTA for c in counts.values())
+
+
+def test_mixture_manifest_accounting(spark, sf_dir):
+    """Datasheet invariants: monotone funnel (final <= gated <= raw),
+    the quota binds exactly, final token shares sum to 1, and the
+    per-source final counts equal a driver-side recount from the gate
+    queries themselves."""
+    from orders_kafka_streams_spark.operators.curation import (
+        BENCH_DOCS,
+        CONTAM_OVERLAP_T,
+        MANIFEST_QUOTA,
+        QUERIES,
+        _contam_per_doc,
+    )
+    from orders_kafka_streams_spark.operators.dedup import QUERIES as DQ
+
+    rows = {r.source: r for r in QUERIES["q_mixture_manifest"](spark, sf_dir).collect()}
+    assert rows
+    assert abs(sum(r.share_final for r in rows.values()) - 1.0) < 1e-4
+    for r in rows.values():
+        assert 0 <= r.n_final <= min(r.n_gated, MANIFEST_QUOTA) <= r.n_raw
+        assert 0 <= r.tok_final <= r.tok_raw
+
+    base = _tokenized(spark, sf_dir, "source").filter(
+        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
+    )
+    cls_keep = {
+        r.doc_id
+        for r in QUERIES["q_quality_classifier"](spark, sf_dir).collect()
+        if r.keep
+    }
+    ddk = {r.doc_id for r in DQ["q_dedup_keep"](spark, sf_dir).collect() if r.keep}
+    contam = {
+        r.doc_id
+        for r in _contam_per_doc(spark, sf_dir).collect()
+        if r.overlap >= CONTAM_OVERLAP_T
+    }
+    survivors = defaultdict(int)
+    for r in base.select("doc_id", "source").collect():
+        if r.doc_id in cls_keep and r.doc_id in ddk and r.doc_id not in contam:
+            survivors[r.source] += 1
+    for src, r in rows.items():
+        assert r.n_gated == survivors.get(src, 0), src
+        assert r.n_final == min(survivors.get(src, 0), MANIFEST_QUOTA), src
