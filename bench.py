@@ -196,6 +196,8 @@ HEADLINE = [
     "q_containment_keep",
     # r8: the mixture datasheet (second capstone composition)
     "q_mixture_manifest",
+    # r8: streaming point-in-time feature enrichment
+    "q_stream_pit_enrich",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

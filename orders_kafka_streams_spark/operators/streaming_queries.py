@@ -298,6 +298,58 @@ def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the feature-store SERVING
+    pattern: purchase facts ARRIVE as a stream and each is joined to
+    the SCD2 account-dimension VERSION valid at its event time via a
+    native stream-static LEFT OUTER join with the interval predicate
+    (from ≤ ms < to, to NULL = current) — no watermark, no state
+    store; the static side is planned once per micro-batch. Interval
+    containment over contiguous versions IS the batch query's
+    window-carry (an equal-from/to version has an empty [x, x)
+    interval, so the later same-ms version wins exactly like the
+    carry's version tiebreak), and facts before a user's first
+    version survive NULL-padded — so the query shares q_scd2_pit's
+    oracle verbatim. A fact's verdict depends only on itself and the
+    static dimension ⇒ batch-split invariant by construction.
+
+    At scale the static side rebroadcasts per micro-batch (Spark's
+    stream-static contract); a 100 TB dimension would bucket both
+    sides on user_id instead — the equi-key is in the join, so the
+    planner picks SMJ/bucketed when the dim stops fitting broadcast."""
+    from .warehouse import scd2
+
+    ev_b = load_table(spark, sf_dir, "events")
+    dim = scd2(ev_b.filter(F.col("event_type").isin("signup", "error"))).select(
+        F.col("user_id").alias("d_user"),
+        "version",
+        F.col("event_type").alias("state"),
+        "valid_from_ms",
+        "valid_to_ms",
+    )
+    facts = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", epoch_ms(F.col("ts")).alias("ms"), "value")
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ms") < F.col("valid_to_ms"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.round("value", 4).alias("value"),
+        F.col("version").alias("pit_version"),
+        F.col("state").alias("pit_state"),
+    )
+    tab = run_to_memory(joined, "pit_enrich_stream")
+    return spark.table(tab)
+
+
 def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running EWMA through the streaming engine (explicit
     keyed state, streaming/ewma.py). Single-batch drain folds each
@@ -1439,6 +1491,7 @@ QUERIES = {
     "q_stream_pair_join": _q_stream_pair_join,
     "q_stream_dead_letter": _q_stream_dead_letter,
     "q_stream_pair_match": _q_stream_pair_match,
+    "q_stream_pit_enrich": _q_stream_pit_enrich,
     "q_stream_ewma": _q_stream_ewma,
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_source_quota": _q_stream_source_quota,
@@ -1458,6 +1511,9 @@ from .dedup import ORACLE as _DD_ORACLE
 ORACLE = {
     # the streaming merge must equal the batch SCD2 build exactly
     "q_stream_scd2": _WH_ORACLE["q_scd2"],
+    # interval containment over contiguous versions == the batch
+    # window-carry; the streamed enrichment shares its oracle verbatim
+    "q_stream_pit_enrich": _WH_ORACLE["q_scd2_pit"],
     # the streaming cell merge must equal the full-table recompute
     "q_stream_ivm": _WH_ORACLE["q_ivm_refresh"],
     # the drained custom-source stream must equal the batch read

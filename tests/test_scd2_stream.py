@@ -142,3 +142,25 @@ def test_foreachbatch_sink_end_to_end(spark, tmp_path):
     got = _canon(spark.read.parquet(dim_path))
     expected = _canon(scd2(_ev_df(spark, ROWS)))
     assert got == expected
+
+
+def test_stream_pit_enrich_equals_batch(spark, sf_dir):
+    """The streamed PIT enrichment equals the batch window-carry
+    row-for-row — interval containment over contiguous versions is
+    the same function, and the static dimension makes the verdict
+    batching-independent."""
+    from orders_kafka_streams_spark.operators.streaming_queries import QUERIES as SQ
+    from orders_kafka_streams_spark.operators.warehouse import QUERIES as WQ
+
+    got = {
+        (r.event_id, r.pit_version, r.pit_state)
+        for r in SQ["q_stream_pit_enrich"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_id, r.pit_version, r.pit_state)
+        for r in WQ["q_scd2_pit"](spark, sf_dir).collect()
+    }
+    assert got == want and got
+    # left-outer semantics survive the stream: some facts precede any
+    # dimension version on this corpus and must arrive NULL-padded
+    assert any(v is None for _, v, _ in got)
