@@ -391,10 +391,13 @@ def _absolve_transients(breaches: list[dict], remeasure) -> list[dict]:
             re_t = round(remeasure(b), 3)
         except Exception:
             continue
-        gate = (
-            BUDGET_FACTOR * b["drift"] * max(b["budget"], BUDGET_FLOOR)
-            + BUDGET_NOISE_PAD
-        )
+        # drift 1.0, NOT the breach-time multiplier (review finding):
+        # the re-measure runs in post-suite conditions, and reusing a
+        # storm-clamped drift of 2.0 would absolve a genuine 2x
+        # persistent regression (4x mid-storm -> breach; 2x quiet
+        # re-measure <= 1.5*2.0*b). The quiet gate is strictly
+        # tighter, so errors fall on the side of keeping breaches.
+        gate = BUDGET_FACTOR * max(b["budget"], BUDGET_FLOOR) + BUDGET_NOISE_PAD
         if re_t <= gate:
             breaches.remove(b)
             absolved.append({**b, "remeasured_sec": re_t})
@@ -609,9 +612,19 @@ def main() -> None:
         # missing-budget and suite-ceiling breaches are never
         # absolved. Bounded at 5 re-measures per run.
         tier_dirs = {"sf0.1": None, "sf1": sf1_dir, "sf1skew": sf1skew_dir}
-        absolved = _absolve_transients(
-            breaches, lambda b: run_once(b["q"], tier_dirs[b["tier"]])
-        )
+
+        def _remeasure(b: dict) -> float:
+            # warm-up run first (untimed result discarded): the scale
+            # tiers evicted every memo/persistent RDD, so a memo-backed
+            # sf0.1/sf1 query re-measured cold would pay its full
+            # tokenize/shingle rebuild INSIDE the timed write and the
+            # guard would fail on exactly the class it was built for
+            # (review finding). The original steady timings are
+            # memo-warm, so the comparison must be too.
+            run_once(b["q"], tier_dirs[b["tier"]])
+            return run_once(b["q"], tier_dirs[b["tier"]])
+
+        absolved = _absolve_transients(breaches, _remeasure)
     for b in breaches:
         if b["q"] == "__suite__":
             print(

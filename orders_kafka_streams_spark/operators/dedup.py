@@ -210,6 +210,25 @@ def exploded_shingles_of(docs: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_postings(inv: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs prefix relation over an exploded (doc_id, sz, g)
+    posting index: each doc's (sz − ⌈τ·sz⌉ + 1) RAREST shingles by
+    global document frequency (ties by g) — the pigeonhole witness set
+    for both |A∩B| ≥ τ·min-side predicates (Jaccard) and the
+    asymmetric |A∩B| ≥ τ·|A| (containment); shared so the prefix
+    length formula, the rarity tie-break, and the broadcast decision
+    (distinct-shingle count ≪ corpus at any SF with a bounded
+    vocabulary) live in exactly one place (review finding)."""
+    rarity = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_n"))
+    w = Window.partitionBy("doc_id").orderBy("df_n", "g")
+    return (
+        inv.join(F.broadcast(rarity), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "g")
+    )
+
+
 def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard with AllPairs/ppjoin-style
     PREFIX FILTERING — exact results at index-join cost.
@@ -226,16 +245,7 @@ def ngram_jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     negatives; identical output to the O(n²) oracle.
     """
     inv = shingled.select("doc_id", "sz", F.explode("sh").alias("g"))
-    # global shingle rarity; distinct-shingle count ≪ corpus at any SF
-    # with a bounded vocabulary, and the join below broadcasts it.
-    rarity = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_n"))
-    w = Window.partitionBy("doc_id").orderBy("df_n", "g")
-    prefix = (
-        inv.join(F.broadcast(rarity), "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "sz", "g")
-    )
+    prefix = _prefix_postings(inv, threshold)
     cand = (
         prefix.select(F.col("doc_id").alias("a"), F.col("sz").alias("pza"), "g")
         .join(prefix.select(F.col("doc_id").alias("b"), F.col("sz").alias("pzb"), "g"), "g")
@@ -328,14 +338,7 @@ def containment_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
     inv = shingled.filter(F.col("sz") > 0).select(
         "doc_id", "sz", F.explode("sh").alias("g")
     )
-    rarity = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_n"))
-    w = Window.partitionBy("doc_id").orderBy("df_n", "g")
-    prefix = (
-        inv.join(F.broadcast(rarity), "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select(F.col("doc_id").alias("a"), "g")
-    )
+    prefix = _prefix_postings(inv, threshold).select(F.col("doc_id").alias("a"), "g")
     cand = (
         prefix.join(inv.select(F.col("doc_id").alias("b"), "g"), "g")
         .filter(F.col("a") != F.col("b"))

@@ -38,6 +38,43 @@ WATERMARK_MS = 60_000
 JOIN_WINDOW_MS = 3_600_000
 DL_WATERMARK_MS = 600_000  # stream_dead_letter's 10-minute delay
 
+#: per-query drain cap for the availableNow foreachBatch gates
+DRAIN_TIMEOUT_S = 300
+
+
+def _drain(q, tag: str) -> None:
+    """``awaitTermination`` with the result CHECKED — a drain that
+    outlives the cap would otherwise race the read-back and silently
+    return a partial index/pair set with no error (review finding)."""
+    if not q.awaitTermination(DRAIN_TIMEOUT_S):
+        q.stop()
+        raise TimeoutError(f"{tag}: stream drain did not complete in {DRAIN_TIMEOUT_S}s")
+
+
+def _ingest_sink(spark: SparkSession, sf_dir: str, tag: str, stream, per_batch):
+    """The shared foreachBatch ingest scaffold (review finding: it had
+    been copy-pasted per gate): session-scoped tempdir keyed on
+    (sf_dir, app_id), per-micro-batch ``per_batch(batch)`` transform
+    appended as parquet, availableNow drain with the completion
+    CHECKED, then the assembled output read back. ``per_batch`` owns
+    any repartition of the (often 1-partition) file batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out_path = os.path.join(tempfile.gettempdir(), tag, key)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def _fb(batch, batch_id: int) -> None:
+        per_batch(batch).write.mode("append").parquet(out_path)
+
+    q = stream.writeStream.foreachBatch(_fb).trigger(availableNow=True).start()
+    _drain(q, tag)
+    return spark.read.parquet(out_path)
+
 
 def _q_stream_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_file_stream(spark, sf_dir)
@@ -164,7 +201,7 @@ def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, "okss-scd2")
     return spark.read.parquet(dim_path)
 
 
@@ -796,32 +833,20 @@ def _q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_stream_dedup_incremental.py) and the assembled output
     is hash-diffed against the BATCH q_dedup_incremental oracle below,
     the same twin pattern as q_stream_scd2."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import documents_file_stream
     from .dedup import DELTA_MOD, dedup_incremental_probe
 
     docs = documents_file_stream(spark, sf_dir).filter(
         F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
     )
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-dedup-inc", key)
-    shutil.rmtree(out_path, ignore_errors=True)
 
-    def probe(batch, batch_id: int) -> None:
+    def probe(batch):
         # a file-source micro-batch inherits the FILE's partitioning
         # (often 1) — spread it before the shingle/probe work
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
-        verdicts = dedup_incremental_probe(spark, sf_dir, batch.select("doc_id", "text"))
-        verdicts.write.mode("append").parquet(out_path)
+        return dedup_incremental_probe(spark, sf_dir, batch.select("doc_id", "text"))
 
-    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(spark, sf_dir, "okss-dedup-inc", docs, probe)
 
 
 def _q_stream_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,30 +861,18 @@ def _q_stream_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the static base, so the assembled pair set is batch-split
     invariant (tests/test_containment.py) and equals the batch
     sweep restricted to excerpt→base pairs (oracle below)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import documents_file_stream
     from .dedup import containment_probe, excerpt_docs
 
     docs = documents_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-containment", key)
-    shutil.rmtree(out_path, ignore_errors=True)
 
-    def probe(batch, batch_id: int) -> None:
+    def probe(batch):
         # a file-source micro-batch inherits the FILE's partitioning
         # (often 1) — spread it before the shingle/probe work
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
-        probes = excerpt_docs(batch.select("doc_id", "text"))
-        containment_probe(spark, sf_dir, probes).write.mode("append").parquet(out_path)
+        return containment_probe(spark, sf_dir, excerpt_docs(batch.select("doc_id", "text")))
 
-    q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(spark, sf_dir, "okss-containment", docs, probe)
 
 
 def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,27 +884,17 @@ def _q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector depends only on that vector, so the assembled index is
     identical however the stream batches the corpus — hash-diffed
     against the batch index build via the oracle below."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import embeddings_file_stream
     from .similarity import _dvec, _lsh_sigs_long
 
     emb = embeddings_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-ann-ingest", key)
-    shutil.rmtree(out_path, ignore_errors=True)
-
-    def ingest(batch, batch_id: int) -> None:
-        v = batch.select("vec_id", _dvec().alias("e"))
-        _lsh_sigs_long(v).write.mode("append").parquet(out_path)
-
-    q = emb.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(
+        spark,
+        sf_dir,
+        "okss-ann-ingest",
+        emb,
+        lambda batch: _lsh_sigs_long(batch.select("vec_id", _dvec().alias("e"))),
+    )
 
 
 def _q_stream_knn_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,27 +907,19 @@ def _q_stream_knn_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival). A signature depends only on its vector, so the
     assembled index is identical however the stream batches the
     corpus — hash-diffed against the batch build via the oracle."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import embeddings_file_stream
     from .similarity import _binary_sig_cols, _dvec
 
     emb = embeddings_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-bin-ingest", key)
-    shutil.rmtree(out_path, ignore_errors=True)
-
-    def ingest(batch, batch_id: int) -> None:
-        v = batch.select("vec_id", _dvec().alias("e"))
-        v.select("vec_id", *_binary_sig_cols()).write.mode("append").parquet(out_path)
-
-    q = emb.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(
+        spark,
+        sf_dir,
+        "okss-bin-ingest",
+        emb,
+        lambda batch: batch.select("vec_id", _dvec().alias("e")).select(
+            "vec_id", *_binary_sig_cols()
+        ),
+    )
 
 
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -934,32 +929,21 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingest-time quality-gating every production corpus pipeline
     runs, with per-doc decisions identical to the offline batch gate
     (same oracle as q_quality_classifier)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..functions.textfns import tokens
     from ..streaming.pipeline import documents_file_stream
     from .curation import classifier_scores
 
     docs = documents_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-qgate", key)
-    shutil.rmtree(out_path, ignore_errors=True)
 
-    def gate(batch, batch_id: int) -> None:
+    def gate(batch):
         # spread the (possibly 1-partition) file batch before scoring
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
         base = batch.select("doc_id", "source", tokens(F.col("text")).alias("t")).filter(
             F.size("t") > 0
         )
-        classifier_scores(base).write.mode("append").parquet(out_path)
+        return classifier_scores(base)
 
-    q = docs.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(spark, sf_dir, "okss-qgate", docs, gate)
 
 
 def _q_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,28 +956,17 @@ def _q_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and hash-matches the batch per-doc scan (oracle below).
     Scale shape: map-only regex per micro-batch — no state store, no
     shuffle; the gate rides the ingest scan."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import documents_file_stream
     from .privacy import pii_doc_scan
 
     docs = documents_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-piigate", key)
-    shutil.rmtree(out_path, ignore_errors=True)
 
-    def gate(batch, batch_id: int) -> None:
+    def gate(batch):
         # spread the (possibly 1-partition) file batch before the scan
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
-        pii_doc_scan(batch).write.mode("append").parquet(out_path)
+        return pii_doc_scan(batch)
 
-    q = docs.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(spark, sf_dir, "okss-piigate", docs, gate)
 
 
 def _q_stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,27 +978,16 @@ def _q_stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     A doc's count depends only on that doc, so the assembled output
     is invariant to how the stream batches the corpus and equals the
     per-doc regex oracle. Scale shape: rides the ingest scan."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import documents_file_stream
     from .text import phrase_doc_counts
 
     docs = documents_file_stream(spark, sf_dir)
-    app_id = spark.sparkContext.applicationId
-    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out_path = os.path.join(tempfile.gettempdir(), "okss-phrase", key)
-    shutil.rmtree(out_path, ignore_errors=True)
 
-    def scan(batch, batch_id: int) -> None:
+    def scan(batch):
         batch = batch.repartition(spark.sparkContext.defaultParallelism)
-        phrase_doc_counts(batch).write.mode("append").parquet(out_path)
+        return phrase_doc_counts(batch)
 
-    q = docs.writeStream.foreachBatch(scan).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    return spark.read.parquet(out_path)
+    return _ingest_sink(spark, sf_dir, "okss-phrase", docs, scan)
 
 
 def _q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,7 +1013,7 @@ def _q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     view_path = os.path.join(tempfile.gettempdir(), "okss-ivm", key)
     shutil.rmtree(view_path, ignore_errors=True)
     q = docs.writeStream.foreachBatch(ivm_sink(view_path)).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _drain(q, "okss-ivm")
     cells = spark.read.parquet(view_path)
     return cells.select(
         "source",
@@ -1098,7 +1060,7 @@ def _q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, "okss-stateinspect")
     st = spark.read.format("statestore").load(ckpt)
     return st.select(
         epoch_ms(F.col("key.window.start")).alias("wstart_ms"),
@@ -1246,7 +1208,7 @@ def _q_stream_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.write.mode("append").parquet(out_path)
 
     q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _drain(q, "okss-excise")
     return spark.read.parquet(out_path)
 
 
@@ -1294,7 +1256,7 @@ def _q_stream_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.write.mode("append").parquet(out_path)
 
     q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _drain(q, "okss-exsub")
     return spark.read.parquet(out_path)
 
 
@@ -1359,7 +1321,7 @@ def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.write.mode("append").parquet(out_path)
 
     q = docs.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _drain(q, "okss-contam")
     bench.unpersist()
 
     from .curation import CONTAM_OVERLAP_T
@@ -1458,7 +1420,7 @@ def _q_stream_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFr
             corpus.unpersist()
 
     q = emb.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _drain(q, "okss-sem-contam")
     bench.unpersist()
     return spark.read.parquet(out_path)
 
