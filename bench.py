@@ -198,6 +198,8 @@ HEADLINE = [
     "q_mixture_manifest",
     # r8: streaming point-in-time feature enrichment
     "q_stream_pit_enrich",
+    # r8: TextRank keyword extraction (weighted PageRank over word graph)
+    "q_textrank_keywords",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

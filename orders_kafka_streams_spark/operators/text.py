@@ -1525,6 +1525,99 @@ def phrase_doc_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+TEXTRANK_ITERS = 4
+TEXTRANK_D = 0.85
+TEXTRANK_TOPK = 15
+
+
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — an edge per ADJACENT
+    word pair (both directions, weight = corpus bigram count,
+    self-loops dropped), TEXTRANK_ITERS power steps at damping
+    TEXTRANK_D, top-TEXTRANK_TOPK words by final rank. Complements
+    the frequency/lift keyword surfaces (TF-IDF, cluster topics):
+    TextRank scores a word by the rank of its NEIGHBORS, surfacing
+    connective vocabulary frequency alone under-ranks.
+
+    Scale shape: the graph collapses to (word, word) weight cells in
+    one partial-agg exchange (corpus never re-shuffles); each
+    iteration is one edge-keyed join + one dst-keyed agg over
+    O(vocab) cells with per-iteration 9-dp rounding (the
+    q_dedup_pagerank float contract) and a localCheckpoint lineage
+    cut; the top-k is TakeOrdered on (pr DESC, word) — no global
+    window, no rank column needed (the driver compares row SETS).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (text-analysis family)."""
+    from .dedup import _memo_persist
+
+    t = F.col("t")
+    m = F.size(t) - 1
+    pairs = (
+        _tokenized(spark, sf_dir, "source")
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m))).alias("bg")
+        )
+        .select(F.col("bg.0").alias("a"), F.col("bg.1").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = _memo_persist(
+        spark,
+        sf_dir,
+        "textrank_edges",
+        lambda: pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("wt")),
+    )
+    outw = _memo_persist(
+        spark,
+        sf_dir,
+        "textrank_outw",
+        lambda: edges.groupBy("a").agg(F.sum("wt").alias("ow")),
+    )
+    n_rel = outw.agg(F.count(F.lit(1)).alias("n"))
+    r = outw.crossJoin(F.broadcast(n_rel)).select(
+        "a", (F.lit(1.0) / F.col("n")).alias("pr"), "ow", "n"
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(
+                r.select("a", (F.col("pr") / F.col("ow")).alias("c")), "a"
+            )
+            .groupBy("b")
+            .agg(F.round(F.sum(F.col("wt") * F.col("c")), 9).alias("s"))
+            .withColumnRenamed("b", "a")
+            .coalesce(1)  # O(vocab) cells: stay single-partition
+        )
+        r = (
+            outw.join(contrib, "a", "left")
+            .crossJoin(F.broadcast(n_rel))
+            .select(
+                "a",
+                (
+                    F.lit(1.0 - TEXTRANK_D) / F.col("n")
+                    + F.lit(TEXTRANK_D) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+                "ow",
+                "n",
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.select(
+            F.col("a").alias("word"),
+            F.col("ow").alias("out_weight"),
+            F.round("pr", 6).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), F.asc("word"))
+        .limit(TEXTRANK_TOPK)
+    )
+
+
 PROX_TERMS = ("window", "sort")  # the within-k proximity pair under query
 PROX_WINDOW = 5  # max |pos1 - pos2| — 169/500 docs qualify at sf0.01
 
@@ -1572,6 +1665,7 @@ def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_phrase_search": _q_phrase_search,
     "q_proximity_search": _q_proximity_search,
+    "q_textrank_keywords": _q_textrank_keywords,
     "q_distinct_ngrams": _q_distinct_ngrams,
     "q_doremi_step": _q_doremi_step,
     "q_pmi_bigrams": _q_pmi_bigrams,
@@ -1661,8 +1755,53 @@ ORDER BY source
 """
 
 
+def _textrank_oracle() -> str:
+    """Unrolled weighted power iteration mirroring the Spark loop
+    (per-iteration 9-dp rounding — the q_dedup_pagerank contract);
+    the final ORDER BY uses the ROUNDED rank so the top-k boundary is
+    the order both engines actually computed."""
+    steps = []
+    prev = "r0"
+    for it in range(1, TEXTRANK_ITERS + 1):
+        steps.append(
+            f"""c{it} AS (
+  SELECT e.b AS a, round(sum(e.wt * (r.pr / r.ow)), 9) AS s
+  FROM edges e JOIN {prev} r ON e.a = r.a GROUP BY e.b
+),
+r{it} AS (
+  SELECT d.a, (1 - CAST({TEXTRANK_D} AS DOUBLE)) / nr.n
+         + CAST({TEXTRANK_D} AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr,
+         d.ow
+  FROM outw d CROSS JOIN nr LEFT JOIN c{it} c ON d.a = c.a
+)"""
+        )
+        prev = f"r{it}"
+    body = ",\n".join(steps)
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS w FROM documents),
+bg AS (
+  SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z
+  FROM toks WHERE len(w) >= 2
+),
+p AS (SELECT z[1] AS a, z[2] AS b FROM bg WHERE z[1] <> z[2]),
+edges AS (
+  SELECT a, b, CAST(count(1) AS BIGINT) AS wt
+  FROM (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p)
+  GROUP BY a, b
+),
+outw AS (SELECT a, CAST(sum(wt) AS BIGINT) AS ow FROM edges GROUP BY a),
+nr AS (SELECT CAST(count(1) AS BIGINT) AS n FROM outw),
+r0 AS (SELECT d.a, CAST(1.0 AS DOUBLE) / nr.n AS pr, d.ow FROM outw d CROSS JOIN nr),
+{body}
+SELECT a AS word, ow AS out_weight, round(pr, 6) AS textrank
+FROM r{TEXTRANK_ITERS}
+ORDER BY round(pr, 6) DESC, a LIMIT {TEXTRANK_TOPK}
+"""
+
+
 ORACLE = {
     "q_phrase_search": _phrase_search_oracle(),
+    "q_textrank_keywords": _textrank_oracle(),
     # position bases differ (0- vs 1-based) and cancel in |pa - pb|
     "q_proximity_search": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),

@@ -139,6 +139,7 @@ COMMENTARY = {
     "q_kcenter_coreset_batched": "tournament FPS: one shuffle on p + one Arrow-kernel exact FPS per partition, then ONE task over the PxK winner pool — 2 jobs regardless of K vs the exact loop's K driver round-trips",
     "q_stream_percentile_distributed": "streaming exact percentiles: engine-closed daily windows drain (day,type,value) count cells; localCheckpoint lineage cut (memory-sink self-join trap), then the SAME grouped two-pass prefix-sum rank selection as the batch query — state O(open windows x types x values), no per-group sort buffer",
     "q_stream_bh_fdr": "streaming BH-FDR: engine-closed daily windows drain (day,metric,arm) cells; cumulative windows + per-day rank run over O(days x m) cells; densify by union+re-agg and cutoff by window max (memory-sink self-joins trip analyzer dedup)",
+    "q_textrank_keywords": "TextRank keywords: corpus collapses to (word,word) weight cells in one partial-agg exchange; each power step is an edge join + dst agg over O(vocab) cells with 9-dp rounding + localCheckpoint lineage cut; top-k is TakeOrdered — no global window, no rank column (driver compares row sets)",
     "q_stream_pit_enrich": "streaming PIT enrichment: native stream-static LEFT OUTER join with the interval predicate (no watermark, no state store); interval containment over contiguous SCD2 versions == the batch window-carry; equi-key present so a too-big dim falls back to SMJ/bucketed instead of broadcast",
     "q_mixture_manifest": "mixture datasheet: rides the capstone's memoized gate relations (token cache, keep flags, contam flags) composed as doc_id-keyed semi/anti joins; post-gate quota = grouped two-pass prefix sum of ones over survivors; three |sources|-cell rollups + 1-row broadcast share denominator",
     "q_containment_keep": "containment keep/drop: rides the MEMOIZED pair relation (near-dups only) joined to the shingle-size projection — dominator rule is a doc_id-keyed pair filter + min agg; one left join attaches flags to the corpus",
