@@ -1457,6 +1457,77 @@ def _q_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def apply_excision_of(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Materialize the ExactSubstr REWRITE (Lee et al. 2022 §4.1): cut
+    every duplicated-substring span out of the token stream and emit
+    the cleaned corpus — (doc_id, clean_text, removed_tokens,
+    removed_chars). :func:`exact_substring_spans` computes WHERE to
+    cut; this is the surgery that ships. Text re-joins with single
+    spaces (token-stream semantics — the tokenizer is
+    whitespace-splitting, so only run-length of whitespace is lost,
+    and both engines mirror it). removed_chars is measured against
+    the same re-joined token stream so the number is engine-portable.
+
+    Scale shape: spans fold to ONE array per affected doc (span count
+    is bounded by doc length / L, never corpus size), then one
+    doc_id-keyed LEFT join against the corpus and a map-only
+    higher-order filter — each token tests membership against its own
+    doc's span array (O(tokens × spans_per_doc) inside codegen, no
+    Python). Nothing is pairwise; the corpus never self-joins."""
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("p0", "span_tokens")).alias("cuts")
+    )
+    toks = tokens(F.col("text"))
+    cuts = F.coalesce(
+        F.col("cuts"), F.array().cast("array<struct<p0:bigint,span_tokens:bigint>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            cuts, lambda s: (i >= s["p0"]) & (i < s["p0"] + s["span_tokens"])
+        ),
+    )
+    return (
+        docs.join(spans_arr, "doc_id", "left")
+        .withColumn("otext", F.array_join(toks, " "))
+        .withColumn("clean_text", F.array_join(kept, " "))
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
+            (F.length("otext") - F.length("clean_text")).cast("long").alias(
+                "removed_chars"
+            ),
+        )
+    )
+
+
+def _q_apply_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned-corpus artifact of exact-substring dedup — the
+    actual deliverable of ExactSubstr (Lee et al. 2022): every token
+    lying inside an L-window that occurs ≥ 2 times in the corpus is
+    excised, and the surviving tokens re-join into clean_text. Every
+    doc appears (untouched docs pass through with removed = 0), so the
+    output IS the training corpus the next pipeline stage reads.
+    tests/test_excision_apply.py pins the closure property: re-running
+    span detection on the cleaned corpus finds no cross-document
+    duplicated L-window (juxtaposition at cut points cannot recreate
+    one on this tokenizer because spans are maximal at their true
+    boundaries).
+
+    Scale shape: rides the SAME memoized positional relation and
+    shared-window set as q_exact_substrings (built once per session),
+    plus one doc-keyed span fold and one corpus LEFT join — see
+    :func:`apply_excision_of`.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (dedup family — completes detect →
+    report → REWRITE)."""
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    spans = exact_substring_spans(_exsub_pos(spark, sf_dir), _exsub_shared(spark, sf_dir))
+    return apply_excision_of(docs, spans)
+
+
 CDC_DIVISOR = 16  # expected chunk length in tokens (gear-CDC cut rate)
 
 
@@ -2061,6 +2132,7 @@ QUERIES = {
     "q_dup_spans": _q_dup_spans,
     "q_excise_spans": _q_excise_spans,
     "q_exact_substrings": _q_exact_substrings,
+    "q_apply_excision": _q_apply_excision,
     "q_dedup_exact": _q_dedup_exact,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_containment": _q_dedup_containment,
@@ -2406,6 +2478,42 @@ SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS p0,
        CAST(max(pos) - min(pos) + {EXSUB_L} AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, span_id
+""",
+    "q_apply_excision": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seqs AS (SELECT doc_id,
+                list_transform({shingle_seq_sql("w", EXSUB_L)}, s -> {hash60_sql('s')}) AS hs
+         FROM toks),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS g
+        FROM seqs),
+shared AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM pos JOIN shared USING (g)),
+flag AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= {EXSUB_L} THEN 0 ELSE 1 END AS new_span
+         FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flag),
+spans AS (SELECT doc_id, min(pos) AS p0,
+                 max(pos) - min(pos) + {EXSUB_L} AS span_tokens
+          FROM isl GROUP BY doc_id, span_id),
+tokpos AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS tok
+           FROM toks),
+kept AS (SELECT t.doc_id, t.i, t.tok FROM tokpos t
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = t.doc_id
+                             AND t.i >= s.p0 AND t.i < s.p0 + s.span_tokens)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id),
+orig AS (SELECT doc_id, array_to_string(w, ' ') AS otext, len(w) AS ntok FROM toks)
+SELECT o.doc_id AS doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(o.ntok - COALESCE(c.kept_n, 0) AS BIGINT) AS removed_tokens,
+       CAST(length(o.otext) - length(COALESCE(c.clean_text, '')) AS BIGINT)
+         AS removed_chars
+FROM orig o LEFT JOIN clean c USING (doc_id)
 """,
     "q_excise_spans": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

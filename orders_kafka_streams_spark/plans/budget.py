@@ -172,6 +172,58 @@ def _extract_cached(lines: list[str], subtrees: dict[str, int]) -> str:
 #: EMPTY spec means the whole input relation sorts in ONE task
 _WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
 
+#: partition keys whose cardinality is a CONSTANT of the query — the
+#: probe set (N_QUERIES ids), never a function of corpus size. A
+#: window partitioned ONLY by such a key has a constant partition
+#: count, so without map-side pruning each of its tasks sorts a
+#: corpus-sized slice — the "bounded-partition-count window over an
+#: unbounded partition" hazard VERDICT r8 item 1 asked the gate to
+#: count alongside the unpartitioned case. The sanctioned shape is
+#: rank-filter top-k (``row_number().over(w) <= k``), which Spark's
+#: InferWindowGroupLimit rule (SPARK-37099) plans as
+#: ``WindowGroupLimit(Partial)`` below the shuffle — each SCAN task
+#: keeps only k rows per key before any data moves, so the per-key
+#: merge ranks P·k winners, not the corpus. The gate verifies that
+#: pushdown actually fired instead of trusting the source pattern.
+CONST_CARD_KEYS = frozenset({"query_id"})
+
+#: queries allowed a non-zero ``const_key_windows`` count (a
+#: constant-cardinality-key window WITHOUT the Partial
+#: WindowGroupLimit pushdown), each with the bound that makes the
+#: per-key task safe at 100× — mirrors GLOBAL_WINDOW_WHITELIST.
+#: Every entry below is an exact-rerank window whose INPUT is a
+#: rank-limited shortlist (verified per-window via the r9 plan audit:
+#: the corpus-scale shortlist stages all carry Partial WGL; only the
+#: bounded rerank windows, which reuse the shortlist's query_id
+#: partitioning shuffle-free with a Final-mode WGL, lack one).
+CONST_KEY_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
+    "q_knn_binary": (
+        1,
+        "exact-cosine rerank over <=BINARY_SHORTLIST rows/query — "
+        "rank-limited upstream by the Hamming two-phase WGL stage",
+    ),
+    "q_knn_pq": (
+        1,
+        "exact rerank over <=PQ_RERANK ADC-shortlisted rows/query "
+        "(the ADC corpus stage itself plans Partial WGL)",
+    ),
+    "q_knn_ivfpq": (
+        1,
+        "exact rerank over <=PQ_RERANK ADC-shortlisted rows/query "
+        "(coarse prune + ADC stages all plan Partial WGL)",
+    ),
+    "q_ann_quality": (
+        2,
+        "inherited: the PQ and IVFPQ shortlist reranks (method sweep "
+        "composes those queries verbatim)",
+    ),
+    "q_ann_ndcg": (
+        2,
+        "inherited: the PQ and IVFPQ shortlist reranks (method sweep "
+        "composes those queries verbatim)",
+    ),
+}
+
 #: queries allowed a non-zero ``global_windows`` count, each with the
 #: bound that makes the single-task sort safe at 100× (VERDICT r6
 #: item 4: "explicit documented whitelist for the K-row/dim-table
@@ -218,6 +270,57 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
 }
 
 
+_ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _spec_base_names(node) -> list[str] | None:
+    """The base column names of a window node's partitionSpec, or None
+    if any spec expression is not a plain attribute reference (a
+    computed key is never classified as constant-cardinality)."""
+    names: list[str] = []
+    spec = node.partitionSpec()
+    for i in range(spec.length()):
+        m = _ATTR_RE.match(spec.apply(i).toString())
+        if m is None:
+            return None
+        names.append(m.group(1))
+    return names
+
+
+#: nodes a window's input chain may pass through on the way down to
+#: its map-side WindowGroupLimit(Partial): the final-mode limit, the
+#: sort the window requires, the shuffle, and codegen wrappers
+_CHAIN_PASS = ("SortExec", "ShuffleExchangeExec", "WholeStageCodegenExec", "InputAdapter")
+
+
+def _partial_limit_below(node) -> bool:
+    """True iff a Partial-mode ``WindowGroupLimitExec`` sits in this
+    window node's direct input chain — i.e. InferWindowGroupLimit
+    (SPARK-37099) fired and every scan task prunes to the top-k per
+    key BEFORE the shuffle, making the per-key merge O(P·k) instead
+    of O(corpus). The descent stops at the first node that is not a
+    sort / shuffle / limit / wrapper, because anything else (a join,
+    a scan) means the pruning boundary was never planned."""
+    cur = node
+    while True:
+        cls = cur.getClass().getSimpleName()
+        if cls == "WindowGroupLimitExec":
+            if cur.mode().toString() == "Partial":
+                return True
+            cur = cur.children().apply(0)
+            continue
+        if cls in _CHAIN_PASS:
+            cur = cur.children().apply(0)
+            continue
+        if cls == "AdaptiveSparkPlanExec":
+            cur = cur.initialPlan()
+            continue
+        if cls.endswith("QueryStageExec"):
+            cur = cur.plan()
+            continue
+        return False
+
+
 def _count_exchanges_tree(df: DataFrame) -> int:
     return _walk_plan_facts(df)["exchanges"]
 
@@ -256,7 +359,7 @@ def _walk_plan_facts(df: DataFrame) -> dict[str, int]:
     sc = df.sparkSession.sparkContext
     identity = sc._jvm.java.lang.System.identityHashCode
     seen_builders: set[int] = set()
-    facts = {"exchanges": 0, "global_windows": 0}
+    facts = {"exchanges": 0, "global_windows": 0, "const_key_windows": 0, "wgl_partial": 0}
 
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
@@ -264,8 +367,18 @@ def _walk_plan_facts(df: DataFrame) -> dict[str, int]:
             return
         if cls == "ShuffleExchangeExec":
             facts["exchanges"] += 1
+        if cls == "WindowGroupLimitExec" and node.mode().toString() == "Partial":
+            facts["wgl_partial"] += 1
         if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
             facts["global_windows"] += 1
+        elif cls in ("WindowExec", "WindowInPandasExec"):
+            # constant-cardinality-key window (VERDICT r8 item 1): a
+            # per-probe-key window is only scale-safe when the map-side
+            # Partial WindowGroupLimit prunes each scan slice first
+            names = _spec_base_names(node)
+            if names is not None and set(names) <= CONST_CARD_KEYS:
+                if not _partial_limit_below(node.children().apply(0)):
+                    facts["const_key_windows"] += 1
         if cls == "AdaptiveSparkPlanExec":
             # initialPlan = after EnsureRequirements (exchanges placed),
             # before any runtime re-optimization — the stable form
@@ -303,15 +416,21 @@ def analyze_plan(df: DataFrame) -> dict[str, Any]:
         facts = _walk_plan_facts(df)
         exchanges = facts["exchanges"]
         global_windows = facts["global_windows"]
+        const_key_windows = facts["const_key_windows"]
+        wgl_partial = facts["wgl_partial"]
     except Exception:  # pragma: no cover - py4j API drift safety net
         exchanges = _count_exchanges(plan)
         global_windows = None  # unknown under the string fallback
+        const_key_windows = None
+        wgl_partial = None
     return {
         "exchanges": exchanges,
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,
         "python": python,
         "global_windows": global_windows,
+        "const_key_windows": const_key_windows,
+        "wgl_partial": wgl_partial,
     }
 
 

@@ -148,7 +148,7 @@ COMMENTARY = {
     "q_proximity_search": "proximity query: posexplode collapses AT the two-term filter — only the terms' posting rows reach the one doc_id-keyed join; distance predicate filters per-doc posting pairs (document-length-bounded, not corpus-bounded); rollup per qualifying doc",
     "q_stream_dedup_containment": "streaming containment ingest gate: per-micro-batch excerpt derivation + equality join on shingle hash against the memoized corpus index (explode map-only from cache) — never BASE x BASE; verdict per probe doc is batch-split invariant by construction",
     "q_part_hierarchy": "recursive CTE (Spark 4 WITH RECURSIVE / UnionLoop): each level ONE distributed hash join of the frontier against the part scan, depth = log10(max key) ~ 6 bounded joins at any SF — engine-managed termination, no driver-paced convergence collect()s",
-    "q_knn_binary": "binary-quantization ANN: 16-byte sign masks (32x compression) broadcast-probed map-side, Hamming = two integer bit_count(xor) — no floats until the rerank; per-query shortlist window over Hamming-pruned rows; exact cosine touches BINARY_SHORTLIST vectors per query; integer-exact shortlist makes the full chain hash-checkable",
+    "q_knn_binary": "binary-quantization ANN: 16-byte sign masks (32x compression) broadcast-probed map-side, Hamming = two integer bit_count(xor) — no floats until the rerank; shortlist is two-phase top-k (Partial WindowGroupLimit keeps BINARY_SHORTLIST/query per scan task BEFORE the shuffle; merge ranks P*k winners); rerank reuses the query_id partitioning shuffle-free over the <=BINARY_SHORTLIST survivors; integer-exact shortlist makes the full chain hash-checkable",
     "q_dedup_containment": "asymmetric containment dedup: probe-side AllPairs prefix filter (containment >= t forces a collision inside A's |A|-ceil(t|A|)+1 rarest shingles) joined to the full inverted index — the containee side is unprunable by definition (tiny-doc-in-huge-doc is the point), but probe prefixes are rare so postings stay short; exact intersect verify; no all-pairs",
     "q_source_quota": "per-source quality quota: classifier margin map-side, within-source rank = GROUPED two-pass prefix sum of ones (range partition + pid-local window + broadcast triangular offsets) — a PARTITION BY source window would sort each source's whole corpus slice in ONE task; quota filter map-side",
     "q_stream_source_quota": "streaming admission quota: stateless classifier margin on the ingest plan, then ONE applyInPandasWithState counter per source (state O(sources), no buffer) — admitted set batch-split-invariant under in-order delivery",

@@ -37,6 +37,7 @@ import pytest
 
 from orders_kafka_streams_spark.operators import all_queries
 from orders_kafka_streams_spark.plans.budget import (
+    CONST_KEY_WINDOW_WHITELIST,
     GLOBAL_WINDOW_WHITELIST,
     analyze_plan,
     streaming_query_names,
@@ -125,6 +126,24 @@ def test_plan_budget(name, observed):
             f"sampling.global_prefix_sums / global_row_numbers, or add a "
             f"documented GLOBAL_WINDOW_WHITELIST entry with the bound"
         )
+    # constant-cardinality-key window gate (VERDICT r8 item 1): a
+    # window partitioned only by a probe-set key (query_id) has a
+    # CONSTANT partition count, so unless Spark's InferWindowGroupLimit
+    # planned the map-side Partial WindowGroupLimit (each scan task
+    # keeps top-k per key BEFORE the shuffle), each of its tasks sorts
+    # a corpus-sized slice at 100x — the same hazard class as the
+    # unpartitioned window, just keyed. Whitelisted only for windows
+    # whose input is bounded upstream (shortlist reranks).
+    allowed_ck, _ck_reason = CONST_KEY_WINDOW_WHITELIST.get(name, (0, ""))
+    ckw = got.get("const_key_windows")
+    if ckw is not None:
+        assert ckw <= allowed_ck, (
+            f"{name}: {ckw} constant-cardinality-key window(s) without "
+            f"Partial WindowGroupLimit pushdown > whitelisted {allowed_ck} "
+            f"— write the rank filter as row_number().over(w) <= k so "
+            f"InferWindowGroupLimit fires, or add a documented "
+            f"CONST_KEY_WINDOW_WHITELIST entry with the input bound"
+        )
 
 
 def test_global_window_whitelist_not_stale(observed):
@@ -140,5 +159,18 @@ def test_global_window_whitelist_not_stale(observed):
         # skip, exactly as the sibling gate does, instead of declaring
         # every entry stale on an API-drift day
         if observed[n].get("global_windows") == 0
+    )
+    assert not unneeded, f"whitelist entries no longer needed: {unneeded}"
+
+
+def test_const_key_window_whitelist_not_stale(observed):
+    """Same hygiene for the const-key whitelist: entries must name a
+    registered query and still be needed."""
+    stale = sorted(set(CONST_KEY_WINDOW_WHITELIST) - set(_NAMES))
+    assert not stale, f"whitelist entries for unregistered queries: {stale}"
+    unneeded = sorted(
+        n
+        for n, (allowed, _r) in CONST_KEY_WINDOW_WHITELIST.items()
+        if observed[n].get("const_key_windows") == 0
     )
     assert not unneeded, f"whitelist entries no longer needed: {unneeded}"

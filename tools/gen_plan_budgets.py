@@ -62,6 +62,21 @@ def main() -> None:
     if over:
         raise SystemExit(f"unwhitelisted global windows: {sorted(over)}")
 
+    from orders_kafka_streams_spark.plans.budget import CONST_KEY_WINDOW_WHITELIST
+
+    ck = {n: m["const_key_windows"] for n, m in table.items() if m.get("const_key_windows")}
+    over_ck = {
+        n: c
+        for n, c in ck.items()
+        if c > CONST_KEY_WINDOW_WHITELIST.get(n, (0,))[0]
+    }
+    print(f"{len(ck)} with const-cardinality-key windows lacking Partial WGL pushdown:")
+    for n, c in sorted(ck.items()):
+        mark = " OVER-WHITELIST" if n in over_ck else ""
+        print(f"  {n}: const_key_windows={c}{mark}")
+    if over_ck:
+        raise SystemExit(f"unwhitelisted const-key windows: {sorted(over_ck)}")
+
 
 if __name__ == "__main__":
     main()
