@@ -49,6 +49,43 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+#: HEADLINE growth-control rule (r9, VERDICT r8 item 8). The timed
+#: sf0.1 suite exists to catch regressions ABOVE the per-query noise
+#: floor; every query added to it dilutes that (128 queries ≈ 0.4 s/q
+#: steady, where a 100 ms JIT hiccup is already 25%). Membership
+#: therefore follows a promotion/demotion rule instead of append-only
+#: growth:
+#:
+#: - CAP: HEADLINE stays under 150 entries. At the cap, adding a query
+#:   requires demoting one first.
+#: - REPRESENTATION: each operator family keeps its 2-3 most
+#:   plan-representative members in HEADLINE (the members whose
+#:   physical plans cover the family's distinct scale shapes); further
+#:   variants of an already-represented plan shape are SMOKE_ONLY.
+#: - DEMOTION target: a query is demoted when its plan shape is a
+#:   strict twin of a retained member AND any tier where its behavior
+#:   genuinely differs (skew cap, adversarial corpus) keeps a
+#:   committed budget for it.
+#: - SMOKE_ONLY queries keep full coverage elsewhere: the correctness
+#:   oracle runs every registered query at sf0.01, and
+#:   tests/scale_smoke.py drives the ENTIRE registry at sf0.1 (and
+#:   .benchdata/sf1) under a per-query latency budget — the coarse
+#:   regression gate for everything outside HEADLINE.
+#:
+#: Applied once at r9 (the rule's first exercise): demoted
+#: q_item_cooccurrence_capped (plan twin of q_item_cooccurrence; both
+#: keep sf1 + sf1skew budgets, where the cap is actually measurable),
+#: q_percentile_interp (4th member of the exact-quantile family —
+#: q_percentile_distributed + its streaming twin +
+#: q_char_budget_quantiles stay; keeps its sf1skew budget), and
+#: q_logrank (same O(days)-cell running-stats plan as the retained
+#: q_msprt / q_survival_km family reps).
+SMOKE_ONLY = [
+    "q_item_cooccurrence_capped",
+    "q_percentile_interp",
+    "q_logrank",
+]
+
 HEADLINE = [
     "q_pipeline",
     "q_tpch_q1",
@@ -136,7 +173,6 @@ HEADLINE = [
     "q_roc_auc",
     "q_seasonal_outliers",
     "q_item_cooccurrence",
-    "q_item_cooccurrence_capped",
     "q_stream_phrase_search",
     "q_ivm_refresh",
     "q_table_diff",
@@ -150,7 +186,6 @@ HEADLINE = [
     "q_matryoshka",
     "q_linkage_weights",
     "q_msprt",
-    "q_logrank",
     # r6 additions: the experimentation/trend/profile family growth
     "q_bh_fdr",
     "q_kruskal",
@@ -190,8 +225,6 @@ HEADLINE = [
     "q_proximity_search",
     # r8: streaming binary-signature index ingest
     "q_stream_knn_binary_ingest",
-    # r8: exact interpolated percentiles (the quantile family's 4th form)
-    "q_percentile_interp",
     # r8: containment keep/drop artifact (rides the memoized pair relation)
     "q_containment_keep",
     # r8: the mixture datasheet (second capstone composition)
@@ -200,6 +233,20 @@ HEADLINE = [
     "q_stream_pit_enrich",
     # r8: TextRank keyword extraction (weighted PageRank over word graph)
     "q_textrank_keywords",
+    # r9: the ExactSubstr REWRITE artifact (span surgery over the
+    # shared exsub relation — detect -> report -> apply completed)
+    "q_apply_excision",
+    # r9: deterministic corpus-wide training-order shuffle (two-pass
+    # rank family; the natural consumer of q_shard_layout)
+    "q_global_shuffle",
+    # r9: the redacted-corpus artifact (map-only regex, zero shuffles —
+    # the privacy family's detect -> apply completion)
+    "q_apply_redaction",
+    # r9 capstone: gates + span excision + redaction -> the shippable
+    # cleaned corpus in one lazy plan
+    "q_clean_corpus",
+    # r9: mean-centering applied (the embedding family's apply step)
+    "q_emb_center",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline
@@ -230,6 +277,10 @@ SF1_HEAVY = [
     # one new shape whose fan-out grows with corpus size — pinned at
     # sf1 (10x docs, including the 100x-length skew doc's twin corpus)
     "q_dedup_containment",
+    # r9 (VERDICT r8 item 5): the span surgery rides the same exsub
+    # positional relation — the 100x skew doc is exactly what stresses
+    # the L-window histogram plus the per-doc cuts-array join
+    "q_apply_excision",
 ]
 
 #: r7 (VERDICT r6 item 5): run ONLY in the sf1skew tier — the skew
@@ -263,6 +314,12 @@ SKEW_STATS = [
     "q_ccnet_buckets",
     # r8: the interpolated-percentile fourth form joins its family here
     "q_percentile_interp",
+    # r9 (VERDICT r8 item 5): the capstone flags relation + grouped
+    # two-pass quota rank, budget-gated on the 0.8N-dominant-source
+    # adversarial corpus
+    "q_mixture_manifest",
+    # r9: the global-shuffle two-pass rank joins its family here
+    "q_global_shuffle",
 ]
 
 #: the round-1 comparable subset (BENCH_r01's exact query list) —

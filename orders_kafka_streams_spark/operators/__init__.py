@@ -60,20 +60,25 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-8 rewrites (VERDICT r7 items 1-2): previously verified,
-    # re-hash after the change
-    "q_item_cooccurrence",  # distinct-basket compression + triangle bucketing
-    "q_item_cooccurrence_capped",  # shares the memoized basket relation
-    "q_kcenter_coreset",  # default path now tournament FPS (oracle dispatched)
-    # r8 additions verified only by the builder's driver-sim so far —
+    # round-9 ANN rank rewrites (VERDICT r8 item 1): the two hybrid
+    # queries now rank through the grouped two-pass form, and the
+    # other four are pinned by the new const_key_windows plan gate —
+    # all previously verified, re-hash after the change
+    "q_hybrid_search",
+    "q_hybrid_search_ann",
+    "q_knn_binary",
+    "q_knn_brute",
+    "q_hard_negatives",
+    "q_matryoshka",
+    # r9 additions verified only by the builder's driver-sim so far —
     # the hard driver signal should land on them first
-    "q_exact_substrings",
-    "q_stream_percentile_distributed",
-    # r8 touched the shared two-pass helpers (_stripe_parts cap): one
-    # representative per helper form stays pinned
-    "q_percentile_distributed",
-    "q_cusum",
-    "q_seq_pack",
+    "q_apply_excision",
+    "q_global_shuffle",
+    "q_apply_redaction",
+    "q_stream_apply_excision",
+    "q_clean_corpus",
+    "q_stream_clean_corpus",
+    "q_emb_center",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

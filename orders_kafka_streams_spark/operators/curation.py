@@ -702,9 +702,109 @@ def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPABLE cleaned corpus — the r9 capstone completing
+    detect → report → APPLY at corpus level: the doc-level gates
+    (classifier margin ∩ near-dup keep ∩ decontamination — exactly
+    q_prepare_training's survivor set) select WHICH docs ship, then
+    the TEXT-level surgeries rewrite what ships: exact-substring span
+    excision (dedup.apply_excision_of against the corpus-wide
+    duplicated-window set) followed by PII redaction (the privacy
+    family's pattern chain over the PII fixture stream — the fixture
+    keeps redaction non-vacuous on synthetic data; swap the
+    augmentation for the raw column in production). One row per
+    surviving doc: (doc_id, source, final_text, n_tokens_final,
+    removed_tokens, n_redactions).
+
+    Scale shape: the gates are 2 semi-joins + 1 anti-join on doc_id
+    over memoized relations (token cache, near-dup pair relation,
+    contamination cells); the surgery adds one doc-keyed span fold +
+    LEFT join (apply_excision_of); redaction is map-only regex in the
+    same stage — no row explosion anywhere, the corpus text crosses
+    the wire once.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation capstone family)."""
+    from .dedup import _exsub_pos, _exsub_shared, exact_substring_spans
+
+    survivors = clean_survivors(spark, sf_dir)
+    spans = exact_substring_spans(_exsub_pos(spark, sf_dir), _exsub_shared(spark, sf_dir))
+    return surgery_and_redact(survivors, spans)
+
+
+def clean_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's survivor relation (doc_id, source, text) —
+    session-memoized: the batch capstone consumes it once, the
+    streaming twin's admission gate probes it every micro-batch and
+    must not re-run the gate joins per trigger."""
+    from .dedup import QUERIES as _DQ
+    from .dedup import _memo_persist
+    from ..functions.textfns import tokens
+
+    def build() -> DataFrame:
+        cls_keep = (
+            _q_quality_classifier(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+        )
+        dedup_keep = (
+            _DQ["q_dedup_keep"](spark, sf_dir).filter(F.col("keep")).select("doc_id")
+        )
+        contaminated = (
+            _contam_per_doc(spark, sf_dir)
+            .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
+            .select("doc_id")
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        return (
+            docs.filter(
+                (F.col("doc_id") >= BENCH_DOCS) & (F.size(tokens(F.col("text"))) > 0)
+            )
+            .join(cls_keep, "doc_id", "semi")
+            .join(dedup_keep, "doc_id", "semi")
+            .join(contaminated, "doc_id", "anti")
+        )
+
+    return _memo_persist(spark, sf_dir, "clean_survivors", build)
+
+
+def surgery_and_redact(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Text-level APPLY stage shared by the batch capstone and its
+    streaming twin: excise the given spans from (doc_id, source,
+    text), then run the privacy family's fixture augmentation +
+    redaction chain — see _q_clean_corpus for semantics."""
+    from ..functions.textfns import tokens
+    from .dedup import apply_excision_of
+    from .privacy import PII_PATTERNS, pii_augmented_text
+
+    cleaned = apply_excision_of(docs.select("doc_id", "text"), spans)
+    n_tokens_final = (
+        F.size(tokens(F.col("text"))) - F.col("removed_tokens")
+    ).alias("n_tokens_final")
+    base = (
+        docs.join(cleaned.select("doc_id", "clean_text", "removed_tokens"), "doc_id")
+        .select("doc_id", "source", n_tokens_final, "removed_tokens",
+                F.col("clean_text").alias("text"))
+    )
+    aug = base.withColumn("text", pii_augmented_text())
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    n_red = sum(
+        (F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS), F.lit(0)
+    )
+    return aug.select(
+        "doc_id",
+        "source",
+        red.alias("final_text"),
+        F.col("n_tokens_final").cast("long"),
+        "removed_tokens",
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
 QUERIES = {
     "q_drop_ledger": _q_drop_ledger,
     "q_mixture_manifest": _q_mixture_manifest,
+    "q_clean_corpus": _q_clean_corpus,
     "q_source_quota": _q_source_quota,
     "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
@@ -807,7 +907,76 @@ clskeep AS (
 )"""
 
 
+def _clean_corpus_oracle() -> str:
+    """DuckDB twin of _q_clean_corpus: the gates CTE (shared with the
+    other capstones) ∩ the exsub span surgery (the q_apply_excision
+    shape over the shared toks CTE) → the privacy family's fixture
+    augmentation + redaction chain."""
+    from ..functions.textfns import shingle_seq_sql
+    from .dedup import EXSUB_L
+    from .privacy import _AUG_SQL, _red_sql, PII_PATTERNS
+
+    seq16 = shingle_seq_sql("w", EXSUB_L)
+    n_red = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return (
+        _SHINGLED_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _GATES_CTE
+        + f""",
+survivors AS (
+  SELECT t.doc_id, d.source, t.w
+  FROM toks t
+  JOIN documents d ON t.doc_id = d.doc_id
+  JOIN keepers k ON t.doc_id = k.doc_id
+  JOIN clskeep q ON t.doc_id = q.doc_id
+  WHERE t.doc_id >= {BENCH_DOCS} AND len(t.w) > 0
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+eseqs AS (SELECT doc_id, list_transform({seq16}, s -> {hash60_sql('s')}) AS hs
+          FROM toks),
+epos AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS g
+         FROM eseqs),
+eshared AS (SELECT g FROM epos GROUP BY g HAVING count(*) >= 2),
+edup AS (SELECT doc_id, pos FROM epos JOIN eshared USING (g)),
+eflag AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= {EXSUB_L} THEN 0 ELSE 1 END AS new_span
+          FROM edup),
+eisl AS (SELECT doc_id, pos,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM eflag),
+espans AS (SELECT doc_id, min(pos) AS p0,
+                  max(pos) - min(pos) + {EXSUB_L} AS span_tokens
+           FROM eisl GROUP BY doc_id, span_id),
+tokpos AS (SELECT s.doc_id, generate_subscripts(s.w, 1) - 1 AS i, unnest(s.w) AS tok
+           FROM survivors s),
+ekept AS (SELECT t.doc_id, t.i, t.tok FROM tokpos t
+          WHERE NOT EXISTS (SELECT 1 FROM espans e
+                            WHERE e.doc_id = t.doc_id
+                              AND t.i >= e.p0 AND t.i < e.p0 + e.span_tokens)),
+eclean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                  count(*) AS kept_n
+           FROM ekept GROUP BY doc_id),
+cbase AS (SELECT s.doc_id, s.source,
+                 CAST(COALESCE(c.kept_n, 0) AS BIGINT) AS n_tokens_final,
+                 CAST(len(s.w) - COALESCE(c.kept_n, 0) AS BIGINT) AS removed_tokens,
+                 COALESCE(c.clean_text, '') AS text
+          FROM survivors s LEFT JOIN eclean c ON s.doc_id = c.doc_id),
+caug AS (SELECT doc_id, source, n_tokens_final, removed_tokens, {_AUG_SQL} AS text
+         FROM cbase)
+SELECT doc_id, source,
+       {_red_sql()} AS final_text,
+       n_tokens_final,
+       removed_tokens,
+       CAST({n_red} AS BIGINT) AS n_redactions
+FROM caug
+"""
+    )
+
+
 ORACLE = {
+    "q_clean_corpus": _clean_corpus_oracle(),
     "q_dsir_weights": f"""
 WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
 f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),

@@ -309,8 +309,48 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(load_table(spark, sf_dir, "documents"))
 
 
+def apply_redaction_of(docs: DataFrame) -> DataFrame:
+    """Materialize the REDACTED corpus — the artifact the release
+    actually ships (q_pii_scan reports the accounting; this applies
+    it): every PII span replaced by its typed placeholder, in the
+    library's fixed pattern order, plus the per-doc audit columns
+    (n_redactions counted on the pre-redaction text — the same basis
+    as the scan — and the char delta).
+
+    Scale shape: map-only regex inside whole-stage codegen, zero
+    shuffles, zero Python — the redacted corpus streams straight from
+    the scan stage to the sink. The detect → apply symmetry mirrors
+    q_exact_substrings → q_apply_excision in the dedup family."""
+    aug = docs.select("doc_id", "source", pii_augmented_text().alias("text"))
+    red = F.col("text")
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    n_red = sum(
+        (F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS),
+        F.lit(0),
+    )
+    return aug.select(
+        "doc_id",
+        "source",
+        red.alias("redacted_text"),
+        n_red.cast("long").alias("n_redactions"),
+        (F.length(red) - F.length("text")).cast("long").alias("delta"),
+    )
+
+
+def _q_apply_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redacted-corpus artifact over the documents table (every
+    doc appears; clean docs pass through with n_redactions = 0).
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (privacy/curation family — completes
+    detect → report → APPLY)."""
+    return apply_redaction_of(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "q_pii_scan": _q_pii_scan,
+    "q_apply_redaction": _q_apply_redaction,
     "q_pseudonymize": _q_pseudonymize,
     "q_k_anonymity": _q_k_anonymity,
     "q_l_diversity": _q_l_diversity,
@@ -325,27 +365,37 @@ _DP_U = (
     + f" / 1152921504606846976.0 - 0.5, {DP_U_FLOOR!r})"
 )
 
+#: DuckDB mirror of pii_augmented_text (same injection arithmetic)
+_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 3 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 2 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 5 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END"
+)
+
+
+def _red_sql() -> str:
+    """The full redaction chain over the aug CTE's text column."""
+    red = "text"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return red
+
+
 def _pii_doc_cte() -> str:
     """The per-doc scan as a DuckDB CTE prefix (mirrors
     pii_augmented_text + pii_doc_scan: same injection arithmetic,
     same patterns, same redaction order; DuckDB's regexp_replace
     needs the explicit 'g' flag to match Spark's replace-all)."""
-    aug = (
-        "text"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
-        " || '@example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 3 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)"
-        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
-        " || CASE WHEN doc_id % 17 = 2 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
-        " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
-        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END"
-        " || CASE WHEN doc_id % 13 = 5 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
-        " || '.' || CAST(doc_id % 250 AS VARCHAR)"
-        " || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END"
-    )
-    red = "text"
-    for _, pat, rep in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    aug = _AUG_SQL
+    red = _red_sql()
     counts = ",\n         ".join(
         f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in PII_PATTERNS
     )
@@ -387,8 +437,26 @@ ORDER BY source
 """
 
 
+def _apply_redaction_oracle_sql() -> str:
+    """The redacted-corpus artifact (the q_apply_redaction oracle)."""
+    n_red = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source, {_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id, source,
+       {_red_sql()} AS redacted_text,
+       CAST({n_red} AS BIGINT) AS n_redactions,
+       CAST(length({_red_sql()}) - length(text) AS BIGINT) AS delta
+FROM aug
+"""
+
+
 ORACLE = {
     "q_pii_scan": _pii_oracle_sql(),
+    "q_apply_redaction": _apply_redaction_oracle_sql(),
     "q_dp_histogram": f"""
 WITH cells AS (
   SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -356,6 +356,66 @@ def striped_shards(
     )
 
 
+#: seed prefix of the deterministic global training-order shuffle —
+#: bump to reshuffle; the permutation is a pure function of (seed,
+#: doc_id) so re-runs and engines agree bit-exactly
+GSHUF_SEED = "gshuf1:"
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = N_SHARDS, n_parts=None, memo=None):
+    """(doc_id, shuffle_pos, shard, pos_in_shard): the deterministic
+    corpus-wide training-order permutation (VERDICT r8 item 4) — the
+    "shuffle the mixture before sharding" step every training run
+    needs between curation and shard writing. Order = the portable
+    60-bit hash of (seed || doc_id): pseudo-random, seed-replayable,
+    append-unstable BY DESIGN (a global shuffle must re-deal when the
+    corpus changes — the append-stable assignment is q_shard_layout's
+    hash method). Shards are CONTIGUOUS equal blocks of the permuted
+    order (block = ceil(n / n_shards)), so a reader streams shard k
+    as positions [k·block, (k+1)·block) and the within-shard order IS
+    the training order — unlike modulo dealing, which interleaves.
+
+    Scale shape: rank over the total order (hash, doc_id) via the
+    grouped two-pass form (:func:`global_row_numbers` — range
+    partition + arithmetic local indices + broadcast triangular
+    offsets; no single-task window anywhere), one 1-row count
+    broadcast for the block size. Both passes partition-count
+    invariant (property-tested), so the permutation is identical on
+    32 local threads or 1000 executors."""
+    keyed = docs.select(
+        "doc_id", hash60(F.concat(F.lit(GSHUF_SEED), F.col("doc_id").cast("string"))).alias("k")
+    )
+    ranked = global_row_numbers(keyed, ["k", "doc_id"], n_parts, memo=memo)
+    tot = docs.agg(F.count(F.lit(1)).alias("_n"))
+    block = F.expr(f"(_n + {n_shards - 1}) div {n_shards}")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("rn").alias("shuffle_pos"),
+            F.floor((F.col("rn") - 1) / block).cast("int").alias("shard"),
+            ((F.col("rn") - 1) % block + 1).alias("pos_in_shard"),
+        )
+    )
+
+
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`global_shuffle` over the documents
+    corpus — the permutation relation a shard writer consumes
+    directly after q_mixture_manifest / q_prepare_training.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling/curation family)."""
+    from .dedup import _memo_persist
+
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return global_shuffle(
+        docs,
+        N_SHARDS,
+        memo=lambda build: _memo_persist(spark, sf_dir, "gshuf_rn:documents", build),
+    )
+
+
 def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard assignment audit — two strategies side by side:
     (a) HASH sharding (append-stable, coordination-free, the default)
@@ -831,6 +891,7 @@ QUERIES = {
     "q_neyman_alloc": _q_neyman_alloc,
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
+    "q_global_shuffle": _q_global_shuffle,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
@@ -841,6 +902,20 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_global_shuffle": f"""
+WITH base AS (
+  SELECT doc_id,
+         {hash60_sql(f"'{GSHUF_SEED}' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents),
+tot AS (SELECT (count(*) + {N_SHARDS - 1}) // {N_SHARDS} AS block FROM base),
+rn AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS shuffle_pos
+       FROM base)
+SELECT r.doc_id AS doc_id,
+       CAST(r.shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST((r.shuffle_pos - 1) // t.block AS INTEGER) AS shard,
+       CAST((r.shuffle_pos - 1) % t.block + 1 AS BIGINT) AS pos_in_shard
+FROM rn r, tot t
+""",
     "q_neyman_alloc": _neyman_oracle(),
     "q_char_budget_quantiles": _char_budget_oracle(),
     "q_temporal_split_embargo": _temporal_split_oracle(),

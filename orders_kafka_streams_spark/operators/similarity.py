@@ -422,6 +422,52 @@ def _q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centering APPLIED — the fix q_emb_stats prescribes
+    (Mu & Viswanath 2018, "All-but-the-Top": subtract the common mean
+    direction and cosine contrast returns). One row per vector with
+    the before/after geometry a re-indexing job audits: pre_norm,
+    post_norm (norm after subtracting the corpus mean), and
+    cos_to_mean (how much of the vector WAS the common direction).
+    Completes detect (q_emb_stats) → locate (q_emb_principal) →
+    APPLY for the embedding family — the r9 apply-theme.
+
+    Float contract: the per-dim means are rounded at 1e-9 BEFORE use
+    (engine sum order differs across a corpus aggregate — the
+    q_emb_principal cell contract); everything downstream is strict
+    left-fold arithmetic over (vector, mean) arrays, bit-identical on
+    both engines, with 6-dp output rounding.
+
+    Scale shape: one posexplode pass partial-aggregated to 64
+    (pos, mean) cells; the mean VECTOR re-folds as a 1-row relation
+    crossJoin-broadcast onto the corpus; per-vector outputs are
+    map-only codegen folds — no shuffle ever carries vectors.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (similarity family)."""
+    v = _prepared(spark, sf_dir)
+    comp = v.select(F.posexplode("e").alias("pos", "x"))
+    mean = comp.groupBy("pos").agg(F.round(F.avg("x"), 9).alias("m"))
+    mvec = mean.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mv")
+    )
+    centered = F.zip_with(F.col("e"), F.col("mv"), lambda a, b: a - b)
+    return (
+        v.crossJoin(F.broadcast(mvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("nrm"), 6).alias("pre_norm"),
+            F.round(_norm(centered), 6).alias("post_norm"),
+            F.round(
+                _dot(F.col("e"), F.col("mv")) / (F.col("nrm") * _norm(F.col("mv"))), 6
+            ).alias("cos_to_mean"),
+        )
+    )
+
+
 def _q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid via posexplode → per-dim
     avg → re-fold. Two narrow shuffles on (label, pos) then (label)."""
@@ -1781,6 +1827,7 @@ QUERIES = {
     "q_ann_ndcg": _q_ann_ndcg,
     "q_emb_principal": _q_emb_principal,
     "q_emb_stats": _q_emb_stats,
+    "q_emb_center": _q_emb_center,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
@@ -2047,6 +2094,24 @@ scored AS (
   FROM hits
 )
 SELECT hub_rank, neighbor_id, n_hits FROM top WHERE hub_rank <= {HUB_TOP_K}
+""",
+    "q_emb_center": _V_CTE.rstrip()
+    + """,
+comp AS (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v),
+mean AS (SELECT pos, round(avg(x), 9) AS m FROM comp GROUP BY pos),
+mvr AS (SELECT list(m ORDER BY pos) AS mv FROM mean)
+SELECT v.vec_id AS vec_id, v.label AS label,
+       round(v.nrm, 6) AS pre_norm,
+       round(sqrt(list_reduce(
+           list_transform(range(1, 1 + len(v.e)),
+                          i -> (v.e[i] - mvr.mv[i]) * (v.e[i] - mvr.mv[i])),
+           (a, x) -> a + x)), 6) AS post_norm,
+       round(list_reduce(
+           list_transform(range(1, 1 + len(v.e)), i -> v.e[i] * mvr.mv[i]),
+           (a, x) -> a + x)
+         / (v.nrm * sqrt(list_reduce(list_transform(mvr.mv, x -> x * x),
+                                     (a, x) -> a + x))), 6) AS cos_to_mean
+FROM v, mvr
 """,
     "q_emb_stats": """
 WITH comp AS (

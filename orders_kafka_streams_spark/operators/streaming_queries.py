@@ -73,6 +73,15 @@ def _ingest_sink(spark: SparkSession, sf_dir: str, tag: str, stream, per_batch):
 
     q = stream.writeStream.foreachBatch(_fb).trigger(availableNow=True).start()
     _drain(q, tag)
+    if not os.path.isdir(out_path):
+        # zero micro-batches fired, so no parquet was ever written —
+        # surface a clear empty-stream signal instead of the opaque
+        # path-not-found AnalysisException the read-back would throw
+        # (ADVICE r8)
+        raise RuntimeError(
+            f"{tag}: stream produced no micro-batches (empty source at "
+            f"{sf_dir}) — nothing was written to {out_path}"
+        )
     return spark.read.parquet(out_path)
 
 
@@ -1260,6 +1269,74 @@ def _q_stream_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _q_stream_apply_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SURGERY twin (r9): arriving delta documents are
+    cleaned at ingest — each micro-batch derives its positional
+    L-window hashes, probes the memoized corpus-wide duplicated-window
+    set, and applies the token-span excision
+    (dedup.apply_excision_of), emitting (doc_id, clean_text,
+    removed_tokens, removed_chars) for exactly the batch
+    q_apply_excision rows restricted to delta docs. A doc's spans
+    depend only on its own positions plus the static shared set, so
+    the cleaned text is invariant to how the delta is batched (the
+    q_stream_exact_substrings contract, inherited span-for-span)."""
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import (
+        DELTA_MOD,
+        _exsub_shared,
+        apply_excision_of,
+        exact_substring_spans,
+        exsub_pos_of,
+    )
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+    shared = _exsub_shared(spark, sf_dir)  # static, built pre-stream
+
+    def per_batch(batch):
+        batch = batch.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id", "text"
+        )
+        spans = exact_substring_spans(exsub_pos_of(batch), shared)
+        return apply_excision_of(batch, spans)
+
+    return _ingest_sink(spark, sf_dir, "okss-apply-excision", docs, per_batch)
+
+
+def _q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CAPSTONE twin (r9): ship-at-ingest. Arriving delta
+    documents pass the admission gate (semi-join against the memoized
+    corpus survivor relation — quality ∩ near-dup keep ∩
+    decontamination, built once pre-stream) and survivors are
+    surgically cleaned (exact-substring excision vs the memoized
+    corpus shared-window set) and PII-redacted per micro-batch — the
+    full q_clean_corpus artifact produced incrementally. Per-doc
+    independence (own positions + static relations only) makes the
+    output batch-split invariant; equals the batch capstone
+    restricted to delta docs (that restriction IS the oracle)."""
+    from ..streaming.pipeline import documents_file_stream
+    from .curation import clean_survivors, surgery_and_redact
+    from .dedup import DELTA_MOD, _exsub_shared, exact_substring_spans, exsub_pos_of
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+    surv_ids = clean_survivors(spark, sf_dir).select("doc_id")
+    shared = _exsub_shared(spark, sf_dir)  # static, built pre-stream
+
+    def per_batch(batch):
+        sv = (
+            batch.repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "source", "text")
+            .join(surv_ids, "doc_id", "semi")
+        )
+        spans = exact_substring_spans(exsub_pos_of(sv.select("doc_id", "text")), shared)
+        return surgery_and_redact(sv, spans)
+
+    return _ingest_sink(spark, sf_dir, "okss-clean-corpus", docs, per_batch)
+
+
 def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination: arriving document
     micro-batches shingle their own text and probe the held benchmark
@@ -1433,6 +1510,8 @@ QUERIES = {
     "q_stream_dedup_containment": _q_stream_dedup_containment,
     "q_stream_excise_spans": _q_stream_excise_spans,
     "q_stream_exact_substrings": _q_stream_exact_substrings,
+    "q_stream_apply_excision": _q_stream_apply_excision,
+    "q_stream_clean_corpus": _q_stream_clean_corpus,
     "q_stream_phrase_search": _q_stream_phrase_search,
     "q_stream_ivm": _q_stream_ivm,
     "q_state_inspect": _q_state_inspect,
@@ -1739,6 +1818,20 @@ ORACLE["q_stream_excise_spans"] = (
 ORACLE["q_stream_exact_substrings"] = (
     "SELECT * FROM (\n"
     + _DD_ORACLE["q_exact_substrings"]
+    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
+)
+ORACLE["q_stream_apply_excision"] = (
+    "SELECT * FROM (\n"
+    + _DD_ORACLE["q_apply_excision"]
+    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
+)
+
+# the streamed capstone equals the batch clean corpus on delta docs
+from .curation import ORACLE as _CU_ORACLE2  # noqa: E402
+
+ORACLE["q_stream_clean_corpus"] = (
+    "SELECT * FROM (\n"
+    + _CU_ORACLE2["q_clean_corpus"]
     + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
 )
 

@@ -29,7 +29,7 @@ COMMENTARY = {
     "q_clean_pipeline": "quality filter inside scan stage; dedup + stats = 2 exchanges",
     "q_sample_hash": "hash-mod sample is a scan-level predicate; ≤1 exchange",
     "q_dedup_minhash": "signature inline (no explode), LSH band join on compact keys",
-    "q_knn_brute": "query side broadcast; ranking = one window shuffle",
+    "q_knn_brute": "query side broadcast; rank-filter plans as two-phase top-k (Partial WindowGroupLimit map-side, per-query merge over P*k winners — pinned by the const_key_windows gate)",
     "q_knn_ivf": "centroid assignment broadcast; probe join equi on cid",
     "q_funnel": "stage outputs broadcast into next stage's filter; events never shuffle into a join",
     "q_tfidf": "df table broadcast (terms ≪ rows); per-doc ranking = one window shuffle",
@@ -61,8 +61,8 @@ COMMENTARY = {
     "q_knn_pq": "two-stage ADC: (M·K)-row codebook broadcast, keyed argmin windows, exact re-rank only on the shortlist",
     "q_dedup_consensus": "2-of-3 vote over three MEMOIZED pair relations: agreement agg, no method re-runs",
     "q_dedup_embedding": "block-matrix grid: ≤1024-vector cells, numpy matmul in mapInPandas, no driver collect",
-    "q_hybrid_search": "exact RRF baseline: both modalities broadcast the probe set (intentional corpus scan — the recall yardstick for the ANN form)",
-    "q_hybrid_search_ann": "index-backed RRF: LSH (tbl,sig) + posting equi-joins generate candidates, NO nested-loop anywhere",
+    "q_hybrid_search": "exact RRF baseline: both modalities broadcast the probe set (intentional corpus scan — the recall yardstick for the ANN form); full-depth ranks via the grouped two-pass rank, zero per-query windows",
+    "q_hybrid_search_ann": "index-backed RRF: LSH (tbl,sig) + posting equi-joins generate candidates, NO nested-loop anywhere; candidate ranks via the grouped two-pass rank, zero per-query windows",
     "q_knn_lsh": "multi-table LSH: persisted (vec_id,tbl,sig) index, probe = broadcast equi-join, exact rank on candidates only",
     "q_text_langid": "4 ranked profiles broadcast onto doc n-gram ranks: no cartesian, one doc_id window",
     "q_kmeans": "Lloyd unrolled: assignment = K-row broadcast argmin (map-only), update = K·dim cells in the shuffle",
@@ -106,7 +106,7 @@ COMMENTARY = {
     "q_maxsim": "late-interaction MaxSim: bounded 16-subvector probe embedded in ONE Arrow matmul kernel (E·Qᵀ per batch, no join at all), map-side partial max into ONE (doc) cell exchange, stack() fans per-query scores, top-k window over 4 tiny partitions",
     "q_transition_matrix": "Markov transitions: one user_id exchange for the lag window, corpus collapses map-side to |alphabet|² count cells, row-normalizing window over the cell relation only",
     "q_distinct_ngrams": "distinct-n diversity: three explodes partially aggregated to (source, n, gram-hash) cells — grams travel as 60-bit ints, corpus never shuffles — then a 60-cell rollup",
-    "q_hard_negatives": "hard-negative mining: knn_brute's broadcast-probe + window shape with the wrong-label predicate pushed BEFORE ranking — candidates only shrink; ANN variants drop in as the generator at scale",
+    "q_hard_negatives": "hard-negative mining: knn_brute's broadcast-probe + two-phase top-k shape with the wrong-label predicate pushed BEFORE ranking — candidates only shrink; ANN variants drop in as the generator at scale",
     "q_doremi_step": "DoReMi step: rides the memoized source-KL cell relation (referenced 3×; the persist is what keeps the KL subtree single-evaluation), then a |sources|-row fold with two scalar attachments",
     "q_autocorr": "autocorrelation: corpus → hourly count cells in one partial agg, lag pairing is a cell self-join on shifted hour keys (no global-order window), integer-exact Pearson terms",
     "q_fuzzy_join": "blocked fuzzy ER: never all-pairs — candidates from a broadcast block-key equi-join (union of prefix/suffix keys, single-edit recall exact), levenshtein only on in-block pairs, argmin window partitioned by record id",
@@ -126,7 +126,7 @@ COMMENTARY = {
     "q_attribution": "multi-touch attribution: lookback-bounded user_id equi-join caps per-conversion fan-out, one conversion-id window serves all three credit models, |channels| output cells",
     "q_calibration": "calibration/ECE: scored docs collapse to 10 FIXED-width probability bins in one exchange (no min/max pre-pass), ECE attaches back as a 1-row broadcast",
     "q_sample_priority": "priority sampling: scan-level IEEE priority expression, top-(K+1) via TakeOrdered per-partition heaps (no global sort), the only window runs over the K+1-row relation",
-    "q_matryoshka": "Matryoshka audit: probe-bounded broadcast crosses per truncation (the q_ann_quality shape), top-k windows partitioned by query, energy as one map-only fold to |dims| cells",
+    "q_matryoshka": "Matryoshka audit: probe-bounded broadcast crosses per truncation (the q_ann_quality shape), each rank-filter planning Partial WindowGroupLimit map-side, energy as one map-only fold to |dims| cells",
     "q_linkage_weights": "FS linkage estimation: O(N) by design — m from N true key-joined pairs, u from N derangement pairings (never the blocked cross product; the sf1 smoke caught that at N^2/blocks), one sufficient-statistic row",
     "q_msprt": "sequential monitor: corpus collapses to (day, arm) sufficient-statistic cells; the only window is the cumulative running sum over O(days) cells ordered by day",
     "q_logrank": "log-rank test: KM's cell shapes — two user_id min-aggs, (day,group) cells, per-group at-risk running sums over O(days) cells, integer O/E/V terms until the final divisions",
@@ -140,6 +140,11 @@ COMMENTARY = {
     "q_stream_percentile_distributed": "streaming exact percentiles: engine-closed daily windows drain (day,type,value) count cells; localCheckpoint lineage cut (memory-sink self-join trap), then the SAME grouped two-pass prefix-sum rank selection as the batch query — state O(open windows x types x values), no per-group sort buffer",
     "q_stream_bh_fdr": "streaming BH-FDR: engine-closed daily windows drain (day,metric,arm) cells; cumulative windows + per-day rank run over O(days x m) cells; densify by union+re-agg and cutoff by window max (memory-sink self-joins trip analyzer dedup)",
     "q_textrank_keywords": "TextRank keywords: corpus collapses to (word,word) weight cells in one partial-agg exchange; each power step is an edge join + dst agg over O(vocab) cells with 9-dp rounding + localCheckpoint lineage cut; top-k is TakeOrdered — no global window, no rank column (driver compares row sets)",
+    "q_apply_excision": "ExactSubstr rewrite surgery: spans fold to ONE cuts-array per affected doc (span count bounded by doc_len/L), one doc_id LEFT join, token filter vs own doc's array inside codegen — corpus never self-joins, no Python",
+    "q_global_shuffle": "deterministic training-order permutation: seed-hash total order ranked by the grouped two-pass form (range partition + arithmetic local index + broadcast triangular offsets), 1-row count broadcast for block size — zero WindowExec, partition-count invariant",
+    "q_apply_redaction": "redacted-corpus artifact: whole pattern chain + counts in ONE whole-stage-codegen scan stage, zero exchanges, zero Python — redacted text streams scan-to-sink",
+    "q_clean_corpus": "capstone APPLY composition: 2 semi + 1 anti doc_id joins over memoized gate relations select survivors; exsub span fold + ONE left join cuts text; redaction rides the same stage map-only — corpus text crosses the wire once, no row explosion",
+    "q_emb_center": "mean-centering applied: one posexplode pass to 64 mean cells (rounded 1e-9), mean VECTOR re-folds as a 1-row broadcast, per-vector geometry = map-only left folds — no shuffle carries vectors",
     "q_stream_pit_enrich": "streaming PIT enrichment: native stream-static LEFT OUTER join with the interval predicate (no watermark, no state store); interval containment over contiguous SCD2 versions == the batch window-carry; equi-key present so a too-big dim falls back to SMJ/bucketed instead of broadcast",
     "q_mixture_manifest": "mixture datasheet: rides the capstone's memoized gate relations (token cache, keep flags, contam flags) composed as doc_id-keyed semi/anti joins; post-gate quota = grouped two-pass prefix sum of ones over survivors; three |sources|-cell rollups + 1-row broadcast share denominator",
     "q_containment_keep": "containment keep/drop: rides the MEMOIZED pair relation (near-dups only) joined to the shingle-size projection — dominator rule is a doc_id-keyed pair filter + min agg; one left join attaches flags to the corpus",

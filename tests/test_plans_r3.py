@@ -14,9 +14,20 @@ def plan_of(df) -> str:
 
 
 def test_hybrid_ann_no_corpus_scan_per_probe(spark, sf_dir):
+    """Candidate generation must stay equi-join — no corpus scan per
+    probe. Since r9 the full-depth RRF ranks ride the grouped two-pass
+    form (VERDICT r8 item 1), whose triangular-offsets stage is a BNLJ
+    over the ≤n_parts-row per-stripe count relation — bounded by the
+    parallelism knob, never by data, and recorded in
+    plan_budgets.json. So: CartesianProduct stays banned outright, and
+    every BNLJ in the plan must be that offsets pattern (condition on
+    the _apid/_bpid stripe ids, never on corpus columns)."""
+    import re
+
     plan = plan_of(similarity._q_hybrid_search_ann(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "_apid" in m.group(0) or "_bpid" in m.group(0), m.group(0)
 
 
 def test_hybrid_exact_is_the_nested_loop_baseline(spark, sf_dir):
