@@ -211,28 +211,19 @@ def _q_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per training chunk: (doc_id, source, split, chunk_idx,
     chunk_tokens).
 
-    Scale story: every gate reuses a memoized relation the standalone
-    queries already built (token cache, shingle pass, near-dup pair
-    relation), the gates compose as semi-joins on doc_id (no row
-    explosion before chunking), and the split is the append-stable
-    hash predicate — the whole corpus-to-chunks path is 3 semi-joins +
+    Scale story: the gate composition lives in ONE place
+    (:func:`clean_survivors`, session-memoized and shared with the
+    q_clean_corpus capstone — r9 review finding: the block had been
+    duplicated); this query semi-joins the tokenized relation against
+    that survivor set (no row explosion before chunking), and the
+    split is the append-stable hash predicate — the whole
+    corpus-to-chunks path is one semi-join over a memoized relation +
     one map-side explode at 100 TB."""
-    from .dedup import QUERIES as _DQ
-
-    cls_keep = _q_quality_classifier(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    dedup_keep = _DQ["q_dedup_keep"](spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    contaminated = (
-        _contam_per_doc(spark, sf_dir)
-        .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
-        .select("doc_id")
-    )
     base = _tokenized(spark, sf_dir, "source").filter(
         (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
     )
-    survivors = (
-        base.join(cls_keep, "doc_id", "semi")
-        .join(dedup_keep, "doc_id", "semi")
-        .join(contaminated, "doc_id", "anti")
+    survivors = base.join(
+        clean_survivors(spark, sf_dir).select("doc_id"), "doc_id", "semi"
     )
     n = F.size("t")
     n_chunks = (
@@ -771,31 +762,32 @@ def surgery_and_redact(docs: DataFrame, spans: DataFrame) -> DataFrame:
     streaming twin: excise the given spans from (doc_id, source,
     text), then run the privacy family's fixture augmentation +
     redaction chain — see _q_clean_corpus for semantics."""
-    from ..functions.textfns import tokens
     from .dedup import apply_excision_of
-    from .privacy import PII_PATTERNS, pii_augmented_text
+    from .privacy import pii_augmented_text, redaction_cols
 
-    cleaned = apply_excision_of(docs.select("doc_id", "text"), spans)
-    n_tokens_final = (
-        F.size(tokens(F.col("text"))) - F.col("removed_tokens")
-    ).alias("n_tokens_final")
+    cleaned = apply_excision_of(
+        docs.select("doc_id", "text"), spans, keep_token_count=True
+    )
     base = (
-        docs.join(cleaned.select("doc_id", "clean_text", "removed_tokens"), "doc_id")
-        .select("doc_id", "source", n_tokens_final, "removed_tokens",
-                F.col("clean_text").alias("text"))
+        docs.join(
+            cleaned.select("doc_id", "clean_text", "removed_tokens", "kept_tokens"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("kept_tokens").alias("n_tokens_final"),
+            "removed_tokens",
+            F.col("clean_text").alias("text"),
+        )
     )
     aug = base.withColumn("text", pii_augmented_text())
-    red = F.col("text")
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
-    n_red = sum(
-        (F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS), F.lit(0)
-    )
+    red, n_red = redaction_cols()
     return aug.select(
         "doc_id",
         "source",
         red.alias("final_text"),
-        F.col("n_tokens_final").cast("long"),
+        "n_tokens_final",
         "removed_tokens",
         n_red.cast("long").alias("n_redactions"),
     )

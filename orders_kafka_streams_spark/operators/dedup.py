@@ -1457,7 +1457,9 @@ def _q_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def apply_excision_of(docs: DataFrame, spans: DataFrame) -> DataFrame:
+def apply_excision_of(
+    docs: DataFrame, spans: DataFrame, keep_token_count: bool = False
+) -> DataFrame:
     """Materialize the ExactSubstr REWRITE (Lee et al. 2022 §4.1): cut
     every duplicated-substring span out of the token stream and emit
     the cleaned corpus — (doc_id, clean_text, removed_tokens,
@@ -1473,7 +1475,14 @@ def apply_excision_of(docs: DataFrame, spans: DataFrame) -> DataFrame:
     doc_id-keyed LEFT join against the corpus and a map-only
     higher-order filter — each token tests membership against its own
     doc's span array (O(tokens × spans_per_doc) inside codegen, no
-    Python). Nothing is pairwise; the corpus never self-joins."""
+    Python). Nothing is pairwise; the corpus never self-joins.
+
+    ``keep_token_count=True`` additionally emits ``kept_tokens``
+    (= size of the surviving token array) so composing callers
+    (curation.surgery_and_redact) get the final token count for free
+    instead of re-running the tokenizer chain on the original text —
+    the repo's most expensive per-doc expression (r9 review
+    finding)."""
     spans_arr = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("p0", "span_tokens")).alias("cuts")
     )
@@ -1487,6 +1496,9 @@ def apply_excision_of(docs: DataFrame, spans: DataFrame) -> DataFrame:
             cuts, lambda s: (i >= s["p0"]) & (i < s["p0"] + s["span_tokens"])
         ),
     )
+    extra = (
+        [F.size(kept).cast("long").alias("kept_tokens")] if keep_token_count else []
+    )
     return (
         docs.join(spans_arr, "doc_id", "left")
         .withColumn("otext", F.array_join(toks, " "))
@@ -1498,6 +1510,7 @@ def apply_excision_of(docs: DataFrame, spans: DataFrame) -> DataFrame:
             (F.length("otext") - F.length("clean_text")).cast("long").alias(
                 "removed_chars"
             ),
+            *extra,
         )
     )
 

@@ -250,6 +250,23 @@ def pii_augmented_text() -> F.Column:
     return F.concat(F.col("text"), email, phone, govid, ipv4)
 
 
+def redaction_cols(text_col: str = "text"):
+    """(redacted, n_matches) over ``text_col`` — THE redaction chain
+    (fixed pattern order) and its match count (counted on the
+    pre-redaction text, the scan's basis). Single definition shared by
+    the scan audit, the apply artifact, the streaming gate, and the
+    curation capstone (r9 review finding: the chain had been
+    copy-pasted)."""
+    red = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    n = sum(
+        (F.regexp_count(text_col, F.lit(pat)) for _, pat, _ in PII_PATTERNS),
+        F.lit(0),
+    )
+    return red, n
+
+
 def pii_doc_scan(docs: DataFrame) -> DataFrame:
     """Per-document PII verdicts: (doc_id, source, per-kind match
     counts, redaction char delta). A doc's verdict depends only on
@@ -258,9 +275,7 @@ def pii_doc_scan(docs: DataFrame) -> DataFrame:
     (q_stream_pii_gate emits it per micro-batch, batch-split
     invariant by construction). Map-only regex, no shuffle."""
     aug = docs.select("doc_id", "source", pii_augmented_text().alias("text"))
-    red = F.col("text")
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
+    red, _ = redaction_cols()
     return aug.select(
         "doc_id",
         "source",
@@ -322,13 +337,7 @@ def apply_redaction_of(docs: DataFrame) -> DataFrame:
     the scan stage to the sink. The detect → apply symmetry mirrors
     q_exact_substrings → q_apply_excision in the dedup family."""
     aug = docs.select("doc_id", "source", pii_augmented_text().alias("text"))
-    red = F.col("text")
-    for _, pat, rep in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, rep)
-    n_red = sum(
-        (F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS),
-        F.lit(0),
-    )
+    red, n_red = redaction_cols()
     return aug.select(
         "doc_id",
         "source",

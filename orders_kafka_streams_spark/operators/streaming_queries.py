@@ -1826,19 +1826,17 @@ ORACLE["q_stream_apply_excision"] = (
     + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
 )
 
-# the streamed capstone equals the batch clean corpus on delta docs
-from .curation import ORACLE as _CU_ORACLE2  # noqa: E402
-
-ORACLE["q_stream_clean_corpus"] = (
-    "SELECT * FROM (\n"
-    + _CU_ORACLE2["q_clean_corpus"]
-    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
-)
-
 # the streamed quality gate equals the offline batch classifier
 from .curation import ORACLE as _CU_ORACLE
 
 ORACLE["q_stream_quality_gate"] = _CU_ORACLE["q_quality_classifier"]
+
+# the streamed capstone equals the batch clean corpus on delta docs
+ORACLE["q_stream_clean_corpus"] = (
+    "SELECT * FROM (\n"
+    + _CU_ORACLE["q_clean_corpus"]
+    + f"\n) WHERE doc_id % {_EX_DELTA_MOD} = {_EX_DELTA_MOD - 1}"
+)
 
 # the streamed PII gate equals the batch per-doc scan
 from .privacy import _pii_doc_oracle_sql

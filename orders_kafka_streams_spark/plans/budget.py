@@ -289,8 +289,20 @@ def _spec_base_names(node) -> list[str] | None:
 
 #: nodes a window's input chain may pass through on the way down to
 #: its map-side WindowGroupLimit(Partial): the final-mode limit, the
-#: sort the window requires, the shuffle, and codegen wrappers
-_CHAIN_PASS = ("SortExec", "ShuffleExchangeExec", "WholeStageCodegenExec", "InputAdapter")
+#: sort the window requires, the shuffle, codegen wrappers, and
+#: row-preserving Project/Filter nodes (r9 review finding: a pruning
+#: projection between the window and its shuffle must not read as
+#: "pushdown missing" — the descent still stops at the first join,
+#: scan, window, or aggregate, so a WGL belonging to a DIFFERENT
+#: window below can't be reached without crossing a stopping node)
+_CHAIN_PASS = (
+    "SortExec",
+    "ShuffleExchangeExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ProjectExec",
+    "FilterExec",
+)
 
 
 def _partial_limit_below(node) -> bool:

@@ -185,3 +185,25 @@ def test_absolve_transients_caps_remeasures():
     bench._absolve_transients(breaches, remeasure)
     assert n[0] == 5
     assert len(breaches) == 8
+
+
+def test_headline_growth_rule_enforced():
+    """The r9 promotion/demotion rule (VERDICT r8 item 8) is a GATE,
+    not just a comment: the timed suite stays under its cap, demoted
+    queries never silently rejoin, and every demoted query keeps a
+    committed budget in any tier where its behavior genuinely differs
+    (the rule's own demotion criterion)."""
+    import json
+
+    assert len(bench.HEADLINE) < 150, "HEADLINE at/over cap — demote before adding"
+    overlap = set(bench.SMOKE_ONLY) & set(bench.HEADLINE)
+    assert not overlap, f"demoted queries re-added to HEADLINE: {sorted(overlap)}"
+    with open(os.path.join(os.path.dirname(bench.__file__) or ".", "bench_budgets.json")) as fh:
+        budgets = json.load(fh)
+    # demoted queries must not keep stale sf0.1 budgets (they are no
+    # longer timed there), and the scale-tier members keep theirs
+    stale = [q for q in bench.SMOKE_ONLY if q in budgets["sf0.1"]]
+    assert not stale, f"sf0.1 budgets for demoted queries: {stale}"
+    for q in ("q_item_cooccurrence_capped",):
+        assert q in budgets["sf1"] and q in budgets["sf1skew"]
+    assert "q_percentile_interp" in budgets["sf1skew"]

@@ -41,6 +41,49 @@ def test_no_live_pii_in_final_text(clean):
     assert clean.filter(live > 0).count() == 0
 
 
+def test_stream_twin_equals_batch_on_delta(spark, sf_dir, clean):
+    """q_stream_clean_corpus assembles, across micro-batches, exactly
+    the batch capstone restricted to delta docs — the Spark-side face
+    of the driver's delta-scoped oracle (per-doc independence makes
+    batching invisible)."""
+    from orders_kafka_streams_spark.operators.dedup import DELTA_MOD
+    from orders_kafka_streams_spark.operators.streaming_queries import (
+        QUERIES as SQ,
+    )
+
+    got = {
+        tuple(r) for r in SQ["q_stream_clean_corpus"](spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in clean.filter(
+            F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_apply_excision_equals_batch_on_delta(spark, sf_dir):
+    """Same contract for the surgery twin: assembled stream output ==
+    q_apply_excision restricted to delta docs."""
+    from orders_kafka_streams_spark.operators.dedup import DELTA_MOD
+    from orders_kafka_streams_spark.operators.dedup import QUERIES as DQ
+    from orders_kafka_streams_spark.operators.streaming_queries import (
+        QUERIES as SQ,
+    )
+
+    got = {
+        tuple(r) for r in SQ["q_stream_apply_excision"](spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in DQ["q_apply_excision"](spark, sf_dir)
+        .filter(F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1)
+        .collect()
+    }
+    assert got == want
+
+
 def test_counters_sane(clean):
     """removed_tokens/n_redactions/n_tokens_final non-negative; a doc
     can only ship empty if the surgery removed everything (the gates
