@@ -247,6 +247,10 @@ HEADLINE = [
     "q_clean_corpus",
     # r9: mean-centering applied (the embedding family's apply step)
     "q_emb_center",
+    # r9: materialized packed training sequences (packing's apply step)
+    "q_apply_packing",
+    # r9: IVF inverted-list occupancy audit (index-health monitor)
+    "q_ivf_balance",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

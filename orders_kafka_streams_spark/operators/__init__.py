@@ -79,6 +79,8 @@ _RECHECK_FIRST = (
     "q_clean_corpus",
     "q_stream_clean_corpus",
     "q_emb_center",
+    "q_apply_packing",
+    "q_ivf_balance",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

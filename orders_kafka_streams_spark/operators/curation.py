@@ -334,6 +334,51 @@ def seq_pack(per_doc: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def _q_apply_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing APPLIED — materialize the training sequences q_seq_pack
+    only plans: per (source, bin), the docs' token streams concatenate
+    in doc_id order and TRUNCATE at the PACK_BUDGET context boundary
+    (cumsum packing never pads, so truncation is the loss mode —
+    q_pack_efficiency measures it, this ships it). One row per packed
+    sequence: (source, bin, n_docs, raw_tokens, seq_tokens, seq_text)
+    — completing the r9 detect → report → APPLY theme for the packing
+    family.
+
+    Scale shape: bin assignment is the same grouped two-pass prefix
+    sum as q_seq_pack (no per-source window); the assembly groupBy
+    collects per-bin structs whose total size is bounded by
+    PACK_BUDGET + one overflowing doc — a CONSTANT per group however
+    large the corpus — and the concat/slice/join run as codegen array
+    HOFs, no Python.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation/compression family)."""
+    from .sampling import global_prefix_sums
+
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
+    with_bin = global_prefix_sums(
+        per_doc, ["doc_id"], {"cum_excl": "n_tokens"}, part=("source",)
+    ).withColumn("bin", F.floor(F.col("cum_excl") / PACK_BUDGET).cast("long"))
+    joined = with_bin.join(base.select("doc_id", "t"), "doc_id")
+    toks = F.flatten(
+        F.transform(F.array_sort(F.collect_list(F.struct("doc_id", "t"))), lambda s: s["t"])
+    )
+    grouped = joined.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        toks.alias("toks"),
+    )
+    return grouped.select(
+        "source",
+        "bin",
+        "n_docs",
+        "raw_tokens",
+        F.least(F.col("raw_tokens"), F.lit(PACK_BUDGET)).cast("long").alias("seq_tokens"),
+        F.array_join(F.slice("toks", 1, PACK_BUDGET), " ").alias("seq_text"),
+    )
+
+
 PACK_AUDIT_BUDGET = 256  # audit at a context length the sf0.01 corpus actually fills
 
 
@@ -803,6 +848,7 @@ QUERIES = {
     "q_contamination": _q_contamination,
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
+    "q_apply_packing": _q_apply_packing,
     "q_pack_efficiency": _q_pack_efficiency,
     "q_lang_mix": _q_lang_mix,
     "q_quality_classifier": _q_quality_classifier,
@@ -1184,6 +1230,31 @@ SELECT doc_id, source, CAST(u AS INTEGER) AS chunk_idx,
 FROM c, unnest(range(0, n_chunks)) AS t(u)
 """,
     "q_seq_pack": _seq_pack_oracle(PACK_BUDGET),
+    "q_apply_packing": f"""
+WITH toksrc AS (
+  SELECT doc_id, source, {_TOKS} AS w FROM documents
+),
+d AS (
+  SELECT doc_id, source, w, len(w) AS n_tokens FROM toksrc WHERE len(w) > 0
+),
+b AS (
+  SELECT doc_id, source, w, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM d
+),
+g AS (
+  SELECT source, bin, CAST(count(1) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         flatten(list(w ORDER BY doc_id)) AS toks
+  FROM b GROUP BY source, bin
+)
+SELECT source, bin, n_docs, raw_tokens,
+       CAST(least(raw_tokens, {PACK_BUDGET}) AS BIGINT) AS seq_tokens,
+       array_to_string(toks[1:{PACK_BUDGET}], ' ') AS seq_text
+FROM g
+""",
     "q_lang_mix": f"""
 WITH d AS (
   SELECT doc_id, lang, len({_TOKS}) AS n FROM documents WHERE len({_TOKS}) > 0

@@ -269,6 +269,44 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-inverted-list occupancy — the
+    maintenance signal every IVF deployment watches (hot lists make
+    probe cost high-variance and recall list-dependent; the fix is
+    re-training centroids or splitting hot lists). Per cid: list_size,
+    its share of the corpus, and rel_to_mean (size × n_lists /
+    n_vectors — 1.0 is perfectly balanced; the FAISS imbalance_factor
+    is the size-weighted mean of this ratio). Completes the index
+    lifecycle story: build (q_knn_ivf) → serve → MONITOR (this) →
+    re-train (q_kmeans through the same centroid seam).
+
+    Scale shape: rides the same bounded-centroid assignment as
+    q_knn_ivf (broadcast K-row centroid cross, per-vector argmin
+    keyed by vec_id — a data-scaling key); occupancy is one 64-cell
+    aggregation; totals attach as a 1-row broadcast. No global or
+    constant-key window anywhere.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (similarity family)."""
+    v = _prepared(spark, sf_dir)
+    lists = _ivf_assign(v).filter(F.col("crk") == 1).select("vec_id", "cid")
+    occ = lists.groupBy("cid").agg(F.count(F.lit(1)).alias("list_size"))
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("n_lists"), F.sum("list_size").alias("n_vectors")
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "list_size",
+            F.round(F.col("list_size") / F.col("n_vectors"), 6).alias("share"),
+            F.round(
+                F.col("list_size") * F.col("n_lists") / F.col("n_vectors"), 4
+            ).alias("rel_to_mean"),
+        )
+    )
+
+
 #: binary-quantization ANN knobs: Hamming shortlist size per query
 #: before the exact rerank (50 of 500 at sf0.01 = 10% candidate rate).
 BINARY_SHORTLIST = 50
@@ -1828,6 +1866,7 @@ QUERIES = {
     "q_emb_principal": _q_emb_principal,
     "q_emb_stats": _q_emb_stats,
     "q_emb_center": _q_emb_center,
+    "q_ivf_balance": _q_ivf_balance,
     "q_emb_centroid": _q_emb_centroid,
     "q_hybrid_search": _q_hybrid_search,
     "q_hybrid_search_ann": _q_hybrid_search_ann,
@@ -2225,6 +2264,30 @@ FROM ranked WHERE rk <= {TOP_K}
 )
 SELECT query_id, neighbor_id, rk, round(cosine_raw, 6) AS cosine
 FROM ranked WHERE rk <= {TOP_K}
+""",
+    "q_ivf_balance": _V_CTE
+    + f"""
+, c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM v
+  ORDER BY {hash60_sql('vec_id')}, vec_id LIMIT {K_CENTROIDS}
+), assign AS (
+  SELECT v.vec_id, c.cid,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_reduce(list_transform(range(1, 1 + len(v.e)), i -> v.e[i] * c.ce[i]),
+                                (a, x) -> a + x) / (v.nrm * c.cn) DESC,
+                    c.cid ASC) AS INTEGER) AS crk
+  FROM v CROSS JOIN c
+), occ AS (
+  SELECT cid, CAST(count(1) AS BIGINT) AS list_size FROM assign WHERE crk = 1 GROUP BY cid
+), tot AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_lists, CAST(sum(list_size) AS BIGINT) AS n_vectors
+  FROM occ
+)
+SELECT cid, list_size,
+       round(CAST(list_size AS DOUBLE) / n_vectors, 6) AS share,
+       round(CAST(list_size AS DOUBLE) * n_lists / n_vectors, 4) AS rel_to_mean
+FROM occ, tot
 """,
     "q_knn_ivf": _V_CTE
     + f"""

@@ -174,3 +174,42 @@ def test_const_key_window_whitelist_not_stale(observed):
         if observed[n].get("const_key_windows") == 0
     )
     assert not unneeded, f"whitelist entries no longer needed: {unneeded}"
+
+
+def test_const_key_window_fact_mechanics(spark):
+    """Pin the NEW gate's mechanics directly (r9, VERDICT r8 item 1) —
+    not just its effect on the committed registry table:
+
+    - a rank-FILTERED window on a constant-cardinality key plans the
+      map-side Partial WindowGroupLimit (two-phase top-k) and is NOT
+      flagged;
+    - the same window WITHOUT the rank filter (full ranking — no
+      pushdown possible) IS flagged as a const-key window;
+    - a window keyed by a non-probe column is never counted, flagged
+      or not.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        (F.col("id") * 7 % 13).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    topk = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    facts = analyze_plan(topk)
+    assert facts["wgl_partial"] >= 1, "rank filter must plan Partial WGL"
+    assert facts["const_key_windows"] == 0, "two-phase top-k must not be flagged"
+
+    full = df.withColumn("rk", F.row_number().over(w))
+    facts_full = analyze_plan(full)
+    assert facts_full["const_key_windows"] == 1, (
+        "an unfiltered constant-key ranking (no pushdown possible) must be flagged"
+    )
+
+    w_other = Window.partitionBy("neighbor_id").orderBy("score")
+    other = df.withColumn("rk", F.row_number().over(w_other))
+    assert analyze_plan(other)["const_key_windows"] == 0, (
+        "data-scaling keys are not constant-cardinality keys"
+    )
