@@ -251,6 +251,9 @@ HEADLINE = [
     "q_apply_packing",
     # r9: IVF inverted-list occupancy audit (index-health monitor)
     "q_ivf_balance",
+    # r9: span-level benchmark decontamination applied (surgical
+    # alternative to doc-level drops)
+    "q_apply_decontamination",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

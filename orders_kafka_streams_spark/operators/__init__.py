@@ -81,6 +81,7 @@ _RECHECK_FIRST = (
     "q_emb_center",
     "q_apply_packing",
     "q_ivf_balance",
+    "q_apply_decontamination",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

@@ -738,6 +738,46 @@ def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_apply_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination APPLIED: excise every
+    maximal token span of a training doc whose every token lies inside
+    an EXSUB_L-token window that appears VERBATIM in the benchmark
+    suite — the surgical alternative to q_contamination's doc-level
+    drop (dropping a 2k-token doc for one leaked benchmark sentence
+    wastes the other 95%; Lee et al. 2022's ExactSubstr machinery
+    pointed at a reference set instead of the corpus itself). Output:
+    (doc_id, clean_text, removed_tokens, removed_chars) for every
+    corpus doc — untouched docs pass through with removed = 0.
+    tests/test_apply_packing.py pins the closure: after surgery no
+    corpus doc shares an L-window with the benchmark.
+
+    Scale shape: the benchmark window set is doc_id < BENCH_DOCS rows
+    of the SAME memoized positional relation q_exact_substrings built
+    (no second tokenize/hash pass); corpus positions equality-join
+    that set (benchmark-sized, broadcastable at any corpus scale),
+    runs merge per-doc, and the surgery is the shared
+    apply_excision_of join — nothing pairwise, the corpus never
+    self-joins.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation/decontamination family —
+    completes detect (q_contamination) → APPLY)."""
+    from .dedup import _exsub_pos, apply_excision_of, exact_substring_spans
+
+    pos = _exsub_pos(spark, sf_dir)
+    bench_windows = (
+        pos.filter(F.col("doc_id") < BENCH_DOCS).select("g").distinct()
+    )
+    corpus_pos = pos.filter(F.col("doc_id") >= BENCH_DOCS)
+    spans = exact_substring_spans(corpus_pos, bench_windows)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= BENCH_DOCS)
+        .select("doc_id", "text")
+    )
+    return apply_excision_of(corpus, spans)
+
+
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SHIPPABLE cleaned corpus — the r9 capstone completing
     detect → report → APPLY at corpus level: the doc-level gates
@@ -842,6 +882,7 @@ QUERIES = {
     "q_drop_ledger": _q_drop_ledger,
     "q_mixture_manifest": _q_mixture_manifest,
     "q_clean_corpus": _q_clean_corpus,
+    "q_apply_decontamination": _q_apply_decontamination,
     "q_source_quota": _q_source_quota,
     "q_dsir_weights": _q_dsir_weights,
     "q_quality_repetition": _q_quality_repetition,
@@ -1013,8 +1054,56 @@ FROM caug
     )
 
 
+def _apply_decontamination_oracle() -> str:
+    """DuckDB twin of _q_apply_decontamination — the q_apply_excision
+    surgery with the shared-window set swapped for the BENCHMARK
+    window set and the surgery restricted to corpus docs."""
+    from ..functions.textfns import shingle_seq_sql
+    from .dedup import EXSUB_L
+
+    seq16 = shingle_seq_sql("w", EXSUB_L)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+seqs AS (SELECT doc_id, list_transform({seq16}, s -> {hash60_sql('s')}) AS hs
+         FROM toks),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS g
+        FROM seqs),
+bw AS (SELECT DISTINCT g FROM pos WHERE doc_id < {BENCH_DOCS}),
+dup AS (SELECT doc_id, pos FROM pos JOIN bw USING (g)
+        WHERE doc_id >= {BENCH_DOCS}),
+flag AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= {EXSUB_L} THEN 0 ELSE 1 END AS new_span
+         FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flag),
+spans AS (SELECT doc_id, min(pos) AS p0,
+                 max(pos) - min(pos) + {EXSUB_L} AS span_tokens
+          FROM isl GROUP BY doc_id, span_id),
+tokpos AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS tok
+           FROM toks WHERE doc_id >= {BENCH_DOCS}),
+kept AS (SELECT t.doc_id, t.i, t.tok FROM tokpos t
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = t.doc_id
+                             AND t.i >= s.p0 AND t.i < s.p0 + s.span_tokens)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id),
+orig AS (SELECT doc_id, array_to_string(w, ' ') AS otext, len(w) AS ntok
+         FROM toks WHERE doc_id >= {BENCH_DOCS})
+SELECT o.doc_id AS doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(o.ntok - COALESCE(c.kept_n, 0) AS BIGINT) AS removed_tokens,
+       CAST(length(o.otext) - length(COALESCE(c.clean_text, '')) AS BIGINT)
+         AS removed_chars
+FROM orig o LEFT JOIN clean c USING (doc_id)
+"""
+
+
 ORACLE = {
     "q_clean_corpus": _clean_corpus_oracle(),
+    "q_apply_decontamination": _apply_decontamination_oracle(),
     "q_dsir_weights": f"""
 WITH d AS (SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
 f0 AS (SELECT doc_id, lang, list_concat(t, {_SEQ_SQL('t', 2)}) AS fs FROM d),

@@ -66,3 +66,28 @@ def test_ivf_balance_reconciles(spark, sf_dir):
     assert agg["vecs"] == n_vecs
     assert 0 < agg["lists"] <= K_CENTROIDS
     assert abs(agg["share_sum"] - 1.0) < 0.05
+
+
+def test_decontamination_closure(spark, sf_dir):
+    """q_apply_decontamination closure: after the surgery, NO corpus
+    doc shares an EXSUB_L-token window with the benchmark suite — the
+    leak is gone, not just reported."""
+    from orders_kafka_streams_spark.operators.curation import (
+        BENCH_DOCS,
+        QUERIES as CUQ,
+    )
+    from orders_kafka_streams_spark.operators.dedup import exsub_pos_of
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    cleaned = CUQ["q_apply_decontamination"](spark, sf_dir)
+    # the operator must actually fire on this corpus (benchmark docs
+    # are drawn from the same generator, so leaks exist by design)
+    assert cleaned.filter(F.col("removed_tokens") > 0).count() > 0
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BENCH_DOCS
+    )
+    bench_w = exsub_pos_of(bench.select("doc_id", "text")).select("g").distinct()
+    clean_w = exsub_pos_of(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("g")
+    assert clean_w.join(bench_w, "g").count() == 0
