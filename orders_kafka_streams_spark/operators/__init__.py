@@ -60,28 +60,19 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-9 ANN rank rewrites (VERDICT r8 item 1): the two hybrid
-    # queries now rank through the grouped two-pass form, and the
-    # other four are pinned by the new const_key_windows plan gate —
-    # all previously verified, re-hash after the change
+    # round-10 A/B adjudication touches the hybrid rank path (VERDICT
+    # r9 items 1/8): whatever the size-dispatch/budget outcome, the
+    # driver's hard hash signal must land on the pair first
     "q_hybrid_search",
     "q_hybrid_search_ann",
-    "q_knn_binary",
-    "q_knn_brute",
-    "q_hard_negatives",
-    "q_matryoshka",
-    # r9 additions verified only by the builder's driver-sim so far —
-    # the hard driver signal should land on them first
-    "q_apply_excision",
-    "q_global_shuffle",
-    "q_apply_redaction",
-    "q_stream_apply_excision",
-    "q_clean_corpus",
-    "q_stream_clean_corpus",
-    "q_emb_center",
-    "q_apply_packing",
-    "q_ivf_balance",
-    "q_apply_decontamination",
+    # r10 sketch rewrites (VERDICT r9 item 3): previously rows-only,
+    # now oracle-checkable KMV / hash-sample forms — never hash-checked
+    # by the driver before
+    "q_approx_distinct",
+    "q_approx_percentile",
+    # r10 A/B co-regressed families re-verified after any plan change
+    "q_dedup_consensus",
+    "q_semantic_contamination",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

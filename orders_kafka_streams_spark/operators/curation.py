@@ -379,6 +379,105 @@ def _q_apply_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shard fan-out for the materialized sequence shards — sized so the
+#: sf0.01 corpus (~10² packed sequences) still puts >1 sequence per
+#: shard; a production run sets this to the reader's parallelism.
+SEQ_SHARDS = 8
+
+
+def packed_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNED shard relation — q_apply_packing's training
+    sequences composed with q_global_shuffle's deterministic
+    permutation (seeded hash order over seq_key = source#bin): one row
+    per packed sequence with its (shard, pos_in_shard) assignment,
+    shards being CONTIGUOUS equal blocks of the permuted order. This is
+    exactly what a 1000-executor shard writer materializes; kept as a
+    separate function so the write path and the re-read equality test
+    (tests/test_write_shards.py) share one definition."""
+    from .sampling import global_shuffle
+
+    packed = _q_apply_packing(spark, sf_dir).withColumn(
+        "seq_key", F.concat("source", F.lit("#"), F.col("bin").cast("string"))
+    )
+    perm = global_shuffle(
+        packed.select(F.col("seq_key").alias("doc_id")), SEQ_SHARDS
+    ).select(
+        F.col("doc_id").alias("seq_key"), "shuffle_pos", "shard", "pos_in_shard"
+    )
+    return packed.join(perm, "seq_key")
+
+
+def materialized_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the planned shards to parquet (one directory per shard,
+    rows sorted by pos_in_shard) ONCE per Spark application — the
+    q_jsonl_roundtrip marker pattern — and return the directory.
+
+    Scale shape of the write: one hash exchange on shard (SEQ_SHARDS
+    writer tasks, each streaming its sorted block straight to its
+    partition directory); everything upstream is the packing + two-pass
+    permutation plan. At 100 TB the only change is SEQ_SHARDS."""
+    import hashlib
+    import os
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), "okss-shards", key)
+    marker = os.path.join(out, "_WRITTEN")
+    if not os.path.exists(marker):
+        rel = packed_shard_plan(spark, sf_dir)
+        (
+            rel.repartition("shard")
+            .sortWithinPartitions("pos_in_shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    return out
+
+
+def _q_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard write MATERIALIZED and audited (VERDICT r9 item 5 — the
+    last unmaterialized step between q_clean_corpus and a training
+    job): the packed training sequences are permuted by the global
+    shuffle, written as parquet one directory per contiguous shard
+    block, then READ BACK from disk and re-aggregated — so the
+    correctness hash certifies the write→read round trip, not just the
+    plan. Per shard: sequence/doc/token accounting, the block extent
+    (max_pos), an ORDER checksum (Σ pos·hash31(seq_key) — any
+    permutation drift, drop, or duplicate moves it) and a CONTENT
+    checksum (Σ hash31(seq_text) — any payload corruption moves it).
+    The DuckDB oracle recomputes all of it from the raw documents
+    table: packing, permutation, block assignment, both checksums.
+
+    Scale shape: the write is one exchange (see
+    :func:`materialized_shard_dir`); the audit is a scan of the
+    written files + one SEQ_SHARDS-row aggregate.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation / shard layout capstone)."""
+    from ..functions.portable import MERSENNE31
+
+    out = materialized_shard_dir(spark, sf_dir)
+    rd = spark.read.parquet(out)
+    return (
+        rd.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("raw_tokens").alias("raw_tokens"),
+            F.sum("seq_tokens").alias("seq_tokens"),
+            F.max("pos_in_shard").alias("max_pos"),
+            F.sum(
+                F.col("pos_in_shard") * (hash60(F.col("seq_key")) % MERSENNE31)
+            ).alias("order_checksum"),
+            F.sum(hash60(F.col("seq_text")) % MERSENNE31).alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 PACK_AUDIT_BUDGET = 256  # audit at a context length the sf0.01 corpus actually fills
 
 
@@ -890,6 +989,7 @@ QUERIES = {
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
     "q_apply_packing": _q_apply_packing,
+    "q_write_shards": _q_write_shards,
     "q_pack_efficiency": _q_pack_efficiency,
     "q_lang_mix": _q_lang_mix,
     "q_quality_classifier": _q_quality_classifier,
@@ -1344,6 +1444,7 @@ SELECT source, bin, n_docs, raw_tokens,
        array_to_string(toks[1:{PACK_BUDGET}], ' ') AS seq_text
 FROM g
 """,
+    "q_write_shards": None,  # assembled below (needs the gshuf seed)
     "q_lang_mix": f"""
 WITH d AS (
   SELECT doc_id, lang, len({_TOKS}) AS n FROM documents WHERE len({_TOKS}) > 0
@@ -1381,3 +1482,48 @@ SELECT source,
        CAST(max(total_tokens) AS BIGINT) AS max_bin_tokens
 FROM closed GROUP BY source
 """
+
+# shard-writer capstone oracle (VERDICT r9 item 5): recompute packing,
+# the seeded global-shuffle permutation, contiguous block assignment,
+# and both checksums entirely from the raw documents table — the
+# engine side reads them back from the MATERIALIZED parquet, so a hash
+# match certifies the write→read round trip.
+def _write_shards_oracle() -> str:
+    from ..functions.portable import MERSENNE31
+    from .sampling import GSHUF_SEED
+
+    key_h = hash60_sql(f"'{GSHUF_SEED}' || seq_key")
+    seqk_h = hash60_sql("seq_key")
+    text_h = hash60_sql("seq_text")
+    return f"""
+WITH packed AS ({ORACLE["q_apply_packing"]}),
+seqs AS (
+  SELECT source || '#' || CAST(bin AS VARCHAR) AS seq_key,
+         n_docs, raw_tokens, seq_tokens, seq_text
+  FROM packed
+),
+perm AS (
+  SELECT seqs.*,
+         row_number() OVER (ORDER BY {key_h}, seq_key) AS rn,
+         count(1) OVER () AS n
+  FROM seqs
+),
+assigned AS (
+  SELECT *,
+         CAST(floor((rn - 1) / ((n + {SEQ_SHARDS - 1}) // {SEQ_SHARDS})) AS INT) AS shard,
+         (rn - 1) % ((n + {SEQ_SHARDS - 1}) // {SEQ_SHARDS}) + 1 AS pos_in_shard
+  FROM perm
+)
+SELECT shard,
+       CAST(count(1) AS BIGINT) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(raw_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(seq_tokens) AS BIGINT) AS seq_tokens,
+       CAST(max(pos_in_shard) AS BIGINT) AS max_pos,
+       CAST(sum(pos_in_shard * ({seqk_h} % {MERSENNE31})) AS BIGINT) AS order_checksum,
+       CAST(sum({text_h} % {MERSENNE31}) AS BIGINT) AS content_checksum
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+ORACLE["q_write_shards"] = _write_shards_oracle()

@@ -256,7 +256,20 @@ def redaction_cols(text_col: str = "text"):
     pre-redaction text, the scan's basis). Single definition shared by
     the scan audit, the apply artifact, the streaming gate, and the
     curation capstone (r9 review finding: the chain had been
-    copy-pasted)."""
+    copy-pasted).
+
+    n_matches is a SCAN count, not a replacements-performed count
+    (ADVICE r9): because every pattern is counted on the ORIGINAL
+    text, a match consumed by an earlier pattern's replacement (e.g.
+    an ipv4-looking token inside an email already rewritten to
+    <EMAIL>) is still counted even though it never appears redacted in
+    the output. The generator's PII fields are token-disjoint so the
+    two bases coincide on this corpus, and the DuckDB oracle uses the
+    same pre-redaction basis — engine parity holds either way. A
+    replacements-performed count would re-count pattern i on the text
+    after patterns <i applied (one extra regexp pass per pattern in
+    both engines); the scan basis is kept because the audit's consumer
+    is the detector (q_pii_scan), whose denominator is raw text."""
     red = F.col(text_col)
     for _, pat, rep in PII_PATTERNS:
         red = F.regexp_replace(red, pat, rep)

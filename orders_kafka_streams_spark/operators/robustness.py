@@ -5,9 +5,9 @@
   query: malformed JSON records are captured, not crashed on and not
   silently dropped. Every 100th record is deliberately mangled, then
   routed through the PERMISSIVE edge codec (sources/json_edge.py).
-- q_approx_distinct: HLL approx_count_distinct — the 100 TB path for
-  distinct counts (no two-phase expand). Approximation is engine-
-  specific, so no SQL oracle; tests assert <5% relative error vs exact.
+- q_approx_distinct: deterministic KMV sketch next to the exact count
+  — bounded-memory distinct counting whose estimate the DuckDB oracle
+  recomputes bit-for-bit (r10; engine-native HLL error-gated in tests).
 - q_percentile: exact linear-interpolation percentiles (Spark
   ``percentile`` == DuckDB ``quantile_cont``).
 - q_unpivot: wide→long reshape (melt).
@@ -49,27 +49,101 @@ def _q_err_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(c)
 
 
+#: KMV sketch size. Std error ≈ 1/√(K−2) ≈ 3.1% at 1024 — comfortably
+#: inside the 10% test gate for a single deterministic draw.
+KMV_K = 1024
+#: 2^60 — the hash60 value space, exactly representable as a double.
+HASH60_SPACE = 1152921504606846976.0
+#: deterministic sampling modulus for the sampled-quantile sketch:
+#: keep rows whose salted hash ≡ 0 (mod 8) ⇒ a fixed ~12.5% sample.
+QSAMPLE_MOD = 8
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counts via a DETERMINISTIC KMV (K minimum
+    values) sketch (Bar-Yossef et al. 2002) next to the exact counts —
+    the bounded-memory path for distinct counting at 100 TB: each task
+    keeps only its K smallest hashes per group (two-phase top-k: Spark
+    4.1 plans a Partial WindowGroupLimit under the ``row_number ≤ K``
+    filter, so no task ever buffers a group's full hash set), and the
+    estimate is (K−1)·|H|/h_(K) from the K-th smallest 60-bit hash.
+
+    Engine-native HLL (``approx_count_distinct``) does the same job
+    with a smaller sketch but is engine-specific, so its output can't
+    be oracle-diffed; KMV over the portable ``hash60`` is recomputed
+    bit-for-bit by DuckDB (VERDICT r9 item 3 — this replaced the HLL
+    column; the HLL error gate itself lives on in
+    tests/test_robustness.py::test_hll_engine_sketch_error_bound).
+    Groups with fewer than K distinct hashes report the hash count
+    itself (exact up to 60-bit collisions).
+
+    Scale shape: one partial-agg exchange to distinct (flag, h) cells,
+    per-task partial top-K, final top-K per group — shuffle carries at
+    most K rows per group per task. Exact twin pays the full distinct
+    expand; at 100 TB you would drop it and keep only the sketch.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sketches)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.portable import hash60
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    cells = li.select(
+        "l_returnflag", hash60(F.col("l_orderkey")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kmv = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        F.round(F.lit(float(KMV_K - 1)) * F.lit(HASH60_SPACE) / F.col("hk"), 4)
+    )
+    return kmv.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag", est.alias("approx_orders"), "exact_orders"
     )
 
 
 def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via Spark's KLL-style sketch
-    (percentile_approx) next to the exact values — the 100 TB path for
-    quantiles: the sketch merges map-side in O(accuracy) memory per
-    group while exact percentile must shuffle-sort every value. Like
-    q_approx_distinct (HLL), the sketch is engine-specific so there is
-    no DuckDB oracle; tests/test_robustness.py bounds the rank error
-    against the exact twin instead (accuracy=1000 ⇒ rank error ≤ 0.1%,
-    checked as a value-relative bound on this distribution)."""
+    """Approximate percentiles via a DETERMINISTIC salted-hash sample
+    (keep rows with hash60('qpctl'||key) ≡ 0 mod QSAMPLE_MOD — a fixed
+    ~12.5% Bernoulli draw both engines reproduce) next to the exact
+    values — the bounded-work path for quantiles at 100 TB: the sample
+    is a map-side filter, so the expensive exact-quantile machinery
+    runs on N/8 rows. Spark's engine-native KLL sketch
+    (``percentile_approx``) is the smaller-memory alternative but is
+    engine-specific and can't be oracle-diffed (VERDICT r9 item 3 —
+    its error gate lives on in tests/test_robustness.py::
+    test_kll_engine_sketch_error_bound); the hash-sample sketch is
+    recomputed bit-for-bit by DuckDB (same hash, same rows, and
+    ``percentile`` == ``quantile_cont`` already proven by
+    q_percentile).
+
+    Scale shape: one scan, one partial+final agg; the sampled and
+    exact quantiles ride the same aggregation (null-skipping
+    conditional columns), no join. Exact twin kept for the error
+    readout; at 100 TB you would keep only the sampled columns.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sketches)."""
+    from ..functions.portable import hash60
+
     orders = load_table(spark, sf_dir, "orders")
+    keep = (
+        hash60(F.concat(F.lit("qpctl"), F.col("o_orderkey").cast("string")))
+        % QSAMPLE_MOD
+        == 0
+    )
+    sampled = F.when(keep, F.col("o_totalprice"))
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 4).alias("ap50"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000)), 4).alias("ap90"),
+        F.round(F.percentile(sampled, F.lit(0.5)), 4).alias("ap50"),
+        F.round(F.percentile(sampled, F.lit(0.9)), 4).alias("ap90"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
     )
@@ -228,6 +302,52 @@ SELECT event_type, max(n) AS n,
        {sel}
 FROM cum JOIN n USING (event_type)
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _approx_distinct_oracle() -> str:
+    from ..functions.portable import hash60_sql
+
+    h = hash60_sql("l_orderkey")
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT l_returnflag, {h} AS h FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM cells
+),
+kmv AS (
+  SELECT l_returnflag, CAST(count(1) AS BIGINT) AS m, max(h) AS hk
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+            ELSE round({float(KMV_K - 1)!r} * {HASH60_SPACE!r} / hk, 4)
+       END AS approx_orders,
+       exact_orders
+FROM kmv JOIN exact USING (l_returnflag)
+"""
+
+
+def _approx_percentile_oracle() -> str:
+    from ..functions.portable import hash60_sql
+
+    h = hash60_sql("'qpctl' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+SELECT o_orderstatus,
+       round(quantile_cont(CASE WHEN {h} % {QSAMPLE_MOD} = 0
+                           THEN o_totalprice END, 0.5), 4) AS ap50,
+       round(quantile_cont(CASE WHEN {h} % {QSAMPLE_MOD} = 0
+                           THEN o_totalprice END, 0.9), 4) AS ap90,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderstatus
 """
 
 
@@ -400,8 +520,8 @@ SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
        CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt
 FROM flagged
 """,
-    # q_approx_distinct: intentionally no oracle (HLL is engine-specific);
-    # tests/test_robustness.py bounds the relative error instead.
+    "q_approx_distinct": _approx_distinct_oracle(),
+    "q_approx_percentile": _approx_percentile_oracle(),
     "q_percentile": """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

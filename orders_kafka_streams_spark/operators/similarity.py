@@ -1195,6 +1195,37 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: size-dispatch threshold for the full-depth per-query rank (VERDICT
+#: r9 item 1): below this many TOTAL candidate rows the plain
+#: ``Window.partitionBy(query_id)`` rank wins — one exchange, one
+#: in-task sort of ≤ threshold rows — and the interleaved r10 A/B
+#: measured the two-pass form costing 1.5-1.9× at sf0.1 (its extra
+#: range-partition exchange + offsets broadcast + rebase join are pure
+#: overhead at this size). Above it the window form is the 100×
+#: scale-killer (one task sorts a corpus slice) and the grouped
+#: two-pass rank takes over. The estimate is a construction-time
+#: UPPER BOUND (N_QUERIES × corpus rows from parquet footer metadata —
+#: no Spark job), so growth can only flip dispatch TOWARD the
+#: scale-safe form. 2M rows ≈ tens of MB of (long,long,double) —
+#: comfortably one task's sort on any executor profile.
+RANK_WINDOW_MAX_CANDIDATES = 2_000_000
+
+
+def _corpus_rows_hint(sf_dir: str, table: str = "embeddings") -> int | None:
+    """Row count from the parquet FOOTER (driver-side metadata read, no
+    Spark job — safe at plan-construction time). None if unreadable:
+    callers must then choose the scale-safe form."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _per_query_rank(
     spark: SparkSession,
     sf_dir: str,
@@ -1202,19 +1233,45 @@ def _per_query_rank(
     scored: DataFrame,
     score_col: str,
     rank_name: str,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) — per-query 1-based rank by
-    (score DESC, neighbor_id) WITHOUT a constant-cardinality-key
-    window (VERDICT r8 item 1). RRF consumes every candidate's FULL
-    rank (no top-k cut), so InferWindowGroupLimit cannot fire and a
-    ``Window.partitionBy(query_id)`` would sort each query's whole
-    candidate slice in ONE task. Instead: the grouped two-pass rank
-    the stats family standardized on (sampling.global_row_numbers —
-    range partition on the total order (query_id, −score,
-    neighbor_id), pid-local arithmetic row numbers, broadcast
-    triangular offsets), rebased per query by subtracting the query's
-    min global row number (an N_QUERIES-cell aggregate, broadcast
-    back). Bit-identical to the window form; zero WindowExec nodes."""
+    (score DESC, neighbor_id), SIZE-DISPATCHED (VERDICT r9 item 1).
+
+    RRF consumes every candidate's FULL rank (no top-k cut), so
+    InferWindowGroupLimit cannot fire and a
+    ``Window.partitionBy(query_id)`` sorts each query's whole
+    candidate slice in ONE task — the 100× scale-killer VERDICT r8
+    item 1 retired. But the r10 interleaved A/B showed the scale-safe
+    replacement (grouped two-pass rank) costs 1.5-1.9× at sf0.1, where
+    the slices are tiny. So: ``n_hint`` (a construction-time UPPER
+    BOUND on total candidate rows, from parquet footer metadata) picks
+    the form —
+
+    - ``n_hint ≤ RANK_WINDOW_MAX_CANDIDATES``: the window form. The
+      per-task sort is bounded by the hint, which bounds it by the
+      threshold — a whitelisted const-key window
+      (plans/budget.CONST_KEY_WINDOW_WHITELIST documents the bound).
+    - otherwise (or no hint): the grouped two-pass rank
+      (sampling.global_row_numbers — range partition on the total
+      order (query_id, −score, neighbor_id), pid-local arithmetic row
+      numbers, broadcast triangular offsets), rebased per query by
+      subtracting the query's min global row number (an
+      N_QUERIES-cell aggregate, broadcast back). Zero WindowExec
+      nodes; no task ever sorts more than a stripe.
+
+    The two forms are bit-identical (tests/test_rank_dispatch.py
+    asserts equality on the same scored relation), so dispatch only
+    moves the physical plan, never the result."""
+    if n_hint is not None and n_hint <= RANK_WINDOW_MAX_CANDIDATES:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        return scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("int").alias(rank_name),
+        )
     from .dedup import _memo_persist
     from .sampling import global_row_numbers
 
@@ -1277,7 +1334,13 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .select("query_id", "neighbor_id", "cos")
     )
-    vec_rank = _per_query_rank(spark, sf_dir, "hyb_vec_rn", scored_v, "cos", "vec_rank")
+    emb_rows = _corpus_rows_hint(sf_dir, "embeddings")
+    doc_rows = _corpus_rows_hint(sf_dir, "documents")
+    vec_hint = N_QUERIES * emb_rows if emb_rows is not None else None
+    lex_hint = N_QUERIES * doc_rows if doc_rows is not None else None
+    vec_rank = _per_query_rank(
+        spark, sf_dir, "hyb_vec_rn", scored_v, "cos", "vec_rank", n_hint=vec_hint
+    )
     sh = _shingled_cached(spark, sf_dir)
     p = sh.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("psh")
@@ -1290,7 +1353,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "overlap")
     )
     lex_rank = _per_query_rank(
-        spark, sf_dir, "hyb_lex_rn", scored_l, "overlap", "lex_rank"
+        spark, sf_dir, "hyb_lex_rn", scored_l, "overlap", "lex_rank", n_hint=lex_hint
     )
     rrf = 1.0 / (F.lit(RRF_K) + F.col("lex_rank")) + 1.0 / (
         F.lit(RRF_K) + F.col("vec_rank")
@@ -1367,8 +1430,13 @@ def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .select("query_id", "neighbor_id", "cos")
     )
+    # candidate sets are SUBSETS of the exact form's (bucket/posting
+    # equi-joins), so the exact form's upper bounds dispatch safely here
+    emb_rows = _corpus_rows_hint(sf_dir, "embeddings")
+    doc_rows = _corpus_rows_hint(sf_dir, "documents")
     vec_rank = _per_query_rank(
-        spark, sf_dir, "hyban_vec_rn", scored_v, "cos", "vec_rank"
+        spark, sf_dir, "hyban_vec_rn", scored_v, "cos", "vec_rank",
+        n_hint=N_QUERIES * emb_rows if emb_rows is not None else None,
     )
     postk = _posting_index(spark, sf_dir)
     probes = postk.filter(F.col("doc_id") < N_QUERIES).select(
@@ -1382,7 +1450,8 @@ def _q_hybrid_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     lex_rank = _per_query_rank(
-        spark, sf_dir, "hyban_lex_rn", scored_l, "overlap", "lex_rank"
+        spark, sf_dir, "hyban_lex_rn", scored_l, "overlap", "lex_rank",
+        n_hint=N_QUERIES * doc_rows if doc_rows is not None else None,
     )
     rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
         1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)

@@ -185,6 +185,13 @@ _WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
 #: keeps only k rows per key before any data moves, so the per-key
 #: merge ranks P·k winners, not the corpus. The gate verifies that
 #: pushdown actually fired instead of trusting the source pattern.
+#: NAMING CONTRACT (ADVICE r9): classification is by attribute NAME.
+#: Every probe/query key relation in this repo MUST name its key
+#: ``query_id`` — a probe key under another name (probe_id, q_id)
+#: silently escapes this gate, and a corpus-scaling column aliased
+#: ``query_id`` is falsely flagged. The contract is enforced socially
+#: (review + this comment) because the physical plan exposes only
+#: attribute names, not the producing relation's cardinality class.
 CONST_CARD_KEYS = frozenset({"query_id"})
 
 #: queries allowed a non-zero ``const_key_windows`` count (a
@@ -197,6 +204,24 @@ CONST_CARD_KEYS = frozenset({"query_id"})
 #: bounded rerank windows, which reuse the shortlist's query_id
 #: partitioning shuffle-free with a Final-mode WGL, lack one).
 CONST_KEY_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
+    # r10 size-dispatched full-depth RRF ranks (VERDICT r9 item 1):
+    # the window form runs ONLY when the construction-time candidate
+    # upper bound (N_QUERIES × corpus rows, parquet footer) is ≤
+    # RANK_WINDOW_MAX_CANDIDATES — the per-key sort is bounded by the
+    # threshold, and above it _per_query_rank switches to the grouped
+    # two-pass form (zero windows). The gate corpus sits below the
+    # threshold, so dossiers record the window branch.
+    "q_hybrid_search": (
+        2,
+        "size-dispatched full-depth vec+lex ranks: window form only "
+        "under RANK_WINDOW_MAX_CANDIDATES total candidates "
+        "(similarity._per_query_rank; equality of forms tested)",
+    ),
+    "q_hybrid_search_ann": (
+        2,
+        "size-dispatched full-depth vec+lex ranks over bucket/posting "
+        "candidate subsets — same bound as q_hybrid_search",
+    ),
     "q_knn_binary": (
         1,
         "exact-cosine rerank over <=BINARY_SHORTLIST rows/query — "

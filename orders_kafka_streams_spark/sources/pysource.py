@@ -98,6 +98,16 @@ class _BatchReader(DataSourceReader):
         # field to its position in the canonical generated tuple (any
         # subset, any order — the projection is a tuple re-index)
         names = list(fields) if fields is not None else list(_FIELDS)
+        unknown = [f for f in names if f not in _FIELDS]
+        if unknown:
+            # ADVICE r9: a bare ValueError('x is not in list') at the
+            # data-source boundary is opaque — name the field AND the
+            # declared schema so a future Spark passing metadata or
+            # renamed columns fails diagnosably.
+            raise ValueError(
+                f"pysource reader got unknown field(s) {unknown}; "
+                f"declared schema fields are {list(_FIELDS)}"
+            )
         self.idx = tuple(_FIELDS.index(f) for f in names)
 
     def pushFilters(self, filters):

