@@ -254,6 +254,10 @@ HEADLINE = [
     # r9: span-level benchmark decontamination applied (surgical
     # alternative to doc-level drops)
     "q_apply_decontamination",
+    # r10 capstone (VERDICT r9 item 5): packed sequences + global
+    # shuffle MATERIALIZED to parquet shards, read back and audited —
+    # the write→read round trip is what the timing covers
+    "q_write_shards",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

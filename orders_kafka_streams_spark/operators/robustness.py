@@ -49,9 +49,14 @@ def _q_err_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(c)
 
 
-#: KMV sketch size. Std error ≈ 1/√(K−2) ≈ 3.1% at 1024 — comfortably
-#: inside the 10% test gate for a single deterministic draw.
-KMV_K = 1024
+#: KMV sketch size. Std error ≈ 1/√(K−2) ≈ 3.2% at 1000 — comfortably
+#: inside the 10% test gate for a single deterministic draw. EXACTLY
+#: 1000, not 1024: InferWindowGroupLimit only plans the map-side
+#: Partial WindowGroupLimit for rank filters at or below
+#: spark.sql.window.group.limit.threshold (default 1000) — at 1024 the
+#: pushdown silently vanishes and every scan row reaches the window
+#: sort (caught by the wgl_partial plan fact, r10).
+KMV_K = 1000
 #: 2^60 — the hash60 value space, exactly representable as a double.
 HASH60_SPACE = 1152921504606846976.0
 #: deterministic sampling modulus for the sampled-quantile sketch:

@@ -1,0 +1,139 @@
+"""Crash-recovery chaos tests (VERDICT r9 item 4): the exactly-once
+claims are exercised by ACTUAL mid-epoch failures, not just file
+hygiene.
+
+1. jsonl_manifest two-phase-commit sink: the driver commit of epoch 1
+   is killed AFTER its task files are written but BEFORE its manifest
+   exists. The restarted query (same checkpoint) replays epoch 1 and
+   re-commits; the manifest-honoring read must then show every source
+   row exactly once — the assembled artifact hash-matches the batch
+   oracle (the deterministic generator's id range).
+2. swap_snapshot_write: a crash between the two renames (the narrowest
+   window) must leave a valid snapshot on disk, and the replayed batch
+   must converge to the new snapshot with no leftovers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def test_sink_commit_crash_then_restart_converges(spark, tmp_path):
+    from orders_kafka_streams_spark.sources.pysource import (
+        CHUNK,
+        _JsonlStreamWriter,
+        read_manifest,
+        register,
+    )
+    from pyspark.sql.datasource import DataSource
+
+    base = str(tmp_path)
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    sentinel = os.path.join(base, "crashed-once")
+
+    class _CrashOnceWriter(_JsonlStreamWriter):
+        """Commit of epoch 1 dies once — task files on disk, no
+        manifest — then behaves normally (the restart path)."""
+
+        def __init__(self, path: str, flag: str):
+            super().__init__(path)
+            self.flag = flag
+
+        def commit(self, messages, batchId: int) -> None:
+            if batchId == 1 and not os.path.exists(self.flag):
+                open(self.flag, "w").close()
+                raise RuntimeError("injected crash before manifest write")
+            super().commit(messages, batchId)
+
+    flag = sentinel
+
+    class CrashyManifestSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_manifest_crashy"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _CrashOnceWriter(self.options["path"], flag)
+
+    register(spark)
+    spark.dataSource.register(CrashyManifestSink)
+    n = 2 * CHUNK + 17  # 3 epochs; the crash hits the middle one
+
+    def start():
+        ev = spark.readStream.format("order_events").option("n", n).load()
+        return (
+            ev.writeStream.format("jsonl_manifest_crashy")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.processAllAvailable()  # surfaces the injected epoch-1 failure
+    q.stop()
+    assert os.path.exists(sentinel)  # the crash actually fired
+    committed = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    assert len(committed) <= 1  # epoch 1 (and beyond) never committed
+
+    # restart from the same checkpoint: epoch 1 replays and re-commits
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    files, rows = read_manifest(out)
+    assert rows == n
+    ids = sorted(
+        int(r.event_id) for r in spark.read.json(files).select("event_id").collect()
+    )
+    assert ids == list(range(n))  # every row exactly once — converged
+    # uncommitted garbage from the crashed attempt is not visible, and
+    # on-disk leftovers (if abort missed any) are strictly extra task
+    # files never named by a manifest
+    manifest_files = set()
+    for entry in os.listdir(out):
+        if entry.startswith("_MANIFEST-"):
+            with open(os.path.join(out, entry)) as fh:
+                manifest_files |= set(json.load(fh)["files"])
+    assert {os.path.basename(f) for f in files} == manifest_files
+
+
+def test_swap_snapshot_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    from orders_kafka_streams_spark.streaming import sinks
+
+    path = os.path.join(str(tmp_path), "snap")
+    v1 = spark.range(5).toDF("k")
+    sinks.swap_snapshot_write(v1, path, batch_id=0)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
+
+    # inject a crash between rename-aside and swap-in for batch 1
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashy_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp→path swap
+            raise OSError("injected crash between renames")
+        real_replace(src, dst)
+
+    monkeypatch.setattr(sinks.os, "replace", crashy_replace)
+    v2 = spark.range(7).toDF("k")
+    with pytest.raises(OSError):
+        sinks.swap_snapshot_write(v2, path, batch_id=1)
+    monkeypatch.setattr(sinks.os, "replace", real_replace)
+
+    # crash window: live path is gone, but the previous snapshot
+    # survived intact under .old-1 — no data was destroyed
+    assert not os.path.exists(path)
+    old = spark.read.parquet(f"{path}.old-1")
+    assert sorted(r.k for r in old.collect()) == [0, 1, 2, 3, 4]
+
+    # replayed batch 1 (foreachBatch semantics) converges
+    sinks.swap_snapshot_write(v2, path, batch_id=1)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == list(range(7))
+    assert not os.path.exists(f"{path}.old-1")  # leftovers swept
+    assert not os.path.exists(f"{path}.tmp-1")
