@@ -16,10 +16,14 @@ def test_list_glob(capsys):
     assert "q_dedup_minhash" in out and all(n.startswith("q_dedup_") for n in out)
 
 
-def test_list_marks_rows_only(capsys):
-    assert main(["list", "q_approx_distinct"]) == 0
+def test_list_shows_no_rows_only_queries(capsys):
+    # r10 (VERDICT r9 item 3): every registered query now has a SQL
+    # oracle — the (rows-only) marker must not appear anywhere. The
+    # marker path itself stays for future genuinely non-SQL operators.
+    assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "(rows-only)" in out
+    assert "(rows-only)" not in out
+    assert "q_approx_distinct" in out
 
 
 def test_oracle_prints_sql(capsys):
@@ -55,12 +59,14 @@ def test_verify_green_query(spark, sf_dir, capsys):
     assert rc == 0 and "OK" in out, out
 
 
-def test_verify_rows_only_query(spark, sf_dir, capsys):
+def test_verify_formerly_rows_only_query_now_oracle_checked(spark, sf_dir, capsys):
+    # the KMV rewrite (r10) made the sketch itself oracle-checkable —
+    # verify must run the full hash diff, not the rows-only fallback
     from orders_kafka_streams_spark.__main__ import main
 
     rc = main(["verify", "q_approx_distinct", "--sf-dir", sf_dir])
     out = capsys.readouterr().out
-    assert rc == 0 and "rows-only" in out, out
+    assert rc == 0 and "rows-only" not in out, out
 
 
 def test_explain_prints_formatted_plan(spark, sf_dir, capsys):

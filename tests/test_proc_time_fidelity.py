@@ -88,6 +88,11 @@ def _fixture(spark, tmp_path) -> str:
     time.sleep(1.1)
     # the LATE record: event time inside long-closed W0, arrives now
     _write(spark, d, "part3", [(4, w0 + 3_000, w2 + 30_000, "click", 5.0)])
+    time.sleep(1.1)
+    # closing sentinel: advances BOTH clocks' watermarks past W2's end
+    # so the arrival-clock window holding the late click gets emitted
+    # (append mode only releases watermark-closed windows)
+    _write(spark, d, "part4", [(6, w1 + 5 * MIN, w2 + 5 * MIN, "view", 0.0)])
     return os.path.join(d, "part*")
 
 
