@@ -255,8 +255,11 @@ HEADLINE = [
     # alternative to doc-level drops)
     "q_apply_decontamination",
     # r10 capstone (VERDICT r9 item 5): packed sequences + global
-    # shuffle MATERIALIZED to parquet shards, read back and audited —
-    # the write→read round trip is what the timing covers
+    # shuffle MATERIALIZED to parquet shards, read back and audited.
+    # COLD pays the one-time write (construction); STEADY times the
+    # read-back + audit only (the _WRITTEN marker caches the write
+    # per session) — the round-trip CORRECTNESS is what the oracle
+    # hash certifies, not what steady re-times
     "q_write_shards",
 ]
 

@@ -422,7 +422,28 @@ def materialized_shard_dir(spark: SparkSession, sf_dir: str) -> str:
 
     app_id = spark.sparkContext.applicationId
     key = hashlib.md5(f"{sf_dir}:{app_id}".encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), "okss-shards", key)
+    base = os.path.join(tempfile.gettempdir(), "okss-shards")
+    out = os.path.join(base, key)
+    # stale-sibling sweep (the q_jsonl_roundtrip round-3-advice pattern
+    # — r10 review finding: it was omitted here): every Spark
+    # application writes a corpus-sized directory under its own key,
+    # so prior sessions' copies would accumulate in /tmp forever.
+    # Touch our own dir first so the age gate never sweeps a LIVE
+    # payload of a long-running session.
+    if os.path.isdir(out):
+        os.utime(out, None)
+    if os.path.isdir(base):
+        import shutil
+        import time
+
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                stale = d != key and time.time() - os.path.getmtime(p) > 3600
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     marker = os.path.join(out, "_WRITTEN")
     if not os.path.exists(marker):
         rel = packed_shard_plan(spark, sf_dir)

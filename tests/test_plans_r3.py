@@ -26,13 +26,26 @@ def test_hybrid_ann_no_corpus_scan_per_probe(spark, sf_dir):
 
     plan = plan_of(similarity._q_hybrid_search_ann(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    # ADVICE r9: match the node PLUS a window of continuation lines —
-    # Spark formats the join condition on the node's line today, but a
-    # version that wraps it onto the next (indented) lines would turn
-    # every legitimate offsets-BNLJ into a false positive under a
-    # single-line match.
-    for m in re.finditer(r"BroadcastNestedLoopJoin(?:[^\n]|\n\s{4,})*", plan):
-        assert "_apid" in m.group(0) or "_bpid" in m.group(0), m.group(0)
+    # ADVICE r9 + r10 review: check the node line PLUS only its own
+    # wrapped-condition continuations. Spark prints each tree node on
+    # one line today; a version that wraps the join condition would
+    # emit continuation lines WITHOUT the ':-'/'+-' tree connector.
+    # Stopping at the next connector line keeps each BNLJ's window
+    # disjoint (a greedy any-indented-line regex swallowed sibling
+    # nodes, letting a second, unconditioned BNLJ hide inside the
+    # first's match).
+    lines = plan.splitlines()
+    # zero BNLJ nodes is fine (the size-dispatched window form plans
+    # none); any that DO appear must be the offsets pattern
+    node_ix = [i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln]
+    for i in node_ix:
+        window = [lines[i]]
+        for ln in lines[i + 1 :]:
+            if re.search(r"[:+]- ", ln):  # next tree node — stop
+                break
+            window.append(ln)
+        blob = "\n".join(window)
+        assert "_apid" in blob or "_bpid" in blob, blob
 
 
 def test_hybrid_exact_is_the_nested_loop_baseline(spark, sf_dir):

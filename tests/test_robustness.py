@@ -11,7 +11,9 @@ from orders_kafka_streams_spark.sources.json_edge import decode_json, json_encod
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    # KMV at K=1024: std error ≈ 1/√(K−2) ≈ 3.1%; a single
+    # KMV at K=1000 (== the InferWindowGroupLimit threshold — do NOT
+    # raise it past 1000, the pushdown vanishes; see KMV_K's comment):
+    # std error ≈ 1/√(K−2) ≈ 3.2%; a single
     # deterministic draw is gated at 3σ ≈ 10%. Groups smaller than K
     # are exact (m < K branch), so they must land at 0 error.
     rows = _q_approx_distinct(spark, sf_dir).collect()

@@ -58,7 +58,9 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    if args.merge:
+    if args.merge is not None:
+        if not args.merge:
+            ap.error("--merge requires at least one pass file")
         passes = [json.load(open(p)) for p in args.merge]
         merged = {
             n: round(min(p[n] for p in passes), 4)
@@ -69,6 +71,8 @@ def main() -> None:
         print(json.dumps({"merged": len(merged), "out": args.out}))
         return
 
+    if not args.repo:
+        ap.error("--repo is required when running a pass (omit only with --merge)")
     timings = run_pass(args.repo, args.names, args.sf_dir)
     json.dump(timings, open(args.out, "w"), indent=1)
     print(json.dumps({"pass_sum": round(sum(t for t in timings.values() if t > 0), 2)}))
