@@ -261,6 +261,9 @@ HEADLINE = [
     # per session) — the round-trip CORRECTNESS is what the oracle
     # hash certifies, not what steady re-times
     "q_write_shards",
+    # r10: the easy→hard training schedule (stage buckets + seeded
+    # within-stage shuffle via the grouped two-pass rank)
+    "q_curriculum_order",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -416,6 +416,64 @@ def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: curriculum schedule knobs: documents bucket by token count (the
+#: sequence-length-warmup difficulty proxy — integer, so the bucket
+#: boundary is exact in both engines) into CURRICULUM_BUCKETS stages
+#: of CURRICULUM_BUCKET_TOKENS width, open-ended top bucket.
+CURRICULUM_BUCKETS = 10
+CURRICULUM_BUCKET_TOKENS = 40
+CURRICULUM_SEED = "curr1:"
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training schedule (Bengio et al. 2009): the
+    corpus-wide position each document trains at when the run warms up
+    easy→hard — here the sequence-length-warmup instance (short docs
+    first, the curriculum used to stabilize early training). Stage =
+    token-count bucket (integer boundaries — no float edge ambiguity
+    cross-engine); WITHIN a stage the order is a seeded-hash shuffle
+    (a curriculum that is sorted end-to-end re-introduces content
+    correlation inside each batch; sorted-stages-shuffled-ties is the
+    standard schedule). Output: (doc_id, n_tokens, stage,
+    curriculum_pos) — the companion ordering to q_global_shuffle's
+    uniform permutation, consumed by the same shard writer.
+
+    Scale shape: tokenization rides the memoized token projection;
+    stage assignment is map-only integer arithmetic; the global
+    position is ONE grouped two-pass rank over the total order
+    (stage, hash, doc_id) — range partition + arithmetic local row
+    numbers + broadcast triangular offsets, no single-task window
+    anywhere (same machinery and partition-count invariance as
+    q_global_shuffle).
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling/curation family)."""
+    from .dedup import _memo_persist
+    from .text import _tokenized
+
+    base = _tokenized(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n_tokens")
+    )
+    stage = F.least(
+        F.floor(F.col("n_tokens") / CURRICULUM_BUCKET_TOKENS),
+        F.lit(CURRICULUM_BUCKETS - 1),
+    ).cast("int")
+    keyed = base.select(
+        "doc_id",
+        "n_tokens",
+        stage.alias("stage"),
+        hash60(F.concat(F.lit(CURRICULUM_SEED), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    ranked = global_row_numbers(
+        keyed,
+        ["stage", "k", "doc_id"],
+        memo=lambda build: _memo_persist(spark, sf_dir, "curriculum_rn:documents", build),
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", "stage", F.col("rn").alias("curriculum_pos")
+    )
+
+
 def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard assignment audit — two strategies side by side:
     (a) HASH sharding (append-stable, coordination-free, the default)
@@ -892,6 +950,7 @@ QUERIES = {
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
     "q_global_shuffle": _q_global_shuffle,
+    "q_curriculum_order": _q_curriculum_order,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
@@ -1042,3 +1101,25 @@ FROM rep WHERE rk = 1
 GROUP BY lang, source
 """,
 }
+
+# curriculum-schedule oracle (r10): same stage boundaries (integer
+# token counts — no float edges), same seeded-hash within-stage order,
+# same row_number total order as global_row_numbers produces.
+ORACLE["q_curriculum_order"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         {hash60_sql(f"'{CURRICULUM_SEED}' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+), staged AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(n_tokens // {CURRICULUM_BUCKET_TOKENS},
+                    {CURRICULUM_BUCKETS - 1}) AS INTEGER) AS stage,
+         k
+  FROM base
+)
+SELECT doc_id, n_tokens, stage,
+       CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM staged
+"""
