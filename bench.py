@@ -264,6 +264,9 @@ HEADLINE = [
     # r10: the easy→hard training schedule (stage buckets + seeded
     # within-stage shuffle via the grouped two-pass rank)
     "q_curriculum_order",
+    # r10: the temperature-weighted source interleave (stride
+    # scheduling — two two-pass ranks, zero windows)
+    "q_interleave_mixture",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

@@ -474,6 +474,75 @@ def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMIX_SEED = "imix1:"  # within-source shuffle seed for the interleave
+
+
+def _q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-INTERLEAVED training order (stride
+    scheduling): each source contributes documents at a rate ∝ its
+    temperature weight √(source tokens) — the q_lang_mix temperature
+    applied to ORDER instead of admission — so a training run reading
+    positions 1..P sees every source in its target proportion from the
+    first batch on, instead of the blocked source runs a plain sort
+    (or per-source concatenation) produces. Classic stride scheduling:
+    the j-th doc of source s lands at key j/w_s; merging all sources
+    by key yields the standard deficit-round-robin interleave whose
+    per-prefix imbalance is bounded by one doc per source. Within a
+    source the order is a seeded-hash shuffle. Output: (doc_id,
+    source, within_rank, interleave_pos).
+
+    Float portability: keys are j/√(Σtokens) — integer rank and
+    integer token sums through correctly-rounded IEEE sqrt/divide, so
+    both engines compute bit-identical doubles and sort identically
+    (the q_sample_priority precedent); ties are structurally confined
+    to same-key collisions and break on (source, doc_id).
+
+    Scale shape: within-source rank = grouped two-pass prefix sum of
+    ones (part=source — a PARTITION BY source window would funnel a
+    source's whole corpus slice through one task); global interleave
+    position = the two-pass rank over (key, source, rank); weights
+    attach as an O(sources) broadcast. Zero window nodes.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sampling/curation family)."""
+    from .dedup import _memo_persist
+    from .text import _tokenized
+
+    d = _tokenized(spark, sf_dir, "source").select(
+        "doc_id", "source", F.size("t").alias("n_tokens")
+    )
+    w = d.groupBy("source").agg(
+        F.sqrt(F.sum("n_tokens").cast("double")).alias("wt")
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        hash60(F.concat(F.lit(IMIX_SEED), F.col("doc_id").cast("string"))).alias("k"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = global_prefix_sums(
+        keyed,
+        [F.asc("k"), F.asc("doc_id")],
+        {"rk0": "_one"},
+        part=("source",),
+        memo=lambda build: _memo_persist(spark, sf_dir, "imix:ranked", build),
+    ).select("doc_id", "source", (F.col("rk0") + 1).alias("within_rank"))
+    stride = ranked.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        "within_rank",
+        (F.col("within_rank").cast("double") / F.col("wt")).alias("key"),
+    )
+    pos = global_row_numbers(
+        stride,
+        ["key", "source", "within_rank"],
+        memo=lambda build: _memo_persist(spark, sf_dir, "imix:pos", build),
+    )
+    return pos.select(
+        "doc_id", "source", "within_rank", F.col("rn").alias("interleave_pos")
+    )
+
+
 def _q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard assignment audit — two strategies side by side:
     (a) HASH sharding (append-stable, coordination-free, the default)
@@ -951,6 +1020,7 @@ QUERIES = {
     "q_shard_layout": _q_shard_layout,
     "q_global_shuffle": _q_global_shuffle,
     "q_curriculum_order": _q_curriculum_order,
+    "q_interleave_mixture": _q_interleave_mixture,
     "q_sample_weighted": _q_sample_weighted,
     "q_sample_hash": _q_sample_hash,
     "q_stratified_sample": _q_stratified_sample,
@@ -1122,4 +1192,34 @@ SELECT doc_id, n_tokens, stage,
        CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
          AS curriculum_pos
 FROM staged
+"""
+
+# stride-interleave oracle (r10): same seeded within-source shuffle
+# rank, same √(token-sum) weights, same IEEE j/w key (integer operands
+# through correctly-rounded sqrt/divide ⇒ bit-identical doubles), same
+# (key, source, within_rank) total order.
+ORACLE["q_interleave_mixture"] = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         {hash60_sql(f"'{IMIX_SEED}' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+),
+w AS (
+  SELECT source, sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS wt FROM d GROUP BY source
+),
+r AS (
+  SELECT doc_id, source, k,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS BIGINT)
+           AS within_rank
+  FROM d
+),
+s AS (
+  SELECT r.doc_id, r.source, r.within_rank,
+         CAST(r.within_rank AS DOUBLE) / w.wt AS key
+  FROM r JOIN w USING (source)
+)
+SELECT doc_id, source, within_rank,
+       CAST(row_number() OVER (ORDER BY key, source, within_rank) AS BIGINT)
+         AS interleave_pos
+FROM s
 """
