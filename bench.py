@@ -267,6 +267,9 @@ HEADLINE = [
     # r10: the temperature-weighted source interleave (stride
     # scheduling — two two-pass ranks, zero windows)
     "q_interleave_mixture",
+    # r10: mergeable-sketch set algebra (KMV union/intersection,
+    # per-tag two-phase top-K — the theta-sketch pattern, oracle-checked)
+    "q_kmv_union",
 ]
 
 #: the heaviest operators additionally timed at sf1 (10× the headline

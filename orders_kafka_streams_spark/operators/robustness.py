@@ -115,6 +115,86 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET OPERATIONS (the theta-sketch use case, Dasgupta et
+    al. 2016): distinct-count estimates for two sets, their UNION, and
+    their INTERSECTION, answered from MERGED KMV sketches — the 100 TB
+    pattern where each source/partition keeps a K-minimum-values
+    sketch and cross-source distinct questions merge sketches instead
+    of re-scanning data. Sets here: orderkeys with an 'R'-returned
+    line vs an 'A'-returned line (overlapping by construction — orders
+    mix flags). The union sketch is the K smallest of the POOLED
+    distinct hashes (exactly what merging two sketches yields — KMV
+    merge is associative), and the intersection estimate is
+    inclusion-exclusion over the three estimates, floored at 0. Exact
+    twins ride along for the error readout.
+
+    Determinism/portability: same hash60 space and (K−1)·|H|/h_(K)
+    estimator as q_approx_distinct, so DuckDB recomputes every column
+    bit-for-bit — sketch SET ALGEBRA itself is hash-checked, which
+    engine-native HLL/theta unions cannot offer an oracle for.
+
+    Scale shape: one distinct-cells exchange per tagged relation, one
+    per-tag two-phase top-K (Partial WindowGroupLimit below the
+    shuffle — tags are the window key, so no global window), exact
+    twins as two aggregates; output is ONE row.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (sketches)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.portable import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    tagged = (
+        a.select(F.lit("a").alias("tag"), "l_orderkey")
+        .unionByName(b.select(F.lit("b").alias("tag"), "l_orderkey"))
+        .unionByName(a.unionByName(b).select(F.lit("u").alias("tag"), "l_orderkey"))
+    )
+    cells = tagged.select("tag", hash60(F.col("l_orderkey")).alias("h")).distinct()
+    w = Window.partitionBy("tag").orderBy("h")
+    kmv = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(HASH60_SPACE) / F.col("hk")
+    )
+    wide = kmv.groupBy().pivot("tag", ["a", "b", "u"]).agg(F.first(est))
+    exact = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_a"),
+            F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_b"),
+        )
+        .agg(
+            F.sum("in_a").alias("exact_a"),
+            F.sum("in_b").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(((F.col("in_a") + F.col("in_b")) == 2).cast("long")).alias(
+                "exact_intersect"
+            ),
+        )
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        F.round(F.col("a"), 4).alias("est_a"),
+        F.round(F.col("b"), 4).alias("est_b"),
+        F.round(F.col("u"), 4).alias("est_union"),
+        F.round(
+            F.greatest(F.col("a") + F.col("b") - F.col("u"), F.lit(0.0)), 4
+        ).alias("est_intersect"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+    )
+
+
 def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via a DETERMINISTIC salted-hash sample
     (keep rows with hash60('qpctl'||key) ≡ 0 mod QSAMPLE_MOD — a fixed
@@ -356,6 +436,58 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def _kmv_union_oracle() -> str:
+    from ..functions.portable import hash60_sql
+
+    h = hash60_sql("l_orderkey")
+    est = (
+        f"CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE) "
+        f"ELSE {float(KMV_K - 1)!r} * {HASH60_SPACE!r} / hk END"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT 'a' AS tag, l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'b', l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT 'u', l_orderkey FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+cells AS (SELECT DISTINCT tag, {h} AS h FROM tagged),
+ranked AS (
+  SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+  FROM cells
+),
+kmv AS (
+  SELECT tag, CAST(count(1) AS BIGINT) AS m, max(h) AS hk
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY tag
+),
+wide AS (
+  SELECT max(CASE WHEN tag = 'a' THEN {est} END) AS a,
+         max(CASE WHEN tag = 'b' THEN {est} END) AS b,
+         max(CASE WHEN tag = 'u' THEN {est} END) AS u
+  FROM kmv
+),
+flags AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_b
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY l_orderkey
+),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+         CAST(sum(in_b) AS BIGINT) AS exact_b,
+         CAST(count(1) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersect
+  FROM flags
+)
+SELECT round(a, 4) AS est_a, round(b, 4) AS est_b, round(u, 4) AS est_union,
+       round(greatest(a + b - u, 0.0), 4) AS est_intersect,
+       exact_a, exact_b, exact_union, exact_intersect
+FROM wide, exact
+"""
+
+
 def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.filter(F.col("l_orderkey") <= 200).select(
@@ -493,6 +625,7 @@ QUERIES = {
     "q_jsonl_roundtrip": _q_jsonl_roundtrip,
     "q_err_handle": _q_err_handle,
     "q_approx_distinct": _q_approx_distinct,
+    "q_kmv_union": _q_kmv_union,
     "q_approx_percentile": _q_approx_percentile,
     "q_percentile": _q_percentile,
     "q_percentile_distributed": _q_percentile_distributed,
@@ -526,6 +659,7 @@ SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
 FROM flagged
 """,
     "q_approx_distinct": _approx_distinct_oracle(),
+    "q_kmv_union": _kmv_union_oracle(),
     "q_approx_percentile": _approx_percentile_oracle(),
     "q_percentile": """
 SELECT o_orderstatus,

@@ -134,3 +134,21 @@ def test_kll_engine_sketch_error_bound(spark, sf_dir):
     for r in rows:
         for ap, ex in ((r.ap50, r.p50), (r.ap90, r.p90)):
             assert abs(ap - ex) / max(abs(ex), 1e-9) < 0.02, (r.o_orderstatus, ap, ex)
+
+
+def test_kmv_union_error_bounds(spark, sf_dir):
+    # sketch set algebra: union estimate within the KMV gate; the
+    # intersection (inclusion-exclusion of three ~3.2%-σ estimates)
+    # carries ~3× the variance — gate relative to the UNION size,
+    # which is the quantity inclusion-exclusion actually differences.
+    from orders_kafka_streams_spark.operators.robustness import KMV_K, _q_kmv_union
+
+    r = _q_kmv_union(spark, sf_dir).collect()[0]
+    for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b), (r.est_union, r.exact_union)):
+        if exact < KMV_K:
+            assert est == float(exact), (est, exact)
+        else:
+            assert abs(est - exact) / exact < 0.10, (est, exact)
+    assert abs(r.est_intersect - r.exact_intersect) / max(r.exact_union, 1) < 0.15, r
+    # exact twins are internally consistent: |A∩B| = |A|+|B|−|A∪B|
+    assert r.exact_intersect == r.exact_a + r.exact_b - r.exact_union
