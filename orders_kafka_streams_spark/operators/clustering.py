@@ -231,15 +231,25 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
         # the kernel at ~1.5k-vector clusters): callers pass lids
         # sorted ascending, so argmax over the boolean mask gives the
         # FIRST partner row = the minimum partner id per column.
+        # Dropped columns are RARE (drop rates are a few percent), so
+        # after the one full-matrix mask pass everything else runs on
+        # the surviving-column SLICE — the r10 form's full-matrix
+        # np.where built a second |left|x|targets| float64 copy
+        # (~170 MB per 4k-block task) only to reduce it to a handful
+        # of columns, and that allocation+traffic dominated the pair
+        # kernel at sf1 (r11 measured ~2 s of the 3.3 s stage).
         mask = (cos >= threshold) & (lids[:, None] < ids[None, :])
         anyc = mask.any(axis=0)
         if not anyc.any():
             return []
-        kept = lids[mask.argmax(axis=0)]
-        maxc = np.where(mask, cos, -np.inf).max(axis=0)
+        cols = np.flatnonzero(anyc)
+        msub = mask[:, cols]
+        csub = cos[:, cols]
+        kept = lids[msub.argmax(axis=0)]
+        maxc = np.where(msub, csub, -np.inf).max(axis=0)
         return [
-            (int(ids[j]), int(clusters[j]), int(kept[j]), float(maxc[j]))
-            for j in np.where(anyc)[0]
+            (int(ids[j]), int(clusters[j]), int(kept[k]), float(maxc[k]))
+            for k, j in enumerate(cols)
         ]
 
     def _gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
