@@ -60,19 +60,18 @@ SKIPPED_MODULES: list[tuple[str, str]] = []
 #: otherwise sort them last and a rewrite regression would ship
 #: without the hard driver-hash signal.
 _RECHECK_FIRST = (
-    # round-10 A/B adjudication touches the hybrid rank path (VERDICT
-    # r9 items 1/8): whatever the size-dispatch/budget outcome, the
-    # driver's hard hash signal must land on the pair first
-    "q_hybrid_search",
-    "q_hybrid_search_ann",
-    # r10 sketch rewrites (VERDICT r9 item 3): previously rows-only,
-    # now oracle-checkable KMV / hash-sample forms — never hash-checked
-    # by the driver before
-    "q_approx_distinct",
-    "q_approx_percentile",
-    # r10 A/B co-regressed families re-verified after any plan change
+    # r11 rewrites (VERDICT r10 items 1-2): consensus gained the
+    # size-dispatched broadcast-semi form, semdedup's pair kernel was
+    # re-vectorized, and the eager persist-memo change touches every
+    # memo consumer — the driver's hard hash signal lands here first
     "q_dedup_consensus",
-    "q_semantic_contamination",
+    "q_semdedup",
+    # r11 new operator: streaming interleave admission twin
+    "q_stream_interleave",
+    "q_dedup_ngram",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_kmeans",
 )
 
 #: union of query names across every committed CORRECTNESS_r{N}.json

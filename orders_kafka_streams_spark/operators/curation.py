@@ -429,12 +429,27 @@ def materialized_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     # application writes a corpus-sized directory under its own key,
     # so prior sessions' copies would accumulate in /tmp forever.
     # Touch our own dir first so the age gate never sweeps a LIVE
-    # payload of a long-running session.
+    # payload of a long-running session. A sibling is swept only when
+    # it is BOTH old AND its owning driver process is dead (r10 advice:
+    # age alone could sweep a concurrent session's files mid-query —
+    # its dir mtime only refreshes when it re-calls this function, but
+    # a lazy DataFrame can hold the paths far longer). The owner PID is
+    # recorded in an _OWNER file at dir creation; a missing/unreadable
+    # _OWNER (pre-r11 layout, or a crash before it was written) falls
+    # back to the age gate alone.
     if os.path.isdir(out):
         os.utime(out, None)
     if os.path.isdir(base):
         import shutil
         import time
+
+        def _owner_alive(p: str) -> bool:
+            try:
+                with open(os.path.join(p, "_OWNER")) as fh:
+                    pid = int(fh.read().strip())
+            except (OSError, ValueError):
+                return False  # unknown owner → age gate decides
+            return os.path.exists(f"/proc/{pid}")
 
         for d in os.listdir(base):
             p = os.path.join(base, d)
@@ -442,10 +457,15 @@ def materialized_shard_dir(spark: SparkSession, sf_dir: str) -> str:
                 stale = d != key and time.time() - os.path.getmtime(p) > 3600
             except OSError:
                 continue
-            if stale:
+            if stale and not _owner_alive(p):
                 shutil.rmtree(p, ignore_errors=True)
     marker = os.path.join(out, "_WRITTEN")
     if not os.path.exists(marker):
+        # Crash contract (tests/test_crash_recovery.py): the marker is
+        # written strictly AFTER the parquet job succeeds, so a crash
+        # anywhere mid-write leaves a marker-less directory that the
+        # next call rewrites wholesale (overwrite mode clears partial
+        # output) — rerun-to-converge, never a partial read.
         rel = packed_shard_plan(spark, sf_dir)
         (
             rel.repartition("shard")
@@ -455,6 +475,13 @@ def materialized_shard_dir(spark: SparkSession, sf_dir: str) -> str:
             .parquet(out)
         )
         open(marker, "w").close()
+    # liveness beacon for SIBLING sessions' sweeps — written after the
+    # (re)write because overwrite mode clears the directory; recreated
+    # on every call so a restarted session re-claims its key.
+    owner_f = os.path.join(out, "_OWNER")
+    if not os.path.exists(owner_f):
+        with open(owner_f, "w") as fh:
+            fh.write(str(os.getpid()))
     return out
 
 

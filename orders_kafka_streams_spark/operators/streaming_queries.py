@@ -439,6 +439,50 @@ def _q_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tab)
 
 
+def _q_stream_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission twin of the mixture-interleave schedule
+    (VERDICT r10 item 5): documents ARRIVE as a stream and each is
+    stamped with its per-source arrival rank by an O(sources) stateful
+    counter (streaming/interleave.py — the q_stream_source_quota
+    ledger without the cap); its global training position then follows
+    from the MEMOIZED corpus schedule outside the stream: the stride
+    key within_rank / √(source tokens) (weights are the batch
+    temperature table, an O(sources) broadcast) and one grouped
+    two-pass rank over the drained relation — the
+    q_stream_transition_matrix drain-then-rollup shape, because a
+    global position is a full-order property no bounded state can
+    finalize mid-stream. The batch q_interleave_mixture shuffles
+    within a source by seeded hash (a full-pass notion); the ingest
+    twin interleaves in ARRIVAL (doc_id) order — the same batch→ingest
+    semantic shift as q_source_quota → q_stream_source_quota — and ITS
+    batch equivalent is the oracle. Batch-split invariance: the
+    counter carries across micro-batches
+    (tests/test_stream_interleave.py)."""
+    from ..streaming.interleave import stream_interleave_ranks
+    from ..streaming.pipeline import documents_file_stream
+    from .sampling import global_row_numbers
+    from .text import _tokenized
+
+    docs = documents_file_stream(spark, sf_dir).select("doc_id", "source")
+    tab = run_to_memory(stream_interleave_ranks(docs), "interleave_stream")
+    ranked = spark.table(tab)
+    w = (
+        _tokenized(spark, sf_dir, "source")
+        .groupBy("source")
+        .agg(F.sqrt(F.sum(F.size("t")).cast("double")).alias("wt"))
+    )
+    stride = ranked.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        "within_rank",
+        (F.col("within_rank").cast("double") / F.col("wt")).alias("key"),
+    )
+    pos = global_row_numbers(stride, ["key", "source", "within_rank"])
+    return pos.select(
+        "doc_id", "source", "within_rank", F.col("rn").alias("interleave_pos")
+    )
+
+
 def _q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix fed by the streaming engine: the
     stateful per-user last-event cursor (streaming/transitions.py)
@@ -1536,6 +1580,7 @@ QUERIES = {
     "q_stream_ewma": _q_stream_ewma,
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_source_quota": _q_stream_source_quota,
+    "q_stream_interleave": _q_stream_interleave,
     "q_stream_debounce": _q_stream_debounce,
     "q_stream_msprt": _q_stream_msprt,
     "q_stream_bh_fdr": _q_stream_bh_fdr,
@@ -1925,6 +1970,42 @@ SELECT doc_id, source, margin, src_rank FROM r WHERE src_rank <= {SOURCE_QUOTA}
 
 
 ORACLE["q_stream_source_quota"] = _stream_quota_oracle()
+
+
+def _stream_interleave_oracle() -> str:
+    """Arrival-order stride interleave: within_rank = per-source doc_id
+    rank (the stream's delivery order), weights = √(source token sums)
+    over the full corpus (the memoized schedule), global position =
+    rank over the same IEEE (key, source, within_rank) total order as
+    the batch schedule — integer operands through correctly-rounded
+    sqrt/divide ⇒ bit-identical doubles (the q_interleave_mixture
+    float-portability argument verbatim)."""
+    from .curation import _TOKS
+
+    return f"""
+WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+w AS (
+  SELECT source, sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS wt FROM d GROUP BY source
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+           AS within_rank
+  FROM d
+),
+s AS (
+  SELECT r.doc_id, r.source, r.within_rank,
+         CAST(r.within_rank AS DOUBLE) / w.wt AS key
+  FROM r JOIN w USING (source)
+)
+SELECT doc_id, source, within_rank,
+       CAST(row_number() OVER (ORDER BY key, source, within_rank) AS BIGINT)
+         AS interleave_pos
+FROM s
+"""
+
+
+ORACLE["q_stream_interleave"] = _stream_interleave_oracle()
 
 # the streamed semantic probe equals the offline embedding sweep
 from .similarity import ORACLE as _SIM_ORACLE

@@ -137,3 +137,88 @@ def test_swap_snapshot_crash_between_renames_recovers(spark, tmp_path, monkeypat
     assert sorted(r.k for r in spark.read.parquet(path).collect()) == list(range(7))
     assert not os.path.exists(f"{path}.old-1")  # leftovers swept
     assert not os.path.exists(f"{path}.tmp-1")
+
+
+def test_shard_write_crash_midjob_then_rerun_converges(spark, sf_dir, tmp_path, monkeypatch):
+    """3. materialized_shard_dir (VERDICT r10 item 4): a task failure
+    in the MIDDLE of the parquet shard write must leave a marker-less
+    directory, and the rerun must rewrite it wholesale so the read-back
+    equals the planned relation exactly — no partials, no duplicates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from orders_kafka_streams_spark.operators import curation
+
+    # distinct sf_dir string → distinct shard-dir key, so this test
+    # never collides with another test's already-written marker
+    alias = os.path.join(str(tmp_path), "sfx")
+    os.symlink(sf_dir, alias)
+
+    real_plan = curation.packed_shard_plan
+    flag = os.path.join(str(tmp_path), "crashed-once")
+
+    @F.udf(T.BooleanType())
+    def poison(_):
+        if not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected mid-write task crash")
+        return True
+
+    monkeypatch.setattr(
+        curation, "packed_shard_plan", lambda s, d: real_plan(s, d).filter(poison("seq_key"))
+    )
+    with pytest.raises(Exception):
+        curation.materialized_shard_dir(spark, alias)
+    assert os.path.exists(flag)  # the crash actually fired mid-job
+    out = os.path.join("/tmp", "okss-shards")
+    dirs = os.listdir(out)
+    assert dirs  # the partial directory exists ...
+    import hashlib
+
+    key = hashlib.md5(
+        f"{alias}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    assert not os.path.exists(os.path.join(out, key, "_WRITTEN"))  # ... unmarked
+
+    # rerun with the poison removed (the restarted-driver path)
+    monkeypatch.setattr(curation, "packed_shard_plan", real_plan)
+    shard_dir = curation.materialized_shard_dir(spark, alias)
+    assert os.path.exists(os.path.join(shard_dir, "_WRITTEN"))
+    assert os.path.exists(os.path.join(shard_dir, "_OWNER"))
+
+    planned = real_plan(spark, alias).select(
+        "seq_key", F.col("shard").cast("int").alias("shard"), "pos_in_shard"
+    )
+    read_back = spark.read.parquet(shard_dir).select(
+        "seq_key", F.col("shard").cast("int").alias("shard"), "pos_in_shard"
+    )
+    p = sorted(map(tuple, planned.collect()))
+    r = sorted(map(tuple, read_back.collect()))
+    assert p == r  # exact convergence: no drops, no duplicate partials
+
+
+def test_shard_sweep_spares_live_owner(spark, sf_dir, tmp_path):
+    """The stale-sibling sweep must not delete an OLD directory whose
+    owning process is still alive (r10 advice: a concurrent session's
+    lazy DataFrame can outlive the age gate)."""
+    import time
+
+    from orders_kafka_streams_spark.operators import curation
+
+    base = os.path.join("/tmp", "okss-shards")
+    os.makedirs(base, exist_ok=True)
+    live = os.path.join(base, "livesib")
+    dead = os.path.join(base, "deadsib")
+    for p, pid in ((live, os.getpid()), (dead, 2**22 + 12345)):
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "_OWNER"), "w") as fh:
+            fh.write(str(pid))
+        old = time.time() - 7200
+        os.utime(p, (old, old))
+
+    curation.materialized_shard_dir(spark, sf_dir)
+    assert os.path.isdir(live)  # old but alive → spared
+    assert not os.path.isdir(dead)  # old and dead → swept
+    import shutil
+
+    shutil.rmtree(live, ignore_errors=True)
