@@ -493,9 +493,11 @@ def _q_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     block, then READ BACK from disk and re-aggregated — so the
     correctness hash certifies the write→read round trip, not just the
     plan. Per shard: sequence/doc/token accounting, the block extent
-    (max_pos), an ORDER checksum (Σ pos·hash31(seq_key) — any
-    permutation drift, drop, or duplicate moves it) and a CONTENT
-    checksum (Σ hash31(seq_text) — any payload corruption moves it).
+    (max_pos), an ORDER checksum (Σ (pos mod M31)·hash31(seq_key)
+    mod M31 — any permutation drift, drop, or duplicate moves it) and
+    a CONTENT checksum (Σ hash31(seq_text) mod M31 — any payload
+    corruption moves it); both reduced modularly on BOTH engines so
+    the audit stays exact at any corpus size (r10 advice).
     The DuckDB oracle recomputes all of it from the raw documents
     table: packing, permutation, block assignment, both checksums.
 
@@ -517,10 +519,27 @@ def _q_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("raw_tokens").alias("raw_tokens"),
             F.sum("seq_tokens").alias("seq_tokens"),
             F.max("pos_in_shard").alias("max_pos"),
-            F.sum(
-                F.col("pos_in_shard") * (hash60(F.col("seq_key")) % MERSENNE31)
-            ).alias("order_checksum"),
-            F.sum(hash60(F.col("seq_text")) % MERSENNE31).alias("content_checksum"),
+            # checksums are MODULAR (r10 advice): each term is reduced
+            # mod M31 before the multiply (product bounded by 2^62 —
+            # inside int64 on both engines) and the SUM accumulates as
+            # a 38-digit decimal (DuckDB's sum(BIGINT) widens to
+            # HUGEINT the same way) before the final mod — so the
+            # audit is exact at ANY corpus size, instead of Spark
+            # wrapping silently and DuckDB raising once a shard holds
+            # a few hundred thousand packed sequences.
+            (
+                F.sum(
+                    (
+                        (F.col("pos_in_shard") % MERSENNE31)
+                        * (hash60(F.col("seq_key")) % MERSENNE31)
+                    ).cast("decimal(38,0)")
+                )
+                % MERSENNE31
+            ).cast("long").alias("order_checksum"),
+            (
+                F.sum((hash60(F.col("seq_text")) % MERSENNE31).cast("decimal(38,0)"))
+                % MERSENNE31
+            ).cast("long").alias("content_checksum"),
         )
         .orderBy("shard")
     )
@@ -1568,8 +1587,9 @@ SELECT shard,
        CAST(sum(raw_tokens) AS BIGINT) AS raw_tokens,
        CAST(sum(seq_tokens) AS BIGINT) AS seq_tokens,
        CAST(max(pos_in_shard) AS BIGINT) AS max_pos,
-       CAST(sum(pos_in_shard * ({seqk_h} % {MERSENNE31})) AS BIGINT) AS order_checksum,
-       CAST(sum({text_h} % {MERSENNE31}) AS BIGINT) AS content_checksum
+       CAST(sum((pos_in_shard % {MERSENNE31}) * ({seqk_h} % {MERSENNE31}))
+            % {MERSENNE31} AS BIGINT) AS order_checksum,
+       CAST(sum({text_h} % {MERSENNE31}) % {MERSENNE31} AS BIGINT) AS content_checksum
 FROM assigned GROUP BY shard ORDER BY shard
 """
 

@@ -1214,16 +1214,56 @@ RANK_WINDOW_MAX_CANDIDATES = 2_000_000
 def _corpus_rows_hint(sf_dir: str, table: str = "embeddings") -> int | None:
     """Row count from the parquet FOOTER (driver-side metadata read, no
     Spark job — safe at plan-construction time). None if unreadable:
-    callers must then choose the scale-safe form."""
+    callers must then choose the scale-safe form.
+
+    Failure modes are DISTINGUISHED (r10 advice — a blanket swallow
+    silently flipped every rank to the two-pass form and left the
+    const_key_windows plan facts failing with no hint why):
+    file-shaped absence (missing path, directory-style table) returns
+    None quietly — expected layouts; an ImportError (no pyarrow) or
+    any other surprise WARNS once so the dispatch degradation is
+    visible in the log it changes."""
     import os
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         import pyarrow.parquet as pq
-
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
+    except ImportError as e:  # pragma: no cover - env without pyarrow
+        _warn_hint_unavailable(f"pyarrow unavailable ({e})")
         return None
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except (FileNotFoundError, IsADirectoryError):
+        return None  # absent or directory-style table: expected shapes
+    except OSError as e:
+        # pyarrow raises plain OSError for directory-style parquet;
+        # only warn when the path is NOT a directory (a real surprise)
+        if os.path.isdir(path):
+            return None
+        _warn_hint_unavailable(f"footer read failed for {path}: {e}")
+        return None
+    except Exception as e:  # pragma: no cover - defensive
+        _warn_hint_unavailable(f"footer read failed for {path}: {e}")
+        return None
+
+
+_HINT_WARNED = False
+
+
+def _warn_hint_unavailable(reason: str) -> None:
+    global _HINT_WARNED
+    if _HINT_WARNED:
+        return
+    _HINT_WARNED = True
+    import warnings
+
+    warnings.warn(
+        f"parquet footer row hint unavailable ({reason}); full-depth "
+        "ranks will use the scale-safe two-pass form everywhere and "
+        "const-key-window plan facts will differ",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _per_query_rank(

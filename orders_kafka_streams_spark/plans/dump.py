@@ -59,7 +59,7 @@ COMMENTARY = {
     "q_chao1": "sample→corpus richness: two aggregations over the memoized shingle relation",
     "q_novelty": "first-seen min-agg + join-back: data valuation at inverted-index cost",
     "q_knn_pq": "two-stage ADC: (M·K)-row codebook broadcast, keyed argmin windows, exact re-rank only on the shortlist",
-    "q_dedup_consensus": "2-of-3 vote over three MEMOIZED pair relations: agreement agg, no method re-runs",
+    "q_dedup_consensus": "2-of-3 vote over three MEMOIZED pair relations, SIZE-DISPATCHED (r11): under the |ng|+|mh| broadcast bound the over-firing leg reduces to one broadcast-semi cached scan before the agreement agg (sf1skew: 14.6M simhash pairs never shuffle); above it the single-shuffle union\u2192groupBy fallback",
     "q_dedup_embedding": "block-matrix grid: ≤1024-vector cells, numpy matmul in mapInPandas, no driver collect",
     "q_hybrid_search": "exact RRF baseline: both modalities broadcast the probe set (intentional corpus scan — the recall yardstick for the ANN form); full-depth ranks via the grouped two-pass rank, zero per-query windows",
     "q_hybrid_search_ann": "index-backed RRF: LSH (tbl,sig) + posting equi-joins generate candidates, NO nested-loop anywhere; candidate ranks via the grouped two-pass rank, zero per-query windows",

@@ -165,7 +165,16 @@ def test_global_window_whitelist_not_stale(observed):
 
 def test_const_key_window_whitelist_not_stale(observed):
     """Same hygiene for the const-key whitelist: entries must name a
-    registered query and still be needed."""
+    registered query and still be needed. Skipped when the parquet
+    footer hint is unavailable (r10 advice): without it every
+    size-dispatched rank falls back to the two-pass form, so the
+    whitelisted window forms legitimately never appear."""
+    from orders_kafka_streams_spark.operators.similarity import _corpus_rows_hint
+
+    import pytest as _pytest
+
+    if _corpus_rows_hint(PLAN_SF_DIR) is None:
+        _pytest.skip("footer row hint unavailable — dispatch is two-pass everywhere")
     stale = sorted(set(CONST_KEY_WINDOW_WHITELIST) - set(_NAMES))
     assert not stale, f"whitelist entries for unregistered queries: {stale}"
     unneeded = sorted(
