@@ -66,8 +66,10 @@ _RECHECK_FIRST = (
     # memo consumer — the driver's hard hash signal lands here first
     "q_dedup_consensus",
     "q_semdedup",
-    # r11 new operator: streaming interleave admission twin
+    # r11 new operators: streaming interleave admission twin, Gopher
+    # repetition gates
     "q_stream_interleave",
+    "q_repetition_filter",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

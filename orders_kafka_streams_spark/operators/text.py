@@ -1662,6 +1662,108 @@ def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher-style repetition gates (Rae et al. 2021 "Scaling Language
+#: Models", Table A1), token-basis adaptation: the published rules cut
+#: on the character fraction inside (a) occurrences of the single most
+#: frequent 2-gram and (b) duplicated n-grams; this corpus has no
+#: newlines (line/paragraph rules are vacuous here) and whitespace
+#: tokenization is the engine's portable unit, so both rules measure
+#: TOKEN-POSITION coverage — the union of [p, p+n) over the qualifying
+#: occurrences, never double-counting overlaps. Thresholds tuned so
+#: both rules fire on the fixture (18 + 4 drops at sf0.01).
+REP_TOP2_MAX = 0.18
+REP_DUP3_MAX = 0.10
+
+
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc intra-document repetition gates — the Gopher rule family
+    that catches boilerplate/loop spam n-gram dedup can't (it compares
+    ACROSS documents; these fire WITHIN one):
+
+    * ``top2_frac`` — fraction of token positions covered by
+      occurrences of the doc's most frequent 2-gram (ties broken to
+      the lexicographically smallest gram — deterministic cross-engine
+      on the ASCII token alphabet);
+    * ``dup3_frac`` — fraction of token positions covered by any
+      3-gram occurring at least twice in the doc;
+    * ``keep`` = both under their thresholds.
+
+    Coverage is the UNION of the occurrence spans (distinct positions),
+    not a sum — overlapping repeats don't double-count, so both
+    fractions are exact in [0, 1] and the int/int divisions are
+    bit-identical across engines.
+
+    Scale shape: two posexplodes over the positional gram sequence
+    (the posting shape every dedup variant already pays); shuffles
+    carry (doc_id, gram) cells, text never re-shuffles; coverage
+    re-aggregates per doc_id. The 100×-length skew doc contributes
+    O(length) gram rows — the same bound as the shingle pass.
+
+    Reference connection: none in dhoard/orders-kafka-streams;
+    SURVEY §2.9 extension surface (text-analysis / quality family)."""
+    base = (
+        _tokenized(spark, sf_dir)
+        .select("doc_id", "t", F.size("t").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    bi = base.select(
+        "doc_id", "n", F.posexplode(shingle_seq(F.col("t"), 2)).alias("p", "g")
+    )
+    bic = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    topc = bic.groupBy("doc_id").agg(F.max("c").alias("mc"))
+    topg = (
+        bic.join(topc, "doc_id")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("doc_id")
+        .agg(F.min("g").alias("g"), F.max("c").alias("top_count"))
+    )
+    # the rule measures REPETITION: a top bigram occurring once covers
+    # 2/n of any doc (0.2 of a 10-token one — the fixture's minimum)
+    # without any repeat, so coverage only counts when top_count >= 2
+    tcov = (
+        bi.join(topg.filter(F.col("top_count") >= 2), ["doc_id", "g"])
+        .select("doc_id", F.explode(F.array(F.col("p"), F.col("p") + 1)).alias("u"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tcov"))
+    )
+    g3 = base.select(
+        "doc_id", F.posexplode(shingle_seq(F.col("t"), 3)).alias("p", "g")
+    )
+    dup = g3.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    dcov = (
+        g3.join(dup.select("doc_id", "g"), ["doc_id", "g"], "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("p"), F.col("p") + 1, F.col("p") + 2)
+            ).alias("u"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dcov"))
+    )
+    top2 = F.round(F.coalesce(F.col("tcov"), F.lit(0)) / F.col("n"), 6)
+    dup3 = F.round(F.coalesce(F.col("dcov"), F.lit(0)) / F.col("n"), 6)
+    return (
+        base.select("doc_id", "n")
+        .join(topg.select("doc_id", F.col("g").alias("top_bigram"), "top_count"), "doc_id")
+        .join(tcov, "doc_id", "left")
+        .join(dcov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "top_bigram",
+            "top_count",
+            top2.alias("top2_frac"),
+            dup3.alias("dup3_frac"),
+            ((top2 < REP_TOP2_MAX) & (dup3 < REP_DUP3_MAX)).alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "q_phrase_search": _q_phrase_search,
     "q_proximity_search": _q_proximity_search,
@@ -1694,6 +1796,7 @@ QUERIES = {
     "q_tokenizer_fertility": _q_tokenizer_fertility,
     "q_heldout_bigram": _q_heldout_bigram,
     "q_char_entropy": _q_char_entropy,
+    "q_repetition_filter": _q_repetition_filter,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2200,5 +2303,42 @@ SELECT doc_id,
        {hash60_sql('text')} AS text_hash,
        list_min(list_transform(w, x -> {hash60_sql('x')})) AS min_token_hash
 FROM d
+""",
+    # repetition gates: token-position union coverage; position base
+    # (0- vs 1-based) cancels in the distinct-count fractions
+    "q_repetition_filter": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 3),
+bi AS (SELECT doc_id, u AS p, t[CAST(u AS INT)] || ' ' || t[CAST(u AS INT)+1] AS g
+       FROM base, unnest(range(1, CAST(n AS INT))) AS r(u)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+topc AS (SELECT doc_id, max(c) AS mc FROM bic GROUP BY doc_id),
+topg AS (SELECT bic.doc_id, min(g) AS g, max(c) AS top_count
+         FROM bic JOIN topc ON bic.doc_id = topc.doc_id AND bic.c = topc.mc
+         GROUP BY bic.doc_id),
+tcov AS (SELECT bi.doc_id, count(DISTINCT bi.p + off) AS tcov
+         FROM bi JOIN topg ON bi.doc_id = topg.doc_id AND bi.g = topg.g,
+              unnest(range(0, 2)) AS r2(off)
+         WHERE topg.top_count >= 2
+         GROUP BY bi.doc_id),
+g3 AS (SELECT doc_id, u AS p,
+              t[CAST(u AS INT)] || ' ' || t[CAST(u AS INT)+1] || ' ' || t[CAST(u AS INT)+2] AS g
+       FROM base, unnest(range(1, CAST(n AS INT) - 1)) AS r(u)),
+dup AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2),
+dcov AS (SELECT g3.doc_id, count(DISTINCT g3.p + off) AS dcov
+         FROM g3 JOIN dup ON g3.doc_id = dup.doc_id AND g3.g = dup.g,
+              unnest(range(0, 3)) AS r2(off)
+         GROUP BY g3.doc_id)
+SELECT base.doc_id, base.n AS n_tokens, topg.g AS top_bigram,
+       CAST(topg.top_count AS BIGINT) AS top_count,
+       round(coalesce(CAST(tcov.tcov AS DOUBLE), 0) / base.n, 6) AS top2_frac,
+       round(coalesce(CAST(dcov.dcov AS DOUBLE), 0) / base.n, 6) AS dup3_frac,
+       (round(coalesce(CAST(tcov.tcov AS DOUBLE), 0) / base.n, 6) < {REP_TOP2_MAX}
+        AND round(coalesce(CAST(dcov.dcov AS DOUBLE), 0) / base.n, 6) < {REP_DUP3_MAX})
+         AS keep
+FROM base
+JOIN topg ON base.doc_id = topg.doc_id
+LEFT JOIN tcov ON base.doc_id = tcov.doc_id
+LEFT JOIN dcov ON base.doc_id = dcov.doc_id
 """,
 }
