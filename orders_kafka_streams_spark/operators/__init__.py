@@ -70,6 +70,7 @@ _RECHECK_FIRST = (
     # repetition gates
     "q_stream_interleave",
     "q_repetition_filter",
+    "q_semantic_pack",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

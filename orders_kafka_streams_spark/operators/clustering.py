@@ -928,6 +928,129 @@ FROM ranked WHERE rn = 1
 """
     )
 
+SEMPACK_BUDGET = 512  # tokens per training bin for the packing audit
+
+
+def _q_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-packing audit — the in-context-pretraining ordering
+    step (Shi et al. 2023, "In-Context Pretraining: Language Modeling
+    Beyond Document Boundaries"): packing RELATED documents into the
+    same training sequence lets the model attend across document
+    boundaries to coherent context, so the packer should order the
+    corpus by semantic neighborhood before the token-budget cumsum —
+    not by ingestion id. This query quantifies exactly that choice on
+    this corpus: both orderings (``doc_order`` = doc_id; ``semantic``
+    = (k-means cluster, doc_id)) are packed into SEMPACK_BUDGET-token
+    bins by the same exclusive-cumsum rule, and each method reports
+    its bin count and the mean INTRA-BIN semantic affinity.
+
+    Affinity per bin = mean pairwise cosine of the bin's (normalized)
+    embeddings, computed by the sum-vector identity
+    ``(|Σu|² − n) / (n(n−1))`` — one element-wise sum per (bin, dim)
+    cell and a dim-length fold, NEVER a pairwise join: the audit costs
+    O(docs·dim) regardless of bin sizes, the difference between an
+    auditable metric and an O(n²)-per-bin one at 100 TB.
+
+    Scale shape: the cumsum is the grouped two-pass prefix sum (no
+    single-task window); affinity aggregates carry (bin, dim) cells;
+    the k-means assignment rides the session memo. Floats: per-element
+    normalization is exact IEEE on both engines; the (bin, dim) sums
+    are order-sensitive, so the published affinity is rounded to 4 dp
+    (the established cross-engine sum policy).
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation / clustering family)."""
+    from .sampling import global_prefix_sums
+    from .text import _tokenized
+
+    asg = kmeans_assignments(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster", "v"
+    )
+    toks = _tokenized(spark, sf_dir).select("doc_id", F.size("t").alias("n_tokens"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    d = toks.join(asg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "cluster",
+        F.transform("v", lambda x: x / norm).alias("u"),
+    )
+
+    def method_stats(method: str, keys: list) -> DataFrame:
+        ranked = global_prefix_sums(d, keys, {"cum": "n_tokens"})
+        binned = ranked.select(
+            "u",
+            F.floor(F.coalesce(F.col("cum"), F.lit(0)) / SEMPACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+        )
+        cells = (
+            binned.select("bin", F.posexplode("u").alias("pos", "val"))
+            .groupBy("bin", "pos")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("bin")
+            .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        )
+        sizes = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
+        aff = (F.col("s2") - F.col("nb")) / (F.col("nb") * (F.col("nb") - 1))
+        per_bin = sizes.join(cells, "bin")
+        return per_bin.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum((F.col("nb") >= 2).cast("long")).alias("multi_bins"),
+            F.round(F.avg("nb"), 2).alias("docs_per_bin"),
+            F.round(F.avg(F.when(F.col("nb") >= 2, aff)), 4).alias("avg_affinity"),
+        )
+
+    return method_stats("doc_order", [F.asc("doc_id")]).unionByName(
+        method_stats("semantic", [F.asc("cluster"), F.asc("doc_id")])
+    )
+
+
+def _semantic_pack_oracle() -> str:
+    from .text import _TOKS
+
+    norm = "sqrt(list_reduce(list_transform(a.v, y -> y * y), (p2, q2) -> p2 + q2))"
+
+    def leg(method: str, order: str, tag: str) -> str:
+        return f"""
+pb{tag} AS (
+  SELECT u, CAST(floor(coalesce(sum(n_tokens) OVER (
+      ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {SEMPACK_BUDGET}) AS BIGINT) AS bin
+  FROM d
+),
+pc{tag} AS (
+  SELECT bin, pos, sum(val) AS s
+  FROM (SELECT bin, generate_subscripts(u, 1) AS pos, unnest(u) AS val FROM pb{tag})
+  GROUP BY bin, pos
+),
+ps{tag} AS (SELECT bin, sum(s * s) AS s2 FROM pc{tag} GROUP BY bin),
+pn{tag} AS (SELECT bin, count(*) AS nb FROM pb{tag} GROUP BY bin),
+pr{tag} AS (
+  SELECT '{method}' AS method,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_bins,
+         round(avg(nb), 2) AS docs_per_bin,
+         round(avg(CASE WHEN nb >= 2 THEN (s2 - nb) / (nb * (nb - 1.0)) END), 4)
+           AS avg_affinity
+  FROM pn{tag} JOIN ps{tag} USING (bin)
+)"""
+
+    return (
+        _kmeans_cte_prefix()
+        + f""",
+asg2 AS (SELECT vec_id AS doc_id, cid AS cluster, v FROM a{KMEANS_ITERS + 1}),
+toks AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+d AS (
+  SELECT t.doc_id, t.n_tokens, a.cluster,
+         list_transform(a.v, x -> x / {norm}) AS u
+  FROM toks t JOIN asg2 a USING (doc_id)
+),{leg("doc_order", "doc_id", "1")},{leg("semantic", "cluster, doc_id", "2")}
+SELECT * FROM pr1 UNION ALL SELECT * FROM pr2
+"""
+    )
+
+
 QUERIES = {
     "q_kmeans": _q_kmeans,
     "q_semdedup": _q_semdedup,
@@ -935,6 +1058,7 @@ QUERIES = {
     "q_kcenter_coreset_batched": _q_kcenter_coreset_batched,
     "q_cluster_topics": _q_cluster_topics,
     "q_cluster_purity": _q_cluster_purity,
+    "q_semantic_pack": _q_semantic_pack,
 }
 
 ORACLE = {
@@ -951,4 +1075,5 @@ ORACLE = {
     "q_kcenter_coreset_batched": _kcenter_batched_oracle(),
     "q_cluster_topics": _cluster_topics_oracle(),
     "q_cluster_purity": _cluster_purity_oracle(),
+    "q_semantic_pack": _semantic_pack_oracle(),
 }

@@ -273,6 +273,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     "q_semdedup": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
     "q_cluster_purity": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
     "q_cluster_topics": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
+    "q_semantic_pack": (1, "K_CLUSTERS-row post-limit seed in kmeans build"),
     # PQ_K-row post-limit codebook seed (similarity.py:400) and the
     # IVF centroid sample — constant-size index-build relations
     "q_knn_pq": (1, "PQ_K-row post-limit codebook seed"),
