@@ -71,6 +71,7 @@ _RECHECK_FIRST = (
     "q_stream_interleave",
     "q_repetition_filter",
     "q_semantic_pack",
+    "q_bitext_margin",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

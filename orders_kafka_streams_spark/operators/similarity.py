@@ -1959,7 +1959,202 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: Artetxe & Schwenk 2019 margin-based bitext mining knobs: candidate
+#: depth / kNN-average depth (one k, the paper's `ratio` setting) and
+#: the mined-pair margin cut. Sides are the label's parity — the
+#: corpus's stand-in for the two languages of a parallel-corpus mine.
+MARGIN_K = 4
+MARGIN_T = 1.15
+BITEXT_BLOCK = 1024
+
+
+def _bitext_cell_topk(xs: DataFrame, ys: DataFrame, k: int, block: int) -> DataFrame:
+    """Per-grid-cell top-k cosine rows for BOTH sides: the full X×Y
+    rectangle decomposed into bounded (≤ block)² cells (the
+    q_dedup_embedding grid, rectangular instead of triangular), each
+    cell ONE numpy matmul that emits only each x's k best ys and each
+    y's k best xs within the cell — O((|X|+|Y|)·k·cells) rows out,
+    never the O(|X|·|Y|) score matrix. Global top-k per side is a
+    rank over the unioned cell winners (a superset of the true top-k
+    by decomposition). Ordering everywhere is (raw cos DESC, id ASC) —
+    the q_hard_negatives raw-ordering parity precedent."""
+    def blocked(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("vec_id"),
+                F.col("embedding"),
+                F.floor(F.col("vec_id") / block).alias("blk"),
+            )
+            .groupBy("blk")
+            .agg(F.collect_list(F.struct("vec_id", "embedding")).alias(f"{side}vecs"))
+        )
+
+    xb = blocked(xs, "a").select(F.col("blk").alias("ablk"), "avecs")
+    yb = blocked(ys, "b").select(F.col("blk").alias("bblk"), "bvecs")
+    grid = xb.join(F.broadcast(yb.select("bblk")), F.lit(True)).join(yb, "bblk")
+
+    def kernel(batches):
+        import numpy as np  # self-contained: workers import nothing of ours
+        import pandas as pd
+
+        def unpack(cell):
+            ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+            mat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in cell])
+            o = np.argsort(ids)  # id-ascending ⇒ stable sorts break ties to the smaller id
+            mat = mat[o]
+            return ids[o], mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        for pdf in batches:
+            for avecs, bvecs in zip(pdf["avecs"], pdf["bvecs"]):
+                if len(avecs) == 0 or len(bvecs) == 0:
+                    continue
+                xid, A = unpack(avecs)
+                yid, B = unpack(bvecs)
+                sims = A @ B.T
+                kk = min(k, sims.shape[1])
+                kxi = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                kx = {(i, int(j)) for i in range(sims.shape[0]) for j in kxi[i]}
+                kk = min(k, sims.shape[0])
+                kyi = np.argsort(-sims, axis=0, kind="stable")[:kk, :]
+                ky = {(int(i), j) for j in range(sims.shape[1]) for i in kyi[:, j]}
+                both = sorted(kx | ky)
+                rows = pd.DataFrame(
+                    {
+                        "x_id": [int(xid[i]) for i, _ in both],
+                        "y_id": [int(yid[j]) for _, j in both],
+                        "cos": [float(sims[i, j]) for i, j in both],
+                        "kx": [p in kx for p in both],
+                        "ky": [p in ky for p in both],
+                    }
+                )
+                yield rows
+
+    return grid.mapInPandas(
+        kernel, "x_id long, y_id long, cos double, kx boolean, ky boolean"
+    )
+
+
+def _q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining in Multilingual Sentence Embeddings"): the
+    standard way to mine parallel/aligned pairs from two unaligned
+    corpora — raw cosine over-fires on hubs (vectors close to
+    everything), so each candidate pair is scored by its RATIO margin
+    cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) and a pair is mined only
+    when its margin clears the cut, i.e. the pair is closer than each
+    side's typical neighborhood. Sides here are the embedding label's
+    parity (the synthetic stand-in for source/target language).
+
+    Output per x: its best candidate y by margin (ties to smallest
+    y_id), the cosine, the margin, and the mined verdict.
+
+    Scale shape: the score stage is the rectangular block-matrix grid
+    — bounded (≤ BITEXT_BLOCK)² matmul cells that emit only per-side
+    cell top-k rows, so shuffle volume is O((|X|+|Y|)·k·cells), never
+    the pair matrix; global top-k per side is a rank over cell winners
+    (rank-filtered ⇒ map-side Partial WindowGroupLimit); kNN averages
+    fold over the EXPLICITLY ORDERED top-k list (sort_array then a
+    strict left fold — the cross-engine float-sum policy); margins and
+    the final per-x argmax run on O(|X|·k) rows. At 100 TB the grid is
+    replaced by the IVF/LSH shortlist exactly as for q_knn_brute — the
+    margin/argmax stages are unchanged. All ordering uses RAW cosines
+    (the q_hard_negatives parity precedent); cos/margin round to 6 dp
+    only at publish.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (similarity / curation family)."""
+    emb = parallelize(load_table(spark, sf_dir, "embeddings"))
+    xs = emb.filter(F.col("label") % 2 == 0)
+    ys = emb.filter(F.col("label") % 2 == 1)
+    sc = _bitext_cell_topk(xs, ys, MARGIN_K, BITEXT_BLOCK)
+
+    def side_avg(rows: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("cos"), F.asc(other))
+        topk = rows.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= MARGIN_K
+        )
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.negate(F.col("cos")).alias("nc"),
+                                    F.col(other).alias("o"),
+                                    F.col("cos").alias("c")))
+        )
+        fold = F.aggregate(arr, F.lit(0.0), lambda a, e: a + e["c"])
+        return topk.groupBy(key).agg(
+            (fold / F.count(F.lit(1))).alias(out)
+        )
+
+    xk = sc.filter("kx")
+    ax = side_avg(xk, "x_id", "y_id", "ax")
+    ay = side_avg(sc.filter("ky"), "y_id", "x_id", "ay")
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
+    cand = xk.withColumn("rk", F.row_number().over(wx)).filter(
+        F.col("rk") <= MARGIN_K
+    )
+    m = (
+        cand.join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn("margin_raw", F.col("cos") / ((F.col("ax") + F.col("ay")) / 2))
+    )
+    wbest = Window.partitionBy("x_id").orderBy(F.desc("margin_raw"), F.asc("y_id"))
+    return (
+        m.withColumn("brk", F.row_number().over(wbest))
+        .filter(F.col("brk") == 1)
+        .select(
+            "x_id",
+            "y_id",
+            F.round("cos", 6).alias("cos"),
+            F.round("margin_raw", 6).alias("margin"),
+            (F.col("margin_raw") >= MARGIN_T).alias("mined"),
+        )
+    )
+
+
+
+def _bitext_margin_oracle() -> str:
+    """Brute-force mirror: every X×Y cosine via the strict fold (bit-
+    identical to the kernel matmul — the q_hard_negatives precedent),
+    top-k per side by (raw cos DESC, id ASC), kNN averages as ordered-
+    list folds, ratio margin, per-x argmax by (margin DESC, y ASC)."""
+    dot = "list_reduce(list_transform(range(1, 1 + len(q.e)), i -> q.e[i] * n.e[i]), (a2, x2) -> a2 + x2)"
+    return (
+        _V_CTE
+        + f""",
+xs AS (SELECT * FROM v WHERE label % 2 = 0),
+ys AS (SELECT * FROM v WHERE label % 2 = 1),
+s AS (
+  SELECT q.vec_id AS x_id, n.vec_id AS y_id, {dot} / (q.nrm * n.nrm) AS c
+  FROM xs q CROSS JOIN ys n
+),
+xr AS (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY c DESC, y_id) AS rx FROM s),
+yr AS (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY c DESC, x_id) AS ry FROM s),
+ax AS (
+  SELECT x_id, list_reduce(list(c ORDER BY rx), (a2, x2) -> a2 + x2) / count(*) AS ax
+  FROM xr WHERE rx <= {MARGIN_K} GROUP BY x_id
+),
+ay AS (
+  SELECT y_id, list_reduce(list(c ORDER BY ry), (a2, x2) -> a2 + x2) / count(*) AS ay
+  FROM yr WHERE ry <= {MARGIN_K} GROUP BY y_id
+),
+m AS (
+  SELECT xr.x_id, xr.y_id, xr.c, xr.c / ((ax.ax + ay.ay) / 2) AS margin_raw
+  FROM xr JOIN ax USING (x_id) JOIN ay USING (y_id)
+  WHERE xr.rx <= {MARGIN_K}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin_raw DESC, y_id) AS brk
+  FROM m
+)
+SELECT x_id, y_id, round(c, 6) AS cos, round(margin_raw, 6) AS margin,
+       margin_raw >= {MARGIN_T} AS mined
+FROM best WHERE brk = 1
+"""
+    )
+
+
 QUERIES = {
+    "q_bitext_margin": _q_bitext_margin,
     "q_maxsim": _q_maxsim,
     "q_hard_negatives": _q_hard_negatives,
     "q_semantic_contamination": _q_semantic_contamination,
@@ -2632,6 +2827,7 @@ GROUP BY method
 """
 
 
+ORACLE["q_bitext_margin"] = _bitext_margin_oracle()
 ORACLE["q_ann_quality"] = _ann_quality_oracle()
 ORACLE["q_ann_ndcg"] = _ann_ndcg_oracle()
 ORACLE["q_emb_principal"] = _emb_principal_oracle()
