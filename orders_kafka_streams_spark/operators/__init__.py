@@ -72,6 +72,7 @@ _RECHECK_FIRST = (
     "q_repetition_filter",
     "q_semantic_pack",
     "q_bitext_margin",
+    "q_memorization_risk",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

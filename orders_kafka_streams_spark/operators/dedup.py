@@ -935,6 +935,74 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: memorization-risk tier cuts (Lee et al. 2022; Carlini et al. 2023
+#: "Quantifying Memorization"): a NEAR-DUP twin is the strongest
+#: memorization driver (sequences seen k times are memorized
+#: log-linearly in k), and an extreme corpus-repeated-shingle fraction
+#: marks substring-level repetition even without a whole-doc twin. The
+#: cuts are tuned so all three tiers are populated at sf0.01 (47 high).
+MEMRISK_DUPFRAC_T = 0.9
+
+
+def _q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk audit — the relation a privacy /
+    memorization review consumes before training (Lee et al. 2022;
+    Carlini et al. 2023): duplication is the dominant predictor of
+    verbatim memorization, so each doc reports its duplication
+    evidence and a triage tier:
+
+    * ``n_near_dups`` — near-dup partners in the n-gram Jaccard pair
+      relation (whole-doc duplication, the log-linear k driver);
+    * ``n_dup_shingles`` / ``dup_frac`` — how much of the doc's text
+      is corpus-repeated at the substring level (q_dup_spans);
+    * ``exposure`` — n_tokens x n_dup_shingles, the integer-exact
+      magnitude to sort a review queue by (longer + more repeated =
+      more extractable);
+    * ``risk`` — high: has a near-dup twin; medium: >= 90% shingles
+      corpus-repeated; low otherwise.
+
+    Scale shape: pure composition of MEMOIZED relations (shingles,
+    n-gram pairs, dup-span stats) + the token projection — two
+    doc_id-keyed joins and one pair-side union; nothing new touches
+    the corpus text.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (privacy / dedup family)."""
+    from .text import _tokenized
+
+    toks = _tokenized(spark, sf_dir).select("doc_id", F.size("t").alias("n_tokens"))
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    nd = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    spans = dup_span_stats(_shingled_cached(spark, sf_dir)).select(
+        "doc_id", F.col("n_dup").alias("n_dup_shingles"), "dup_frac"
+    )
+    near = F.coalesce(F.col("n_near_dups"), F.lit(0))
+    risk = (
+        F.when(near > 0, F.lit("high"))
+        .when(F.col("dup_frac") >= MEMRISK_DUPFRAC_T, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        toks.join(nd, "doc_id", "left")
+        .join(spans, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            near.alias("n_near_dups"),
+            "n_dup_shingles",
+            "dup_frac",
+            (F.col("n_tokens") * F.col("n_dup_shingles")).alias("exposure"),
+            risk.alias("risk"),
+        )
+    )
+
+
 #: synthetic delta marker: every 5th doc "arrived today". A real
 #: pipeline keys this on an ingest-date partition column.
 DELTA_MOD = 5
@@ -2201,6 +2269,7 @@ QUERIES = {
     "q_exact_substrings": _q_exact_substrings,
     "q_apply_excision": _q_apply_excision,
     "q_dedup_exact": _q_dedup_exact,
+    "q_memorization_risk": _q_memorization_risk,
     "q_dedup_ngram": _q_dedup_ngram,
     "q_dedup_containment": _q_dedup_containment,
     "q_containment_keep": _q_containment_keep,
@@ -2870,6 +2939,29 @@ SELECT method, n_pred, n_truth, tp,
 FROM per CROSS JOIN nt
 """,
 }
+
+
+# memorization-risk oracle: composes the pair + span oracles verbatim
+# (the q_dedup_consensus wrapping pattern) over the token projection
+ORACLE["q_memorization_risk"] = f"""
+WITH toks AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+nd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups FROM (
+    SELECT a AS doc_id FROM ({ORACLE["q_dedup_ngram"]})
+    UNION ALL
+    SELECT b AS doc_id FROM ({ORACLE["q_dedup_ngram"]})
+  ) GROUP BY doc_id
+),
+ds AS (SELECT doc_id, n_dup AS n_dup_shingles, dup_frac FROM ({ORACLE["q_dup_spans"]}))
+SELECT t.doc_id, t.n_tokens,
+       coalesce(nd.n_near_dups, 0) AS n_near_dups,
+       ds.n_dup_shingles, ds.dup_frac,
+       CAST(t.n_tokens * ds.n_dup_shingles AS BIGINT) AS exposure,
+       CASE WHEN coalesce(nd.n_near_dups, 0) > 0 THEN 'high'
+            WHEN ds.dup_frac >= {MEMRISK_DUPFRAC_T} THEN 'medium'
+            ELSE 'low' END AS risk
+FROM toks t LEFT JOIN nd USING (doc_id) JOIN ds ON ds.doc_id = t.doc_id
+"""
 
 # consensus oracle: wrap the three standalone method oracles as derived
 # tables (DuckDB allows WITH inside a parenthesized subquery), union the
