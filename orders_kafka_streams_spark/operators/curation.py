@@ -59,7 +59,12 @@ def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct (doc, token)); the bigram metric stays map-only via
     shifted-slice zip_with (never referencing the token array inside a
     lambda — the O(len²) trap, functions/textfns.py). Docs with fewer
-    than 2 tokens are excluded explicitly on both engines."""
+    than 2 tokens are excluded explicitly on both engines.
+
+    The DOC-level keep/drop twin is q_repetition_filter (text.py, r11):
+    it cuts on positional occurrence COVERAGE (the published Gopher
+    quantity) per document; this query is the cheap per-source
+    monitoring rollup of the proxy signals."""
     base = _tokenized(spark, sf_dir, "source").filter(F.size("t") >= 2)
     t = F.col("t")
     n = F.size(t)

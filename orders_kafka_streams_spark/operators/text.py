@@ -1693,6 +1693,14 @@ def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions are exact in [0, 1] and the int/int divisions are
     bit-identical across engines.
 
+    Complements q_quality_repetition (curation.py), the SOURCE-level
+    monitoring profile built on cheaper proxies (token dominance,
+    1 − distinct/total bigrams): this is the DOC-level keep/drop gate
+    on positional occurrence coverage — the quantity the published
+    rules actually cut on, which the distinct-ratio proxy under-counts
+    whenever a repeated gram clusters (aaa b aaa has the same distinct
+    ratio as a a b a a but twice the covered span).
+
     Scale shape: two posexplodes over the positional gram sequence
     (the posting shape every dedup variant already pays); shuffles
     carry (doc_id, gram) cells, text never re-shuffles; coverage

@@ -108,7 +108,16 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 24g default (r11): in local mode the driver heap IS the
+        # executor heap, and at 8g the scale tiers' ~20 persisted
+        # relations squeezed execution memory enough to inflate the
+        # Arrow-kernel queries ~40% in-tier (controlled quiet A/B:
+        # q_semdedup sf1skew min-of-2 3.53 s at 8g vs 2.49 s at 24g,
+        # identical code/corpus) — storage churn masquerading as the
+        # queries' "load response". The host profile is 32 cores /
+        # 128 GiB; 24g leaves ample headroom and the env override
+        # stands for smaller hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/okss-warehouse")
     )
