@@ -416,6 +416,76 @@ def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: multi-epoch schedule knobs: epoch count and the per-repetition value
+#: decay (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+#: Models": repeated epochs contribute diminishing effective data —
+#: their fitted decay is modeled here by a POWER-OF-TWO rate so
+#: rep_value = DECAY^(epoch-1) is exact in binary floating point on
+#: both engines, no pow()/exp ulp exposure).
+N_EPOCHS = 3
+EPOCH_DECAY = 0.5
+EPOCH_SEED = "epoch{e}:"
+
+
+def _q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training schedule with repeated-data value
+    accounting — the data-constrained regime (Muennighoff et al.
+    2023): when the corpus is smaller than the token budget, training
+    repeats it for N_EPOCHS with a DIFFERENT seeded shuffle per epoch
+    (repeating the same order re-correlates batch composition across
+    epochs), and each repetition contributes geometrically less
+    effective data. Output one row per (doc, epoch): the within-epoch
+    position, the run-global position (epochs are contiguous blocks:
+    global = (epoch-1)·N + epoch_pos), and the repetition's effective
+    value DECAY^(epoch-1).
+
+    Scale shape: the epoch dimension is a 1-to-N_EPOCHS map-side
+    explode (a constant fan-out, not a join); ONE grouped two-pass
+    rank over the total order (epoch, seeded hash, doc_id) assigns
+    every position — the same machinery and partition-count invariance
+    as q_global_shuffle, with the epoch as the leading range key so
+    epoch blocks are contiguous by construction; N attaches as a 1-row
+    broadcast. rep_value is exact (power-of-two decay), so the only
+    floats in the relation are engine-identical.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (sampling / training-schedule family)."""
+    from .dedup import _memo_persist
+
+    docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(N_EPOCHS))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        hash60(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    ranked = global_row_numbers(
+        keyed,
+        ["epoch", "k", "doc_id"],
+        memo=lambda build: _memo_persist(spark, sf_dir, "epoch_rn:documents", build),
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "epoch",
+        (F.col("rn") - (F.col("epoch") - 1) * F.col("n_corpus")).alias("epoch_pos"),
+        F.col("rn").alias("global_pos"),
+        # DECAY^(epoch-1) as 1.0 / 2^(epoch-1): integer shift + one
+        # exact division — no pow()/libm in the relation at all
+        F.expr("cast(1.0 as double) / shiftleft(1, cast(epoch - 1 as int))").alias("rep_value"),
+    )
+
+
 #: curriculum schedule knobs: documents bucket by token count (the
 #: sequence-length-warmup difficulty proxy — integer, so the bucket
 #: boundary is exact in both engines) into CURRICULUM_BUCKETS stages
@@ -1019,6 +1089,7 @@ QUERIES = {
     "q_sample_priority": _q_sample_priority,
     "q_shard_layout": _q_shard_layout,
     "q_global_shuffle": _q_global_shuffle,
+    "q_epoch_schedule": _q_epoch_schedule,
     "q_curriculum_order": _q_curriculum_order,
     "q_interleave_mixture": _q_interleave_mixture,
     "q_sample_weighted": _q_sample_weighted,
@@ -1031,6 +1102,22 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_epoch_schedule": f"""
+WITH e AS (SELECT doc_id, u AS epoch FROM documents, unnest(range(1, {N_EPOCHS} + 1)) AS r(u)),
+keyed AS (
+  SELECT doc_id, epoch,
+         {hash60_sql("'epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM e),
+n AS (SELECT count(*) AS n_corpus FROM documents),
+rn AS (SELECT doc_id, epoch,
+              CAST(row_number() OVER (ORDER BY epoch, k, doc_id) AS BIGINT) AS global_pos
+       FROM keyed)
+SELECT r.doc_id, CAST(r.epoch AS INT) AS epoch,
+       CAST(r.global_pos - (r.epoch - 1) * n.n_corpus AS BIGINT) AS epoch_pos,
+       r.global_pos,
+       1.0 / (1 << (r.epoch - 1)) AS rep_value
+FROM rn r, n
+""",
     "q_global_shuffle": f"""
 WITH base AS (
   SELECT doc_id,
