@@ -144,6 +144,53 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: classifier threshold sweep: the candidate margin cuts a pipeline
+#: owner reads before picking the quality gate (the FineWeb-Edu-style
+#: "choose the score threshold from the keep-rate/diversity trade"
+#: table). Literal 1-decimal values — exact on both engines.
+CLS_SWEEP_CUTS = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+
+def _q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate calibration table: for each candidate margin cut,
+    the corpus that would survive — docs kept, keep fraction, mean
+    kept margin, and how many SOURCES still contribute at least one
+    document (the collateral-damage signal: an aggressive cut that
+    silently zeroes a source is how mixture bugs ship). One row per
+    cut; the q_quality_classifier gate is the CLS_SWEEP_CUTS[2] = 0.0
+    row of this table.
+
+    Scale shape: the corpus is scored ONCE (the shared linear head —
+    scan-level, no Python); the |cuts| fan-out happens on the SCORED
+    projection via a literal array explode (constant multiplier on a
+    3-column relation, not on text), and each cut aggregates to one
+    row + an O(sources) distinct. Rounding: margins are already
+    6-dp-rounded by the shared head; the threshold compare happens on
+    the rounded value on BOTH engines, so no boundary ambiguity.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation / quality family)."""
+    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+    scored = classifier_scores(base).select("doc_id", "source", "margin")
+    cuts = F.array(*[F.lit(c) for c in CLS_SWEEP_CUTS])
+    fan = scored.select(
+        "doc_id", "source", "margin", F.explode(cuts).alias("cut")
+    )
+    n_total = scored.count()
+    return (
+        fan.filter(F.col("margin") > F.col("cut"))
+        .groupBy("cut")
+        .agg(
+            F.count(F.lit(1)).alias("n_keep"),
+            F.round(F.count(F.lit(1)) / F.lit(float(n_total)), 6).alias("keep_frac"),
+            F.round(F.avg("margin"), 6).alias("avg_kept_margin"),
+            F.count_distinct("source").alias("n_sources_surviving"),
+        )
+        .orderBy("cut")
+    )
+
+
 #: fixed public weights of the linear quality head (fasttext-style):
 #: (uniq_ratio, capped stopword signal, capped length, mean-token-len
 #: penalty, bias). Chosen so both classes are non-trivially populated
@@ -1065,6 +1112,7 @@ QUERIES = {
     "q_pack_efficiency": _q_pack_efficiency,
     "q_lang_mix": _q_lang_mix,
     "q_quality_classifier": _q_quality_classifier,
+    "q_classifier_sweep": _q_classifier_sweep,
     "q_prepare_training": _q_prepare_training,
 }
 
@@ -1600,3 +1648,23 @@ FROM assigned GROUP BY shard ORDER BY shard
 
 
 ORACLE["q_write_shards"] = _write_shards_oracle()
+
+# threshold sweep over the shared 6-dp-rounded margin; total count via
+# a scalar subquery, per-cut keep aggregates + source-diversity
+ORACLE["q_classifier_sweep"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sc AS (
+  SELECT doc_id, source, round({_CLS_MARGIN}, 6) AS margin
+  FROM toks WHERE len(t) > 0
+),
+cuts AS (SELECT unnest({list(CLS_SWEEP_CUTS)}) AS cut),
+n AS (SELECT count(*) AS n_total FROM sc)
+SELECT CAST(c.cut AS DOUBLE) AS cut,
+       CAST(count(*) AS BIGINT) AS n_keep,
+       round(count(*) / CAST(n.n_total AS DOUBLE), 6) AS keep_frac,
+       round(avg(s.margin), 6) AS avg_kept_margin,
+       CAST(count(DISTINCT s.source) AS BIGINT) AS n_sources_surviving
+FROM cuts c JOIN sc s ON s.margin > c.cut, n
+GROUP BY c.cut, n.n_total
+ORDER BY c.cut
+"""
