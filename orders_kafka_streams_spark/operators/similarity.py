@@ -1972,66 +1972,80 @@ BITEXT_BLOCK = 1024
 
 def _bitext_cell_topk(xs: DataFrame, ys: DataFrame, k: int, block: int) -> DataFrame:
     """Per-grid-cell top-k cosine rows for BOTH sides: the full X×Y
-    rectangle decomposed into bounded (≤ block)² cells (the
-    q_dedup_embedding grid, rectangular instead of triangular), each
-    cell ONE numpy matmul that emits only each x's k best ys and each
-    y's k best xs within the cell — O((|X|+|Y|)·k·cells) rows out,
-    never the O(|X|·|Y|) score matrix. Global top-k per side is a
-    rank over the unioned cell winners (a superset of the true top-k
-    by decomposition). Ordering everywhere is (raw cos DESC, id ASC) —
-    the q_hard_negatives raw-ordering parity precedent."""
-    def blocked(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.select(
-                F.col("vec_id"),
-                F.col("embedding"),
-                F.floor(F.col("vec_id") / block).alias("blk"),
-            )
-            .groupBy("blk")
-            .agg(F.collect_list(F.struct("vec_id", "embedding")).alias(f"{side}vecs"))
-        )
+    rectangle decomposed into bounded (≤ block)² cells, each cell ONE
+    numpy matmul that emits only each x's k best ys and each y's k
+    best xs within the cell — O((|X|+|Y|)·k·cells) rows out, never the
+    O(|X|·|Y|) score matrix. Global top-k per side is a rank over the
+    unioned cell winners (a superset of the true top-k by
+    decomposition). Ordering everywhere is (raw cos DESC, id ASC) —
+    the q_hard_negatives raw-ordering parity precedent.
 
-    xb = blocked(xs, "a").select(F.col("blk").alias("ablk"), "avecs")
-    yb = blocked(ys, "b").select(F.col("blk").alias("bblk"), "bvecs")
-    grid = xb.join(F.broadcast(yb.select("bblk")), F.lit(True)).join(yb, "bblk")
+    Grid layout is the semdedup BLOCK-PAIR fan-out (FLAT rows tagged
+    with side + cell coordinates, grouped by (ablk, bblk) into
+    applyInPandas), NOT nested collect_list cells: the r11 first cut
+    shipped each cell as two arrays-of-structs and paid a ~1024-item
+    Python unpack loop per cell side (~200k struct→ndarray conversions
+    at sf1 — 15-19 s); the flat shape vectorizes the same unpack as
+    ONE np.vstack over the group's Arrow columns (measured ~3× faster
+    end-to-end). Each side's rows replicate once per opposite-side
+    block — the same O(B) fan-out every block-matrix operator here
+    pays."""
+    xb = xs.select(
+        "vec_id", "embedding", F.floor(F.col("vec_id") / block).alias("ablk")
+    )
+    yb = ys.select(
+        "vec_id", "embedding", F.floor(F.col("vec_id") / block).alias("bblk")
+    )
+    nxa = xb.select(F.col("ablk").alias("blk")).distinct()
+    nyb = yb.select(F.col("bblk").alias("blk")).distinct()
+    a_fan = xb.join(
+        F.broadcast(nyb.select(F.col("blk").alias("bblk"))), F.lit(True)
+    ).select("vec_id", "embedding", "ablk", "bblk", F.lit(0).alias("side"))
+    b_fan = yb.join(
+        F.broadcast(nxa.select(F.col("blk").alias("ablk"))), F.lit(True)
+    ).select("vec_id", "embedding", "ablk", "bblk", F.lit(1).alias("side"))
+    grid = a_fan.unionByName(b_fan)
 
-    def kernel(batches):
+    def kernel(pdf):
         import numpy as np  # self-contained: workers import nothing of ours
         import pandas as pd
 
-        def unpack(cell):
-            ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
-            mat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in cell])
-            o = np.argsort(ids)  # id-ascending ⇒ stable sorts break ties to the smaller id
-            mat = mat[o]
+        def unpack(rows):
+            ids = rows["vec_id"].to_numpy()
+            o = np.argsort(ids)  # id-ascending ⇒ stable sorts tie to smaller id
+            mat = np.vstack(rows["embedding"].to_numpy()[o]).astype(np.float64)
             return ids[o], mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
-        for pdf in batches:
-            for avecs, bvecs in zip(pdf["avecs"], pdf["bvecs"]):
-                if len(avecs) == 0 or len(bvecs) == 0:
-                    continue
-                xid, A = unpack(avecs)
-                yid, B = unpack(bvecs)
-                sims = A @ B.T
-                kk = min(k, sims.shape[1])
-                kxi = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-                kx = {(i, int(j)) for i in range(sims.shape[0]) for j in kxi[i]}
-                kk = min(k, sims.shape[0])
-                kyi = np.argsort(-sims, axis=0, kind="stable")[:kk, :]
-                ky = {(int(i), j) for j in range(sims.shape[1]) for i in kyi[:, j]}
-                both = sorted(kx | ky)
-                rows = pd.DataFrame(
-                    {
-                        "x_id": [int(xid[i]) for i, _ in both],
-                        "y_id": [int(yid[j]) for _, j in both],
-                        "cos": [float(sims[i, j]) for i, j in both],
-                        "kx": [p in kx for p in both],
-                        "ky": [p in ky for p in both],
-                    }
-                )
-                yield rows
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame(
+                {"x_id": [], "y_id": [], "cos": [], "kx": [], "ky": []}
+            ).astype(
+                {"x_id": "int64", "y_id": "int64", "cos": "float64",
+                 "kx": "bool", "ky": "bool"}
+            )
+        xid, A = unpack(a_rows)
+        yid, B = unpack(b_rows)
+        sims = A @ B.T
+        kk = min(k, sims.shape[1])
+        kxi = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        kx = {(i, int(j)) for i in range(sims.shape[0]) for j in kxi[i]}
+        kk = min(k, sims.shape[0])
+        kyi = np.argsort(-sims, axis=0, kind="stable")[:kk, :]
+        ky = {(int(i), j) for j in range(sims.shape[1]) for i in kyi[:, j]}
+        both = sorted(kx | ky)
+        return pd.DataFrame(
+            {
+                "x_id": [int(xid[i]) for i, _ in both],
+                "y_id": [int(yid[j]) for _, j in both],
+                "cos": [float(sims[i, j]) for i, j in both],
+                "kx": [p in kx for p in both],
+                "ky": [p in ky for p in both],
+            }
+        )
 
-    return grid.mapInPandas(
+    return grid.groupBy("ablk", "bblk").applyInPandas(
         kernel, "x_id long, y_id long, cos double, kx boolean, ky boolean"
     )
 
