@@ -75,6 +75,7 @@ _RECHECK_FIRST = (
     "q_memorization_risk",
     "q_epoch_schedule",
     "q_classifier_sweep",
+    "q_corpus_final",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

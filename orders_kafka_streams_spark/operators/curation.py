@@ -101,6 +101,42 @@ def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation funnel in one relation — extends the
+    r9 capstone (q_clean_corpus: quality ∩ near-dup keep ∩
+    decontamination → span excision → redaction) with the r11 gates a
+    2023+ pipeline adds on top: the Gopher repetition filter
+    (intra-doc boilerplate/loop spam the cross-doc dedup can't see)
+    and the memorization-risk triage (docs with near-dup twins are the
+    log-linear memorization drivers — the high tier is excluded from
+    the shippable corpus rather than merely reported). One row per
+    FINAL surviving doc with the capstone's surgery columns.
+
+    Scale shape: two more doc_id-keyed semi/anti joins over relations
+    that ride the SAME memoized artifacts the capstone already built
+    (token projection, shingles, n-gram pairs, dup-span stats) — the
+    funnel extension adds no new corpus pass.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation capstone family)."""
+    from .dedup import QUERIES as _DQ2
+    from .text import QUERIES as _TQ
+
+    base = _q_clean_corpus(spark, sf_dir)
+    rep_keep = (
+        _TQ["q_repetition_filter"](spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    risky = (
+        _DQ2["q_memorization_risk"](spark, sf_dir)
+        .filter(F.col("risk") == "high")
+        .select("doc_id")
+    )
+    return base.join(rep_keep, "doc_id", "semi").join(risky, "doc_id", "anti")
+
+
 def _contam_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc benchmark-overlap fraction (doc_id, k, tot, overlap) for
     corpus docs with ≥1 trigram — shared by the per-source sweep and
@@ -1100,6 +1136,7 @@ QUERIES = {
     "q_drop_ledger": _q_drop_ledger,
     "q_mixture_manifest": _q_mixture_manifest,
     "q_clean_corpus": _q_clean_corpus,
+    "q_corpus_final": _q_corpus_final,
     "q_apply_decontamination": _q_apply_decontamination,
     "q_source_quota": _q_source_quota,
     "q_dsir_weights": _q_dsir_weights,
@@ -1668,3 +1705,22 @@ FROM cuts c JOIN sc s ON s.margin > c.cut, n
 GROUP BY c.cut, n.n_total
 ORDER BY c.cut
 """
+
+# the full-funnel capstone: the clean-corpus oracle as a derived table
+# joined to the repetition-keep and not-high-memorization gates (their
+# oracles nested verbatim - the consensus wrapping pattern)
+def _corpus_final_oracle() -> str:
+    from .dedup import ORACLE as _DORACLE
+    from .text import ORACLE as _TORACLE
+
+    return f"""
+SELECT cc.* FROM ({ORACLE["q_clean_corpus"]}) cc
+JOIN (SELECT doc_id FROM ({_TORACLE["q_repetition_filter"]}) WHERE keep) r
+  USING (doc_id)
+WHERE cc.doc_id NOT IN (
+  SELECT doc_id FROM ({_DORACLE["q_memorization_risk"]}) WHERE risk = 'high'
+)
+"""
+
+
+ORACLE["q_corpus_final"] = _corpus_final_oracle()
