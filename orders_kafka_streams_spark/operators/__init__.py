@@ -76,6 +76,7 @@ _RECHECK_FIRST = (
     "q_epoch_schedule",
     "q_classifier_sweep",
     "q_corpus_final",
+    "q_stream_repetition",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -1381,6 +1381,37 @@ def _q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_sink(spark, sf_dir, "okss-clean-corpus", docs, per_batch)
 
 
+
+def _q_stream_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest twin of the Gopher repetition gates: arriving
+    delta documents are tokenized per micro-batch with the batch
+    expressions and scored by text.repetition_metrics — every metric
+    is a function of ONE document's own token positions (no corpus
+    state at all, the cheapest twin class), so the verdicts are
+    batch-split invariant by construction and equal the batch
+    q_repetition_filter restricted to the delta — that restriction IS
+    the oracle."""
+    from ..functions.textfns import tokens
+    from ..streaming.pipeline import documents_file_stream
+    from .dedup import DELTA_MOD
+    from .text import repetition_metrics
+
+    docs = documents_file_stream(spark, sf_dir).filter(
+        F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    )
+
+    def per_batch(batch):
+        base = (
+            batch.repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", tokens(F.col("text")).alias("t"))
+            .select("doc_id", "t", F.size("t").alias("n"))
+            .filter(F.col("n") >= 3)
+        )
+        return repetition_metrics(base)
+
+    return _ingest_sink(spark, sf_dir, "okss-repetition", docs, per_batch)
+
+
 def _q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination: arriving document
     micro-batches shingle their own text and probe the held benchmark
@@ -1581,6 +1612,7 @@ QUERIES = {
     "q_stream_transition_matrix": _q_stream_transition_matrix,
     "q_stream_source_quota": _q_stream_source_quota,
     "q_stream_interleave": _q_stream_interleave,
+    "q_stream_repetition": _q_stream_repetition,
     "q_stream_debounce": _q_stream_debounce,
     "q_stream_msprt": _q_stream_msprt,
     "q_stream_bh_fdr": _q_stream_bh_fdr,
@@ -2006,6 +2038,16 @@ FROM s
 
 
 ORACLE["q_stream_interleave"] = _stream_interleave_oracle()
+
+# the streamed per-doc repetition verdicts equal the batch gate
+# restricted to the delta docs (per-doc functions, no corpus state)
+from .text import ORACLE as _TEXT_ORACLE  # noqa: E402
+from .dedup import DELTA_MOD as _DM  # noqa: E402
+
+ORACLE["q_stream_repetition"] = f"""
+SELECT * FROM ({_TEXT_ORACLE["q_repetition_filter"]})
+WHERE doc_id % {_DM} = {_DM - 1}
+"""
 
 # the streamed semantic probe equals the offline embedding sweep
 from .similarity import ORACLE as _SIM_ORACLE

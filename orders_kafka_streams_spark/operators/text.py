@@ -1714,6 +1714,15 @@ def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "t", F.size("t").alias("n"))
         .filter(F.col("n") >= 3)
     )
+    return repetition_metrics(base)
+
+
+def repetition_metrics(base: DataFrame) -> DataFrame:
+    """The repetition gates over any (doc_id, t, n>=3) relation —
+    shared by the batch query and the streaming ingest twin (which
+    tokenizes arriving micro-batches with the same expressions; the
+    metrics are per-doc functions, so batch and stream verdicts are
+    identical by construction)."""
     bi = base.select(
         "doc_id", "n", F.posexplode(shingle_seq(F.col("t"), 2)).alias("p", "g")
     )

@@ -156,6 +156,7 @@ COMMENTARY = {
     "q_classifier_sweep": "gate calibration: corpus scored ONCE by the shared scan-level head, |cuts| literal fan-out on the 3-column scored projection (never on text), one row + O(sources) distinct per cut",
     "q_epoch_schedule": "multi-epoch schedule: constant N_EPOCHS map-side fan-out, ONE grouped two-pass rank over (epoch, seeded hash, doc_id) so epoch blocks are contiguous by construction, N as a 1-row broadcast, power-of-two rep_value (no libm)",
     "q_semantic_pack": "in-context-pretraining packing audit: both orderings cumsum-binned by the grouped two-pass prefix sum, intra-bin affinity via the |\u03a3u|\u00b2 sum-vector identity over (bin, dim) cells \u2014 O(docs\u00b7dim), never a pairwise join",
+    "q_stream_repetition": "streaming repetition gate: per-micro-batch tokenize + the batch metrics (per-doc functions, zero corpus state \u2014 the cheapest twin class), batch-split invariant by construction",
     "q_stream_interleave": "streaming interleave admission: ONE applyInPandasWithState counter per source stamps arrival ranks (state O(sources)), then the memoized \u221a-temperature weights and the grouped two-pass rank assign global positions over the drained relation \u2014 the quota-ledger ingest shape + the transition-matrix drain-then-rollup shape",
     "q_kmv_union": "sketch set algebra: tagged distinct-hash cells, per-tag two-phase top-K (Partial WGL below the tag shuffle), 3-cell pivot + 1-row exact-twin broadcast — sketches merge associatively, so at scale per-source sketches answer cross-source distincts without re-scans",
     "q_write_shards": "shard write materialized: packing + two-pass global-shuffle permutation upstream, ONE hash exchange on shard for the write (SEQ_SHARDS writer tasks), audit = scan of the written parquet + one SEQ_SHARDS-row aggregate; oracle recomputes permutation, blocks, and both checksums from raw documents",

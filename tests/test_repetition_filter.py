@@ -89,3 +89,21 @@ def test_fixture_health_both_rules_fire(spark, sf_dir):
     assert df.filter(F.col("top2_frac") >= REP_TOP2_MAX).count() >= 1
     assert df.filter(F.col("dup3_frac") >= REP_DUP3_MAX).count() >= 1
     assert df.filter(F.col("keep")).count() >= 1
+
+
+def test_stream_twin_equals_batch_restriction(spark, sf_dir):
+    """The ingest twin must equal the batch gate restricted to the
+    delta docs — per-doc functions make this exact, not approximate."""
+    from orders_kafka_streams_spark.operators.dedup import DELTA_MOD
+    from orders_kafka_streams_spark.operators.streaming_queries import QUERIES as SQ
+
+    got = sorted(map(tuple, SQ["q_stream_repetition"](spark, sf_dir).collect()))
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["q_repetition_filter"](spark, sf_dir)
+            .filter(F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
