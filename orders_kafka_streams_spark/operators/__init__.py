@@ -77,6 +77,7 @@ _RECHECK_FIRST = (
     "q_classifier_sweep",
     "q_corpus_final",
     "q_stream_repetition",
+    "q_pack_mask_audit",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

@@ -636,6 +636,56 @@ def _q_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_AUDIT_BUDGET = 256  # audit at a context length the sf0.01 corpus actually fills
 
 
+
+def _q_pack_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention accounting for the packed training
+    layout — the measurement behind "packed training needs document
+    masking" (the attention_mask / position-ids reset every SFT and
+    pretraining framework implements): inside a packed sequence of
+    docs with lengths l_1..l_k, causal attention without a doc mask
+    lets T² − Σl_i² of the T² token pairs cross a document boundary
+    (ordered pairs; the within-doc block diagonal is Σl_i²). Per
+    source: bins, packed tokens, the token-pair CROSS fraction
+    Σ_bins(T_b² − Σl_i²) / Σ_bins T_b², and the worst single bin — the
+    numbers that decide whether a pipeline can skip masking (pure
+    integer arithmetic up to the final division, exact on both
+    engines).
+
+    Scale shape: rides the same grouped two-pass packing prefix sum as
+    q_seq_pack; the audit aggregates (source, bin) cells — integer
+    sums of squares, no pairwise anything, O(docs) total.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (curation / packing family)."""
+    from .sampling import global_prefix_sums
+    from .text import _tokenized
+
+    per_doc = (
+        _tokenized(spark, sf_dir, "source")
+        .filter(F.size("t") > 0)
+        .select("doc_id", "source", F.size("t").alias("n_tokens"))
+    )
+    binned = global_prefix_sums(
+        per_doc, ["doc_id"], {"cum_excl": "n_tokens"}, part=("source",)
+    ).withColumn("bin", F.floor(F.col("cum_excl") / PACK_BUDGET).cast("long"))
+    cells = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("t"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("sq"),
+    )
+    cross = F.col("t") * F.col("t") - F.col("sq")
+    return cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("t").alias("packed_tokens"),
+        F.round(
+            F.sum(cross) / F.sum(F.col("t") * F.col("t")), 6
+        ).alias("cross_pair_frac"),
+        F.round(F.max(cross / (F.col("t") * F.col("t"))), 6).alias(
+            "worst_bin_cross_frac"
+        ),
+    )
+
+
 def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency audit over the seq-pack layout: per source,
     the OVERFLOW fraction of its PACK_AUDIT_BUDGET training sequences —
@@ -1144,6 +1194,7 @@ QUERIES = {
     "q_contamination": _q_contamination,
     "q_doc_chunk": _q_doc_chunk,
     "q_seq_pack": _q_seq_pack,
+    "q_pack_mask_audit": _q_pack_mask_audit,
     "q_apply_packing": _q_apply_packing,
     "q_write_shards": _q_write_shards,
     "q_pack_efficiency": _q_pack_efficiency,
@@ -1724,3 +1775,31 @@ WHERE cc.doc_id NOT IN (
 
 
 ORACLE["q_corpus_final"] = _corpus_final_oracle()
+
+# cross-doc attention accounting over the same packed layout: integer
+# sums of squares per (source, bin) cell, divisions only at publish
+ORACLE["q_pack_mask_audit"] = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+  WHERE len({_TOKS}) > 0
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM d
+),
+cells AS (
+  SELECT source, bin, count(1) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS t,
+         CAST(sum(n_tokens * n_tokens) AS BIGINT) AS sq
+  FROM b GROUP BY source, bin
+)
+SELECT source,
+       CAST(count(1) AS BIGINT) AS n_bins,
+       CAST(sum(t) AS BIGINT) AS packed_tokens,
+       round(CAST(sum(t * t - sq) AS DOUBLE) / sum(t * t), 6) AS cross_pair_frac,
+       round(max(CAST(t * t - sq AS DOUBLE) / (t * t)), 6) AS worst_bin_cross_frac
+FROM cells GROUP BY source
+"""

@@ -152,6 +152,7 @@ COMMENTARY = {
     "q_repetition_filter": "Gopher repetition gates: positional gram posting explode (the dedup posting shape), per-(doc,gram) cells in the shuffle, union coverage via per-doc distinct positions — text crosses the wire once, rules fire within a document",
     "q_memorization_risk": "memorization triage: pure composition of MEMOIZED relations (ngram pairs + dup-span stats + token projection), two doc_id joins and a pair-side union \u2014 corpus text never re-touched",
     "q_bitext_margin": "margin bitext mine: FLAT block-pair fan-out into applyInPandas matmul cells (one np.vstack per group, not per-row struct unpacks \u2014 2.3x) emitting per-side top-k only, global top-k rank-filtered (Partial WGL), kNN averages as ordered-list folds, ratio-margin argmax on O(|X|\u00b7k) rows",
+    "q_pack_mask_audit": "cross-doc attention accounting: the packing prefix sum's (source, bin) cells + integer sums of squares (T\u00b2 \u2212 \u03a3l\u00b2 identity) \u2014 no pairwise anything, O(docs) total, divisions only at publish",
     "q_corpus_final": "full-funnel capstone: clean-corpus gates + surgery, then TWO more doc_id semi/anti joins (repetition keep, not-high memorization) over relations riding the SAME memoized artifacts \u2014 the funnel extension adds no new corpus pass",
     "q_classifier_sweep": "gate calibration: corpus scored ONCE by the shared scan-level head, |cuts| literal fan-out on the 3-column scored projection (never on text), one row + O(sources) distinct per cut",
     "q_epoch_schedule": "multi-epoch schedule: constant N_EPOCHS map-side fan-out, ONE grouped two-pass rank over (epoch, seeded hash, doc_id) so epoch blocks are contiguous by construction, N as a 1-row broadcast, power-of-two rep_value (no libm)",
