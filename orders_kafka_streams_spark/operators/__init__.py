@@ -78,6 +78,7 @@ _RECHECK_FIRST = (
     "q_corpus_final",
     "q_stream_repetition",
     "q_pack_mask_audit",
+    "q_padding_waste",
     "q_dedup_ngram",
     "q_dedup_minhash",
     "q_dedup_simhash",

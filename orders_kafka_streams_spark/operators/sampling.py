@@ -417,6 +417,61 @@ def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+BATCH_B = 8  # examples per training batch for the padding audit
+
+
+def _q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for UNPACKED (pad-to-longest) batching — the
+    SFT-pipeline companion to the packing family: a batch of B
+    sequences pads every example to the batch max, so the wasted
+    fraction is Σ_batches(B·max_b − Σlen) / Σ_batches(B·max_b). Two
+    strategies side by side: ``arrival`` (doc_id order — what a naive
+    loader does) and ``length_sorted`` (sort by length, batch
+    consecutive — the standard bucketing fix, at the cost of
+    within-batch length correlation). One row per strategy; the delta
+    is the measured case for length bucketing.
+
+    Scale shape: each strategy is ONE grouped two-pass rank (order by
+    doc_id / by (n_tokens, doc_id)) + a floor(rank/B) batch key + two
+    integer aggregations — exact integer arithmetic to the final
+    division, no windows over data, no explode.
+
+    Reference connection: none in dhoard/orders-kafka-streams; SURVEY
+    §2.9 extension surface (sampling / batching family)."""
+    from .text import _tokenized
+
+    d = _tokenized(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+
+    def strategy(name: str, keys: list) -> DataFrame:
+        ranked = global_row_numbers(d, keys)
+        batches = (
+            ranked.withColumn("batch", F.floor((F.col("rn") - 1) / BATCH_B))
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("b_n"),
+                F.max("n_tokens").alias("b_max"),
+                F.sum("n_tokens").alias("b_sum"),
+            )
+        )
+        padded = F.col("b_n") * F.col("b_max")
+        return batches.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum(padded).alias("padded_tokens"),
+            F.sum("b_sum").alias("real_tokens"),
+            F.round(
+                (F.sum(padded) - F.sum("b_sum")) / F.sum(padded).cast("double"), 6
+            ).alias("pad_frac"),
+        )
+
+    return strategy("arrival", ["doc_id"]).unionByName(
+        strategy("length_sorted", ["n_tokens", "doc_id"])
+    )
+
+
 #: multi-epoch schedule knobs: epoch count and the per-repetition value
 #: decay (Muennighoff et al. 2023, "Scaling Data-Constrained Language
 #: Models": repeated epochs contribute diminishing effective data —
@@ -1090,6 +1145,7 @@ QUERIES = {
     "q_shard_layout": _q_shard_layout,
     "q_global_shuffle": _q_global_shuffle,
     "q_epoch_schedule": _q_epoch_schedule,
+    "q_padding_waste": _q_padding_waste,
     "q_curriculum_order": _q_curriculum_order,
     "q_interleave_mixture": _q_interleave_mixture,
     "q_sample_weighted": _q_sample_weighted,
@@ -1102,6 +1158,30 @@ QUERIES = {
 _H_DOC = hash60_sql("doc_id")
 
 ORACLE = {
+    "q_padding_waste": f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents WHERE len({_TOKS}) > 0
+),
+ra AS (SELECT n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+rl AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) AS rn FROM d),
+ba AS (SELECT (rn - 1) // {BATCH_B} AS batch, count(*) AS b_n,
+              max(n_tokens) AS b_max, sum(n_tokens) AS b_sum
+       FROM ra GROUP BY 1),
+bl AS (SELECT (rn - 1) // {BATCH_B} AS batch, count(*) AS b_n,
+              max(n_tokens) AS b_max, sum(n_tokens) AS b_sum
+       FROM rl GROUP BY 1)
+SELECT 'arrival' AS strategy, CAST(count(1) AS BIGINT) AS n_batches,
+       CAST(sum(b_n * b_max) AS BIGINT) AS padded_tokens,
+       CAST(sum(b_sum) AS BIGINT) AS real_tokens,
+       round(CAST(sum(b_n * b_max) - sum(b_sum) AS DOUBLE) / sum(b_n * b_max), 6)
+         AS pad_frac
+FROM ba
+UNION ALL
+SELECT 'length_sorted', CAST(count(1) AS BIGINT),
+       CAST(sum(b_n * b_max) AS BIGINT), CAST(sum(b_sum) AS BIGINT),
+       round(CAST(sum(b_n * b_max) - sum(b_sum) AS DOUBLE) / sum(b_n * b_max), 6)
+FROM bl
+""",
     "q_epoch_schedule": f"""
 WITH e AS (SELECT doc_id, u AS epoch FROM documents, unnest(range(1, {N_EPOCHS} + 1)) AS r(u)),
 keyed AS (

@@ -155,6 +155,7 @@ COMMENTARY = {
     "q_pack_mask_audit": "cross-doc attention accounting: the packing prefix sum's (source, bin) cells + integer sums of squares (T\u00b2 \u2212 \u03a3l\u00b2 identity) \u2014 no pairwise anything, O(docs) total, divisions only at publish",
     "q_corpus_final": "full-funnel capstone: clean-corpus gates + surgery, then TWO more doc_id semi/anti joins (repetition keep, not-high memorization) over relations riding the SAME memoized artifacts \u2014 the funnel extension adds no new corpus pass",
     "q_classifier_sweep": "gate calibration: corpus scored ONCE by the shared scan-level head, |cuts| literal fan-out on the 3-column scored projection (never on text), one row + O(sources) distinct per cut",
+    "q_padding_waste": "batching waste table: two grouped two-pass ranks (arrival / length-sorted), floor(rank/B) batch cells, integer aggregates \u2014 no windows over data, division only at publish",
     "q_epoch_schedule": "multi-epoch schedule: constant N_EPOCHS map-side fan-out, ONE grouped two-pass rank over (epoch, seeded hash, doc_id) so epoch blocks are contiguous by construction, N as a 1-row broadcast, power-of-two rep_value (no libm)",
     "q_semantic_pack": "in-context-pretraining packing audit: both orderings cumsum-binned by the grouped two-pass prefix sum, intra-bin affinity via the |\u03a3u|\u00b2 sum-vector identity over (bin, dim) cells \u2014 O(docs\u00b7dim), never a pairwise join",
     "q_stream_repetition": "streaming repetition gate: per-micro-batch tokenize + the batch metrics (per-doc functions, zero corpus state \u2014 the cheapest twin class), batch-split invariant by construction",
