@@ -2005,8 +2005,20 @@ def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(_blocked(dictionary, "cand")), "bk")
         .select("rec_id", "dirty", "cand")
     )
-    scored = pairs.withColumn("dist", F.levenshtein("dirty", "cand")).filter(
-        F.col("dist") <= FUZZY_MAX_DIST
+    # r11 (guide §1.2 per-task work): two LOSSLESS prunes around the
+    # expensive edit-distance. (1) |len(a)−len(b)| ≤ d is implied by
+    # levenshtein ≤ d, so the length gate drops most in-block pairs
+    # before any DP runs; (2) the THRESHOLD form levenshtein(a, b, d)
+    # runs the banded O(d·n) DP with early exit (returns −1 past d)
+    # instead of the full O(n²) table — kept pairs get the identical
+    # distance value, so the match set and every output number are
+    # unchanged (oracle keeps the unbounded formulation).
+    scored = (
+        pairs.filter(
+            F.abs(F.length("dirty") - F.length("cand")) <= FUZZY_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("dirty", "cand", FUZZY_MAX_DIST))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAX_DIST))
     )
     # argmin(dist, cand) as a partial-combinable MIN over a struct —
     # each map task pre-reduces its in-block pairs to one winner per

@@ -146,14 +146,25 @@ def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import hash60
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    b = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
-    tagged = (
-        a.select(F.lit("a").alias("tag"), "l_orderkey")
-        .unionByName(b.select(F.lit("b").alias("tag"), "l_orderkey"))
-        .unionByName(a.unionByName(b).select(F.lit("u").alias("tag"), "l_orderkey"))
+    # r11 (guide §2.3/§2.4): ONE scan builds the per-set distinct
+    # (tag, h) cells — the union sketch's cells are DERIVED from them
+    # (distinct h over the a/b cells ≡ distinct h over the pooled raw
+    # rows, KMV merge associativity) instead of re-scanning the fact a
+    # third and fourth time; tags are disjoint so the final union is
+    # already distinct per tag.
+    ab = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.when(F.col("l_returnflag") == "R", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("tag"),
+            hash60(F.col("l_orderkey")).alias("h"),
+        )
+        .distinct()
     )
-    cells = tagged.select("tag", hash60(F.col("l_orderkey")).alias("h")).distinct()
+    cells = ab.unionByName(
+        ab.select("h").distinct().select(F.lit("u").alias("tag"), "h")
+    )
     w = Window.partitionBy("tag").orderBy("h")
     kmv = (
         cells.withColumn("rn", F.row_number().over(w))

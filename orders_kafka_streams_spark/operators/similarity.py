@@ -717,13 +717,17 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     index size 2-8×.
 
     Scale shape: like q_ann_quality, the recall side is PROBE-bounded —
-    the broadcast query set crosses the corpus once per truncation,
-    each rank-filter planning as two-phase top-k (Partial
-    WindowGroupLimit map-side, P·k-row merge per query — the
-    q_knn_brute contract, pinned by the const_key_windows gate); the
-    energy side is one map-only fold pass collapsing to |dims| cells. Both engines fold
-    dot products left-to-right over identical doubles, so rankings
-    agree bit-exactly (the q_knn_brute contract).
+    r11: the broadcast query set crosses the corpus ONCE for all
+    truncations (one pass computing every prefix cosine, per-dim norms
+    precomputed per SIDE before the join, the per-dim cells exploded
+    after) instead of once per truncation — same dot/norm expression
+    trees per element, so every cosine is bit-identical to the
+    per-pass form, and the (trunc_dim, query_id)-keyed rank filter
+    still plans as two-phase top-k (Partial WindowGroupLimit map-side,
+    P·k-row merge per key — the q_knn_brute contract); the energy side
+    is one map-only fold pass collapsing to |dims| cells. Both engines
+    fold dot products left-to-right over identical doubles, so
+    rankings agree bit-exactly (the q_knn_brute contract).
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (similarity family)."""
@@ -731,28 +735,52 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = knn_brute(v, v.filter(F.col("vec_id") < N_QUERIES)).select(
         "query_id", "neighbor_id"
     )
-    per = None
-    for d in MATRYOSHKA_DIMS:
-        tv = v.select("vec_id", F.slice(F.col("e"), 1, d).alias("te")).withColumn(
-            "tn", _norm(F.col("te"))
+
+    def with_dim_slices(df: DataFrame, idc: str, side: str) -> DataFrame:
+        # per-VECTOR prefix arrays + norms, computed once per row
+        # BEFORE the crossJoin — per-pair work is then only the folds
+        sliced = df.select(
+            F.col("vec_id").alias(idc),
+            *[F.slice(F.col("e"), 1, d).alias(f"_e{d}_{side}") for d in MATRYOSHKA_DIMS],
         )
-        q = tv.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("te").alias("qe"),
-            F.col("tn").alias("qn"),
+        return sliced.select(
+            idc,
+            *[F.col(f"_e{d}_{side}") for d in MATRYOSHKA_DIMS],
+            *[
+                _norm(F.col(f"_e{d}_{side}")).alias(f"_n{d}_{side}")
+                for d in MATRYOSHKA_DIMS
+            ],
         )
-        n = tv.select(F.col("vec_id").alias("neighbor_id"), "te", "tn")
-        w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
-        kn = (
-            F.broadcast(q)
-            .crossJoin(n)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("c", _dot(F.col("qe"), F.col("te")) / (F.col("qn") * F.col("tn")))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select(F.lit(d).alias("trunc_dim"), "query_id", "neighbor_id")
+
+    q = with_dim_slices(v.filter(F.col("vec_id") < N_QUERIES), "query_id", "q")
+    n = with_dim_slices(v, "neighbor_id", "n")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("trunc_dim"),
+                    (
+                        _dot(F.col(f"_e{d}_q"), F.col(f"_e{d}_n"))
+                        / (F.col(f"_n{d}_q") * F.col(f"_n{d}_n"))
+                    ).alias("c"),
+                )
+                for d in MATRYOSHKA_DIMS
+            ]
         )
-        per = kn if per is None else per.unionByName(kn)
+    )
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.desc("c"), F.asc("neighbor_id")
+    )
+    per = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cells.alias("s"))
+        .select("query_id", "neighbor_id", "s.trunc_dim", "s.c")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("trunc_dim", "query_id", "neighbor_id")
+    )
     hits = (
         per.join(truth, ["query_id", "neighbor_id"])
         .groupBy("trunc_dim", "query_id")

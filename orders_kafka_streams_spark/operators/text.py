@@ -1103,29 +1103,44 @@ def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count relations on their keys — count cells in the shuffle,
     AQE picks broadcast while the vocab fits and degrades to a
     shuffle join exactly when it should. One doc-keyed agg ends it.
+    r11 (guide §1.2 per-task work): the bigram stream is built as
+    (w1, w2) STRUCT pairs straight from the token array — the old
+    form concatenated each bigram to a string (shingle_seq) and then
+    regex-split it back into words on every position row; the counts
+    key on the word pair directly, so neither side ever builds or
+    re-parses the joined string.
 
     Output: (doc_id, n_bigrams, avg_logp, in_train)."""
-    from ..functions.textfns import shingle_seq
-
     base = _tokenized(spark, sf_dir)
     train = base.filter(F.col("doc_id") % 2 == 0)
+
+    def bigram_pairs(t):
+        m = F.size(t) - 1
+        grams = F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+        return F.when(F.size(t) >= 2, grams).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
     tuni = (
         train.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     tbi = (
-        train.select(F.explode(shingle_seq(F.col("t"), 2)).alias("bg"))
-        .groupBy("bg")
+        train.select(F.explode(bigram_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("cb"))
     )
     scal = tuni.agg(
         F.sum("cu").alias("n_train"), F.count(F.lit(1)).alias("v_train")
     )
     pos = (
-        base.select("doc_id", F.explode(shingle_seq(F.col("t"), 2)).alias("bg"))
-        .withColumn("w1", F.split("bg", " ").getItem(0))
-        .withColumn("w2", F.split("bg", " ").getItem(1))
+        base.select("doc_id", F.explode(bigram_pairs(F.col("t"))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     lp = F.when(
         F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cu1"))
@@ -1137,7 +1152,7 @@ def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pos.join(tbi, "bg", "left")
+        pos.join(tbi, ["w1", "w2"], "left")
         .join(tuni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1", "left")
         .join(tuni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
         .crossJoin(F.broadcast(scal))
