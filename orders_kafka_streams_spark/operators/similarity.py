@@ -595,13 +595,27 @@ PQ_K = 32  # codes per subspace
 PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
 
 
-def _pq_reconstructed(v: DataFrame) -> DataFrame:
+def _pq_reconstructed(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     """PQ encode + decode: each vector's PQ-code reconstruction
     (vec_id, rec_e, nrm) — the ADC side of the two-stage design,
     shared by q_knn_pq and the IVF+PQ composite. Codebooks are the
     deterministic hash-top-K data sample (see _q_knn_pq docstring);
     encode = N·M sub-rows against the broadcast (M·K)-row codebook,
-    argmin window keyed (vec_id, s)."""
+    argmin window keyed (vec_id, s).
+
+    r11: session-memoized like :func:`_prepared` — this IS the PQ
+    index build (a vector store encodes once, serves many queries);
+    two declared queries consume it and every re-run re-paid the
+    N·M·K encode join. Cold bench runs still pay the build."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        return _pq_reconstructed_build(v)
+
+    return _memo_persist(spark, sf_dir, "pq_reconstructed", build)
+
+
+def _pq_reconstructed_build(v: DataFrame) -> DataFrame:
     samp = (
         v.withColumn("hkey", hash60(F.col("vec_id")))
         .orderBy("hkey", "vec_id")
@@ -674,7 +688,7 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q·PQ_RERANK exact rows — no shuffle ever carries N² rows.
     """
     v = _prepared(spark, sf_dir)
-    neigh = _pq_reconstructed(v).select(
+    neigh = _pq_reconstructed(spark, sf_dir, v).select(
         F.col("vec_id").alias("neighbor_id"), "rec_e", "nrm"
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -691,7 +705,10 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srk") <= PQ_RERANK)
         .select("query_id", "qe", "qn", "neighbor_id")
     )
-    exact = shortlist.join(
+    # r11: the shortlist is QUERY-bounded (Q x rerank rows at any
+    # corpus scale) — broadcast it so the exact re-rank streams the
+    # corpus side with no exchange/sort (was a shuffle join)
+    exact = F.broadcast(shortlist).join(
         v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id"
     )
     exact_cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
@@ -1165,7 +1182,7 @@ def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assign.filter((F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cid"
     )
-    rec = _pq_reconstructed(v).select(
+    rec = _pq_reconstructed(spark, sf_dir, v).select(
         F.col("vec_id").alias("neighbor_id"), "rec_e", F.col("nrm").alias("rnrm")
     )
     adc_cos = _dot(F.col("qe"), F.col("rec_e")) / (F.col("qn") * F.col("rnrm"))
@@ -1180,7 +1197,10 @@ def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srk") <= IVFPQ_RERANK)
         .select("query_id", "qe", "qn", "neighbor_id")
     )
-    exact = shortlist.join(
+    # r11: the shortlist is QUERY-bounded (Q x rerank rows at any
+    # corpus scale) — broadcast it so the exact re-rank streams the
+    # corpus side with no exchange/sort (was a shuffle join)
+    exact = F.broadcast(shortlist).join(
         v.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm"), "neighbor_id"
     )
     exact_cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
