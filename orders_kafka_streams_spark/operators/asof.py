@@ -109,7 +109,35 @@ def asof_join(
         for p in payload:
             out = out.withColumn(f"{p}{suffix}", F.when(within, carry(F.col(f"{p}{suffix}"))))
     else:  # nearest
-        b_ts, f_ts = carry_back(F.col("_ats")), carry_fwd(F.col("_ats"))
+        # r11 (guide §2.4): ONE struct carry per direction over the SAME
+        # ascending (ts, side, tiebreak) order — the forward carry uses a
+        # running-suffix frame on that order instead of the side-desc
+        # mirror sort, so the whole query plans one Sort + one Window
+        # node (was 4 sorts + 4 Window nodes: asc/desc sort flips × the
+        # ts-then-payload re-derivation). The suffix frame from a left
+        # row excludes same-ts right rows (they sort BEFORE it under
+        # side asc); harmless: when a same-ts right exists the backward
+        # carry matches at delta 0, so choose_back is always taken and
+        # the forward carry's view of same-ts rows never reaches the
+        # output (ties go backward by the pinned rule either way).
+        def side_struct() -> Column:
+            return F.when(
+                F.col("_side") == 0,
+                F.struct(
+                    F.col("_ats").alias("_m_ts"),
+                    *[F.col(f"{p}{suffix}").alias(p) for p in payload],
+                ),
+            )
+
+        w_fwd_same = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats"), F.col("_side"), *tiebreak)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = u.withColumn(
+            "_b", F.last(side_struct(), ignorenulls=True).over(w_back)
+        ).withColumn("_f", F.first(side_struct(), ignorenulls=True).over(w_fwd_same))
+        b_ts, f_ts = F.col("_b._m_ts"), F.col("_f._m_ts")
         b_ok, f_ok = within_of(b_ts, True), within_of(f_ts, False)
         # backward wins exact ties: back delta <= forward delta
         choose_back = b_ok & (
@@ -119,15 +147,16 @@ def asof_join(
                 <= (epoch_ms(f_ts) - epoch_ms(F.col("_ats")))
             )
         )
-        out = u.withColumn(
+        out = out.withColumn(
             f"_ts{suffix}",
             F.when(choose_back, b_ts).when(f_ok, f_ts),
         )
         for p in payload:
-            bc, fc = carry_back(F.col(f"{p}{suffix}")), carry_fwd(F.col(f"{p}{suffix}"))
             out = out.withColumn(
-                f"{p}{suffix}", F.when(choose_back, bc).when(f_ok, fc)
+                f"{p}{suffix}",
+                F.when(choose_back, F.col(f"_b.{p}")).when(f_ok, F.col(f"_f.{p}")),
             )
+        out = out.drop("_b", "_f")
     return (
         out.filter(F.col("_side") == 1)
         .withColumn(f"ts{suffix}", F.col(f"_ts{suffix}"))

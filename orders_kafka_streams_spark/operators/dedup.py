@@ -1267,15 +1267,25 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_span_stats(sh: DataFrame) -> DataFrame:
     """Core of q_dup_spans over any (doc_id, sh: array<long>, sz)
-    shingle relation — seam for unit tests with synthetic twins."""
+    shingle relation — seam for unit tests with synthetic twins.
+
+    r11 (guide §2.3/§2.4): one aggregation ladder instead of the
+    count_distinct + join-back — per-(shingle, doc) occurrence cells
+    (partial-combined map-side), an unordered per-shingle window
+    counting the cell's distinct docs, then the per-doc rollup. The
+    old form shuffled the raw exploded postings twice (once into the
+    distinct-count, once into the join) and re-ran the explode per
+    consumer; this shape shuffles the exploded stream once and only
+    cells after that."""
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    shared = (
-        ex.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+    cells = ex.groupBy("s", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    dup = (
+        cells.withColumn("nd", nd)
         .filter(F.col("nd") > 1)
-        .select("s")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_dup"))
     )
-    dup = ex.join(shared, "s").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
     n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
     return (
         sh.select("doc_id", "sz")
@@ -1795,18 +1805,31 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (source, shingle) postings from the memoized
     shingle relation; shingles present in more than OVERLAP_DF_CUTOFF
     sources are dropped — they are corpus-wide boilerplate, not
-    provenance evidence, and they are also the join's skew (a shingle
-    in all sources contributes sources² rows). One self-equi-join on
-    the shingle hash whose
-    output is ≤ sources² aggregate cells — inverted-index cost, the
-    corpus text never moves."""
+    provenance evidence, and they are also the pair step's skew (a
+    shingle in all sources contributes sources² rows). r11 (guide
+    §2.4/§3.3): the ordered source pairs per shingle are generated from
+    ONE grouped posting list (collect_list bounded ≤ OVERLAP_DF_CUTOFF
+    by the memoized relation's df filter) instead of a self-equi-join
+    on the shingle hash — one exchange of the postings rather than two
+    plus the join, same ≤ sources² aggregate cells; the corpus text
+    never moves."""
     postk = _source_postings(spark, sf_dir)
     sizes = postk.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = postk.select(F.col("source").alias("source_a"), "sgl")
-    b = postk.select(F.col("source").alias("source_b"), "sgl")
+    ss = F.col("ss")
+    pair_arr = F.flatten(
+        F.transform(
+            ss,
+            lambda a: F.transform(
+                F.filter(ss, lambda b: b != a),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "sgl")
-        .filter(F.col("source_a") != F.col("source_b"))
+        postk.groupBy("sgl")
+        .agg(F.collect_list("source").alias("ss"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

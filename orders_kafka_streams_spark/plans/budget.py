@@ -227,26 +227,12 @@ CONST_KEY_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
         "exact-cosine rerank over <=BINARY_SHORTLIST rows/query — "
         "rank-limited upstream by the Hamming two-phase WGL stage",
     ),
-    "q_knn_pq": (
-        1,
-        "exact rerank over <=PQ_RERANK ADC-shortlisted rows/query "
-        "(the ADC corpus stage itself plans Partial WGL)",
-    ),
-    "q_knn_ivfpq": (
-        1,
-        "exact rerank over <=PQ_RERANK ADC-shortlisted rows/query "
-        "(coarse prune + ADC stages all plan Partial WGL)",
-    ),
-    "q_ann_quality": (
-        2,
-        "inherited: the PQ and IVFPQ shortlist reranks (method sweep "
-        "composes those queries verbatim)",
-    ),
-    "q_ann_ndcg": (
-        2,
-        "inherited: the PQ and IVFPQ shortlist reranks (method sweep "
-        "composes those queries verbatim)",
-    ),
+    # r11: q_knn_pq / q_knn_ivfpq / q_ann_quality / q_ann_ndcg entries
+    # removed — broadcasting the query-bounded rerank shortlist (see
+    # OPTIMIZATION_r11.md) lets the rerank rank window plan the
+    # map-side Partial WindowGroupLimit, so those plans now carry zero
+    # unpushed const-key windows and the staleness gate retires the
+    # whitelist rows.
 }
 
 #: queries allowed a non-zero ``global_windows`` count, each with the
