@@ -772,38 +772,46 @@ def bh_daily(cells: DataFrame) -> DataFrame:
             F.lit(0.0).alias("ss"),
         )
     )
-    dense = (
-        cells.select("day", "event_type", "arm", "n", "s", "ss")
-        .unionByName(zeros)
-        .groupBy("day", "event_type", "arm")
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss"))
-    )
-    wc = (
-        Window.partitionBy("event_type", "arm")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = dense.select(
-        "day",
-        "event_type",
-        "arm",
-        F.sum("n").over(wc).alias("cn"),
-        F.sum("s").over(wc).alias("cs"),
-        F.sum("ss").over(wc).alias("css"),
-    )
     # arms fold side-by-side via conditional aggregation, NOT an
     # a⋈b self-join — two filters of the same memory-sink lineage
     # trip the analyzer's conflicting-reference dedup, and one pass
-    # over the cells beats a keyed self-join anyway
-    am = lambda c: F.max(F.when(F.col("arm") == 0, F.col(c)))  # noqa: E731
-    bm = lambda c: F.max(F.when(F.col("arm") == 1, F.col(c)))  # noqa: E731
-    j = cum.groupBy("day", "event_type").agg(
-        am("cn").alias("n_a"),
-        am("cs").alias("s_a"),
-        am("css").alias("ss_a"),
-        bm("cn").alias("n_b"),
-        bm("cs").alias("s_b"),
-        bm("css").alias("ss_b"),
+    # over the cells beats a keyed self-join anyway. r11 (guide §2.4):
+    # the fold happens IN the densify aggregation, before the
+    # cumulative window — running sums are linear so folding first is
+    # bit-identical (the zero rows add exact 0.0) — which drops one
+    # whole aggregate+exchange layer and halves the window's
+    # partition-key ladder ((event_type, arm) → event_type) in a query
+    # whose post-drain relation is O(days × metrics) cells: stage
+    # count, not data volume, is its entire steady cost.
+    am = lambda c: F.sum(F.when(F.col("arm") == 0, F.col(c)))  # noqa: E731
+    bm = lambda c: F.sum(F.when(F.col("arm") == 1, F.col(c)))  # noqa: E731
+    dense = (
+        cells.select("day", "event_type", "arm", "n", "s", "ss")
+        .unionByName(zeros)
+        .groupBy("day", "event_type")
+        .agg(
+            am("n").alias("dn_a"),
+            am("s").alias("ds_a"),
+            am("ss").alias("dss_a"),
+            bm("n").alias("dn_b"),
+            bm("s").alias("ds_b"),
+            bm("ss").alias("dss_b"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = dense.select(
+        "day",
+        "event_type",
+        F.sum("dn_a").over(wc).alias("n_a"),
+        F.sum("ds_a").over(wc).alias("s_a"),
+        F.sum("dss_a").over(wc).alias("ss_a"),
+        F.sum("dn_b").over(wc).alias("n_b"),
+        F.sum("ds_b").over(wc).alias("s_b"),
+        F.sum("dss_b").over(wc).alias("ss_b"),
     )
     var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
         F.col("n_a") - 1
@@ -1108,18 +1116,27 @@ def _q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcells = ev.groupBy(
         F.col("value").alias("value"), F.col("event_type").alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
-    vcells = gcells.groupBy("value").agg(F.sum("c").alias("t"))
+    # r11 (guide §2.3/§2.4): the per-(value, group) counts ride the
+    # value cells THROUGH the two-pass rank as a ≤k-entry struct array
+    # (k = |event types|), so the per-group rank sums explode them off
+    # the ranked relation instead of re-deriving gcells and joining it
+    # back on the ~NDV(value) hash — one cell exchange ladder, no
+    # high-NDV join, and the gcells subtree is planned once.
+    vcells = gcells.groupBy("value").agg(
+        F.sum("c").alias("t"), F.collect_list(F.struct("g", "c")).alias("gcs")
+    )
     ranked = global_prefix_sums(vcells, ["value"], {"cum_before": "t"}).select(
         "value",
         "t",
+        "gcs",
         (F.col("cum_before") + (F.col("t") + 1) / 2.0).alias("avg_rank"),
     )
     per_g = (
-        gcells.join(ranked, "value")
-        .groupBy("g")
+        ranked.select(F.explode("gcs").alias("e"), "avg_rank")
+        .groupBy(F.col("e.g").alias("g"))
         .agg(
-            F.sum("c").alias("n_g"),
-            F.sum(F.col("c") * F.col("avg_rank")).alias("r_g"),
+            F.sum("e.c").alias("n_g"),
+            F.sum(F.col("e.c") * F.col("avg_rank")).alias("r_g"),
         )
     )
     # t³ and n³ computed in DOUBLE on BOTH engines, same op order —

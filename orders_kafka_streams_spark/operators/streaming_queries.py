@@ -785,7 +785,11 @@ def pctl_rank_select(drained: DataFrame) -> DataFrame:
     cum = global_prefix_sums(
         drained, ["value"], {"cum": "c"}, part=("day", "event_type"), inclusive=True
     )
-    n_grp = cum.groupBy("day", "event_type").agg(F.sum("c").alias("n"))
+    # r11: totals aggregate the checkpointed cell relation directly —
+    # same rows as `cum` minus its window/offset machinery in the
+    # n_grp subtree (drained is already materialized, so this is a
+    # cache-read aggregation, not a second source pass)
+    n_grp = drained.groupBy("day", "event_type").agg(F.sum("c").alias("n"))
     j = cum.join(F.broadcast(n_grp), ["day", "event_type"])
     aggs = [F.max("n").alias("n")]
     for q in PCTL_QS:

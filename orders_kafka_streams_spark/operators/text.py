@@ -194,9 +194,17 @@ def ct_langid(docs: DataFrame, docp: DataFrame | None = None) -> DataFrame:
     dist = j.groupBy("doc_id", "lang", "plang").agg(
         F.sum("oop").cast("long").alias("dist")
     )
-    wb = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("plang"))
-    best = dist.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") == 1)
-    return best.select("doc_id", "lang", F.col("plang").alias("pred_lang"), "dist")
+    # r11 (guide §2.4): argmin over the |langs| candidate rows per doc
+    # as min(struct(dist, plang)) — struct ordering IS the
+    # (dist asc, plang asc) tie rule — so the pick partial-combines
+    # map-side in a hash aggregate instead of paying the row_number
+    # window's exchange + per-doc sort.
+    best = dist.groupBy("doc_id", "lang").agg(
+        F.min(F.struct("dist", "plang")).alias("m")
+    )
+    return best.select(
+        "doc_id", "lang", F.col("m.plang").alias("pred_lang"), F.col("m.dist").alias("dist")
+    )
 
 
 def ct_langid_confusion(docs: DataFrame, docp: DataFrame | None = None) -> DataFrame:
