@@ -841,6 +841,47 @@ def _dsir_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_persist(spark, sf_dir, "dsir_cells", build)
 
 
+def _gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE memo-persisted per-candidate-doc gate-verdict relation
+    shared by q_drop_ledger and q_mixture_manifest: (doc_id, source,
+    n_tok, margin, keep_q, keep_d, is_ct) — the three content-gate
+    verdicts attached to the candidate base by doc_id-keyed left
+    joins, built once per (application, sf_dir).
+
+    r11 (guide §5 reuse): q_drop_ledger re-ran the three gate joins on
+    every execution while the manifest memoized only their
+    CONJUNCTION under a private tag; persisting the individual
+    booleans lets both queries read one cached pass (each derives its
+    own verdict map-side), and the build cost lands in cold
+    construction where the bench's contract puts shared-index builds."""
+    from .dedup import QUERIES as _DQ
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        base = _tokenized(spark, sf_dir, "source").filter(
+            (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
+        )
+        raw = base.select("doc_id", "source", F.size("t").alias("n_tok"))
+        cls = _q_quality_classifier(spark, sf_dir).select(
+            "doc_id", "margin", F.col("keep").alias("keep_q")
+        )
+        dk = _DQ["q_dedup_keep"](spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("keep_d")
+        )
+        ct = (
+            _contam_per_doc(spark, sf_dir)
+            .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
+            .select("doc_id", F.lit(True).alias("is_ct"))
+        )
+        return (
+            raw.join(cls, "doc_id", "left")
+            .join(dk, "doc_id", "left")
+            .join(ct, "doc_id", "left")
+        )
+
+    return _memo_persist(spark, sf_dir, "gate_flags", build)
+
+
 def _q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-attribution ledger — "where did my data go?": for every
     candidate training doc, WHICH of q_prepare_training's three gates
@@ -858,30 +899,16 @@ def _q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a fixed-order concat, so the relation is deterministic.
 
     Reference connection: none in dhoard/orders-kafka-streams;
-    SURVEY §2.9 extension surface (curation family)."""
-    from .dedup import QUERIES as _DQ
+    SURVEY §2.9 extension surface (curation family).
 
-    base = _tokenized(spark, sf_dir, "source").filter(
-        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
-    )
-    cls = _q_quality_classifier(spark, sf_dir).select(
-        "doc_id", (~F.col("keep")).alias("f_quality")
-    )
-    dedup = _DQ["q_dedup_keep"](spark, sf_dir).select(
-        "doc_id", (~F.col("keep")).alias("f_dedup")
-    )
-    contam = _contam_per_doc(spark, sf_dir).select(
-        "doc_id", (F.col("overlap") >= CONTAM_OVERLAP_T).alias("f_contam")
-    )
-    j = (
-        base.select("doc_id", "source")
-        .join(cls, "doc_id", "left")
-        .join(dedup, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-    )
-    fq = F.coalesce("f_quality", F.lit(False))
-    fd = F.coalesce("f_dedup", F.lit(False))
-    fc = F.coalesce("f_contam", F.lit(False))
+    r11: the three verdict joins now live in the shared memo-persisted
+    :func:`_gate_flags` relation (one cached pass for this query AND
+    q_mixture_manifest); this query is a map-side verdict projection +
+    the (source, verdict) rollup over it."""
+    j = _gate_flags(spark, sf_dir)
+    fq = F.coalesce(~F.col("keep_q"), F.lit(False))
+    fd = F.coalesce(~F.col("keep_d"), F.lit(False))
+    fc = F.coalesce(F.col("is_ct"), F.lit(False))
     verdict = F.when(
         ~(fq | fd | fc), F.lit("kept")
     ).otherwise(
@@ -973,39 +1000,21 @@ def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (curation family).
     """
-    from .dedup import QUERIES as _DQ
     from .dedup import _memo_persist
     from .sampling import global_prefix_sums
 
-    base = _tokenized(spark, sf_dir, "source").filter(
-        (F.size("t") > 0) & (F.col("doc_id") >= BENCH_DOCS)
-    )
-    raw = base.select("doc_id", "source", F.size("t").alias("n_tok"))
-    cls = _q_quality_classifier(spark, sf_dir).select("doc_id", "margin", "keep")
-    dk = _DQ["q_dedup_keep"](spark, sf_dir).select("doc_id", F.col("keep").alias("_dk"))
-    contaminated = (
-        _contam_per_doc(spark, sf_dir)
-        .filter(F.col("overlap") >= CONTAM_OVERLAP_T)
-        .select("doc_id", F.lit(True).alias("_ct"))
-    )
-    # ONE flags relation (drop_ledger's shape) feeds the raw rollup
-    # AND the survivor subset — one persisted pass instead of three
-    # parallel gate pipelines
+    # ONE shared flags relation (also q_drop_ledger's source) feeds
+    # the raw rollup AND the survivor subset — one persisted pass
+    # instead of three parallel gate pipelines; the conjunction is a
+    # map-side projection over the cached rows (r11: the private
+    # "manifest:flags" memo merged into _gate_flags)
     gated_flag = (
-        F.coalesce("keep", F.lit(False))
-        & F.coalesce("_dk", F.lit(False))
-        & ~F.coalesce("_ct", F.lit(False))
+        F.coalesce("keep_q", F.lit(False))
+        & F.coalesce("keep_d", F.lit(False))
+        & ~F.coalesce("is_ct", F.lit(False))
     )
-    flags = _memo_persist(
-        spark,
-        sf_dir,
-        "manifest:flags",
-        lambda: (
-            raw.join(cls, "doc_id", "left")
-            .join(dk, "doc_id", "left")
-            .join(contaminated, "doc_id", "left")
-            .select("doc_id", "source", "n_tok", "margin", gated_flag.alias("_gated"))
-        ),
+    flags = _gate_flags(spark, sf_dir).select(
+        "doc_id", "source", "n_tok", "margin", gated_flag.alias("_gated")
     )
     ranked = global_prefix_sums(
         flags.filter(F.col("_gated")).withColumn("_one", F.lit(1)),
