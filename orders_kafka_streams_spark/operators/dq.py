@@ -301,13 +301,15 @@ def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (pipeline-operations family)."""
-    from .sampling import global_prefix_sums
+    # r11: pooled value cells + running counts from the family-shared
+    # memo (stats._value_rank); exclusive prefix = the oracle's
+    # (cum − f) — longs, exact.
+    from .stats import _value_rank
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cells = ev.groupBy("value").agg(F.count(F.lit(1)).alias("f"))
-    # exclusive prefix = the oracle's (cum − f): rows BEFORE this cell
-    cum = global_prefix_sums(cells, ["value"], {"cum_b": "f"})
-    tot = cells.agg(F.sum("f").alias("total"))
+    cum = _value_rank(spark, sf_dir).select(
+        "value", F.col("t").alias("f"), (F.col("cum") - F.col("t")).alias("cum_b")
+    )
+    tot = cum.agg(F.sum("f").alias("total"))
     # bucket of a value = number of boundaries at or below its cum:
     # floor(cum_before * B / total) places exactly ceil(total/B)-ish
     # rows per bucket with ties kept together at the boundary crossed

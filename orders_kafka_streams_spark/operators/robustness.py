@@ -286,16 +286,12 @@ def _q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (profiling / ANALYZE family)."""
-    from .sampling import global_prefix_sums
+    # r11: the cells + grouped two-pass prefix sum come from the
+    # family-shared memo (stats._etv_rank) — one events pass for the
+    # whole rank family; this query is the rank selection over it.
+    from .stats import _etv_rank
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cells = ev.groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cum = global_prefix_sums(
-        cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
-    )
-    # totals from the helper-persisted relation, not a second source scan
+    cum = _etv_rank(spark, sf_dir)
     n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n"))
     j = cum.join(F.broadcast(n_type), "event_type")
     aggs = [F.max("n").alias("n")]
@@ -328,13 +324,11 @@ def _q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (profiling / ANALYZE family)."""
-    from .sampling import global_prefix_sums
+    # r11: cells + prefix sums from the family-shared memo
+    # (stats._etv_rank), as in q_percentile_distributed.
+    from .stats import _etv_rank
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cells = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_prefix_sums(
-        cells, ["value"], {"cum": "c"}, part=("event_type",), inclusive=True
-    )
+    cum = _etv_rank(spark, sf_dir)
     n_type = cum.groupBy("event_type").agg(F.sum("c").alias("n"))
     j = cum.join(F.broadcast(n_type), "event_type")
     aggs = [F.max("n").alias("n")]
