@@ -796,6 +796,9 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = cells.groupBy("b").agg(
         F.sum("n").alias("cr"), F.sum(is_t * F.col("n")).alias("ct")
     )
+    # (r11 attempt, REVERTED on measurement: deriving the totals from
+    # ``cnt`` re-planned the groupBy(b) exchange subtree instead of
+    # this flat cached-cells aggregate — 1.3-1.45 → 1.5-2.0 s A/B)
     tot = cells.agg(
         F.sum("n").alias("raw_tot"), F.sum(is_t * F.col("n")).alias("tgt_tot")
     )

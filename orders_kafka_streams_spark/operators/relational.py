@@ -216,33 +216,35 @@ def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customer (TPC-H Q18 shape): groupBy-HAVING subquery
-    feeding a semi join, then a 3-way join re-aggregation.
+    feeding the order/customer join.
 
-    The HAVING subquery is a pre-aggregation of the same fact table —
-    Spark reuses the shuffle exchange on l_orderkey for both the
-    qualifying-keys agg and the final per-order agg (exchange reuse
-    shows in the plan), so lineitem shuffles once, not twice.
+    r11 (guide §1.2 don't compute things you throw away): the HAVING
+    aggregate already holds each qualifying order's quantity sum, so
+    the old semi-join back into the fact + per-order RE-aggregation
+    (a second full pass over lineitem through the reused exchange)
+    computed a value the first aggregation had — the join now carries
+    ``qty`` forward and lineitem is read and aggregated exactly once.
+    Each output group is one order, so the projection is identical to
+    the old re-aggregation bit-for-bit (same longs/doubles summed once
+    in the same partial-agg tree). Interleaved A/B: sf0.1 1.6-2.4 →
+    1.1-1.5 s, sf1 3.1-3.3 → 2.8-3.1 s; results identical.
     """
     cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "sum_qty",
+            F.round("qty", 2).alias("sum_qty"),
         )
     )
 
@@ -738,13 +740,25 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, because the two branches' aggregates canonicalize
     differently and ReusedExchange never fired). A qualifying order's
     late lines all belong to its single late supplier, so numwait =
-    Σ n_late_lines over qualifying cells. Shuffle ladder: fact →
-    cells (orderkey partitioning when the join shuffles; one cell
-    exchange when it broadcasts) → cell-sized orderkey window →
-    per-supplier agg. sf1: 5.4-6.5 s (r4) → ~2.5 s.
+    Σ n_late_lines over qualifying cells. sf1: 5.4-6.5 s (r4) → ~2.5 s.
+
+    r11 (guide §2.4 share one exchange): the fact is repartitioned by
+    l_orderkey BEFORE the orders join. orderkey-clustering satisfies
+    every downstream requirement — the (orderkey, suppkey) cell
+    aggregation (partitioning on a subset of the group keys), the
+    per-order window, and (at the scale where orders stops
+    broadcasting) the sort-merge join itself, whose required exchange
+    this IS — so the plan runs ONE fact-sized exchange at any scale.
+    Before, a broadcast orders join left the fact unclustered and the
+    ladder paid TWO cell-sized exchanges (agg on (ok, sk), window on
+    ok). Interleaved A/B at sf1: 4.1-5.1 → 3.4-4.0 s; results
+    bit-identical. The sf1skew hot order (20k lines) lands in one
+    task either way — the window already keys on orderkey.
     """
     li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
-    li_o = li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey).withColumn(
+    li_o = li.select("l_orderkey", "l_suppkey", "l_shipdate").repartition(
+        F.col("l_orderkey")
+    ).join(orders.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == orders.o_orderkey).withColumn(
         "is_late", (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("int")
     )
     cells = li_o.groupBy("l_orderkey", "l_suppkey").agg(

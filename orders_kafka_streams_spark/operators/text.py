@@ -417,24 +417,34 @@ def _q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     after dropping fingerprints common to > WINNOW_MAX_DF docs.
 
     Scale shape mirrors the dedup family: explode the per-doc selection
-    to postings, aggregate document frequency, broadcast the rare-set
-    filter, self-join only the surviving short postings lists, then one
-    hash aggregation per candidate pair. The df cutoff bounds every
-    posting list, so the self-join fan-out is ≤ MAX_DF² per fingerprint
-    regardless of corpus size."""
+    to postings, group them into per-fingerprint posting lists (bounded
+    ≤ WINNOW_MAX_DF by the df filter — longer lists are boilerplate and
+    dropped whole), then generate ordered pairs by a DOUBLE explode of
+    each surviving list and hash-aggregate per candidate pair. The df
+    cutoff bounds the fan-out at ≤ MAX_DF² per fingerprint regardless
+    of corpus size.
+
+    r11 (guide §2.4): the posting grouping replaces the old
+    df-aggregate + broadcast-rare + postings self-join — ONE exchange
+    of the postings instead of two plus a sort-merge self-join, with
+    pair generation as two codegen Generate nodes (NOT the interpreted
+    per-element transform/filter HOF form, which an earlier attempt
+    measured 47% SLOWER than the self-join; nested explode stays in
+    the codegen path). Singleton lists are dropped before the fan-out
+    (a lone posting can never form a pair — lossless). Interleaved
+    A/B: sf1 9.4-12.7 → 3.0-7.9 s, sf1skew 5.1-8.5 → 2.6-3.3 s,
+    result sets identical on both corpora."""
     post = _winnow_selected(spark, sf_dir).select(
         "doc_id", F.explode("fp").alias("f")
     )
-    rare = (
+    groups = (
         post.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("df_n"))
-        .filter(F.col("df_n") <= WINNOW_MAX_DF)
-        .select("f")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") <= WINNOW_MAX_DF) & (F.size("ds") >= 2))
     )
-    kept = post.join(F.broadcast(rare), "f")
     return (
-        kept.select(F.col("doc_id").alias("a"), "f")
-        .join(kept.select(F.col("doc_id").alias("b"), "f"), "f")
+        groups.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
