@@ -386,10 +386,44 @@ def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE keyed window (partitionBy source, orderBy doc_id)
     then the groupBy reuses the same partitioning — packing is per
     source shard exactly as a production pipeline does it (a single
-    global order would funnel the corpus through one partition)."""
-    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
-    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
-    return seq_pack(per_doc, PACK_BUDGET)
+    global order would funnel the corpus through one partition).
+    r11: the cumsum relation comes from the family-shared memo
+    (:func:`_pack_cum`)."""
+    return _pack_rollup(_pack_binned(spark, sf_dir, PACK_BUDGET))
+
+
+def _pack_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_excl): the per-source exclusive
+    token cumsum in doc_id order — ONE memo-persisted grouped two-pass
+    prefix sum shared by the whole packing family (q_seq_pack,
+    q_apply_packing, q_pack_mask_audit, q_pack_efficiency — each
+    previously re-ran the identical prefix-sum ladder per execution;
+    the bin boundary is a map-side floor over the cached cumsum, so
+    even the two different budgets share it). Guide §5 reuse; the
+    build cost lands in cold construction (the shared-index
+    contract)."""
+    from .sampling import global_prefix_sums
+    from .stats import _ranked_memo
+
+    def build(keep) -> DataFrame:
+        base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
+        per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
+        return global_prefix_sums(
+            per_doc,
+            ["doc_id"],
+            {"cum_excl": "n_tokens"},
+            part=("source",),
+            memo=keep,
+        )
+
+    return _ranked_memo(spark, sf_dir, "pack_cum", build)
+
+
+def _pack_binned(spark: SparkSession, sf_dir: str, budget: int) -> DataFrame:
+    """The shared cumsum with this budget's bin boundary applied."""
+    return _pack_cum(spark, sf_dir).withColumn(
+        "bin", F.floor(F.col("cum_excl") / budget).cast("long")
+    )
 
 
 def seq_pack(per_doc: DataFrame, budget: int) -> DataFrame:
@@ -414,6 +448,13 @@ def seq_pack(per_doc: DataFrame, budget: int) -> DataFrame:
         "bin",
         F.floor(F.col("cum_excl") / budget).cast("long"),
     )
+    return _pack_rollup(with_bin)
+
+
+def _pack_rollup(with_bin: DataFrame) -> DataFrame:
+    """Per-(source, bin) packing summary over a binned cumsum
+    relation — the shared tail of :func:`seq_pack` and the
+    memo-backed query builders."""
     return with_bin.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -441,13 +482,10 @@ def _q_apply_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams; SURVEY
     §2.9 extension surface (curation/compression family)."""
-    from .sampling import global_prefix_sums
-
+    # r11: the cumsum + bin come from the family-shared memo
+    # (_pack_cum) — only the token-stream join and assembly run here
     base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
-    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
-    with_bin = global_prefix_sums(
-        per_doc, ["doc_id"], {"cum_excl": "n_tokens"}, part=("source",)
-    ).withColumn("bin", F.floor(F.col("cum_excl") / PACK_BUDGET).cast("long"))
+    with_bin = _pack_binned(spark, sf_dir, PACK_BUDGET)
     joined = with_bin.join(base.select("doc_id", "t"), "doc_id")
     toks = F.flatten(
         F.transform(F.array_sort(F.collect_list(F.struct("doc_id", "t"))), lambda s: s["t"])
@@ -657,17 +695,8 @@ def _q_pack_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams; SURVEY
     §2.9 extension surface (curation / packing family)."""
-    from .sampling import global_prefix_sums
-    from .text import _tokenized
-
-    per_doc = (
-        _tokenized(spark, sf_dir, "source")
-        .filter(F.size("t") > 0)
-        .select("doc_id", "source", F.size("t").alias("n_tokens"))
-    )
-    binned = global_prefix_sums(
-        per_doc, ["doc_id"], {"cum_excl": "n_tokens"}, part=("source",)
-    ).withColumn("bin", F.floor(F.col("cum_excl") / PACK_BUDGET).cast("long"))
+    # r11: the cumsum + bin come from the family-shared memo (_pack_cum)
+    binned = _pack_binned(spark, sf_dir, PACK_BUDGET)
     cells = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("t"),
@@ -699,9 +728,9 @@ def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a per-(source, bin) re-aggregation of the packing
     relation — bin cells, not documents, in the shuffle."""
-    base = _tokenized(spark, sf_dir, "source").filter(F.size("t") > 0)
-    per_doc = base.select("doc_id", "source", F.size("t").alias("n_tokens"))
-    packed = seq_pack(per_doc, PACK_AUDIT_BUDGET)
+    # r11: the audit budget's bins derive from the SAME family-shared
+    # cumsum memo (_pack_cum) — the boundary is a map-side floor
+    packed = _pack_rollup(_pack_binned(spark, sf_dir, PACK_AUDIT_BUDGET))
     last = packed.groupBy("source").agg(F.max("bin").alias("last_bin"))
     closed = packed.join(F.broadcast(last), "source").filter(F.col("bin") < F.col("last_bin"))
     return closed.groupBy("source").agg(
