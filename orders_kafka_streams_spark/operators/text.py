@@ -1464,30 +1464,38 @@ def _q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is session-memoized (the update references it THREE
     times — base shares, normalizer, final join — and without the
     persist each reference re-evaluates the whole KL subtree:
-    measured 4.2 s → 0.1 s steady at sf0.1). The update itself is a
-    |sources|-row fold with two 1-row scalar attachments. Excess
-    losses enter the update ROUNDED (both engines see identical
-    inputs, so the exp/normalize chain agrees to well under the
-    output rounding).
+    measured 4.2 s → 0.1 s steady at sf0.1). r11 (guide §1.2 job
+    orchestration): the token total and the normalizer Z are GLOBAL
+    WINDOW sums over the |sources|-row cached relation instead of two
+    scalar aggregate + broadcast attachments — the old form ran three
+    sequential driver jobs (build tot, build z, final) per execution
+    and the whole query is launch-bound at that size; the window form
+    is ONE job over one SinglePartition exchange of ≤|sources| rows
+    (whitelisted: the input is the memoized per-source relation,
+    never the corpus). A/B steady at sf0.1: 0.69-0.81 → 0.24-0.25 s,
+    results identical. Excess losses enter the update ROUNDED (both
+    engines see identical inputs, so the exp/normalize chain agrees
+    to well under the output rounding).
 
     Output: (source, base_share, excess_loss, weight)."""
+    from pyspark.sql import Window
+
     kl = _src_divergence(spark, sf_dir)
-    tot = kl.agg(F.sum("n_tokens").alias("corpus_tokens"))
-    upd = kl.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    upd = kl.select(
         "source",
         F.col("kl").alias("excess_loss"),
-        (F.col("n_tokens") / F.col("corpus_tokens")).alias("bs"),
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("bs"),
         (
-            (F.col("n_tokens") / F.col("corpus_tokens"))
+            (F.col("n_tokens") / F.sum("n_tokens").over(w))
             * F.exp(F.lit(DOREMI_ETA) * F.col("kl"))
         ).alias("unnorm"),
     )
-    z = upd.agg(F.sum("unnorm").alias("z"))
-    return upd.crossJoin(F.broadcast(z)).select(
+    return upd.select(
         "source",
         F.round("bs", 6).alias("base_share"),
         "excess_loss",
-        F.round(F.col("unnorm") / F.col("z"), 6).alias("weight"),
+        F.round(F.col("unnorm") / F.sum("unnorm").over(w), 6).alias("weight"),
     )
 
 

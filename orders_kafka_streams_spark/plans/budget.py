@@ -279,6 +279,11 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     # documented dim-table demo (window_funcs.py:48): ntile over the
     # customer dimension — the query EXISTS to exercise ntile
     "q_window_ntile": (1, "ntile over the customer dim table"),
+    # r11: the DoReMi update's token total + normalizer Z as global
+    # window sums over the memoized |sources|-row excess-loss relation
+    # — one job instead of three sequential scalar-agg jobs; the
+    # window input can never exceed the source-catalog cardinality
+    "q_doremi_step": (2, "total+Z sums over the |sources|-row KL relation"),
 }
 
 
