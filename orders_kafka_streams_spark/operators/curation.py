@@ -1064,10 +1064,17 @@ def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_final = final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_final"), F.sum("n_tok").alias("tok_final")
     )
-    tot = per_final.agg(F.sum("tok_final").alias("_tot"))
+    # r11 (guide §1.2): the share normalizer is a global window sum
+    # over the ≤|sources|-row JOINED rollup (window sum skips the
+    # left-join NULLs exactly like the old scalar agg did) — the
+    # separate tot job re-aggregated the ranked/final subtree once
+    # more per execution
+    from pyspark.sql import Window
+
+    _wtot = Window.partitionBy()
     return (
         per_src.join(per_final, "source", "left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn("_tot", F.sum("tok_final").over(_wtot))
         .select(
             "source",
             "n_raw",

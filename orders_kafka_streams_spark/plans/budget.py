@@ -284,6 +284,10 @@ GLOBAL_WINDOW_WHITELIST: dict[str, tuple[int, str]] = {
     # — one job instead of three sequential scalar-agg jobs; the
     # window input can never exceed the source-catalog cardinality
     "q_doremi_step": (2, "total+Z sums over the |sources|-row KL relation"),
+    # r11: the manifest share normalizer over the ≤|sources|-row
+    # per-source rollup (left-joined) — replaces a scalar-agg job that
+    # re-aggregated the ranked subtree per execution
+    "q_mixture_manifest": (1, "share normalizer over the |sources| rollup rows"),
 }
 
 
