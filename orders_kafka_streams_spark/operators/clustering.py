@@ -31,6 +31,8 @@ next round on both engines (textbook Lloyd caveat, semantics shared).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -148,8 +150,16 @@ SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
 #: a degenerate clustering (one hot cluster) would otherwise put the
 #: whole corpus's O(c²) cosine matrix in a single applyInPandas group.
 #: Clusters above the cap run the exact block-pair decomposition —
-#: same answers, ≤ CAP² cosines per task.
-SEMDEDUP_CLUSTER_CAP = 4096
+#: same answers, ≤ CAP² cosines per task. The cap is a pure execution
+#: knob (the decomposition recombines exactly at ANY value), so it is
+#: ALSO the parallelism grain: r11 swept 4096/2048/1024/512 on the
+#: sf1 tiers (where k-means leaves ~4 clusters of ~5k vectors and the
+#: old 4096 ran the corpus as ≤12 long gram tasks on 32 cores) —
+#: steady 3.5→1.6 s (skew) / 2.7→1.4 s (sf1) at 1024, rising again at
+#: 512 as the O(B) per-row fan-out copies overtake the gains. Env
+#: override for cluster-scale tuning (more executors → smaller cap
+#: only if per-task memory demands it; 1024² doubles ≈ 8 MB/task).
+SEMDEDUP_CLUSTER_CAP = int(os.environ.get("OKSS_SEMDEDUP_CAP", "1024"))
 
 
 def _guard_task_size(n: int, cap: int) -> None:
@@ -403,7 +413,12 @@ def _q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     down the ranks)."""
     emb = _emb_double(spark, sf_dir)
     if KCENTER_K > KCENTER_EXACT_MAX:
-        return kcenter_batched(emb, KCENTER_P, KCENTER_K)
+        return kcenter_final(
+            _kcenter_winners_cached(spark, sf_dir).filter(
+                F.col("lrank") <= KCENTER_K
+            ),
+            KCENTER_K,
+        )
     return kcenter_exact(spark, emb, KCENTER_K)
 
 
@@ -563,14 +578,22 @@ def _q_kcenter_coreset_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (embedding curation family)."""
-    emb = _emb_double(spark, sf_dir)
-    return kcenter_batched(emb, KC_BATCH_P, KC_BATCH_K)
+    return kcenter_final(
+        _kcenter_winners_cached(spark, sf_dir).filter(
+            F.col("lrank") <= KC_BATCH_K
+        ),
+        KC_BATCH_K,
+    )
 
 
-def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
-    """Tournament FPS over ``emb`` (vec_id, v=array<double>) with
-    ``p`` hash partitions and coreset size ``k`` — see
-    _q_kcenter_coreset_batched for semantics and scale shape."""
+def kcenter_local_winners(emb: DataFrame, p: int, k: int) -> DataFrame:
+    """Tournament stage 1: per-hash-partition exact FPS, keeping each
+    partition's first ``k`` picks WITH their local pick rank —
+    (p, lrank, vec_id, v). Greedy FPS is a deterministic sequence, so
+    the first j ≤ k picks of a k-deep run are exactly the j-deep run
+    (prefix property) — which is what lets one winners relation at
+    k = max over the family serve every smaller coreset size by an
+    lrank filter (r11, guide §5)."""
     import pandas as pd
 
     pts = emb.select("vec_id", "v", (F.col("vec_id") % p).alias("p"))
@@ -584,14 +607,21 @@ def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
         return pd.DataFrame(
             {
                 "p": pdf["p"].iloc[0],
+                "lrank": [r for r, _, _ in picks],
                 "vec_id": [i for _, i, _ in picks],
                 "v": [w.tolist() for w in vecs],
             }
         )
 
-    winners = pts.groupBy("p").applyInPandas(
-        local_fps, schema="p long, vec_id long, v array<double>"
+    return pts.groupBy("p").applyInPandas(
+        local_fps, schema="p long, lrank int, vec_id long, v array<double>"
     )
+
+
+def kcenter_final(winners: DataFrame, k: int) -> DataFrame:
+    """Tournament stage 2: ONE exact-FPS task over the ≤ p·k-row
+    winner pool — constant-size, like a broadcast build."""
+    import pandas as pd
 
     def final_fps(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -608,11 +638,50 @@ def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
         )
 
     return (
-        winners.withColumn("g", F.lit(1))
+        winners.select("vec_id", "v").withColumn("g", F.lit(1))
         .groupBy("g")
         .applyInPandas(final_fps, schema="sel_rank int, vec_id long, min_d2 double")
         .select("sel_rank", "vec_id", F.round("min_d2", _R).alias("min_d2"))
         .orderBy("sel_rank")
+    )
+
+
+def kcenter_batched(emb: DataFrame, p: int, k: int) -> DataFrame:
+    """Tournament FPS over ``emb`` (vec_id, v=array<double>) with
+    ``p`` hash partitions and coreset size ``k`` — see
+    _q_kcenter_coreset_batched for semantics and scale shape. The
+    un-memoized composition (tests and ad-hoc callers); the declared
+    queries go through the shared winners memo instead."""
+    return kcenter_final(kcenter_local_winners(emb, p, k), k)
+
+
+#: shared local-winners depth for the declared kcenter queries — valid
+#: to share ONE stage-1 relation because both run P = 4 partitions
+#: (KCENTER_P == KC_BATCH_P) and FPS prefix-determinism makes a
+#: k-deep winner list embed every shallower list (kcenter_local_winners).
+_KC_WINNERS_KMAX = max(KCENTER_K, KC_BATCH_K)
+
+
+def _kcenter_winners_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 winners memo (r11, guide §5 reuse): q_kcenter_coreset
+    (K = 8) and q_kcenter_coreset_batched (K = 16) each ran their own
+    corpus shuffle + per-partition exact-FPS kernel per execution —
+    the identical stage-1 computation up to depth. ONE memo-persisted
+    winners relation at kmax = 16 serves both through an lrank
+    prefix filter; steady executions are ONE constant-size stage-2
+    task over ≤ p·kmax cached rows. The relation is p·kmax rows of
+    (rank, id, vector) — index-class, bounded by the constants, never
+    the corpus."""
+    from .dedup import _memo_persist
+
+    assert KCENTER_P == KC_BATCH_P, "winners memo shared across equal P only"
+    return _memo_persist(
+        spark,
+        sf_dir,
+        f"kcenter_winners:{KC_BATCH_P}:{_KC_WINNERS_KMAX}",
+        lambda: kcenter_local_winners(
+            _emb_double(spark, sf_dir), KC_BATCH_P, _KC_WINNERS_KMAX
+        ),
     )
 
 

@@ -1103,6 +1103,11 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HELDOUT_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+#: LM-cell cap for broadcasting the memoized score relations into the
+#: position-stream probes (~40 B/cell → ~80 MB built); past it the
+#: probes stay plain equi-joins and AQE dispatches. Probed over the
+#: persisted memo at construction (one cached-scan count job).
+_HELDOUT_LM_BROADCAST_MAX = 2_000_000
 
 
 def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,21 +1121,31 @@ def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_unigram_logprob's self-trained LM: a doc can't inflate its own
     score, which is exactly what a quality gate wants.
 
-    Scale shape: two train-side count relations (bigram, unigram) +
-    one 1-row scalar; scoring is the bigram position stream joined to
-    the count relations on their keys — count cells in the shuffle,
-    AQE picks broadcast while the vocab fits and degrades to a
-    shuffle join exactly when it should. One doc-keyed agg ends it.
-    r11 (guide §1.2 per-task work): the bigram stream is built as
-    (w1, w2) STRUCT pairs straight from the token array — the old
-    form concatenated each bigram to a string (shingle_seq) and then
-    regex-split it back into words on every position row; the counts
-    key on the word pair directly, so neither side ever builds or
-    re-parses the joined string.
+    Scale shape (r11, guide §2.3/§5 — score with the MODEL, not the
+    raw counts): the trained LM is memoized as ONE cell-sized score
+    relation holding per train-BIGRAM lp = ln(cb/cu₁) rows and per
+    train-UNIGRAM backoff lp = ln(0.4·(cu+1)/(N+V)) rows (the 1-row
+    scalar folded in at build), so scoring probes the position
+    stream with TWO broadcast hash joins (bigram hit, else w₂
+    backoff, else the unseen-word constant). The previous form
+    probed the stream THREE times (cb, cu₁, cu₂) plus a
+    BroadcastNestedLoopJoin scalar attach, and re-aggregated the
+    train half for all four build sides on every execution; the LM
+    is the index here — train once, serve many — and the memo is
+    bounded by train vocab, never corpus size. The ln() now
+    evaluates once per LM cell, not once per position. The
+    unseen-word constant embeds (N+V) as an integer literal probed
+    from the memoized scalar row at construction (the
+    consensus-dispatch pattern); the expression shape is unchanged
+    so the double arithmetic is bit-identical on both engines. The
+    bigram stream is built as (w1, w2) STRUCT pairs straight from
+    the token array (earlier r11: no string concat + re-split per
+    position). One doc-keyed agg ends it.
 
     Output: (doc_id, n_bigrams, avg_logp, in_train)."""
+    from .dedup import _memo_persist
+
     base = _tokenized(spark, sf_dir)
-    train = base.filter(F.col("doc_id") % 2 == 0)
 
     def bigram_pairs(t):
         m = F.size(t) - 1
@@ -1143,37 +1158,76 @@ def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<struct<w1:string,w2:string>>")
         )
 
-    tuni = (
-        train.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+    def build_lm() -> DataFrame:
+        # one persisted relation, three row kinds: 'b' = bigram lp,
+        # 'u' = unigram backoff lp, 's' = the (N+V) scalar — a single
+        # bounded memo entry instead of three
+        train = base.filter(F.col("doc_id") % 2 == 0)
+        tuni = (
+            train.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cu"))
+        )
+        tbi = (
+            train.select(F.explode(bigram_pairs(F.col("t"))).alias("p"))
+            .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        scal = tuni.agg(
+            F.sum("cu").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+        )
+        null_w = F.lit(None).cast("string")
+        bi = tbi.join(
+            F.broadcast(tuni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))),
+            "w1",
+        ).select(
+            F.lit("b").alias("kind"),
+            "w1",
+            "w2",
+            F.log(F.col("cb") / F.col("cu1")).alias("lp"),
+        )
+        bo = tuni.crossJoin(F.broadcast(scal)).select(
+            F.lit("u").alias("kind"),
+            null_w.alias("w1"),
+            F.col("w").alias("w2"),
+            F.log(
+                F.lit(HELDOUT_BACKOFF)
+                * (F.col("cu") + F.lit(1))
+                / (F.col("n_train") + F.col("v_train"))
+            ).alias("lp"),
+        )
+        nv = scal.select(
+            F.lit("s").alias("kind"),
+            null_w.alias("w1"),
+            null_w.alias("w2"),
+            (F.col("n_train") + F.col("v_train")).cast("double").alias("lp"),
+        )
+        return bi.unionByName(bo).unionByName(nv)
+
+    lm = _memo_persist(spark, sf_dir, "heldout_lm", build_lm)
+    n_plus_v = int(lm.filter(F.col("kind") == "s").first()["lp"])
+    # size-dispatched broadcast (the _CONSENSUS_BROADCAST_MAX
+    # pattern): the probe is a cached-scan count at construction; a
+    # web-scale train vocab past the cap keeps the plain equi-join
+    # and AQE's own strategy choice
+    bcast = F.broadcast if lm.count() <= _HELDOUT_LM_BROADCAST_MAX else (lambda d: d)
+    bi_lm = lm.filter(F.col("kind") == "b").select(
+        "w1", "w2", F.col("lp").alias("lp_b")
     )
-    tbi = (
-        train.select(F.explode(bigram_pairs(F.col("t"))).alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
-    scal = tuni.agg(
-        F.sum("cu").alias("n_train"), F.count(F.lit(1)).alias("v_train")
-    )
+    bo_lm = lm.filter(F.col("kind") == "u").select("w2", F.col("lp").alias("lp_bo"))
     pos = (
         base.select("doc_id", F.explode(bigram_pairs(F.col("t"))).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    lp = F.when(
-        F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cu1"))
-    ).otherwise(
-        F.log(
-            F.lit(HELDOUT_BACKOFF)
-            * (F.coalesce("cu2", F.lit(0)) + F.lit(1))
-            / (F.col("n_train") + F.col("v_train"))
-        )
+    # identical expression shape to the backoff row build: 0.4 * long
+    # / long in doubles, cu = 0 for a word absent from training
+    unseen = F.log(
+        F.lit(HELDOUT_BACKOFF) * (F.lit(0) + F.lit(1)) / F.lit(n_plus_v)
     )
+    lp = F.coalesce(F.col("lp_b"), F.col("lp_bo"), unseen)
     return (
-        pos.join(tbi, ["w1", "w2"], "left")
-        .join(tuni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1", "left")
-        .join(tuni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
-        .crossJoin(F.broadcast(scal))
+        pos.join(bcast(bi_lm), ["w1", "w2"], "left")
+        .join(bcast(bo_lm), "w2", "left")
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(

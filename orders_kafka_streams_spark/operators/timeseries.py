@@ -946,22 +946,26 @@ def _cooc_pairs(
     from .dedup import _memo_persist
 
     dist = _memo_persist(spark, sf_dir, tag, build_dist)
-    flat = dist.select(
-        "bid", "w", F.size("ks").alias("m"), F.explode("ks").alias("k")
-    )
-    light = flat.filter(F.col("m") <= COOC_HEAVY_BASKET)
-    la, lb = light.alias("a"), light.alias("b")
+    # Light baskets: ordered pairs by DOUBLE explode of the cached
+    # basket array — two codegen Generate nodes feeding the partial
+    # aggregate map-side, NO exchange and NO self-join (r11, the
+    # q_winnow_match posting-list form; the old exploded self-join on
+    # bid shuffled the flat postings and sort-merged two copies). The
+    # fan-out is bounded at COOC_HEAVY_BASKET² rows per distinct
+    # basket, generated and partially-combined inside one task.
     light_pairs = (
-        la.join(lb, "bid")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .select(
-            F.col("a.k").alias("ia"),
-            F.col("b.k").alias("ib"),
-            F.col("a.w").alias("w"),
-        )
+        dist.filter(F.size("ks") <= COOC_HEAVY_BASKET)
+        .select("w", F.explode("ks").alias("ia"), "ks")
+        .select("w", "ia", F.explode("ks").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "w")
     )
-    hv = flat.filter(F.col("m") > COOC_HEAVY_BASKET).withColumn(
-        "g", F.pmod(F.hash("k"), F.lit(S))
+    hv = (
+        dist.select(
+            "bid", "w", F.size("ks").alias("m"), F.explode("ks").alias("k")
+        )
+        .filter(F.col("m") > COOC_HEAVY_BASKET)
+        .withColumn("g", F.pmod(F.hash("k"), F.lit(S)))
     )
     p = spark.range(S).select(F.col("id").cast("int").alias("p"))
     q = spark.range(S).select(F.col("id").cast("int").alias("q"))
@@ -1111,12 +1115,15 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
     freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
     fb = baskets.join(F.broadcast(freq), "k", "left_semi")
-    a, b = fb.alias("a"), fb.alias("b")
+    # pair generation via _cooc_pairs (r11): capped baskets are ≤ CAP
+    # items so every distinct basket takes the light double-explode
+    # path — identical-basket compression + map-side pair fan-out,
+    # no per-user self-join; sum(w) ≡ the co-occurring-user count the
+    # self-join counted row-by-row.
     pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .groupBy(F.col("a.k").alias("ia"), F.col("b.k").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _cooc_pairs(spark, sf_dir, fb, tag="cooc_dist_capped")
+        .groupBy("ia", "ib")
+        .agg(F.sum("w").alias("n_ab"))
         .filter(F.col("n_ab") >= COOC_MIN_SUPPORT)
     )
     na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))
