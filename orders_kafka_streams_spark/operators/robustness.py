@@ -146,24 +146,33 @@ def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import hash60
 
     li = load_table(spark, sf_dir, "lineitem")
-    # r11 (guide §2.3/§2.4): ONE scan builds the per-set distinct
-    # (tag, h) cells — the union sketch's cells are DERIVED from them
-    # (distinct h over the a/b cells ≡ distinct h over the pooled raw
-    # rows, KMV merge associativity) instead of re-scanning the fact a
-    # third and fourth time; tags are disjoint so the final union is
-    # already distinct per tag.
-    ab = (
+    # r11 (guide §2.3/§2.4, second pass): ONE fact scan feeds BOTH the
+    # sketch and the exact twins — the per-orderkey flag aggregation
+    # (in_a, in_b) is the shared exchange (the exact side consumes it
+    # directly; Spark reuses the scan+partial subtree), and the tagged
+    # hash cells are derived from it map-side (up to 3 tag rows per
+    # key), hashing each DISTINCT orderkey once instead of every fact
+    # row. The final (tag, h) distinct keeps the oracle's
+    # distinct-on-HASH semantics exactly (a 60-bit collision dedupes
+    # identically on both engines).
+    keyed = (
         li.filter(F.col("l_returnflag").isin("R", "A"))
-        .select(
-            F.when(F.col("l_returnflag") == "R", F.lit("a"))
-            .otherwise(F.lit("b"))
-            .alias("tag"),
-            hash60(F.col("l_orderkey")).alias("h"),
+        .groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_a"),
+            F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_b"),
         )
-        .distinct()
     )
-    cells = ab.unionByName(
-        ab.select("h").distinct().select(F.lit("u").alias("tag"), "h")
+    empty = F.array().cast("array<string>")
+    tags = F.concat(
+        F.when(F.col("in_a") == 1, F.array(F.lit("a"))).otherwise(empty),
+        F.when(F.col("in_b") == 1, F.array(F.lit("b"))).otherwise(empty),
+        F.array(F.lit("u")),
+    )
+    cells = (
+        keyed.select(hash60(F.col("l_orderkey")).alias("h"), tags.alias("tg"))
+        .select(F.explode("tg").alias("tag"), "h")
+        .distinct()
     )
     w = Window.partitionBy("tag").orderBy("h")
     kmv = (
@@ -177,12 +186,7 @@ def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wide = kmv.groupBy().pivot("tag", ["a", "b", "u"]).agg(F.first(est))
     exact = (
-        li.filter(F.col("l_returnflag").isin("R", "A"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_a"),
-            F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_b"),
-        )
+        keyed
         .agg(
             F.sum("in_a").alias("exact_a"),
             F.sum("in_b").alias("exact_b"),

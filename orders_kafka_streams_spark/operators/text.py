@@ -1467,27 +1467,34 @@ def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     far below organic prose, so a source whose ratio collapses is the
     first candidate for the dedup/quality gates upstream of training.
 
-    Scale shape: one explode per n partially aggregated to
+    Scale shape: ONE explode pass partially aggregated to
     (source, n, gram-hash) count cells — inverted-index cost, the
     corpus itself never shuffles, and grams travel as 60-bit hashes
     (the dedup.py shingle economy: 8 bytes per cell key instead of a
     raw trigram string) — then a tiny (source, n) rollup where
-    distinct = cell count and total = Σcount. Output long-form:
+    distinct = cell count and total = Σcount. r11 (guide §2.3): the
+    three n-gram streams are concatenated as (n, g) structs IN-ROW
+    and exploded by one Generate — the old per-n union scanned the
+    cached token projection three times for the same generated rows.
+    Output long-form:
     (source, n, distinct_ngrams, total_ngrams, distinct_ratio)."""
     from ..functions.textfns import shingle_seq
 
     base = _tokenized(spark, sf_dir, "source")
-    parts = []
-    for n in (1, 2, 3):
+
+    def tagged(n: int):
         seq = F.col("t") if n == 1 else shingle_seq(F.col("t"), n)
-        parts.append(
-            base.select(
-                "source",
-                F.lit(n).alias("n"),
-                F.explode(F.transform(seq, hash60)).alias("g"),
-            )
+        return F.transform(
+            seq,
+            lambda x: F.struct(
+                F.lit(n).alias("n"), hash60(x).alias("g")
+            ),
         )
-    ex = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    ex = base.select(
+        "source",
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("p"),
+    ).select("source", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
     cells = ex.groupBy("source", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     return cells.groupBy("source", "n").agg(
         F.count(F.lit(1)).alias("distinct_ngrams"),

@@ -10,6 +10,8 @@ engine-portable for the oracle diff.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -859,8 +861,17 @@ def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COOC_MIN_SUPPORT = 5  # minimum co-occurring-user count for a pair
 COOC_TOP_K = 20  # association pairs reported
-COOC_HEAVY_BASKET = 256  # frequent-item basket size above which the
-#: pair self-join switches to triangle bucketing (see _cooc_pairs)
+#: frequent-item basket size above which pair generation switches to
+#: triangle bucketing (see _cooc_pairs). Since identical-basket
+#: compression the fan-out is per DISTINCT basket, so the real bound
+#: is C(cap, 2) pair rows streamed through ONE Generate task
+#: (≈ 8.4M rows at 4096 — comparable to a big scan partition);
+#: below that the bucket grid's ~(S+1)/2× row replication + join
+#: overhead costs more than it parallelizes (r11 measured the skew
+#: corpus's 2000-item bot basket: grid 1.7-2.4 s vs 0.2 s inside the
+#: one-pass explode; threshold raised 256 → 4096). Env-overridable
+#: for clusters where a smaller per-task bound is wanted.
+COOC_HEAVY_BASKET = int(os.environ.get("OKSS_COOC_HEAVY_BASKET", "4096"))
 COOC_PAIR_BUCKETS = 16  # hash buckets per heavy basket (S); a heavy
 #: user's pair work spreads over S(S+1)/2 = 136 join cells
 

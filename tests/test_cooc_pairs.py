@@ -12,11 +12,24 @@ import itertools
 import pytest
 from pyspark.sql import functions as F
 
+from orders_kafka_streams_spark.operators import timeseries
 from orders_kafka_streams_spark.operators.timeseries import (
-    COOC_HEAVY_BASKET,
     COOC_PAIR_BUCKETS,
     _cooc_pairs,
 )
+
+#: the production threshold is an execution knob (r11: 4096); pin a
+#: small value here so the heavy branch is exercised without the
+#: pure-Python naive reference enumerating C(2·4096, 2) pairs
+COOC_HEAVY_BASKET = 256
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _small_heavy_threshold():
+    mp = pytest.MonkeyPatch()
+    mp.setattr(timeseries, "COOC_HEAVY_BASKET", COOC_HEAVY_BASKET)
+    yield
+    mp.undo()
 
 
 @pytest.fixture(scope="module")
