@@ -637,12 +637,14 @@ def kcenter_final(winners: DataFrame, k: int) -> DataFrame:
             }
         )
 
+    from .presentation import cells_sorted
+
     return (
         winners.select("vec_id", "v").withColumn("g", F.lit(1))
         .groupBy("g")
         .applyInPandas(final_fps, schema="sel_rank int, vec_id long, min_d2 double")
         .select("sel_rank", "vec_id", F.round("min_d2", _R).alias("min_d2"))
-        .orderBy("sel_rank")
+        .transform(cells_sorted, "sel_rank")  # <= k coreset rows
     )
 
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import stopword_count, stopword_count_sql, tokens_sql
 from ..sources.tables import load_table
@@ -223,7 +225,7 @@ def _q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("margin"), 6).alias("avg_kept_margin"),
             F.count_distinct("source").alias("n_sources_surviving"),
         )
-        .orderBy("cut")
+        .transform(cells_sorted, "cut")  # <= |sweep cuts| rows
     )
 
 
@@ -955,7 +957,7 @@ def _q_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("source", verdict.alias("verdict"))
         .groupBy("source", "verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("source", "verdict")
+        .transform(cells_sorted, "source", "verdict")  # source x verdict cells
     )
 
 
@@ -1086,7 +1088,7 @@ def _q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("tok_final", F.lit(0)) / F.col("_tot"), 6
             ).alias("share_final"),
         )
-        .orderBy("source")
+        .transform(cells_sorted, "source")  # <= |sources| rows
     )
 
 

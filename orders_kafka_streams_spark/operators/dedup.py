@@ -29,6 +29,8 @@ from collections import OrderedDict
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import MERSENNE31, hash60, hash60_sql
 from ..functions.textfns import (
     shingle_seq_sql,
@@ -2070,7 +2072,7 @@ def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_dist",
             F.round(F.col("n_correct") / F.col("n_records"), 6).alias("recall"),
         )
-        .orderBy("mode")
+        .transform(cells_sorted, "mode")  # 4 corruption-mode rows
     )
 
 
@@ -2287,7 +2289,7 @@ def _q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.select(F.explode(F.array(*[_row(f) for f in fields])).alias("r"))
         .select("r.*")
-        .orderBy("field")
+        .transform(cells_sorted, "field")  # <= |linkage fields| rows
     )
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..sources.tables import load_table
 
 EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
@@ -163,7 +165,7 @@ def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rows_per_value"),
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("table_name", "column_name")
+    return out.transform(cells_sorted, "table_name", "column_name")  # schema-bounded
 
 
 def _table_stats_oracle() -> str:
@@ -247,7 +249,7 @@ def _q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("join_key")
+    return out.transform(cells_sorted, "join_key")  # schema-bounded audit rows
 
 
 def _join_card_oracle() -> str:
@@ -327,7 +329,7 @@ def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
             F.sum("f").alias("n_rows"),
         )
-        .orderBy("bucket")
+        .transform(cells_sorted, "bucket")  # <= |buckets| cells
     )
 
 

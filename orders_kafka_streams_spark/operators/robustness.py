@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .presentation import cells_sorted
 from pyspark.sql import types as T
 
 from ..sources.json_edge import decode_json
@@ -306,7 +308,7 @@ def _q_percentile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("value"))
             ).alias(tag)
         )
-    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+    return j.groupBy("event_type").agg(*aggs).transform(cells_sorted, "event_type")  # <= |event types| rows
 
 
 def _q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +361,7 @@ def _q_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias(tag)
         )
-    return g.select(*out).orderBy("event_type")
+    return g.select(*out).transform(cells_sorted, "event_type")  # <= |event types| rows
 
 
 def _percentile_interp_oracle() -> str:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import hash60, hash60_sql
 from .dedup import ORACLE as _DD_ORACLE
 from ..functions.textfns import stopword_count, stopword_count_sql, tokens, tokens_sql
@@ -851,7 +853,7 @@ def _q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w_est"
             ),
         )
-        .orderBy("doc_id")
+        .transform(cells_sorted, "doc_id")  # <= PRI_K sampled rows
     )
 
 
@@ -907,7 +909,7 @@ def _q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "proportional_frac"
             ),
         )
-        .orderBy("event_type")
+        .transform(cells_sorted, "event_type")  # <= |event types| rows
     )
 
 
@@ -1008,7 +1010,7 @@ def _q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("users_in_train", F.lit(0)) / F.col("n_users"), 6
             ).alias("train_user_overlap"),
         )
-        .orderBy("split")
+        .transform(cells_sorted, "split")  # <= |splits| rows
     )
 
 
@@ -1104,7 +1106,7 @@ def _q_char_budget_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias(tag)
         )
-    return j.groupBy("source").agg(*aggs).orderBy("source")
+    return j.groupBy("source").agg(*aggs).transform(cells_sorted, "source")  # <= |sources| rows
 
 
 def _char_budget_oracle() -> str:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import hash60, hash60_sql
 from ..sources.tables import load_table, parallelize
 
@@ -853,7 +855,7 @@ def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trunc_dim")
         .agg(F.round(F.avg("energy"), 4).alias("mean_energy"))
     )
-    return recall.join(energy, "trunc_dim").orderBy("trunc_dim")
+    return recall.join(energy, "trunc_dim").transform(cells_sorted, "trunc_dim")  # <= |MATRYOSHKA_DIMS| rows
 
 
 def _q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

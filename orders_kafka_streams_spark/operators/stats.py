@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import hash60, hash60_sql
 from ..sources.tables import load_table
+from .presentation import cells_sorted
 
 
 def _q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +282,7 @@ def _q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rejected"
             ),
         )
-        .orderBy("bh_rank")
+        .transform(cells_sorted, "bh_rank")  # <= |BH_TYPES| metric rows
     )
 
 
@@ -385,7 +386,7 @@ def _q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "total_events",
         F.round(gini, 6).alias("gini"),
-    ).orderBy("group_key")
+    ).transform(cells_sorted, "group_key")  # <= |groups| cells
 
 
 def _gini_oracle() -> str:
@@ -471,7 +472,7 @@ def _q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("n_events"),
             F.col("y").alias("purchase_value"),
         )
-        .orderBy(F.desc("n_events"), "user_id")
+        .transform(cells_sorted, F.desc("n_events"), "user_id")  # skyline frontier: <= |distinct activity levels| rows
     )
 
 
@@ -584,7 +585,7 @@ def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("np") / F.col("n"), 6).alias("raw_rate"),
             F.round("fit", 6).alias("iso_rate"),
         )
-        .orderBy("bin")
+        .transform(cells_sorted, "bin")  # <= |bins| cells
     )
 
 
@@ -852,7 +853,7 @@ def bh_daily(cells: DataFrame) -> DataFrame:
                 "rejected"
             ),
         )
-        .orderBy("day", "bh_rank")
+        .transform(cells_sorted, "day", "bh_rank")  # days x metrics cells
     )
 
 
@@ -1556,7 +1557,7 @@ def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "winsorized_mean"
             ),
         )
-        .orderBy("event_type")
+        .transform(cells_sorted, "event_type")  # <= |event types| rows
     )
 
 
@@ -2066,7 +2067,7 @@ def _q_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
-        .orderBy("mde")
+        .transform(cells_sorted, "mde")  # <= |MDE grid| rows
     )
 
 
@@ -2128,7 +2129,7 @@ def _q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnb").alias("n_b"),
         chi2.alias("chi2"),
         (chi2 > SRM_CRIT).alias("srm_detected"),
-    ).orderBy("day")
+    ).transform(cells_sorted, "day")  # <= |days| cells
 
 
 LOGRANK_SALT = "okss-logrank-v1"  # deterministic group assignment
@@ -2358,7 +2359,7 @@ def msprt_curve(cells: DataFrame) -> DataFrame:
         F.round(ln_lambda, 6).alias("ln_lambda"),
         F.round(p, 6).alias("p_always_valid"),
         (p < MSPRT_ALPHA).alias("significant"),
-    ).orderBy("day")
+    ).transform(cells_sorted, "day")  # <= |days| cells
 
 
 CAL_BINS = 10  # fixed-width probability bins [0, 1) — data-independent
@@ -2416,7 +2417,7 @@ def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ece = bins.agg(
         F.round(F.sum(F.col("n") * F.col("gap")) / F.sum("n"), 6).alias("ece")
     )
-    return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+    return bins.crossJoin(F.broadcast(ece)).transform(cells_sorted, "bin")  # <= |bins| cells
 
 
 def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2527,7 +2528,7 @@ def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.c").alias("censored"),
             F.round("r.surv", 6).alias("survival"),
         )
-        .orderBy("day")
+        .transform(cells_sorted, "day")  # <= |days| curve rows
     )
     return curve
 
@@ -2675,7 +2676,7 @@ def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.coalesce("n", F.lit(0)) / F.col("n_tot") - p_exp), 6
             ).alias("abs_dev"),
         )
-        .orderBy("digit")
+        .transform(cells_sorted, "digit")  # 9 digit rows
     )
 
 

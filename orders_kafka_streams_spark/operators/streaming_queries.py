@@ -23,6 +23,8 @@ from ..streaming.pair_matcher import pair_match_stateful
 from ..streaming.transform_matcher import pair_match_tws, tws_available
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..sources.tables import load_table
 
 from ..functions.portable import epoch_ms
@@ -638,7 +640,7 @@ def _q_stream_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("contact_rate"),
         )
-        .orderBy("channel")
+        .transform(cells_sorted, "channel")  # <= |channels| rows
     )
 
 
@@ -802,7 +804,7 @@ def pctl_rank_select(drained: DataFrame) -> DataFrame:
     return (
         j.groupBy("day", "event_type")
         .agg(*aggs)
-        .orderBy("day", "event_type")
+        .transform(cells_sorted, "day", "event_type")  # day x type cells
     )
 
 
@@ -874,7 +876,7 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dropped").alias("n_dropped"),
             F.round(F.sum("dropped") / F.count(F.lit(1)), 4).alias("drop_frac"),
         )
-        .orderBy("event_type")
+        .transform(cells_sorted, "event_type")  # <= |event types| rows
     )
 
 
@@ -1078,7 +1080,7 @@ def _q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_chars",
         F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
-    ).orderBy("source", "lang")
+    ).transform(cells_sorted, "source", "lang")  # source x lang cells
 
 
 def _q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,7 +1126,7 @@ def _q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(F.col("key.window.end")).alias("wend_ms"),
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
-    ).orderBy("wstart_ms", "event_type")
+    ).transform(cells_sorted, "wstart_ms", "event_type")  # window x type cells
 
 
 def _q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,7 +1171,7 @@ def _q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("processing_ms").alias("total_ms"),
             F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
         )
-        .orderBy("facility")
+        .transform(cells_sorted, "facility")  # <= |facilities| rows
     )
 
 
@@ -1223,7 +1225,7 @@ def _q_stream_pysource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("processing_ms").alias("total_ms"),
             F.round(F.avg("processing_ms"), 4).alias("avg_ms"),
         )
-        .orderBy("facility")
+        .transform(cells_sorted, "facility")  # <= |facilities| rows
     )
 
 

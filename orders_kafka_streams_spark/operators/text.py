@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import hash60, hash60_sql
 from ..functions.textfns import (
     STOPWORDS,
@@ -175,35 +177,45 @@ def ct_doc_profile(docs: DataFrame) -> DataFrame:
 def ct_langid(docs: DataFrame, docp: DataFrame | None = None) -> DataFrame:
     """Per-document Cavnar-Trenkle prediction over any (doc_id, lang,
     text) relation: returns (doc_id, lang, pred_lang, dist). Pass a
-    (possibly persisted) ``docp`` to reuse a precomputed profile."""
-    spark = docs.sparkSession
+    (possibly persisted) ``docp`` to reuse a precomputed profile.
+
+    r11 (guide §2.3, second pass): the 4 language profiles are tiny
+    LITERALS, so each language's out-of-place distance is a map-literal
+    lookup COLUMN summed in ONE (doc_id, lang)-keyed aggregation —
+    the previous form fanned every profile row out ×|langs| through a
+    crossJoin + broadcast join and paid a second aggregation for the
+    argmin; the per-language sums are integer-exact either way, and
+    ``least`` over (dist, plang) structs IS the (dist asc, plang asc)
+    tie rule, evaluated map-only after the single exchange."""
     if docp is None:
         docp = ct_doc_profile(docs)
-    prof = spark.createDataFrame(
-        [(lang, g, i + 1) for lang, p in CT_PROFILES.items() for i, g in enumerate(p)],
-        "plang string, g string, lr int",
+    per_lang = []
+    for plang in sorted(CT_PROFILES):
+        entries: list = []
+        for i, g in enumerate(CT_PROFILES[plang]):
+            entries += [F.lit(g), F.lit(i + 1)]
+        lr = F.create_map(*entries)[F.col("g")]
+        oop = F.coalesce(F.abs(F.col("dr") - lr), F.lit(CT_PENALTY))
+        per_lang.append((plang, oop))
+    agg = docp.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(oop).cast("long").alias(f"_d_{i}")
+            for i, (_, oop) in enumerate(per_lang)
+        ]
     )
-    langs = spark.createDataFrame([(lang,) for lang in CT_PROFILES], "plang string")
-    j = (
-        docp.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(prof), ["plang", "g"], "left")
-        .withColumn(
-            "oop", F.coalesce(F.abs(F.col("dr") - F.col("lr")), F.lit(CT_PENALTY))
-        )
+    m = F.least(
+        *[
+            F.struct(
+                F.col(f"_d_{i}").alias("dist"), F.lit(plang).alias("plang")
+            )
+            for i, (plang, _) in enumerate(per_lang)
+        ]
     )
-    dist = j.groupBy("doc_id", "lang", "plang").agg(
-        F.sum("oop").cast("long").alias("dist")
-    )
-    # r11 (guide §2.4): argmin over the |langs| candidate rows per doc
-    # as min(struct(dist, plang)) — struct ordering IS the
-    # (dist asc, plang asc) tie rule — so the pick partial-combines
-    # map-side in a hash aggregate instead of paying the row_number
-    # window's exchange + per-doc sort.
-    best = dist.groupBy("doc_id", "lang").agg(
-        F.min(F.struct("dist", "plang")).alias("m")
-    )
-    return best.select(
-        "doc_id", "lang", F.col("m.plang").alias("pred_lang"), F.col("m.dist").alias("dist")
+    return agg.select(
+        "doc_id",
+        "lang",
+        m["plang"].alias("pred_lang"),
+        m["dist"].alias("dist"),
     )
 
 
@@ -1603,7 +1615,7 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
         )
-        .orderBy("source")
+        .transform(cells_sorted, "source")  # <= |sources| rows
     )
 
 

@@ -15,6 +15,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import epoch_ms
 from ..sources.tables import load_table
 from .asof import asof_join
@@ -855,7 +857,7 @@ def _q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("expected", 4).alias("expected"),
             F.round("resid", 4).alias("resid"),
         )
-        .orderBy("hour_ms")
+        .transform(cells_sorted, "hour_ms")  # calendar-hour cells
     )
 
 
@@ -1283,7 +1285,7 @@ def _q_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("r_best"),
             "r_lag0",
         )
-        .orderBy("lead_type", "lag_type")
+        .transform(cells_sorted, "lead_type", "lag_type")  # type-pair cells
     )
 
 
@@ -1431,7 +1433,7 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("slope"), 6).alias("sen_slope"),
         )
         .select("event_type", "n_hours", "n_pairs", "sen_slope")
-        .orderBy("event_type")
+        .transform(cells_sorted, "event_type")  # <= |event types| rows
     )
 
 
@@ -1542,7 +1544,7 @@ def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["l"] + F.lit(float(HOLT_H)) * folded["b"], 6).alias(
             "forecast_24h"
         ),
-    ).orderBy("event_type")
+    ).transform(cells_sorted, "event_type")  # <= |event types| rows
 
 
 RFM_Q = 5  # quantile buckets per RFM dimension
@@ -1600,39 +1602,47 @@ def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_user = _memo_persist(spark, sf_dir, "rfm_per_user", _build_per_user)
-    tot = per_user.agg(F.count(F.lit(1)).alias("n"))
     q = F.lit(RFM_Q)
 
-    def score(col: str, asc: bool, out: str) -> DataFrame:
-        o = F.asc(col) if asc else F.desc(col)
-        ranked = global_row_numbers(
-            per_user.select("user_id", col),
-            [o, F.asc("user_id")],
-            memo=lambda build: _memo_persist(
-                spark, sf_dir, f"rfm_rank:{out}", build
-            ),
-        )
-        return ranked.crossJoin(F.broadcast(tot)).select(
-            "user_id",
-            (
-                F.lit(RFM_Q + 1)
-                - (F.floor(q * (F.col("rn") - 1) / F.col("n")) + 1)
-            ).cast("int").alias(out),  # invert: HIGH score = good
+    def _build_scored() -> DataFrame:
+        # ONE memoized per-user score relation (r11, guide §1.2 /
+        # §5): the old form kept three separate rank memos and paid
+        # three user_id hash joins plus a count-scalar broadcast
+        # attach on EVERY execution of a launch-bound plan; the joins
+        # and the n constant belong to the index build. Ranks still
+        # come from the distributed two-pass row_number — no global
+        # window at any corpus size.
+        tot = per_user.agg(F.count(F.lit(1)).alias("n"))
+
+        def score(col: str, asc: bool, out: str) -> DataFrame:
+            o = F.asc(col) if asc else F.desc(col)
+            ranked = global_row_numbers(
+                per_user.select("user_id", col),
+                [o, F.asc("user_id")],
+            )
+            return ranked.crossJoin(F.broadcast(tot)).select(
+                "user_id",
+                (
+                    F.lit(RFM_Q + 1)
+                    - (F.floor(q * (F.col("rn") - 1) / F.col("n")) + 1)
+                ).cast("int").alias(out),  # invert: HIGH score = good
+            )
+
+        return (
+            per_user.select("user_id", "money")
+            .join(score("rec_h", True, "r_score"), "user_id")
+            .join(score("freq", False, "f_score"), "user_id")
+            .join(score("money", False, "m_score"), "user_id")
         )
 
-    scored = (
-        per_user.select("user_id", "money")
-        .join(score("rec_h", True, "r_score"), "user_id")
-        .join(score("freq", False, "f_score"), "user_id")
-        .join(score("money", False, "m_score"), "user_id")
-    )
+    scored = _memo_persist(spark, sf_dir, "rfm_scored", _build_scored)
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.round(F.avg("money"), 6).alias("avg_money"),
         )
-        .orderBy("r_score", "f_score", "m_score")
+        .transform(cells_sorted, "r_score", "f_score", "m_score")  # <= RFM_Q^3 cells
     )
 
 
@@ -1751,7 +1761,7 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(folded["q"], m),
             6,
         ).alias("forecast_24h"),
-    ).orderBy("event_type")
+    ).transform(cells_sorted, "event_type")  # <= |event types| rows
 
 
 def _holt_winters_oracle() -> str:
@@ -1881,7 +1891,7 @@ def _q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_occurrences"),
             F.max("n").alias("max_per_user"),
         )
-        .orderBy("pattern")
+        .transform(cells_sorted, "pattern")  # enumerated patterns
     )
 
 
@@ -1926,7 +1936,7 @@ def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dropped").alias("n_dropped"),
             F.round(F.sum("dropped") / F.count(F.lit(1)), 4).alias("drop_frac"),
         )
-        .orderBy("event_type")
+        .transform(cells_sorted, "event_type")  # <= |event types| rows
     )
 
 
@@ -1997,7 +2007,7 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
             F.round(F.avg("cv"), 4).alias("mean_cv"),
         )
-        .orderBy("band")
+        .transform(cells_sorted, "band")  # <= |bands| cells
     )
 
 
@@ -2078,7 +2088,7 @@ def attribution_rollup(pairs: DataFrame) -> DataFrame:
             F.round(F.sum("lin"), 4).alias("credit_linear"),
             F.round(F.sum(F.col("revenue") * F.col("lin")), 4).alias("revenue_linear"),
         )
-        .orderBy("channel")
+        .transform(cells_sorted, "channel")  # <= |channels| rows
     )
 
 

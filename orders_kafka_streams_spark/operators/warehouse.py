@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .presentation import cells_sorted
+
 from ..functions.portable import epoch_ms
 from ..sources.tables import load_table
 
@@ -310,7 +312,7 @@ def _q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_chars",
         F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
-    ).orderBy("source", "lang")
+    ).transform(cells_sorted, "source", "lang")  # source x lang cells
 
 
 #: snapshot-diff fixture residues: docs with doc_id % DIFF_ADD_MOD == 9
@@ -374,7 +376,7 @@ def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("st") == "modified").cast("long")).alias("n_modified"),
             F.sum((F.col("st") == "unchanged").cast("long")).alias("n_unchanged"),
         )
-        .orderBy("source")
+        .transform(cells_sorted, "source")  # <= |sources| rows
     )
 
 
