@@ -1225,13 +1225,18 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which scores repetition; this scores what each doc ADDS). Docs
     with novelty ≈ 0 are fully covered by earlier corpus and are
     deletion candidates even when no single pair crosses the near-dup
-    threshold. One shingle-keyed min-aggregation + one join back +
-    one doc aggregation over the memoized shingle relation."""
+    threshold. r11 (guide §2.3/§2.4, the dup_span_stats ladder): the
+    first-seen doc is an unordered per-shingle window MIN over the
+    exploded postings — ONE exchange of the stream — instead of a
+    shingle-keyed aggregation joined back against a second exchange
+    of the same stream; then one doc rollup."""
+    from pyspark.sql import Window
+
     sh = _shingled_cached(spark, sf_dir).filter(F.col("sz") > 0)
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    first_seen = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    wg = Window.partitionBy("g")
     return (
-        ex.join(first_seen, "g")
+        ex.withColumn("first_doc", F.min("doc_id").over(wg))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -1046,7 +1046,11 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.9 extension surface (sessionization / behavioral
     analytics family)."""
     baskets = _baskets_cached(spark, sf_dir)
-    users = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    # all-users denominator as a construction-time probe over the
+    # cached relation (r11, the consensus-dispatch pattern): it is a
+    # corpus constant, and the in-plan form re-ran a countDistinct
+    # pass over the cached baskets + a broadcast attach per execution
+    n_users = F.lit(baskets.agg(F.countDistinct("user_id")).first()[0])
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
     # A-priori semi-join: only items with n_i >= MIN_SUPPORT can
     # appear in a qualifying pair (lossless — see docstring). The
@@ -1061,18 +1065,14 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))
     nb = items.select(F.col("k").alias("ib"), F.col("n_i").alias("n_b"))
-    j = (
-        pairs.join(F.broadcast(na), "ia")
-        .join(F.broadcast(nb), "ib")
-        .crossJoin(F.broadcast(users))
-    )
-    lift = F.col("n_ab") * F.col("n_users") / (F.col("n_a") * F.col("n_b"))
+    j = pairs.join(F.broadcast(na), "ia").join(F.broadcast(nb), "ib")
+    lift = F.col("n_ab") * n_users / (F.col("n_a") * F.col("n_b"))
     return (
         j.select(
             "ia",
             "ib",
             "n_ab",
-            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / n_users, 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
             F.round(lift, 6).alias("lift"),
         )
@@ -1124,7 +1124,8 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memo-persisted like the uncapped relation: four consumers, and
     # the rank window would otherwise re-run per consumer
     baskets = _memo_persist(spark, sf_dir, "cooc_baskets_capped", build)
-    users = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    # construction-time denominator probe — see q_item_cooccurrence
+    n_users = F.lit(baskets.agg(F.countDistinct("user_id")).first()[0])
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
     freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
     fb = baskets.join(F.broadcast(freq), "k", "left_semi")
@@ -1141,18 +1142,14 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = items.select(F.col("k").alias("ia"), F.col("n_i").alias("n_a"))
     nb = items.select(F.col("k").alias("ib"), F.col("n_i").alias("n_b"))
-    j = (
-        pairs.join(F.broadcast(na), "ia")
-        .join(F.broadcast(nb), "ib")
-        .crossJoin(F.broadcast(users))
-    )
-    lift = F.col("n_ab") * F.col("n_users") / (F.col("n_a") * F.col("n_b"))
+    j = pairs.join(F.broadcast(na), "ia").join(F.broadcast(nb), "ib")
+    lift = F.col("n_ab") * n_users / (F.col("n_a") * F.col("n_b"))
     return (
         j.select(
             "ia",
             "ib",
             "n_ab",
-            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / n_users, 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
             F.round(lift, 6).alias("lift"),
         )

@@ -309,17 +309,18 @@ def test_ivf_centroid_set_is_bounded_top_k(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_langid_profiles_broadcast_no_corpus_cartesian(spark, sf_dir):
-    """CT langid: the only non-equi join is the 4-row language-list
-    replicate (BroadcastNestedLoopJoin of a literal) and the ranked
-    profile table joins as a broadcast hash join — the corpus itself
-    never cross-joins or cartesians, and every shuffle keys on doc_id."""
+def test_langid_profiles_literal_no_joins(spark, sf_dir):
+    """CT langid (r11 form): the 4 language profiles enter the plan as
+    map LITERALS looked up per profile row, so the scoring subtree has
+    NO join of any kind — no cartesian, no BNLJ language replicate, no
+    broadcast profile lookup — and the only shuffles key on doc_id."""
     from orders_kafka_streams_spark.operators import text
 
     plan = plan_of(text.QUERIES["q_text_langid"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # profile lookup
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # nothing big joins anything big
+    assert "keys=[" in plan and "doc_id" in plan  # doc-keyed aggregation
 
 
 def test_contamination_benchmark_join_broadcast(spark, sf_dir):
