@@ -756,24 +756,47 @@ def main() -> None:
     print(json.dumps(full))
     # ... compact summary LAST: always inside the driver's 2000-char
     # stdout tail, so BENCH_r{N}.json gets a non-null "parsed" again.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total_steady,
-                "unit": "sec",
-                "value_cold": total_cold,
-                "flagship_rows_per_sec": flagship_rps,
-                "r1_subset_sec": r1_subset_sec,
-                "sf1_wall": round(sum(sf1.values()), 3) if sf1 else None,
-                "sf1skew_wall": round(sum(sf1skew.values()), 3) if sf1skew else None,
-                "n_queries": len(steady),
-                "budget_breaches": [b["q"] for b in breaches],
-                "queries_file": "BENCH_FULL.json",
-                "sf": sf_val,
-            }
-        )
-    )
+    #
+    # r12 (VERDICT r11 item 2): the driver's round-over-round and
+    # 8-vs-32-core comparisons read per-query steady times from THIS
+    # parsed line, and r11's line carried none (PERF_r11 per_query {},
+    # n_common 0). The full 137-entry dict serializes to ~3.2 KB and
+    # can never fit the 2000-char tail capture (measured — the
+    # "137 entries ≈ fits" estimate in the verdict was off by 60%),
+    # so the line carries as many entries as fit a hard _TAIL_BUDGET,
+    # SLOWEST-FIRST: the heavy queries are where a regression or
+    # speedup is distinguishable from noise, and their membership is
+    # stable across rounds/core-counts so the driver's intersection
+    # (n_common) stays large. "queries_omitted" makes the truncation
+    # explicit; the COMPLETE dict stays in the first stdout line and
+    # BENCH_FULL.json. Existing headline fields are unchanged
+    # (additions only); compact separators keep the line parseable
+    # json while fitting ~20% more entries.
+    _TAIL_BUDGET = 1900  # hard cap: a >2000-char line parses as NOTHING
+    tail_obj = {
+        "metric": "headline_suite_wall",
+        "value": total_steady,
+        "unit": "sec",
+        "value_cold": total_cold,
+        "flagship_rows_per_sec": flagship_rps,
+        "r1_subset_sec": r1_subset_sec,
+        "sf1_wall": round(sum(sf1.values()), 3) if sf1 else None,
+        "sf1skew_wall": round(sum(sf1skew.values()), 3) if sf1skew else None,
+        "n_queries": len(steady),
+        "queries": {},
+        "queries_omitted": 0,
+        "budget_breaches": [b["q"] for b in breaches],
+        "queries_file": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    for name in sorted(steady, key=lambda n: (-steady[n], n)):
+        tail_obj["queries"][name] = steady[name]
+        tail_obj["queries_omitted"] = len(steady) - len(tail_obj["queries"])
+        if len(json.dumps(tail_obj, separators=(",", ":"))) > _TAIL_BUDGET:
+            del tail_obj["queries"][name]
+            tail_obj["queries_omitted"] = len(steady) - len(tail_obj["queries"])
+            break
+    print(json.dumps(tail_obj, separators=(",", ":")))
     if breaches:
         sys.exit(3)
 

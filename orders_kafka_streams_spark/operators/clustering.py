@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, parallelize
+from ..session import env_int
 
 K_CLUSTERS = 4
 KMEANS_ITERS = 3
@@ -159,7 +160,7 @@ SEMDEDUP_T = 0.4  # within-cluster cosine cut (28/31347 pairs at sf0.01)
 #: 512 as the O(B) per-row fan-out copies overtake the gains. Env
 #: override for cluster-scale tuning (more executors → smaller cap
 #: only if per-task memory demands it; 1024² doubles ≈ 8 MB/task).
-SEMDEDUP_CLUSTER_CAP = int(os.environ.get("OKSS_SEMDEDUP_CAP", "1024"))
+SEMDEDUP_CLUSTER_CAP = env_int("OKSS_SEMDEDUP_CAP", 1024, 2, 65536)
 
 
 def _guard_task_size(n: int, cap: int) -> None:
@@ -269,45 +270,118 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
 
     partial_schema = "vec_id long, cluster int, kept long, max_cos double"
 
-    def small_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        _guard_task_size(len(pdf), cap)
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
-            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        e = np.array(pdf["v"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        rows = _partials(ids, pdf["cluster"].to_numpy(), e, ids, _gram(e, e))
-        return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept", "max_cos"])
+    # ---- mapInArrow partition kernels (r12, guide §4.1/§4.2 — VERDICT
+    # r11 item 3). applyInPandas crossed the Python boundary once PER
+    # GROUP and rebuilt every vector through a pandas object Series +
+    # tolist() — one boxed Python float per component, ~8M objects per
+    # sf1 run across the ~60 block-pair groups, the dominant kernel-
+    # stage cost. The partition kernels below receive whole Arrow
+    # record batches, rebuild each (n, d) matrix by reslicing the list
+    # column's CONTIGUOUS values buffer (no Python-object traffic),
+    # and run the SAME _partials per group — group boundaries, sort
+    # order inside a group, and the kernel math are unchanged, so the
+    # cap/recombination tests pin the same seam. The repartition on
+    # the group key replaces the applyInPandas shuffle one-for-one
+    # (same exchange); each partition's batches are accumulated once
+    # (a group must be seen whole), bounded by the hash-partitioning
+    # grain exactly as the old per-group buffers were.
 
-    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _vmat(col) -> "np.ndarray":
+        import pyarrow as pa
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
+
+    def _emit(rows: list):
+        import pyarrow as pa
+
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.int64()),
+                pa.array(cols[1], pa.int32()),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.float64()),
+            ],
+            ["vec_id", "cluster", "kept", "max_cos"],
+        )
+
+    def small_partition(batches):
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        cl = tbl.column("cluster").to_numpy()
+        ids = tbl.column("vec_id").to_numpy()
+        vm = _vmat(tbl.column("v"))
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s = cl[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1], True])
+        rows: list = []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            n = int(t - s)
+            _guard_task_size(n, cap)
+            if n < 2:
+                continue
+            sel = order[s:t]
+            e = vm[sel]
+            gids = ids_s[s:t]
+            rows.extend(_partials(gids, cl_s[s:t], e, gids, _gram(e, e)))
+        if rows:
+            yield _emit(rows)
+
+    def pair_partition(batches):
         # side 0 = candidate partners (block a), side 1 = targets
         # (block b); a < b guarantees all side-0 ids < side-1 ids by
         # the contiguous rank split, a == b falls back to the id mask.
-        tgt = pdf[pdf["side"] == 1].sort_values("vec_id").reset_index(drop=True)
-        src = pdf[pdf["side"] == 0].sort_values("vec_id").reset_index(drop=True)
-        if len(tgt) == 0 or len(src) == 0:
-            return pd.DataFrame(
-                {"vec_id": [], "cluster": [], "kept": [], "max_cos": []}
-            ).astype({"vec_id": "int64", "cluster": "int32", "kept": "int64", "max_cos": "float64"})
-        e_t = np.array(tgt["v"].tolist(), dtype=np.float64)
-        e_s = np.array(src["v"].tolist(), dtype=np.float64)
-        rows = _partials(
-            tgt["vec_id"].to_numpy(),
-            tgt["cluster"].to_numpy(),
-            e_s,
-            src["vec_id"].to_numpy(),
-            _gram(e_s, e_t),
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        cl = tbl.column("cluster").to_numpy()
+        ka = tbl.column("a").to_numpy()
+        kb = tbl.column("b").to_numpy()
+        side = tbl.column("side").to_numpy()
+        ids = tbl.column("vec_id").to_numpy()
+        vm = _vmat(tbl.column("v"))
+        # primary (cluster, a, b) groups; inside a group side then
+        # ascending vec_id — the old per-side sort_values("vec_id")
+        order = np.lexsort((ids, side, kb, ka, cl))
+        cl_s, ka_s, kb_s, side_s = cl[order], ka[order], kb[order], side[order]
+        change = (
+            (cl_s[1:] != cl_s[:-1]) | (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
         )
-        return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept", "max_cos"])
+        bounds = np.flatnonzero(np.r_[True, change, True])
+        rows: list = []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:t]
+            sd = side_s[s:t]
+            src_sel = sel[sd == 0]
+            tgt_sel = sel[sd == 1]
+            if len(src_sel) == 0 or len(tgt_sel) == 0:
+                continue
+            e_s, e_t = vm[src_sel], vm[tgt_sel]
+            rows.extend(
+                _partials(ids[tgt_sel], cl[tgt_sel], e_s, ids[src_sel], _gram(e_s, e_t))
+            )
+        if rows:
+            yield _emit(rows)
 
     sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("c_sz"))
     max_sz = (sizes.agg(F.max("c_sz")).first() or [0])[0] or 0
     if max_sz <= cap:
         # every cluster fits in one task: the pre-cap single-kernel
         # plan, bit-identical answers, no decomposition machinery
-        out = asg.groupBy("cluster").applyInPandas(small_kernel, partial_schema)
+        out = (
+            asg.select("vec_id", "cluster", "v")
+            .repartition("cluster")
+            .mapInArrow(small_partition, partial_schema)
+        )
         return out.select(
             "vec_id", "cluster", "kept", F.round("max_cos", 6).alias("max_cos")
         )
@@ -316,12 +390,13 @@ def semdedup_drops(asg: DataFrame, threshold: float = SEMDEDUP_T,
     small = sized.filter(F.col("c_sz") <= cap).select("vec_id", "cluster", "v")
     big = sized.filter(F.col("c_sz") > cap)
 
-    small_out = small.groupBy("cluster").applyInPandas(small_kernel, partial_schema)
+    small_out = small.repartition("cluster").mapInArrow(small_partition, partial_schema)
 
     big_partials = (
         _block_pair_fanout(big, cap)
-        .groupBy("cluster", "a", "b")
-        .applyInPandas(pair_kernel, partial_schema)
+        .select("vec_id", "cluster", "v", "side", "a", "b")
+        .repartition("cluster", "a", "b")
+        .mapInArrow(pair_partition, partial_schema)
     )
     big_out = big_partials.groupBy("vec_id", "cluster").agg(
         F.min("kept").alias("kept"), F.max("max_cos").alias("max_cos")

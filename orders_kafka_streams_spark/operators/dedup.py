@@ -708,8 +708,9 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicating A-block rows against a BROADCAST list of block IDS
     (ints only — the heavy vector payloads move through hash shuffles,
     never a broadcast), then equi-joining the B blocks on bblk. Each
-    grid cell is one numpy float64 matmul inside mapInPandas
-    (Arrow-batched BLAS): per-task memory is two blocks, shuffle volume
+    grid cell is one numpy float64 matmul inside mapInArrow
+    (Arrow-batched BLAS; r12 — cells resliced off the Arrow buffers,
+    no per-row unpacking): per-task memory is two blocks, shuffle volume
     O((NA+NB)·N·d) — both bounded per task and fully distributed.
 
     Exact all-pairs is inherently O(N²·d) compute; this operator
@@ -752,35 +753,66 @@ def embedding_cosine_pairs(
     )
 
     def kernel(batches):
+        # r12 (guide §4.1/§4.2, the q_semdedup recipe): mapInArrow —
+        # the mapInPandas form unpacked every list<struct<id, vec>>
+        # cell through per-row Python loops (one boxed Row + one boxed
+        # float per component). Here each batch column is resliced
+        # straight off the Arrow buffers: the struct child arrays are
+        # CONTIGUOUS across all cells of the batch, so ids come out as
+        # one int64 vector and the vectors as ONE (Σn, d) float matrix
+        # (fixed d ⇒ reshape of the flattened child), with per-cell
+        # slices recovered from the list lengths. Kernel math
+        # (normalize → BLAS matmul → threshold → a<b) is unchanged.
         import numpy as np  # self-contained: workers import nothing of ours
-        import pandas as pd
+        import pyarrow as pa
 
-        def unpack(cell):
-            ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
-            mat = np.array(
-                [np.asarray(r["embedding"], dtype=np.float64) for r in cell]
+        def unpack_col(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            bounds = np.concatenate(
+                ([0], np.cumsum(col.value_lengths().to_numpy(zero_copy_only=False)))
             )
-            return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            structs = col.flatten()  # all cells' structs, offset-adjusted
+            ids = structs.field("vec_id").to_numpy(zero_copy_only=False)
+            embl = structs.field("embedding")
+            mat = (
+                embl.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(structs), -1)
+            )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            return bounds, ids, mat
 
-        for pdf in batches:
-            for avecs, bvecs in zip(pdf["avecs"], pdf["bvecs"]):
-                if len(avecs) == 0 or len(bvecs) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ab, aids, amat = unpack_col(rb.column(rb.schema.get_field_index("avecs")))
+            bb, bids, bmat = unpack_col(rb.column(rb.schema.get_field_index("bvecs")))
+            outs_a, outs_b, outs_c = [], [], []
+            for i in range(rb.num_rows):
+                a0, a1 = ab[i], ab[i + 1]
+                b0, b1 = bb[i], bb[i + 1]
+                if a0 == a1 or b0 == b1:
                     continue
-                aid, A = unpack(avecs)
-                bid, B = unpack(bvecs)
-                sims = A @ B.T
+                sims = amat[a0:a1] @ bmat[b0:b1].T
                 ai, bi = np.nonzero(sims >= thresh)
-                a_ids, b_ids = aid[ai], bid[bi]
+                a_ids, b_ids = aids[a0:a1][ai], bids[b0:b1][bi]
                 keep = a_ids < b_ids
-                yield pd.DataFrame(
-                    {
-                        "a": a_ids[keep],
-                        "b": b_ids[keep],
-                        "cosine": np.round(sims[ai, bi][keep], 6),
-                    }
+                outs_a.append(a_ids[keep])
+                outs_b.append(b_ids[keep])
+                outs_c.append(np.round(sims[ai, bi][keep], 6))
+            if outs_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outs_a), pa.int64()),
+                        pa.array(np.concatenate(outs_b), pa.int64()),
+                        pa.array(np.concatenate(outs_c), pa.float64()),
+                    ],
+                    ["a", "b", "cosine"],
                 )
 
-    return grid.select("avecs", "bvecs").mapInPandas(
+    return grid.select("avecs", "bvecs").mapInArrow(
         kernel, schema="a long, b long, cosine double"
     )
 
@@ -920,10 +952,30 @@ def _q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _q_dedup_simhash(spark, sf_dir).select("a", "b", F.lit("simhash").alias("m"))
     n_small = ng.count() + mh.count()
     if n_small <= _CONSENSUS_BROADCAST_MAX:
-        small_k = F.broadcast(
-            ng.select("a", "b").unionByName(mh.select("a", "b"))
+        # r12 (VERDICT r11 item 4): the broadcast-semi reduction of the
+        # simhash leg is itself MEMO-PERSISTED — ``sh ⋉ (ng ∪ mh)`` is
+        # bounded by |ng|+|mh| (the dispatch predicate just proved that
+        # small) and is a pure function of the three leg indexes, so it
+        # is index-class: build once at construction (cold pays the
+        # full 14.6M-row cached-leg scan there, the declared shared-
+        # index contract), serve every steady execution from the
+        # bounded cached relation instead of re-scanning the whole
+        # simhash leg per run (the r11 skew tier's #1 steady cost,
+        # 2.4-2.7 s of InMemoryTableScan feeding a broadcast semi whose
+        # output is ~2.5 k rows).
+        def _build_sh_hits() -> DataFrame:
+            small_k = F.broadcast(
+                ng.select("a", "b").unionByName(mh.select("a", "b"))
+            )
+            return (
+                _q_dedup_simhash(spark, sf_dir)
+                .select("a", "b")
+                .join(small_k, ["a", "b"], "left_semi")
+            )
+
+        sh = _memo_persist(spark, sf_dir, "consensus_shk", _build_sh_hits).select(
+            "a", "b", F.lit("simhash").alias("m")
         )
-        sh = sh.join(small_k, ["a", "b"], "left_semi")
     return (
         ng.unionByName(mh)
         .unionByName(sh)
@@ -1786,7 +1838,20 @@ OVERLAP_DF_CUTOFF = 10  # a shingle in more than half the 20 sources carries no 
 def _source_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (source, shingle) postings with boilerplate shingles
     dropped — session-persisted like every index relation (built once
-    over the memoized shingle cache, probed by each overlap query)."""
+    over the memoized shingle cache, probed by each overlap query).
+
+    r12 (VERDICT r11 item 1): the df gate is an unordered per-shingle
+    WINDOW COUNT over the distinct postings (the dup_spans/novelty
+    ladder) instead of a groupBy(sgl) aggregate joined back. The join
+    form's strategy was a BORDERLINE auto-broadcast decision — the
+    keep-side size estimate hovers at the 10 MB threshold at the
+    sf0.01 gate scale, so the committed exchange count flipped 9↔10
+    between hosts (the r11 driver's one red test). The window form
+    plans the same on every host (no join, no broadcast estimate),
+    drops one postings exchange + the join outright, and the group
+    frame is bounded by |sources| rows per shingle (post is distinct
+    on (source, sgl)). Same rows: count(*) over the sgl frame IS the
+    per-shingle df the aggregate computed."""
 
     def build() -> DataFrame:
         docs = parallelize(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
@@ -1794,10 +1859,12 @@ def _source_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = (
             sh.join(docs, "doc_id").select("source", F.explode("sh").alias("sgl")).distinct()
         )
-        keep = post.groupBy("sgl").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= OVERLAP_DF_CUTOFF
+        w_df = Window.partitionBy("sgl")
+        return (
+            post.withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("df") <= OVERLAP_DF_CUTOFF)
+            .select("source", "sgl")
         )
-        return post.join(keep.select("sgl"), "sgl")
 
     return _memo_persist(spark, sf_dir, "source_postk", build)
 

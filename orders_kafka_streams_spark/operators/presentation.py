@@ -31,3 +31,19 @@ def cells_sorted(df: DataFrame, *cols) -> DataFrame:
     the same column/``F.desc`` arguments as ``orderBy``.
     """
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def cells_sorted_exchanged(df: DataFrame, *cols) -> DataFrame:
+    """:func:`cells_sorted` for outputs whose PRE-SORT stage is
+    corpus-scale (r12, ADVICE r11): ``coalesce(1)`` collapses the
+    whole stage back to the previous exchange into ONE task, so when
+    that stage contains more than the final cell-sized aggregation —
+    e.g. a corpus-keyed reduce fused with a broadcast-join probe —
+    the coalesce silently single-tasks corpus-scale work.
+    ``repartition(1)`` inserts an exchange boundary instead: the wide
+    stage keeps its parallelism and only the bounded OUTPUT rows move
+    to the single sort task. Costs one SinglePartition exchange of
+    cell rows — still strictly cheaper than ``orderBy`` (which pays a
+    range-sample job plus the same width of exchange). Same rows,
+    same total order."""
+    return df.repartition(1).sortWithinPartitions(*cols)

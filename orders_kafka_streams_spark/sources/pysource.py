@@ -221,6 +221,29 @@ class OrderEventsSource(DataSource):
         return _StreamReader(int(self.options.get("n", PYSRC_N)))
 
 
+def _pickle_by_value() -> None:
+    """Make this module's DataSource classes SELF-CONTAINED when
+    pickled (r12, inherited-state fix): Spark's STREAMING python-
+    data-source runner is a driver-side worker whose import path comes
+    from the parent process environment — ``addPyFile``'s zip (which
+    executor workers see) does not reach it, so a driver session
+    launched from a cwd where this repo is not importable (the round
+    driver's contract; reproduced with the /tmp driver-sim on this
+    sandbox) failed both streaming pysource queries with
+    ``ModuleNotFoundError`` while the batch reads resolved. By-value
+    registration ships the class bodies inside the pickle; everything
+    they reference is stdlib + pyspark, so no repo import is needed
+    on the other side."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older cloudpickle: keep the
+        pass  # import-path behavior rather than fail registration
+
+
 def register(spark) -> None:
     """Idempotent per-session registration. Python-source filter
     pushdown is opt-in (spark.sql.python.filterPushdown.enabled,
@@ -229,6 +252,7 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = "okss.pysource.registered"
     if spark.conf.get(key, None) != "1":
+        _pickle_by_value()
         spark.dataSource.register(OrderEventsSource)
         spark.conf.set(key, "1")
 
@@ -360,5 +384,6 @@ def read_manifest(path: str) -> tuple[list[str], int]:
 def register_sink(spark) -> None:
     key = "okss.pysink.registered"
     if spark.conf.get(key, None) != "1":
+        _pickle_by_value()
         spark.dataSource.register(JsonlManifestSink)
         spark.conf.set(key, "1")

@@ -279,7 +279,8 @@ def test_dedup_embedding_is_distributed_block_matrix(spark, sf_dir):
         sc.setJobGroup("emb-plan-done", "")
     assert len(list(jobs)) <= 1, f"plan construction ran data jobs: {jobs}"
     plan = plan_of(df)
-    assert "MapInPandas" in plan
+    # r12: the kernel is mapInArrow (guide §4 — buffer-resliced cells)
+    assert "MapInArrow" in plan
     assert "collect_list" in plan  # bounded block rows, not raw vectors
     assert plan.count("Join") >= 2, plan  # grid-id replicate + block equi-join
 

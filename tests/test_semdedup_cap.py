@@ -120,7 +120,9 @@ def test_decomposed_plan_shape(spark, hot_cluster):
         .executedPlan()
         .toString()
     )
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # small + pair kernels
+    # r12: the kernels are mapInArrow partition kernels (guide §4 —
+    # one Python crossing per partition, zero-copy vector matrices)
+    assert plan.count("MapInArrow") == 2, plan  # small + pair kernels
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
